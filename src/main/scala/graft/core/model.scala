@@ -1,0 +1,51 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Canonical measurement model.
+  *
+  * The reference engine's single fact type is `Meas{id, time, value, flag}`
+  * [U: libdariadb/meas.h — struct Meas] (see SURVEY.md §1.1; reference mount
+  * empty this round, citations are upstream-path convention). We add `seq`
+  * (a unique per-measurement sequence number, sourced from `event_id`) as a
+  * deterministic tiebreaker: the reference resolves duplicate (id, time)
+  * pairs by storage-level freshness, which Spark has no ambient notion of,
+  * so freshness is modeled explicitly.
+  */
+case class Meas(id: Long, time: java.sql.Timestamp, value: Double, flag: Long, seq: Long)
+
+object Meas {
+  /** Canonical schema for Meas DataFrames. */
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("time", TimestampType),
+    StructField("value", DoubleType),
+    StructField("flag", LongType),
+    StructField("seq", LongType),
+  ))
+
+  /** Flag value marking "no measurement at/ before this time point" in
+    * as-of reads [U: libdariadb/meas.h — Flags::_NO_DATA]. */
+  val NO_DATA: Long = 4294967295L
+}
+
+/** Flag-match semantics [U: libdariadb/meas.h — Meas::inFlag]:
+  * query flag 0 matches everything; otherwise a measurement matches iff
+  * it shares at least one bit with the query flag. Our flags are one-hot
+  * event-type encodings, so "any shared bit" == "type in requested set".
+  */
+object Flags {
+  val CLICK = 1L; val ERROR = 2L; val PURCHASE = 4L; val SIGNUP = 8L; val VIEW = 16L
+}
+
+/** One registered query: a Spark plan builder plus (when SQL-expressible)
+  * the equivalent DuckDB oracle SQL over the same parquet tables. The
+  * driver hash-compares the two at sf0.01 — column NAMES must match
+  * exactly on both sides, every query must end in a total ORDER BY, and
+  * float aggregates must be rounded identically on both sides.
+  */
+case class QueryDef(
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")

@@ -1,0 +1,365 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Meas, QueryDef}
+import graft.sources.{EventsSource, Sql}
+
+/** The reference engine's complete query surface (SURVEY.md §2.1),
+  * re-expressed as declarative Spark plans over the canonical Meas view.
+  *
+  * Scale notes (the 100 TB story, per operator):
+  *  - interval reads are pure scan+filter: predicates push to parquet
+  *    (row-group min/max pruning ≈ the reference's chunk footer index
+  *    [U: storage/pages/page_manager.cpp]); no shuffle unless sorting.
+  *  - point reads (as-of / current-value) are per-id argmax: map-side
+  *    partial `max_by` aggregation, one shuffle on id, no window.
+  *  - stat/calculator are single grouped aggregations on id (partial agg
+  *    + one shuffle); never a driver-side collect.
+  *  - merge/compact dedup uses `max_by(struct(payload), struct(freshness))`
+  *    rather than a row_number window: partial aggregation halves shuffle
+  *    volume on duplicate-heavy inputs and avoids the single-partition-
+  *    per-key sort a window implies.
+  */
+object CoreQueries {
+
+  // ---- fixed query parameters (mirrored verbatim in the oracle SQL) ----
+  /** QueryInterval [from, to] — both ends inclusive, matching the
+    * reference's interval semantics [U: libdariadb/query.h — QueryInterval]. */
+  val FROM = "2024-01-10 00:00:00"
+  val TO   = "2024-01-20 00:00:00"
+  /** QueryTimePoint for the as-of read. Early enough that some series
+    * have no data yet → exercises _NO_DATA synthesis. */
+  val TP   = "2024-01-02 00:00:00"
+  /** Retention cutoff for erase_old. */
+  val CUT  = "2024-01-15 00:00:00"
+  /** IdArray: users {2,3,5,7,11} × codes {error=1, purchase=2}. */
+  val IDS: Seq[Long] = for (u <- Seq(2L, 3L, 5L, 7L, 11L); c <- Seq(1L, 2L)) yield u * 8 + c
+  /** Query flag: ERROR|PURCHASE — any-shared-bit match (graft.core.Flags). */
+  val QFLAG = 6L
+
+  private def idsSql = IDS.mkString("(", ", ", ")")
+
+  private def meas(s: SparkSession, d: String) = EventsSource.meas(s, d)
+
+  /** Flag predicate: query flag 0 matches all, else any shared bit. */
+  private def flagMatch(qflag: Long): Column =
+    if (qflag == 0L) lit(true) else (col("flag").bitwiseAND(lit(qflag)) =!= 0L)
+
+  // -------------------------------------------------------------------
+  // O2 readInterval — ids ∈ IdArray, from ≤ time ≤ to, flag match;
+  // time-ordered per id. Scan + pushed filters only; the ORDER BY is the
+  // determinism contract of the result set, not a semantic shuffle.
+  // -------------------------------------------------------------------
+  val readInterval: QueryDef = QueryDef(
+    build = (s, d) =>
+      meas(s, d)
+        .filter(col("id").isin(IDS: _*)
+          && col("time").between(lit(FROM).cast("timestamp"), lit(TO).cast("timestamp"))
+          && flagMatch(QFLAG))
+        .orderBy("id", "time", "seq"),
+    oracle = Some(
+      s"""${Sql.MEAS_CTE}
+         |SELECT id, time, value, flag, seq FROM meas
+         |WHERE id IN $idsSql
+         |  AND time BETWEEN TIMESTAMP '$FROM' AND TIMESTAMP '$TO'
+         |  AND (flag & $QFLAG) <> 0
+         |ORDER BY id, time, seq""".stripMargin),
+    doc = "O2 Engine::readInterval [U: engines/engine.cpp]")
+
+  // -------------------------------------------------------------------
+  // O3 intervalReader — cursor form of O2: lazily merge-sorted per-id
+  // stream. The per-id cursor position is materialized as `pos` to make
+  // the ordering contract testable. Window is per-id (bounded partitions).
+  // -------------------------------------------------------------------
+  val intervalReader: QueryDef = QueryDef(
+    build = (s, d) => {
+      val w = Window.partitionBy("id").orderBy("time", "seq")
+      meas(s, d)
+        .filter(col("id").isin(IDS: _*)
+          && col("time").between(lit(FROM).cast("timestamp"), lit(TO).cast("timestamp")))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .orderBy("id", "pos")
+    },
+    oracle = Some(
+      s"""${Sql.MEAS_CTE}
+         |SELECT id, time, value, flag, seq,
+         |       row_number() OVER (PARTITION BY id ORDER BY time, seq)::BIGINT AS pos
+         |FROM meas
+         |WHERE id IN $idsSql
+         |  AND time BETWEEN TIMESTAMP '$FROM' AND TIMESTAMP '$TO'
+         |ORDER BY id, pos""".stripMargin),
+    doc = "O3 Engine::intervalReader [U: storage/cursors.h — MergeSortCursor]")
+
+  // -------------------------------------------------------------------
+  // O4 readTimePoint — as-of read: per id the latest measurement with
+  // time ≤ tp; ids with none yield a _NO_DATA row (one row per requested
+  // id, always). Implemented as partial-aggregating argmax + broadcast
+  // left join against the (tiny) scheme — no window, one shuffle.
+  // -------------------------------------------------------------------
+  val readTimePoint: QueryDef = QueryDef(
+    build = (s, d) => {
+      val ids = EventsSource.scheme(s, d).select(col("series_id").as("id"))
+      val last = meas(s, d)
+        .filter(col("time") <= lit(TP).cast("timestamp"))
+        .groupBy("id")
+        .agg(max_by(struct(col("time"), col("value"), col("flag")), struct(col("time"), col("seq"))).as("m"))
+        .select(col("id"), col("m.time").as("time"), col("m.value").as("value"), col("m.flag").as("flag"))
+      ids.join(last.withColumnRenamed("id", "mid"), col("id") === col("mid"), "left")
+        .select(col("id"), col("time"), col("value"),
+          coalesce(col("flag"), lit(Meas.NO_DATA)).as("flag"))
+        .orderBy("id")
+    },
+    oracle = Some(
+      s"""${Sql.MEAS_CTE}, ${Sql.SCHEME_CTE},
+         |pt AS (
+         |  SELECT id, time, value, flag,
+         |         row_number() OVER (PARTITION BY id ORDER BY time DESC, seq DESC) AS rn
+         |  FROM meas WHERE time <= TIMESTAMP '$TP'
+         |)
+         |SELECT s.series_id AS id, p.time, p.value,
+         |       coalesce(p.flag, ${Meas.NO_DATA})::BIGINT AS flag
+         |FROM scheme s LEFT JOIN (SELECT * FROM pt WHERE rn = 1) p ON s.series_id = p.id
+         |ORDER BY id""".stripMargin),
+    doc = "O4 Engine::readTimePoint [U: engines/engine.cpp] — _NO_DATA synthesis")
+
+  // -------------------------------------------------------------------
+  // O5 currentValue — O4 with tp = +∞: latest value per id.
+  // -------------------------------------------------------------------
+  val currentValue: QueryDef = QueryDef(
+    build = (s, d) =>
+      meas(s, d)
+        .groupBy("id")
+        .agg(max_by(struct(col("time"), col("value"), col("flag")), struct(col("time"), col("seq"))).as("m"))
+        .select(col("id"), col("m.time").as("time"), col("m.value").as("value"), col("m.flag").as("flag"))
+        .orderBy("id"),
+    oracle = Some(
+      s"""${Sql.MEAS_CTE},
+         |r AS (
+         |  SELECT id, time, value, flag,
+         |         row_number() OVER (PARTITION BY id ORDER BY time DESC, seq DESC) AS rn
+         |  FROM meas
+         |)
+         |SELECT id, time, value, flag FROM r WHERE rn = 1 ORDER BY id""".stripMargin),
+    doc = "O5 Engine::currentValue [U: engines/engine.cpp]")
+
+  // -------------------------------------------------------------------
+  // O6 minMaxTime — earliest/latest timestamp per series.
+  // -------------------------------------------------------------------
+  val minMaxTime: QueryDef = QueryDef(
+    build = (s, d) =>
+      meas(s, d).groupBy("id")
+        .agg(min("time").as("min_time"), max("time").as("max_time"), count(lit(1)).as("cnt"))
+        .orderBy("id"),
+    oracle = Some(
+      s"""${Sql.MEAS_CTE}
+         |SELECT id, min(time) AS min_time, max(time) AS max_time, count(*)::BIGINT AS cnt
+         |FROM meas GROUP BY id ORDER BY id""".stripMargin),
+    doc = "O6 Engine::minMaxTime [U: engines/engine.cpp]")
+
+  // -------------------------------------------------------------------
+  // O8 stat — per-series Statistic over an interval: count, minTime,
+  // maxTime, minValue, maxValue, sum [U: libdariadb/meas.h — Statistic].
+  // -------------------------------------------------------------------
+  val stat: QueryDef = QueryDef(
+    build = (s, d) =>
+      meas(s, d)
+        .filter(col("time").between(lit(FROM).cast("timestamp"), lit(TO).cast("timestamp")))
+        .groupBy("id")
+        .agg(
+          count(lit(1)).as("cnt"),
+          min("time").as("min_time"), max("time").as("max_time"),
+          min("value").as("min_value"), max("value").as("max_value"),
+          round(sum("value"), 6).as("sum_value"))
+        .orderBy("id"),
+    oracle = Some(
+      s"""${Sql.MEAS_CTE}
+         |SELECT id, count(*)::BIGINT AS cnt,
+         |       min(time) AS min_time, max(time) AS max_time,
+         |       min(value) AS min_value, max(value) AS max_value,
+         |       round(sum(value), 6) AS sum_value
+         |FROM meas
+         |WHERE time BETWEEN TIMESTAMP '$FROM' AND TIMESTAMP '$TO'
+         |GROUP BY id ORDER BY id""".stripMargin),
+    doc = "O8 Engine::stat [U: engines/engine.cpp — struct Statistic]")
+
+  // -------------------------------------------------------------------
+  // O9 statistic calculator — the named function set of
+  // [U: libdariadb/statistic/calculator.cpp — FunctionFactory]:
+  // average, median, percentile90, percentile99, sigma, min, max, count.
+  // Exact `percentile` (linear interpolation) ↔ DuckDB quantile_cont;
+  // sigma = population stddev on both sides.
+  // -------------------------------------------------------------------
+  val calculator: QueryDef = QueryDef(
+    build = (s, d) =>
+      meas(s, d)
+        .filter(col("time").between(lit(FROM).cast("timestamp"), lit(TO).cast("timestamp")))
+        .groupBy("id")
+        .agg(
+          round(avg("value"), 6).as("average"),
+          round(expr("percentile(value, 0.5)"), 6).as("median"),
+          round(expr("percentile(value, 0.9)"), 6).as("percentile90"),
+          round(expr("percentile(value, 0.99)"), 6).as("percentile99"),
+          round(stddev_pop("value"), 6).as("sigma"),
+          min("value").as("minimum"), max("value").as("maximum"),
+          count(lit(1)).as("cnt"))
+        .orderBy("id"),
+    oracle = Some(
+      s"""${Sql.MEAS_CTE}
+         |SELECT id,
+         |       round(avg(value), 6) AS average,
+         |       round(quantile_cont(value, 0.5), 6) AS median,
+         |       round(quantile_cont(value, 0.9), 6) AS percentile90,
+         |       round(quantile_cont(value, 0.99), 6) AS percentile99,
+         |       round(stddev_pop(value), 6) AS sigma,
+         |       min(value) AS minimum, max(value) AS maximum,
+         |       count(*)::BIGINT AS cnt
+         |FROM meas
+         |WHERE time BETWEEN TIMESTAMP '$FROM' AND TIMESTAMP '$TO'
+         |GROUP BY id ORDER BY id""".stripMargin),
+    doc = "O9 statistic::Calculator [U: statistic/calculator.h — IFunction set]")
+
+  // -------------------------------------------------------------------
+  // Downsampling — 1-hour tumbling buckets per series (timeutil interval
+  // rounding [U: libdariadb/timeutil.h] generalized to a grouped agg).
+  // -------------------------------------------------------------------
+  val downsample: QueryDef = QueryDef(
+    build = (s, d) =>
+      meas(s, d)
+        .groupBy(col("id"), date_trunc("hour", col("time")).as("bucket"))
+        .agg(count(lit(1)).as("cnt"), round(avg("value"), 6).as("avg_value"),
+          min("value").as("min_value"), max("value").as("max_value"))
+        .orderBy("id", "bucket"),
+    oracle = Some(
+      s"""${Sql.MEAS_CTE}
+         |SELECT id, date_trunc('hour', time) AS bucket,
+         |       count(*)::BIGINT AS cnt, round(avg(value), 6) AS avg_value,
+         |       min(value) AS min_value, max(value) AS max_value
+         |FROM meas GROUP BY id, bucket ORDER BY id, bucket""".stripMargin),
+    doc = "downsample via timeutil-style bucketing [U: libdariadb/timeutil.h]")
+
+  // -------------------------------------------------------------------
+  // O16 merge-on-read — union of storage levels; duplicate (id, time)
+  // resolved to the freshest level [U: engines/engine.cpp read paths].
+  // Level 1 here is a deterministic "rewrite" of every 10th measurement.
+  // max_by(payload, (priority, seq)) keeps partial aggregation.
+  // -------------------------------------------------------------------
+  val mergeDedup: QueryDef = QueryDef(
+    build = (s, d) => {
+      val m = meas(s, d)
+      val lvl0 = m.withColumn("priority", lit(0L))
+      val lvl1 = m.filter(col("seq") % 10 === 0)
+        .withColumn("value", col("value") + 1000.0)
+        .withColumn("priority", lit(1L))
+      lvl0.unionByName(lvl1)
+        .groupBy("id", "time")
+        .agg(max_by(struct(col("value"), col("flag"), col("seq")), struct(col("priority"), col("seq"))).as("m"))
+        .select(col("id"), col("time"), col("m.value").as("value"),
+          col("m.flag").as("flag"), col("m.seq").as("seq"))
+        .orderBy("id", "time", "seq")
+    },
+    oracle = Some(
+      s"""${Sql.MEAS_CTE},
+         |lvl AS (
+         |  SELECT id, time, value, flag, seq, 0 AS priority FROM meas
+         |  UNION ALL
+         |  SELECT id, time, value + 1000.0, flag, seq, 1 AS priority
+         |  FROM meas WHERE seq % 10 = 0
+         |),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id, time ORDER BY priority DESC, seq DESC) AS rn
+         |  FROM lvl
+         |)
+         |SELECT id, time, value, flag, seq FROM r WHERE rn = 1
+         |ORDER BY id, time, seq""".stripMargin),
+    doc = "O16 multi-level merge-on-read [U: engines/engine.cpp; storage/cursors.h]")
+
+  // -------------------------------------------------------------------
+  // O12 compact — duplicate-heavy input rewritten to exactly one row per
+  // (id, time, seq); verified via per-id rollup.
+  // -------------------------------------------------------------------
+  val compact: QueryDef = QueryDef(
+    build = (s, d) => {
+      val m = meas(s, d)
+      m.unionByName(m)
+        .dropDuplicates("id", "time", "seq")
+        .groupBy("id")
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 6).as("sum_value"))
+        .orderBy("id")
+    },
+    oracle = Some(
+      s"""${Sql.MEAS_CTE}
+         |SELECT id, count(*)::BIGINT AS cnt, round(sum(value), 6) AS sum_value
+         |FROM (
+         |  SELECT DISTINCT id, time, value, flag, seq
+         |  FROM (SELECT * FROM meas UNION ALL SELECT * FROM meas)
+         |)
+         |GROUP BY id ORDER BY id""".stripMargin),
+    doc = "O12 Engine::compact/repack [U: storage/pages/page_manager.cpp]")
+
+  // -------------------------------------------------------------------
+  // O11 eraseOld — retention: drop data older than the cutoff; the query
+  // materializes the post-state per series. At scale this is a partition
+  // drop (store partitioned by day(time)), not a rewrite.
+  // -------------------------------------------------------------------
+  val eraseOld: QueryDef = QueryDef(
+    build = (s, d) =>
+      meas(s, d)
+        .filter(col("time") >= lit(CUT).cast("timestamp"))
+        .groupBy("id")
+        .agg(count(lit(1)).as("cnt"), min("time").as("min_time"), max("time").as("max_time"))
+        .orderBy("id"),
+    oracle = Some(
+      s"""${Sql.MEAS_CTE}
+         |SELECT id, count(*)::BIGINT AS cnt, min(time) AS min_time, max(time) AS max_time
+         |FROM meas WHERE time >= TIMESTAMP '$CUT'
+         |GROUP BY id ORDER BY id""".stripMargin),
+    doc = "O11 Engine::eraseOld [U: engines/engine.cpp]")
+
+  // -------------------------------------------------------------------
+  // O14 scheme — series catalog: ls() …
+  // -------------------------------------------------------------------
+  val schemeLs: QueryDef = QueryDef(
+    build = (s, d) => EventsSource.scheme(s, d).orderBy("series_id"),
+    oracle = Some(
+      s"""WITH ${Sql.SCHEME_CTE}
+         |SELECT series_id, user_id, event_type, name FROM scheme ORDER BY series_id""".stripMargin),
+    doc = "O14 Scheme::ls [U: scheme/scheme.cpp]")
+
+  // … and name→id resolution inside a query (broadcast join: the catalog
+  // is |users|×|types| rows — never a shuffle side).
+  val schemeJoin: QueryDef = QueryDef(
+    build = (s, d) => {
+      val sch = EventsSource.scheme(s, d).select(col("series_id"), col("name"))
+      meas(s, d)
+        .join(broadcast(sch), col("id") === col("series_id"))
+        .groupBy("name")
+        .agg(count(lit(1)).as("cnt"), round(avg("value"), 6).as("avg_value"))
+        .orderBy("name")
+    },
+    oracle = Some(
+      s"""${Sql.MEAS_CTE}, ${Sql.SCHEME_CTE}
+         |SELECT s.name, count(*)::BIGINT AS cnt, round(avg(m.value), 6) AS avg_value
+         |FROM meas m JOIN scheme s ON m.id = s.series_id
+         |GROUP BY s.name ORDER BY s.name""".stripMargin),
+    doc = "O14 name→id resolution [U: scheme/scheme.cpp — getParamId]")
+
+  /** Registry: name → QueryDef. Names are stable driver-facing keys. */
+  val defs: Map[String, QueryDef] = Map(
+    "read_interval"   -> readInterval,
+    "interval_reader" -> intervalReader,
+    "read_timepoint"  -> readTimePoint,
+    "current_value"   -> currentValue,
+    "min_max_time"    -> minMaxTime,
+    "stat"            -> stat,
+    "calculator"      -> calculator,
+    "downsample"      -> downsample,
+    "merge_dedup"     -> mergeDedup,
+    "compact"         -> compact,
+    "erase_old"       -> eraseOld,
+    "scheme_ls"       -> schemeLs,
+    "scheme_join"     -> schemeJoin,
+  )
+}

@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Maps the driver's `events` table onto the reference's Meas model
+  * (SURVEY.md §1.4): each (user_id, event_type) pair is one time series.
+  *
+  *   series id  := user_id * 8 + type_code          (stable, invertible)
+  *   time       := ts
+  *   value      := value
+  *   flag       := 1 << type_code                   (one-hot event type)
+  *   seq        := event_id                         (freshness tiebreaker)
+  *
+  * The encoding is deliberately arithmetic (not hashed) so the DuckDB
+  * oracle can reproduce it exactly; `Sql.TYPE_CASE`/`Sql.MEAS_CTE` are the
+  * SQL mirrors of the expressions here. Keep the two in lockstep.
+  */
+object EventsSource {
+
+  /** Event type → small code. Mirrored by [[Sql.TYPE_CASE]]. */
+  val typeCodeSql: String =
+    "CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 " +
+      "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END"
+
+  /** `events.ts` is physically TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects. Read it as raw nanos (legacy conf) and floor-divide
+    * to microseconds — exactly DuckDB's ns→µs truncation, so the oracle
+    * sees identical instants.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** The canonical Meas view of the events table. */
+  def meas(spark: SparkSession, sfDir: String): DataFrame = {
+    val code = expr(typeCodeSql)
+    events(spark, sfDir).select(
+      (col("user_id") * 8 + code).cast("long").as("id"),
+      col("ts").as("time"),
+      col("value"),
+      expr(s"shiftleft(1, $typeCodeSql)").cast("long").as("flag"),
+      col("event_id").as("seq"),
+    )
+  }
+
+  /** Series catalog [U: libdariadb/scheme/scheme.h — class Scheme]:
+    * name <-> id mapping, derived from the distinct (user, type) pairs.
+    * Small by construction (|users| × |types|) → always broadcastable.
+    */
+  def scheme(spark: SparkSession, sfDir: String): DataFrame = {
+    val code = expr(typeCodeSql)
+    events(spark, sfDir)
+      .select(
+        (col("user_id") * 8 + code).cast("long").as("series_id"),
+        col("user_id"),
+        col("event_type"),
+        concat(lit("u"), col("user_id").cast("string"), lit("."), col("event_type")).as("name"),
+      )
+      .distinct()
+  }
+}
+
+/** Shared SQL fragments for DuckDB oracles. These must stay semantically
+  * identical to the Spark expressions in [[EventsSource]].
+  */
+object Sql {
+  val TYPE_CASE: String = EventsSource.typeCodeSql
+
+  /** CTE exposing the canonical `meas` view to oracle SQL. */
+  val MEAS_CTE: String =
+    s"""WITH meas AS (
+       |  SELECT (user_id * 8 + $TYPE_CASE)::BIGINT AS id,
+       |         ts AS time,
+       |         value,
+       |         (1 << $TYPE_CASE)::BIGINT AS flag,
+       |         event_id AS seq
+       |  FROM events
+       |)""".stripMargin
+
+  /** CTE for the series catalog (mirrors [[EventsSource.scheme]]). */
+  val SCHEME_CTE: String =
+    s"""scheme AS (
+       |  SELECT DISTINCT (user_id * 8 + $TYPE_CASE)::BIGINT AS series_id,
+       |         user_id, event_type,
+       |         'u' || user_id::VARCHAR || '.' || event_type AS name
+       |  FROM events
+       |)""".stripMargin
+}
