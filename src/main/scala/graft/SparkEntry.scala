@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.QueryDef
+import graft.extensions.{DedupQueries, MiscQueries, SimilarityQueries, TextQueries}
 import graft.operators.CoreQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -15,7 +16,8 @@ object SparkEntry {
 
   /** All registered queries across modules. */
   def all: Map[String, QueryDef] =
-    CoreQueries.defs
+    CoreQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
+      SimilarityQueries.defs ++ MiscQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

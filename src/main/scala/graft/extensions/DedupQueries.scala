@@ -1,0 +1,277 @@
+package graft.extensions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.QueryDef
+
+/** Deduplication operators over `documents` (SURVEY.md §2.3 X1/X2):
+  * exact (content hash), MinHash+LSH, SimHash, rare-shingle-blocked
+  * n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design: every candidate-generation step is a grouped shuffle on
+  * a bounded key (hash, band, shingle) — never an unblocked O(n²)
+  * cross join. Pairwise verification only runs on LSH/blocking survivors.
+  * Hash functions are md5-derived so the DuckDB oracle can reproduce
+  * them bit-for-bit (no RNG, no engine-specific hashing).
+  */
+object DedupQueries {
+
+  private val toksExpr = "filter(split(text, ' '), t -> t != '')"
+  private val toksSql  = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** 3-gram word shingles, distinct. Spark arrays are 0-indexed, DuckDB
+    * lists 1-indexed — the two expressions below produce identical sets.
+    */
+  private val shinglesExpr =
+    s"""array_distinct(CASE WHEN size($toksExpr) >= 3
+       | THEN transform(sequence(0, size($toksExpr) - 3),
+       |                i -> concat_ws(' ', $toksExpr[i], $toksExpr[i+1], $toksExpr[i+2]))
+       | ELSE array(text) END)""".stripMargin.replaceAll("\n", " ")
+  private val shinglesSql =
+    s"""list_distinct(CASE WHEN len($toksSql) >= 3
+       | THEN list_transform(generate_series(1, len($toksSql) - 2),
+       |                     i -> array_to_string(($toksSql)[i:i+2], ' '))
+       | ELSE [text] END)""".stripMargin.replaceAll("\n", " ")
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), expr(shinglesExpr).as("sh"))
+
+  // -------------------------------------------------------------------
+  // X1 exact dedup: content-hash groupBy. The input is the corpus
+  // unioned with an id-shifted copy of itself so the dup-resolution
+  // path (keep min doc_id) is actually exercised.
+  // -------------------------------------------------------------------
+  val exact: QueryDef = QueryDef(
+    build = (s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val copy = base.withColumn("doc_id", col("doc_id") + 1000000L)
+      base.unionByName(copy)
+        .groupBy(sha2(col("text"), 256).as("content_hash"))
+        .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("dup_cnt"))
+        .orderBy("content_hash")
+    },
+    oracle = Some(
+      """WITH d2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |)
+        |SELECT sha256(text) AS content_hash, min(doc_id) AS keep_doc_id,
+        |       count(*)::BIGINT AS dup_cnt
+        |FROM d2 GROUP BY content_hash ORDER BY content_hash""".stripMargin),
+    doc = "X1 exact dedup (sha256 groupBy)")
+
+  // -------------------------------------------------------------------
+  // X2a MinHash + LSH over 3-gram shingles. 8 md5-keyed min-hashes,
+  // 4 bands × 2 rows → LSH threshold (1/4)^(1/2) = 0.5. Candidates =
+  // pairs sharing ≥1 band bucket; survivors verified with exact Jaccard.
+  // The minhash signature is computed with higher-order array functions
+  // (map-side, no explode); only band buckets shuffle.
+  // -------------------------------------------------------------------
+  private val NUM_HASHES = 8
+  private val BAND_ROWS = 2
+  private val JACCARD_MIN = 0.8
+
+  val minhash: QueryDef = QueryDef(
+    build = (s, d) => {
+      val withSig = (0 until NUM_HASHES).foldLeft(shingled(s, d)) { (df, i) =>
+        df.withColumn(s"mh_$i", expr(s"array_min(transform(sh, x -> md5(concat('$i|', x))))"))
+      }
+      val bands = (0 until NUM_HASHES / BAND_ROWS).map { b =>
+        withSig.select(col("doc_id"), col("sh"), lit(b).as("band"),
+          md5(concat(col(s"mh_${2 * b}"), col(s"mh_${2 * b + 1}"))).as("bucket"))
+      }.reduce(_ unionByName _)
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      cand
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("uni", size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter"))
+        .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
+        .filter(col("jaccard") >= JACCARD_MIN)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+    oracle = Some {
+      val sigCols = (0 until NUM_HASHES).map(i =>
+        s"list_min(list_transform(sh, x -> md5('$i|' || x))) AS mh_$i").mkString(",\n         ")
+      val bandSelects = (0 until NUM_HASHES / BAND_ROWS).map(b =>
+        s"SELECT doc_id, sh, $b AS band, md5(mh_${2 * b} || mh_${2 * b + 1}) AS bucket FROM sig").mkString("\n  UNION ALL\n  ")
+      s"""WITH s AS (
+         |  SELECT doc_id, $shinglesSql AS sh FROM documents
+         |), sig AS (
+         |  SELECT doc_id, sh,
+         |         $sigCols
+         |  FROM s
+         |), bands AS (
+         |  $bandSelects
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |), verified AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+         |           (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
+         |  FROM cand c JOIN s sa ON c.doc_a = sa.doc_id JOIN s sb ON c.doc_b = sb.doc_id
+         |)
+         |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM verified
+         |WHERE round(j, 6) >= $JACCARD_MIN ORDER BY doc_a, doc_b""".stripMargin
+    },
+    doc = "X2 MinHash+LSH near-dup (shingle → minhash → band → bucket-join)")
+
+  // -------------------------------------------------------------------
+  // X2b SimHash: 32-bit signature over shingles (md5-derived bits),
+  // banded into 4 bytes for candidate generation, Hamming-verified.
+  // -------------------------------------------------------------------
+  private val HAMMING_MAX = 6
+
+  val simhash: QueryDef = QueryDef(
+    build = (s, d) => {
+      val sh = shingled(s, d)
+      // per (doc, bit): sum of ±1 votes across shingle hashes
+      val votes = sh.select(col("doc_id"), explode(col("sh")).as("x"))
+        .withColumn("h", conv(substring(md5(col("x")), 1, 8), 16, 10).cast("long"))
+        .select(col("doc_id"), col("h"), explode(expr("sequence(0, 31)")).as("b"))
+        .groupBy("doc_id", "b")
+        .agg(sum(expr("(CAST(shiftright(h, b) & 1 AS BIGINT)) * 2 - 1")).as("v"))
+      val sig = votes.groupBy("doc_id")
+        .agg(sum(expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END")).as("simhash"))
+      val bands = sig.select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("k"))
+        .withColumn("byte", expr("shiftright(simhash, k * 8) & 255"))
+      bands.as("a").join(bands.as("b"),
+          col("a.k") === col("b.k") && col("a.byte") === col("b.byte")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+        .dropDuplicates("doc_a", "doc_b")
+        .withColumn("hamming", bit_count(expr("sh_a ^ sh_b")).cast("long"))
+        .filter(col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    },
+    oracle = Some(
+      s"""WITH s AS (
+         |  SELECT doc_id, $shinglesSql AS sh FROM documents
+         |), hashes AS (
+         |  SELECT doc_id, ('0x' || substring(md5(u.x), 1, 8))::BIGINT AS h
+         |  FROM s, unnest(s.sh) AS u(x)
+         |), votes AS (
+         |  SELECT doc_id, g.b, sum(((h >> g.b) & 1) * 2 - 1)::BIGINT AS v
+         |  FROM hashes CROSS JOIN generate_series(0, 31) AS g(b)
+         |  GROUP BY doc_id, g.b
+         |), sig AS (
+         |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+         |  FROM votes GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, simhash, g.k, (simhash >> (g.k * 8)) & 255 AS byte
+         |  FROM sig CROSS JOIN generate_series(0, 3) AS g(k)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.simhash AS sh_a, b.simhash AS sh_b
+         |  FROM bands a JOIN bands b
+         |    ON a.k = b.k AND a.byte = b.byte AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $HAMMING_MAX
+         |ORDER BY doc_a, doc_b""".stripMargin),
+    doc = "X2 SimHash near-dup (bit-vote signature, byte-banded)")
+
+  // -------------------------------------------------------------------
+  // X2c n-gram Jaccard with rare-shingle blocking: candidate pairs share
+  // at least one shingle with document frequency ≤ DF_MAX (blocks on
+  // discriminative shingles only — the frequent-shingle join explosion
+  // is exactly what kills naive token joins at scale).
+  // -------------------------------------------------------------------
+  private val DF_MAX = 20
+  private val NGRAM_JACCARD_MIN = 0.5
+
+  val ngramJaccard: QueryDef = QueryDef(
+    build = (s, d) => {
+      val sh = shingled(s, d)
+      val post = sh.select(col("doc_id"), explode(col("sh")).as("x"))
+      val rare = post.groupBy("x").agg(count(lit(1)).as("df")).filter(col("df") <= DF_MAX)
+      val blocked = post.join(rare, "x")
+      val cand = blocked.as("a").join(blocked.as("b"),
+          col("a.x") === col("b.x") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      cand.join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("jaccard", round(col("inter").cast("double")
+          / (size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter")), 6))
+        .filter(col("jaccard") >= NGRAM_JACCARD_MIN)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+    oracle = Some(
+      s"""WITH s AS (
+         |  SELECT doc_id, $shinglesSql AS sh FROM documents
+         |), post AS (
+         |  SELECT doc_id, u.x FROM s, unnest(s.sh) AS u(x)
+         |), rare AS (
+         |  SELECT x FROM post GROUP BY x HAVING count(*) <= $DF_MAX
+         |), blocked AS (
+         |  SELECT p.doc_id, p.x FROM post p JOIN rare r ON p.x = r.x
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM blocked a JOIN blocked b ON a.x = b.x AND a.doc_id < b.doc_id
+         |), verified AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+         |           (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+         |  FROM cand c JOIN s sa ON c.doc_a = sa.doc_id JOIN s sb ON c.doc_b = sb.doc_id
+         |)
+         |SELECT doc_a, doc_b, jaccard FROM verified
+         |WHERE jaccard >= $NGRAM_JACCARD_MIN ORDER BY doc_a, doc_b""".stripMargin),
+    doc = "X2 n-gram Jaccard near-dup (rare-shingle blocking)")
+
+  // -------------------------------------------------------------------
+  // X2d embedding-cosine near-dup over `embeddings`: dot products in
+  // double precision (both engines accumulate in index order → identical
+  // bits before rounding). Small-N brute force here; the scale path is
+  // the SRP-LSH bucketing in SimilarityQueries.
+  // -------------------------------------------------------------------
+  private val COSINE_MIN = 0.45
+
+  val embedCosine: QueryDef = QueryDef(
+    build = (s, d) => {
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("norm", expr("sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (a, x) -> a + x))"))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("dot", expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+        .withColumn("cos_sim", round(col("dot") / (col("a.norm") * col("b.norm")), 6))
+        .filter(col("cos_sim") >= COSINE_MIN)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    },
+    oracle = Some(
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+         |  FROM embeddings
+         |)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cos_sim
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= $COSINE_MIN
+         |ORDER BY vec_a, vec_b""".stripMargin),
+    doc = "X2 embedding-cosine near-dup")
+
+  val defs: Map[String, QueryDef] = Map(
+    "dedup_exact"   -> exact,
+    "dedup_minhash" -> minhash,
+    "dedup_simhash" -> simhash,
+    "dedup_ngram"   -> ngramJaccard,
+    "dedup_embed"   -> embedCosine,
+  )
+}

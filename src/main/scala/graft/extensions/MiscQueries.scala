@@ -1,0 +1,134 @@
+package graft.extensions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.QueryDef
+
+/** Multimodal-column plumbing, semi-structured (JSON) extraction, and
+  * relational pipeline demos (SURVEY.md §2.3 X5 + §2.2 join coverage).
+  */
+object MiscQueries {
+
+  // -------------------------------------------------------------------
+  // X5 multimodal columns: content is carried as an opaque binary column
+  // with typed metadata. The decode step is a STUB (no image/audio libs
+  // in this container — see extensions/Multimodal.scala for the
+  // mapPartitions plumbing); the deterministic fake used here keeps the
+  // whole path testable end-to-end. All expressions are codegen'd
+  // built-ins — no UDF in the scan path.
+  // -------------------------------------------------------------------
+  val multimodalMeta: QueryDef = QueryDef(
+    build = (s, d) =>
+      s.read.parquet(s"$d/documents.parquet")
+        .withColumn("content", col("text").cast("binary")) // opaque payload
+        .withColumn("byte_len", octet_length(col("text")).cast("long"))
+        .select(
+          col("doc_id"),
+          col("byte_len"),
+          // stubbed "decode": deterministic fake dimensions/format
+          (lit(64) + col("byte_len") % 576).cast("long").as("width"),
+          (lit(64) + (col("byte_len") * 7) % 416).cast("long").as("height"),
+          (lit(1) + col("byte_len") % 30).cast("long").as("n_frames"),
+          expr("CASE CAST(byte_len % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END").as("fmt"),
+          md5(col("text")).as("content_md5"))
+        .orderBy("doc_id"),
+    oracle = Some(
+      """SELECT doc_id,
+        |       octet_length(encode(text))::BIGINT AS byte_len,
+        |       (64 + octet_length(encode(text)) % 576)::BIGINT AS width,
+        |       (64 + (octet_length(encode(text)) * 7) % 416)::BIGINT AS height,
+        |       (1 + octet_length(encode(text)) % 30)::BIGINT AS n_frames,
+        |       CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS fmt,
+        |       md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin),
+    doc = "X5 multimodal metadata (binary payload + stubbed decode)")
+
+  // -------------------------------------------------------------------
+  // X5 semi-structured props: JSON extraction on events, aggregated per
+  // event type. from_json with an explicit schema (never schema
+  // inference at scale).
+  // -------------------------------------------------------------------
+  val eventsProps: QueryDef = QueryDef(
+    build = (s, d) =>
+      graft.sources.EventsSource.events(s, d)
+        .withColumn("k", from_json(col("props"), org.apache.spark.sql.types.StructType(
+          Seq(org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+          .getField("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), round(avg("k"), 6).as("avg_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type"),
+    oracle = Some(
+      """SELECT event_type, count(*)::BIGINT AS cnt,
+        |       round(avg(k), 6) AS avg_k, min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    doc = "X5 JSON props extraction (from_json with explicit schema)")
+
+  // -------------------------------------------------------------------
+  // Relational coverage (§2.2): grouped aggregation over the fact table
+  // (TPC-H Q1 shape) …
+  // -------------------------------------------------------------------
+  val pricingSummary: QueryDef = QueryDef(
+    build = (s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_extendedprice"), 6).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    oracle = Some(
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       round(sum(l_extendedprice), 4) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |       round(avg(l_quantity), 6) AS avg_qty,
+        |       round(avg(l_extendedprice), 6) AS avg_price,
+        |       count(*)::BIGINT AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    doc = "relational: grouped agg over the fact table (TPC-H Q1 shape)")
+
+  // … and a multi-way join: fact-side shuffle join on orderkey, dimension
+  // sides broadcast (customer/nation are small by star-schema design).
+  val revenueByNation: QueryDef = QueryDef(
+    build = (s, d) => {
+      val l = s.read.parquet(s"$d/lineitem.parquet")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val o = s.read.parquet(s"$d/orders.parquet").select("o_orderkey", "o_custkey")
+      val c = s.read.parquet(s"$d/customer.parquet").select("c_custkey", "c_nationkey")
+      val n = s.read.parquet(s"$d/nation.parquet").select("n_nationkey", "n_name")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy("nation")
+    },
+    oracle = Some(
+      """SELECT n.n_name AS nation,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+        |       count(*)::BIGINT AS cnt
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY nation""".stripMargin),
+    doc = "relational: multi-way join (shuffle on fact key, broadcast dims)")
+
+  val defs: Map[String, QueryDef] = Map(
+    "multimodal_meta" -> multimodalMeta,
+    "events_props"    -> eventsProps,
+    "pricing_summary" -> pricingSummary,
+    "revenue_by_nation" -> revenueByNation,
+  )
+}

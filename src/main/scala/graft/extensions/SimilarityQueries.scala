@@ -1,0 +1,150 @@
+package graft.extensions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.QueryDef
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.3 X3).
+  *
+  * Two paths:
+  *  - brute-force top-k: the baseline. Query set is tiny → broadcast;
+  *    candidates stream map-side; ranking is a bounded per-query window.
+  *  - SRP-LSH (sign-random-projection) bucketed top-k: the 100 TB path.
+  *    16 deterministic hyperplanes → 16-bit code → 4 bands × 4 bits;
+  *    only same-bucket candidates are scored. Hyperplane signs derive
+  *    from md5 parity, so the oracle reproduces them exactly (no RNG).
+  *
+  * Dot products are computed in double precision with index-order
+  * accumulation on both engines; ranking uses the ROUNDED similarity
+  * (+ id tiebreak) so last-ulp differences can never flip an ordering.
+  */
+object SimilarityQueries {
+
+  private val K = 10
+  private val N_QUERIES = 10 // query set: vec_id < 10
+  private val N_PLANES = 16
+  private val BAND_BITS = 4
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("norm", expr("sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (a, x) -> a + x))"))
+
+  // -------------------------------------------------------------------
+  // X3a brute-force cosine top-k.
+  // -------------------------------------------------------------------
+  val topk: QueryDef = QueryDef(
+    build = (s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("dot", expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+        .withColumn("cos_sim", round(col("dot") / (col("norm") * col("qnorm")), 6))
+        .withColumn("neighbor_id", col("vec_id"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= K)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some(
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+         |  FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e WHERE vec_id < $N_QUERIES
+         |), scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         round(list_dot_product(e.v, q.qv) / (e.norm * q.qnorm), 6) AS cos_sim
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank::BIGINT AS rank, neighbor_id, cos_sim
+         |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin),
+    doc = "X3 brute-force cosine top-k (broadcast queries, map-side scoring)")
+
+  // -------------------------------------------------------------------
+  // X3b SRP-LSH bucketed ANN. Deterministic hyperplane sign
+  // s(p, j) = +1 iff lowest md5 bit of "p_j" is set. A vector's code bit
+  // p is sign(Σ_j v[j]·s(p,j)). Candidates must share a 4-bit band with
+  // the query; survivors are scored exactly and ranked.
+  // -------------------------------------------------------------------
+  val ann: QueryDef = QueryDef(
+    build = (s, d) => {
+      val e = emb(s, d)
+      // code: 16 projection signs folded into a 16-bit integer, map-side
+      val projBit = (p: Int) =>
+        s"""CASE WHEN aggregate(zip_with(v, transform(sequence(0, 63),
+           | j -> (CAST(conv(substring(md5(concat('$p', '_', j)), 1, 8), 16, 10) AS BIGINT) % 2) * 2D - 1D),
+           | (x, sgn) -> x * sgn), 0D, (a, x) -> a + x) > 0 THEN 1 ELSE 0 END""".stripMargin.replaceAll("\n", " ")
+      val coded = (0 until N_PLANES).foldLeft(e) { (df, p) =>
+        df.withColumn(s"bit_$p", expr(projBit(p)).cast("long"))
+      }.withColumn("code",
+        (0 until N_PLANES).map(p => expr(s"shiftleft(bit_$p, $p)")).reduce(_ + _))
+        .select("vec_id", "v", "norm", "code")
+      val bands = coded.select(col("vec_id"), col("v"), col("norm"), col("code"),
+          explode(expr(s"sequence(0, ${N_PLANES / BAND_BITS - 1})")).as("band"))
+        .withColumn("bucket", expr(s"shiftright(code, band * $BAND_BITS) & ${(1 << BAND_BITS) - 1}"))
+      val qb = bands.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"),
+          col("band"), col("bucket"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+      bands.join(qb, Seq("band", "bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("v"), col("qv"), col("norm"), col("qnorm"))
+        .dropDuplicates("query_id", "neighbor_id")
+        .withColumn("dot", expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+        .withColumn("cos_sim", round(col("dot") / (col("norm") * col("qnorm")), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= K)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some {
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+         |  FROM embeddings
+         |), planes AS (
+         |  SELECT p.p, j.j,
+         |         ((('0x' || substring(md5(p.p::VARCHAR || '_' || j.j::VARCHAR), 1, 8))::BIGINT % 2) * 2 - 1)::DOUBLE AS sgn
+         |  FROM generate_series(0, ${N_PLANES - 1}) p(p) CROSS JOIN generate_series(0, 63) j(j)
+         |), proj AS (
+         |  SELECT e.vec_id, pl.p, sum(e.v[pl.j + 1] * pl.sgn) AS s
+         |  FROM e CROSS JOIN planes pl GROUP BY e.vec_id, pl.p
+         |), coded AS (
+         |  SELECT vec_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS code
+         |  FROM proj GROUP BY vec_id
+         |), bands AS (
+         |  SELECT c.vec_id, c.code, g.band, (c.code >> (g.band * $BAND_BITS)) & ${(1 << BAND_BITS) - 1} AS bucket
+         |  FROM coded c CROSS JOIN generate_series(0, ${N_PLANES / BAND_BITS - 1}) g(band)
+         |), cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM bands q JOIN bands b ON q.band = b.band AND q.bucket = b.bucket
+         |  WHERE q.vec_id < $N_QUERIES AND b.vec_id <> q.vec_id
+         |), scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         round(list_dot_product(eq.v, en.v) / (eq.norm * en.norm), 6) AS cos_sim
+         |  FROM cand c JOIN e eq ON c.query_id = eq.vec_id JOIN e en ON c.neighbor_id = en.vec_id
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank::BIGINT AS rank, neighbor_id, cos_sim
+         |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+    },
+    doc = "X3 SRP-LSH bucketed ANN (deterministic hyperplanes, band join)")
+
+  val defs: Map[String, QueryDef] = Map(
+    "sim_topk" -> topk,
+    "sim_ann"  -> ann,
+  )
+}

@@ -1,0 +1,212 @@
+package graft.extensions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.QueryDef
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §2.3 X4):
+  * tokenization/token statistics, n-gram language ID, quality scoring,
+  * content fingerprinting, tf-idf. All are scan + grouped-agg shaped —
+  * shuffle keys are doc_id or token, never a driver-side collect — so the
+  * plans scale linearly with corpus size.
+  *
+  * Every Spark expression here has an exact SQL mirror in the oracle;
+  * tokenization is a shared contract (split on single space, drop empty
+  * tokens) — keep both sides in lockstep.
+  */
+object TextQueries {
+
+  /** Spark-side token array (drops empty tokens). */
+  private val toksExpr = "filter(split(text, ' '), t -> t != '')"
+  /** DuckDB mirror of [[toksExpr]]. */
+  private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** Per-language stopword lists for the n-gram language-ID heuristic.
+    * Tiny by design: language ID at 100 TB must be a map-only scan, so the
+    * lists live in the closure / SQL literal, not in a join.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "von", "ein", "zu", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "pour", "que", "dans", "sur"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "人", "这"),
+  )
+  private val langs = stopwords.keys.toSeq.sorted // de, en, es, fr, zh
+
+  private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+
+  // -------------------------------------------------------------------
+  // Token statistics: whitespace token count, BPE-ish regex token count,
+  // distinct tokens, mean token length. Pure map-side (no shuffle except
+  // the output sort).
+  // -------------------------------------------------------------------
+  private val bpeRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  val textStats: QueryDef = QueryDef(
+    build = (s, d) =>
+      docs(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+          size(expr(s"regexp_extract_all(text, '$bpeRe', 0)")).cast("long").as("n_bpe_tokens"),
+          round(expr("aggregate(toks, 0L, (a, t) -> a + length(t))") / size(col("toks")), 6)
+            .as("avg_token_len"))
+        .orderBy("doc_id"),
+    oracle = Some(
+      s"""SELECT doc_id,
+         |       len(toks)::BIGINT AS n_tokens,
+         |       len(list_distinct(toks))::BIGINT AS n_distinct,
+         |       len(regexp_extract_all(text, '$bpeRe'))::BIGINT AS n_bpe_tokens,
+         |       round(list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks), 6) AS avg_token_len
+         |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin),
+    doc = "X4 token counting (whitespace + BPE-ish regex)")
+
+  // -------------------------------------------------------------------
+  // Language ID: stopword-hit counts per language, argmax with a fixed
+  // lexicographic tie order. Map-only per document.
+  // -------------------------------------------------------------------
+  val textLang: QueryDef = QueryDef(
+    build = (s, d) => {
+      val withScores = langs.foldLeft(docs(s, d).withColumn("toks", expr(toksExpr))) {
+        (df, l) =>
+          df.withColumn(s"s_$l",
+            size(expr(s"filter(toks, t -> t IN ${inList(stopwords(l))})")).cast("long"))
+      }
+      val best = greatest(langs.map(l => col(s"s_$l")): _*)
+      // first-match CASE in fixed lexicographic lang order (tie contract)
+      val predFirst = langs.foldRight(lit("und")) { (l, e) =>
+        when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(e)
+      }
+      withScores
+        .select((Seq(col("doc_id"), col("lang").as("labeled_lang"), predFirst.as("pred_lang")) ++
+          langs.map(l => col(s"s_$l"))): _*)
+        .orderBy("doc_id")
+    },
+    oracle = Some {
+      val scoreCols = langs.map(l =>
+        s"len(list_filter(toks, t -> t IN ${inList(stopwords(l))}))::BIGINT AS s_$l").mkString(",\n       ")
+      val bestExpr = "greatest(" + langs.map(l => s"s_$l").mkString(", ") + ")"
+      val caseExpr = "CASE " + langs.map(l => s"WHEN s_$l = $bestExpr AND $bestExpr > 0 THEN '$l'").mkString(" ") + " ELSE 'und' END"
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, $toksSql AS toks FROM documents
+         |), sc AS (
+         |  SELECT doc_id, lang AS labeled_lang,
+         |       $scoreCols
+         |  FROM t
+         |)
+         |SELECT doc_id, labeled_lang, $caseExpr AS pred_lang, ${langs.map(l => s"s_$l").mkString(", ")}
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+    doc = "X4 language-ID (stopword n-gram heuristic)")
+
+  // -------------------------------------------------------------------
+  // Quality scoring: length/diversity/stopword-density composite in
+  // [0, 1]. Same closed-form formula on both sides.
+  // -------------------------------------------------------------------
+  val textQuality: QueryDef = QueryDef(
+    build = (s, d) =>
+      docs(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("distinct_ratio", size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+        .withColumn("stop_ratio",
+          size(expr(s"filter(toks, t -> t IN ${inList(stopwords("en"))})")).cast("double") / col("n_tokens"))
+        .withColumn("len_score", least(lit(1.0), col("n_tokens").cast("double") / 100.0))
+        .withColumn("quality",
+          round(lit(0.4) * col("len_score") + lit(0.4) * col("distinct_ratio") + lit(0.2) * col("stop_ratio"), 6))
+        .select(col("doc_id"), col("n_tokens"), round(col("distinct_ratio"), 6).as("distinct_ratio"),
+          round(col("stop_ratio"), 6).as("stop_ratio"), col("quality"),
+          (col("quality") >= 0.5).as("keep"))
+        .orderBy("doc_id"),
+    oracle = Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |         len(toks)::BIGINT AS n_tokens,
+         |         len(list_distinct(toks))::DOUBLE / len(toks) AS distinct_ratio,
+         |         len(list_filter(toks, t -> t IN ${inList(stopwords("en"))}))::DOUBLE / len(toks) AS stop_ratio,
+         |         least(1.0, len(toks)::DOUBLE / 100.0) AS len_score
+         |  FROM t
+         |)
+         |SELECT doc_id, n_tokens, round(distinct_ratio, 6) AS distinct_ratio,
+         |       round(stop_ratio, 6) AS stop_ratio,
+         |       round(0.4 * len_score + 0.4 * distinct_ratio + 0.2 * stop_ratio, 6) AS quality,
+         |       round(0.4 * len_score + 0.4 * distinct_ratio + 0.2 * stop_ratio, 6) >= 0.5 AS keep
+         |FROM m ORDER BY doc_id""".stripMargin),
+    doc = "X4 quality scoring (length/diversity/stopword composite)")
+
+  // -------------------------------------------------------------------
+  // Content fingerprint: md5 over the sorted distinct token set —
+  // canonicalizes word order, catches permutation duplicates. Grouped to
+  // fingerprint → (count, keeper).
+  // -------------------------------------------------------------------
+  val fingerprint: QueryDef = QueryDef(
+    build = (s, d) =>
+      docs(s, d)
+        .withColumn("fp", md5(concat_ws(" ", array_sort(array_distinct(expr(toksExpr))))))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("dup_cnt"), min("doc_id").as("keep_doc_id"))
+        .orderBy("fp"),
+    oracle = Some(
+      s"""SELECT md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp,
+         |       count(*)::BIGINT AS dup_cnt, min(doc_id) AS keep_doc_id
+         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin),
+    doc = "X4 document fingerprinting (canonical token-set hash)")
+
+  // -------------------------------------------------------------------
+  // tf-idf: top-3 tokens per document. Two grouped aggregations (tf by
+  // (doc, token), df by token) + a shuffle join on token + a bounded
+  // per-doc window. At 100 TB the df side is the small one (vocab-sized)
+  // and both aggs are partial-agg friendly.
+  // -------------------------------------------------------------------
+  val tfidf: QueryDef = QueryDef(
+    build = (s, d) => {
+      val tok = docs(s, d).select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tok.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+      val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+      tf.join(df, "token")
+        .crossJoin(broadcast(n))
+        .withColumn("score", round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "token", "tf", "df", "score")
+        .orderBy("doc_id", "rank")
+    },
+    oracle = Some(
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS token FROM documents
+         |), tf AS (
+         |  SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, token
+         |), df AS (
+         |  SELECT token, count(*)::BIGINT AS df FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token
+         |), n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         |         round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS score
+         |  FROM tf JOIN df USING (token) CROSS JOIN n
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank FROM scored
+         |)
+         |SELECT doc_id, rank::BIGINT AS rank, token, tf, df, score FROM ranked
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
+    doc = "X4 tf-idf (two aggregations + join)")
+
+  val defs: Map[String, QueryDef] = Map(
+    "text_stats"       -> textStats,
+    "text_lang"        -> textLang,
+    "text_quality"     -> textQuality,
+    "text_fingerprint" -> fingerprint,
+    "text_tfidf"       -> tfidf,
+  )
+}
