@@ -1,0 +1,76 @@
+package graft.extensions
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2.3 X5): media content rides
+  * as an opaque `binary` column + typed metadata struct; decode /
+  * feature-extraction runs batched per partition so a real decoder
+  * amortizes model/codec init once per partition, not per row.
+  *
+  * The decode itself is a STUB — this container has no image/audio
+  * libraries — but it is the ONLY stubbed piece: schema, encoders,
+  * partitioning, and the per-partition batch loop are the real
+  * production shape. Swap [[MediaDecoder.decode]] for a JNI/library call
+  * and nothing else changes.
+  */
+object Multimodal {
+
+  /** Typed media row: payload + envelope metadata. */
+  case class MediaRow(doc_id: Long, content: Array[Byte], media_type: String)
+
+  /** Extraction output: deterministic features per media item. */
+  case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      byte_len: Long,
+      width: Int,
+      height: Int,
+      fmt: String,
+      byte_histogram: Array[Long]) // 16-bucket histogram of payload bytes
+
+  /** STUB decoder — deterministic fake standing in for an image/audio
+    * codec. Derives "dimensions" from payload length and a byte
+    * histogram as the "feature vector". Marked for replacement. */
+  object MediaDecoder {
+    def decode(content: Array[Byte]): (Int, Int, String) = {
+      // ??? real codec goes here (libjpeg / ffmpeg / ...); deterministic fake:
+      val n = content.length
+      (64 + n % 576, 64 + (n * 7) % 416, Seq("png", "jpeg", "webp")(n % 3))
+    }
+  }
+
+  /** Lift the documents table into typed media rows (text bytes stand in
+    * for media payloads; schema/encoders are the real thing). */
+  def mediaRows(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("content"),
+        expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END")
+          .as("media_type"))
+      .as[MediaRow]
+  }
+
+  /** Batched per-partition feature extraction. The iterator-in /
+    * iterator-out shape means constant memory per partition and one
+    * decoder init per partition — the mapInPandas-equivalent batch
+    * contract, Scala-native. */
+  def extractFeatures(rows: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      // per-partition decoder/model init would go here (once, not per row)
+      it.map { r =>
+        val (w, h, fmt) = MediaDecoder.decode(r.content)
+        val hist = new Array[Long](16)
+        var i = 0
+        while (i < r.content.length) { hist((r.content(i) & 0xff) >> 4) += 1; i += 1 }
+        MediaFeatures(r.doc_id, r.media_type, r.content.length.toLong, w, h, fmt, hist)
+      }
+    }
+  }
+
+  /** End-to-end: documents → typed media → batched extract, as a
+    * DataFrame for downstream relational composition. */
+  def features(spark: SparkSession, sfDir: String): DataFrame =
+    extractFeatures(mediaRows(spark, sfDir)).toDF()
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.core.Meas
+
+/** Property-style specs on generated Meas sets (SURVEY.md §5.3). The
+  * scalatest↔scalacheck bridge isn't available offline, so cases are
+  * drawn directly from ScalaCheck generators with fixed seeds.
+  */
+class MeasPropertiesSpec extends SparkSpec {
+
+  private val measGen: Gen[List[Meas]] = Gen.listOfN(200, for {
+    id <- Gen.choose(1L, 8L)
+    t <- Gen.choose(0L, 1000L)
+    v <- Gen.choose(-1000.0, 1000.0)
+    flag <- Gen.oneOf(1L, 2L, 4L, 8L, 16L)
+    seq <- Gen.choose(0L, 1000000L)
+  } yield Meas(id, new java.sql.Timestamp(1700000000000L + t * 60000L), v, flag, seq))
+
+  private def cases(n: Int): Seq[List[Meas]] =
+    (1 to n).map(i => measGen(Gen.Parameters.default, Seed(42L + i))
+      .getOrElse(sys.error("gen failed")))
+
+  test("property: interval split counts add up for arbitrary data") {
+    for (ms <- cases(5)) {
+      val df = spark.createDataFrame(ms).cache()
+      val lo = 1700000000000L + 200 * 60000L
+      val mid = 1700000000000L + 500 * 60000L
+      val hi = 1700000000000L + 800 * 60000L
+      def ts(x: Long) = new java.sql.Timestamp(x)
+      val whole = df.filter(col("time").between(lit(ts(lo)), lit(ts(hi)))).count()
+      val l = df.filter(col("time").between(lit(ts(lo)), lit(ts(mid)))).count()
+      val r = df.filter(col("time") > lit(ts(mid)) && col("time") <= lit(ts(hi))).count()
+      df.unpersist()
+      assert(whole === l + r)
+    }
+  }
+
+  test("property: compaction (freshest per (id,time)) is idempotent") {
+    for (ms <- cases(5)) {
+      val df = spark.createDataFrame(ms)
+      def compactOnce(d: org.apache.spark.sql.DataFrame) =
+        d.groupBy("id", "time")
+          .agg(max_by(struct(col("value"), col("flag"), col("seq")), col("seq")).as("m"))
+          .select(col("id"), col("time"), col("m.value").as("value"),
+            col("m.flag").as("flag"), col("m.seq").as("seq"))
+      val once = compactOnce(df).cache()
+      val twice = compactOnce(once)
+      assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+      once.unpersist()
+    }
+  }
+
+  test("property: per-id stat respects global min/max") {
+    for (ms <- cases(5)) {
+      val df = spark.createDataFrame(ms)
+      val g = df.agg(min("value"), max("value")).head()
+      val per = df.groupBy("id").agg(min("value").as("mn"), max("value").as("mx"))
+      assert(per.filter(col("mn") < g.getDouble(0) || col("mx") > g.getDouble(1)).count() === 0L)
+    }
+  }
+}
