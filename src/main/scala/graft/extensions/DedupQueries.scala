@@ -22,11 +22,17 @@ object DedupQueries {
 
   /** 3-gram word shingles, distinct. Spark arrays are 0-indexed, DuckDB
     * lists 1-indexed — the two expressions below produce identical sets.
+    *
+    * The Spark side materializes `toks` in its own projection first:
+    * inlining the tokenizer into the shingle lambda would re-split the
+    * text once per shingle index (quadratic in token count), and
+    * CollapseProject must not undo that — hence the expression operates
+    * on a `toks` column, not on `text`.
     */
-  private val shinglesExpr =
-    s"""array_distinct(CASE WHEN size($toksExpr) >= 3
-       | THEN transform(sequence(0, size($toksExpr) - 3),
-       |                i -> concat_ws(' ', $toksExpr[i], $toksExpr[i+1], $toksExpr[i+2]))
+  private val shinglesFromToks =
+    s"""array_distinct(CASE WHEN size(toks) >= 3
+       | THEN transform(sequence(0, size(toks) - 3),
+       |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
        | ELSE array(text) END)""".stripMargin.replaceAll("\n", " ")
   private val shinglesSql =
     s"""list_distinct(CASE WHEN len($toksSql) >= 3
@@ -38,7 +44,9 @@ object DedupQueries {
     s.read.parquet(s"$d/documents.parquet")
 
   private def shingled(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(col("doc_id"), expr(shinglesExpr).as("sh"))
+    docs(s, d)
+      .select(col("doc_id"), col("text"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"), expr(shinglesFromToks).as("sh"))
 
   // -------------------------------------------------------------------
   // X1 exact dedup: content-hash groupBy. The input is the corpus
@@ -78,20 +86,26 @@ object DedupQueries {
 
   val minhash: QueryDef = QueryDef(
     build = (s, d) => {
-      val withSig = (0 until NUM_HASHES).foldLeft(shingled(s, d)) { (df, i) =>
+      // signature chain (split → shingle → 8 × md5-min) is the expensive
+      // part: compute it ONCE, persist the narrow results, and let the
+      // self-join read the cache instead of re-deriving md5s per side.
+      val sh = shingled(s, d).persist()
+      val sig = (0 until NUM_HASHES).foldLeft(sh) { (df, i) =>
         df.withColumn(s"mh_$i", expr(s"array_min(transform(sh, x -> md5(concat('$i|', x))))"))
       }
-      val bands = (0 until NUM_HASHES / BAND_ROWS).map { b =>
-        withSig.select(col("doc_id"), col("sh"), lit(b).as("band"),
-          md5(concat(col(s"mh_${2 * b}"), col(s"mh_${2 * b + 1}"))).as("bucket"))
-      }.reduce(_ unionByName _)
+      val bands = sig.select(col("doc_id"),
+          posexplode(array((0 until NUM_HASHES / BAND_ROWS).map(b =>
+            md5(concat(col(s"mh_${2 * b}"), col(s"mh_${2 * b + 1}")))): _*)))
+        .toDF("doc_id", "band", "bucket")
+        .persist()
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
             && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .dropDuplicates("doc_a", "doc_b")
       cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
         .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
         .withColumn("uni", size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter"))
         .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
@@ -135,17 +149,16 @@ object DedupQueries {
 
   val simhash: QueryDef = QueryDef(
     build = (s, d) => {
-      val sh = shingled(s, d)
-      // per (doc, bit): sum of ±1 votes across shingle hashes
-      val votes = sh.select(col("doc_id"), explode(col("sh")).as("x"))
-        .withColumn("h", conv(substring(md5(col("x")), 1, 8), 16, 10).cast("long"))
-        .select(col("doc_id"), col("h"), explode(expr("sequence(0, 31)")).as("b"))
-        .groupBy("doc_id", "b")
-        .agg(sum(expr("(CAST(shiftright(h, b) & 1 AS BIGINT)) * 2 - 1")).as("v"))
-      val sig = votes.groupBy("doc_id")
-        .agg(sum(expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END")).as("simhash"))
+      graft.functions.VectorFunctions.register(s)
+      // whole signature is map-side: per-doc md5 hashes (native
+      // expression — stock md5+conv costs ~27µs/row) folded by a
+      // single-pass majority-vote loop. Zero shuffle before banding.
+      val sig = shingled(s, d).select(col("doc_id"),
+        call_function("graft_simhash",
+          expr("transform(sh, x -> graft_md5_prefix(x, 8))")).as("simhash"))
       val bands = sig.select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("k"))
         .withColumn("byte", expr("shiftright(simhash, k * 8) & 255"))
+        .persist()
       bands.as("a").join(bands.as("b"),
           col("a.k") === col("b.k") && col("a.byte") === col("b.byte")
             && col("a.doc_id") < col("b.doc_id"))
@@ -195,10 +208,16 @@ object DedupQueries {
 
   val ngramJaccard: QueryDef = QueryDef(
     build = (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      // shingles as 60-bit md5-prefix ints: grouping/joining/intersecting
+      // longs instead of strings. Identical result set (same md5 both
+      // engines; the string-based oracle independently validates).
       val sh = shingled(s, d)
+        .select(col("doc_id"), expr("transform(sh, x -> graft_md5_prefix(x, 15))").as("sh"))
+        .persist()
       val post = sh.select(col("doc_id"), explode(col("sh")).as("x"))
       val rare = post.groupBy("x").agg(count(lit(1)).as("df")).filter(col("df") <= DF_MAX)
-      val blocked = post.join(rare, "x")
+      val blocked = post.join(rare, "x").select("doc_id", "x").persist()
       val cand = blocked.as("a").join(blocked.as("b"),
           col("a.x") === col("b.x") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -244,11 +263,12 @@ object DedupQueries {
 
   val embedCosine: QueryDef = QueryDef(
     build = (s, d) => {
+      graft.functions.VectorFunctions.register(s)
       val e = s.read.parquet(s"$d/embeddings.parquet")
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .withColumn("norm", expr("sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (a, x) -> a + x))"))
+        .withColumn("norm", sqrt(call_function("graft_dot", col("v"), col("v"))))
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .withColumn("dot", expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+        .withColumn("dot", call_function("graft_dot", col("a.v"), col("b.v")))
         .withColumn("cos_sim", round(col("dot") / (col("a.norm") * col("b.norm")), 6))
         .filter(col("cos_sim") >= COSINE_MIN)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_sim"))

@@ -27,10 +27,12 @@ object SimilarityQueries {
   private val N_PLANES = 16
   private val BAND_BITS = 4
 
-  private def emb(s: SparkSession, d: String): DataFrame =
+  private def emb(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     s.read.parquet(s"$d/embeddings.parquet")
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("norm", expr("sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (a, x) -> a + x))"))
+      .withColumn("norm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+  }
 
   // -------------------------------------------------------------------
   // X3a brute-force cosine top-k.
@@ -43,7 +45,7 @@ object SimilarityQueries {
       val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
       e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("dot", expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+        .withColumn("dot", call_function("graft_dot", col("v"), col("qv")))
         .withColumn("cos_sim", round(col("dot") / (col("norm") * col("qnorm")), 6))
         .withColumn("neighbor_id", col("vec_id"))
         .withColumn("rank", row_number().over(w).cast("long"))
@@ -76,16 +78,27 @@ object SimilarityQueries {
   // p is sign(Σ_j v[j]·s(p,j)). Candidates must share a 4-bit band with
   // the query; survivors are scored exactly and ranked.
   // -------------------------------------------------------------------
+  /** Hyperplane sign s(p, j) = ±1 from md5 parity of "p_j" — computed
+    * once on the driver (they are constants) and shipped as array
+    * literals; the oracle derives the identical values in SQL. */
+  private lazy val planeSigns: IndexedSeq[Seq[Double]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until N_PLANES).map { p =>
+      (0 until 64).map { j =>
+        val hex = digest.digest(s"${p}_$j".getBytes("UTF-8"))
+          .take(4).map(b => f"${b & 0xff}%02x").mkString
+        ((java.lang.Long.parseLong(hex, 16) % 2) * 2 - 1).toDouble
+      }
+    }
+  }
+
   val ann: QueryDef = QueryDef(
     build = (s, d) => {
       val e = emb(s, d)
       // code: 16 projection signs folded into a 16-bit integer, map-side
-      val projBit = (p: Int) =>
-        s"""CASE WHEN aggregate(zip_with(v, transform(sequence(0, 63),
-           | j -> (CAST(conv(substring(md5(concat('$p', '_', j)), 1, 8), 16, 10) AS BIGINT) % 2) * 2D - 1D),
-           | (x, sgn) -> x * sgn), 0D, (a, x) -> a + x) > 0 THEN 1 ELSE 0 END""".stripMargin.replaceAll("\n", " ")
       val coded = (0 until N_PLANES).foldLeft(e) { (df, p) =>
-        df.withColumn(s"bit_$p", expr(projBit(p)).cast("long"))
+        df.withColumn(s"bit_$p",
+          (call_function("graft_dot", col("v"), typedlit(planeSigns(p))) > 0D).cast("long"))
       }.withColumn("code",
         (0 until N_PLANES).map(p => expr(s"shiftleft(bit_$p, $p)")).reduce(_ + _))
         .select("vec_id", "v", "norm", "code")
@@ -101,7 +114,7 @@ object SimilarityQueries {
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           col("v"), col("qv"), col("norm"), col("qnorm"))
         .dropDuplicates("query_id", "neighbor_id")
-        .withColumn("dot", expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+        .withColumn("dot", call_function("graft_dot", col("v"), col("qv")))
         .withColumn("cos_sim", round(col("dot") / (col("norm") * col("qnorm")), 6))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= K)

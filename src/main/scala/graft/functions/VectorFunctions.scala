@@ -1,0 +1,197 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native, whole-stage-codegen'd dot product over two double arrays.
+  *
+  * Why a custom Catalyst Expression (SURVEY.md §4.2's one sanctioned
+  * case): the higher-order-function formulation
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,x) -> acc+x)`
+  * is interpreted — per-element lambda dispatch with boxing — which
+  * dominates the similarity/dedup benchmarks (millions of pairs × 64
+  * dims). This expression compiles to a tight primitive loop inside
+  * WholeStageCodegen. Accumulation order is identical to the HOF form
+  * (index order, double precision), so results are bit-identical and
+  * the DuckDB oracles are unaffected.
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects (array<double>, array<double>), got (${left.dataType}, ${right.dataType})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("dotN")
+      val s = ctx.freshName("dotS")
+      val i = ctx.freshName("dotI")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_dot"
+}
+
+/** Numeric view of an md5 prefix: the first `n` (≤ 15) hex chars of
+  * md5(input) as a BIGINT — exactly `conv(substring(md5(x),1,n),16,10)`
+  * and DuckDB's `('0x' || substring(md5(x),1,n))::BIGINT`, but computed
+  * with a reused MessageDigest and no hex-string round-trip. Spark's
+  * stock md5 + conv pair costs ~27µs/row (per-call digest instantiation
+  * + string number parsing), which dominated the near-dup pipelines.
+  */
+case class Md5Prefix64(child: Expression, hexChars: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(hexChars > 0 && hexChars <= 15, "hexChars must be in [1, 15] to fit a signed long")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(s"graft_md5_prefix expects string, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    Md5Prefix64.hash(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], hexChars)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = Md5Prefix64.getClass.getName // graft.functions.Md5Prefix64$
+    defineCodeGen(ctx, ev, c => s"$cls.MODULE$$.hash($c, $hexChars)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "graft_md5_prefix"
+}
+
+object Md5Prefix64 {
+  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** First `hexChars` hex digits of md5(s) as a long. */
+  def hash(s: org.apache.spark.unsafe.types.UTF8String, hexChars: Int): Long = {
+    val md = digests.get()
+    md.reset()
+    val bytes = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < hexChars) {
+      val nibble = if ((i & 1) == 0) (bytes(i >> 1) >> 4) & 0xf else bytes(i >> 1) & 0xf
+      v = (v << 4) | nibble
+      i += 1
+    }
+    v
+  }
+}
+
+/** Single-pass SimHash over an array of 32-bit hash values: bit b of the
+  * result is set iff more than half the hashes have bit b set (the
+  * majority-vote definition — identical to the SQL formulation
+  * `2·Σ((h>>b)&1) > n`). Replaces an explode + 33-aggregate shuffle with
+  * a per-row loop.
+  */
+case class SimHash32(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(s"graft_simhash expects array<bigint>, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    SimHash32.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = SimHash32.getClass.getName // graft.functions.SimHash32$
+    defineCodeGen(ctx, ev, c => s"$cls.MODULE$$.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "graft_simhash"
+}
+
+object SimHash32 {
+  def compute(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 32) {
+        counts(b) += ((h >> b) & 1L).toInt
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 32) {
+      if (2 * counts(b) > n) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** Registration: exposes graft functions to SQL/expr(). Idempotent —
+  * call from any query builder that uses them. A SparkSessionExtensions
+  * hook (`GraftExtensions`) covers spark.sql.extensions deployments.
+  */
+object VectorFunctions {
+  private def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "graft_md5_prefix" -> (exprs =>
+      Md5Prefix64(exprs(0), exprs(1).eval(null).asInstanceOf[Number].intValue())),
+    "graft_simhash" -> (exprs => SimHash32(exprs(0))),
+  )
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, builder) =>
+      val ident = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      if (!registry.functionExists(ident)) {
+        registry.registerFunction(ident,
+          new ExpressionInfo(classOf[DotProduct].getName, name), builder)
+      }
+    }
+  }
+}
+
+/** spark.sql.extensions entry point: injects graft functions into every
+  * session built with this extension (cluster deployment path).
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+        (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+}

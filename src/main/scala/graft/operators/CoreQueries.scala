@@ -199,12 +199,17 @@ object CoreQueries {
         .groupBy("id")
         .agg(
           round(avg("value"), 6).as("average"),
-          round(expr("percentile(value, 0.5)"), 6).as("median"),
-          round(expr("percentile(value, 0.9)"), 6).as("percentile90"),
-          round(expr("percentile(value, 0.99)"), 6).as("percentile99"),
+          // one percentile buffer for all three points (3× cheaper than
+          // three separate exact-percentile aggregates)
+          expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("pct"),
           round(stddev_pop("value"), 6).as("sigma"),
           min("value").as("minimum"), max("value").as("maximum"),
           count(lit(1)).as("cnt"))
+        .select(col("id"), col("average"),
+          round(col("pct")(0), 6).as("median"),
+          round(col("pct")(1), 6).as("percentile90"),
+          round(col("pct")(2), 6).as("percentile99"),
+          col("sigma"), col("minimum"), col("maximum"), col("cnt"))
         .orderBy("id"),
     oracle = Some(
       s"""${Sql.MEAS_CTE}
