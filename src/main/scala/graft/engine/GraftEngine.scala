@@ -1,0 +1,202 @@
+package graft.engine
+
+import java.sql.Timestamp
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.core.Meas
+import graft.sources.TsdbStorage
+import graft.streaming.Subscribe
+
+/** Queries-as-data, mirroring the reference's only predicate language
+  * (SURVEY.md §1.3) [U: libdariadb/query.h — QueryInterval,
+  * QueryTimePoint]. Interval ends are inclusive; flag 0 matches all,
+  * otherwise any-shared-bit.
+  */
+case class QueryInterval(ids: Seq[Long], flag: Long, from: Timestamp, to: Timestamp)
+case class QueryTimePoint(ids: Seq[Long], flag: Long, timePoint: Timestamp)
+
+/** The embedded-engine facade — the reference's `Engine` API surface
+  * [U: engines/engine.h — class Engine; interfaces/imeasstorage.h],
+  * re-expressed over the clustered parquet store. A dariadb user's
+  * call sites map one-to-one:
+  *
+  *   append / readInterval / readTimePoint / currentValue / minMaxTime /
+  *   stat / calculator / subscribe / eraseOld / compact / fsck /
+  *   addParam / getParamId / ls
+  *
+  * Every read path resolves duplicate (id, time) keys to the freshest
+  * `seq` — the merge-on-read semantic of the reference's WAL/mem/page
+  * levels (SURVEY.md §2.1 O16); `compact()` materializes that
+  * resolution ([U: engines/engine.cpp — compact]).
+  */
+class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) {
+  import spark.implicits._
+
+  private val schemePath = s"$path/_scheme"
+  private val dataPath = s"$path/data"
+
+  private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def hasData = fs.exists(new Path(dataPath))
+
+  private def flagPred(flag: Long) =
+    if (flag == 0L) lit(true) else (col("flag").bitwiseAND(lit(flag)) =!= 0L)
+  private def idPred(ids: Seq[Long]) =
+    if (ids.isEmpty) lit(true) else col("id").isin(ids: _*)
+
+  // ---- O1 append ---------------------------------------------------
+  def append(meas: DataFrame): Unit = TsdbStorage.append(meas, dataPath, buckets)
+  def append(ms: Seq[Meas]): Unit = append(spark.createDataset(ms).toDF())
+
+  /** O1, streaming strategy: continuous ingest from a Meas stream into
+    * the clustered layout — the reference's WAL→Dropper→page pipeline
+    * as a microbatch sink [U: storage/dropper.cpp]. */
+  def appendStream(source: DataFrame, checkpoint: String): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) => append(batch) }
+      .start()
+
+  /** Merge-on-read view: freshest row per (id, time). */
+  def merged: DataFrame =
+    if (!hasData) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Meas.schema)
+    else TsdbStorage.compacted(spark, dataPath)
+
+  // ---- O2/O3 interval reads ----------------------------------------
+  def readInterval(q: QueryInterval): DataFrame =
+    merged.filter(idPred(q.ids) && col("time").between(lit(q.from), lit(q.to)) && flagPred(q.flag))
+      .orderBy("id", "time")
+
+  /** O3 cursor form: per-series iterator over the interval result —
+    * the Id2Cursor analog [U: storage/cursors.h]. Streams through the
+    * driver; never materializes the full result. */
+  def intervalReader(q: QueryInterval): Iterator[Meas] = {
+    val it = readInterval(q).as[Meas].toLocalIterator()
+    new Iterator[Meas] { def hasNext = it.hasNext; def next() = it.next() }
+  }
+
+  // ---- O4/O5 point reads -------------------------------------------
+  def readTimePoint(q: QueryTimePoint): DataFrame = {
+    val ids = if (q.ids.nonEmpty) q.ids else lsIds
+    val idsDf = ids.toDF("qid")
+    val last = merged
+      .filter(col("time") <= lit(q.timePoint) && flagPred(q.flag) && idPred(ids))
+      .groupBy("id")
+      .agg(max_by(struct(col("time"), col("value"), col("flag")), struct(col("time"), col("seq"))).as("m"))
+      .select(col("id"), col("m.time").as("time"), col("m.value").as("value"), col("m.flag").as("flag"))
+    broadcast(idsDf).join(last, col("qid") === col("id"), "left")
+      .select(col("qid").as("id"), col("time"), col("value"),
+        coalesce(col("flag"), lit(Meas.NO_DATA)).as("flag"))
+      .orderBy("id")
+  }
+
+  def currentValue(ids: Seq[Long], flag: Long): DataFrame =
+    readTimePoint(QueryTimePoint(ids, flag, new Timestamp(Long.MaxValue >> 12)))
+
+  // ---- O6/O8/O9 aggregates -----------------------------------------
+  def minMaxTime(id: Long): Option[(Timestamp, Timestamp)] = {
+    val r = merged.filter(col("id") === id).agg(min("time"), max("time")).head()
+    if (r.isNullAt(0)) None else Some((r.getTimestamp(0), r.getTimestamp(1)))
+  }
+
+  /** O8: the per-series Statistic struct over an interval. */
+  def stat(id: Long, from: Timestamp, to: Timestamp): DataFrame =
+    merged.filter(col("id") === id && col("time").between(lit(from), lit(to)))
+      .groupBy("id")
+      .agg(count(lit(1)).as("cnt"), min("time").as("min_time"), max("time").as("max_time"),
+        min("value").as("min_value"), max("value").as("max_value"), sum("value").as("sum_value"))
+
+  /** O9: the named statistic-calculator function set
+    * [U: statistic/calculator.h — FunctionFactory]. */
+  def calculator(q: QueryInterval): DataFrame =
+    readInterval(q)
+      .groupBy("id")
+      .agg(avg("value").as("average"),
+        expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("pct"),
+        stddev_pop("value").as("sigma"),
+        min("value").as("minimum"), max("value").as("maximum"), count(lit(1)).as("cnt"))
+      .select(col("id"), col("average"), col("pct")(0).as("median"),
+        col("pct")(1).as("percentile90"), col("pct")(2).as("percentile99"),
+        col("sigma"), col("minimum"), col("maximum"), col("cnt"))
+      .orderBy("id")
+
+  // ---- O10 subscribe -----------------------------------------------
+  def subscribe(ids: Seq[Long], flag: Long, queryName: String, checkpoint: String): StreamingQuery = {
+    val src = spark.readStream.schema(Meas.schema)
+      .option("basePath", dataPath).parquet(s"$dataPath/day=*")
+    src.filter(idPred(ids) && flagPred(flag))
+      .drop("day")
+      .writeStream.format("memory").queryName(queryName)
+      .option("checkpointLocation", checkpoint).start()
+  }
+
+  // ---- O11/O12/O13 maintenance -------------------------------------
+  def eraseOld(cutoff: Timestamp): Seq[String] =
+    TsdbStorage.eraseOld(spark, dataPath, cutoff.toLocalDateTime.toLocalDate)
+
+  /** O12: rewrite the store with merge-on-read materialized. */
+  def compact(): Unit = {
+    if (!hasData) return
+    val tmp = s"$dataPath.compacting"
+    TsdbStorage.compactTo(spark, dataPath, tmp, buckets)
+    val p = new Path(dataPath); val t = new Path(tmp)
+    fs.delete(p, true)
+    fs.rename(t, p)
+  }
+
+  /** O13 fsck: verify every data file parses; optionally drop broken
+    * files [U: engines/engine.cpp — fsck]. Returns the bad file list. */
+  def fsck(repair: Boolean = false): Seq[String] = {
+    if (!hasData) return Seq.empty
+    val files = listParquet(new Path(dataPath))
+    val bad = files.filter { f =>
+      try { spark.read.parquet(f.toString).head(1); false }
+      catch { case _: Throwable => true }
+    }
+    if (repair) bad.foreach(fs.delete(_, false))
+    bad.map(_.toString)
+  }
+
+  private def listParquet(root: Path): Seq[Path] = {
+    val it = fs.listFiles(root, true)
+    val buf = scala.collection.mutable.ArrayBuffer[Path]()
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) buf += f.getPath
+    }
+    buf.toSeq
+  }
+
+  // ---- O14 scheme --------------------------------------------------
+  /** addParam: register (or look up) a series name → id
+    * [U: scheme/scheme.cpp — Scheme::addParam]. Single-writer
+    * read-modify-write, like the reference's in-process catalog. */
+  def addParam(name: String): Long = {
+    val existing = lsMap
+    existing.get(name) match {
+      case Some(id) => id
+      case None =>
+        val id = if (existing.isEmpty) 1L else existing.values.max + 1L
+        (existing + (name -> id)).toSeq.toDF("name", "series_id")
+          .coalesce(1).write.mode("overwrite").parquet(schemePath)
+        id
+    }
+  }
+
+  def getParamId(name: String): Option[Long] = lsMap.get(name)
+
+  /** ls(): the full catalog. */
+  def ls(): DataFrame =
+    if (!fs.exists(new Path(schemePath)))
+      Seq.empty[(String, Long)].toDF("name", "series_id")
+    else spark.read.parquet(schemePath)
+
+  private def lsMap: Map[String, Long] =
+    ls().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def lsIds: Seq[Long] =
+    merged.select("id").distinct().as[Long].collect().toSeq.sorted
+}

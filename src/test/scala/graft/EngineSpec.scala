@@ -1,0 +1,127 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Flags, Meas}
+import graft.engine.{GraftEngine, QueryInterval, QueryTimePoint}
+import graft.sources.EventsSource
+
+/** End-to-end spec of the embedded-engine facade: a dariadb user's
+  * session (append → query → subscribe → maintain) against one store.
+  */
+class EngineSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("full engine lifecycle: append, interval/point reads, stat, scheme, retention, compaction") {
+    val engine = new GraftEngine(spark, tmpDir("graft-engine"), buckets = 4)
+
+    // O14 scheme
+    val idA = engine.addParam("host1.cpu.load")
+    val idB = engine.addParam("host1.mem.free")
+    assert(idA !== idB)
+    assert(engine.addParam("host1.cpu.load") === idA, "addParam is idempotent")
+    assert(engine.getParamId("host1.mem.free") === Some(idB))
+    assert(engine.ls().count() === 2)
+
+    // O1 append (two batches, second rewrites one point with fresher seq)
+    engine.append(Seq(
+      Meas(idA, ts("2024-03-01 10:00:00"), 1.0, Flags.CLICK, 1),
+      Meas(idA, ts("2024-03-01 11:00:00"), 2.0, Flags.CLICK, 2),
+      Meas(idA, ts("2024-03-02 10:00:00"), 3.0, Flags.ERROR, 3),
+      Meas(idB, ts("2024-03-01 10:30:00"), 10.0, Flags.CLICK, 4)))
+    engine.append(Seq(
+      Meas(idA, ts("2024-03-01 11:00:00"), 20.0, Flags.CLICK, 5))) // fresher rewrite
+
+    // O2 merge-on-read: rewrite wins, no duplicate keys
+    val all = engine.readInterval(QueryInterval(Seq(idA), 0L, ts("2024-03-01 00:00:00"), ts("2024-03-03 00:00:00")))
+    assert(all.count() === 3)
+    assert(all.filter(col("time") === ts("2024-03-01 11:00:00")).head().getDouble(2) === 20.0)
+
+    // flag filtering: any-shared-bit
+    val errs = engine.readInterval(QueryInterval(Seq(idA), Flags.ERROR, ts("2024-03-01 00:00:00"), ts("2024-03-03 00:00:00")))
+    assert(errs.count() === 1)
+
+    // O3 cursor
+    val cursor = engine.intervalReader(QueryInterval(Seq(idA), 0L, ts("2024-03-01 00:00:00"), ts("2024-03-03 00:00:00")))
+    val times = cursor.map(_.time).toList
+    assert(times === times.sorted, "cursor is time-ordered")
+
+    // O4 as-of read + _NO_DATA
+    val tp = engine.readTimePoint(QueryTimePoint(Seq(idA, idB, 999L), 0L, ts("2024-03-01 10:45:00")))
+    assert(tp.count() === 3)
+    val rows = tp.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(idA).getDouble(2) === 1.0, "latest at-or-before 10:45 is the 10:00 point")
+    assert(rows(999L).getLong(3) === Meas.NO_DATA)
+
+    // O5 current values
+    val cur = engine.currentValue(Seq(idA), 0L)
+    assert(cur.head().getDouble(2) === 3.0)
+
+    // O6 min/max time
+    val Some((mn, mx)) = engine.minMaxTime(idA)
+    assert(mn === ts("2024-03-01 10:00:00") && mx === ts("2024-03-02 10:00:00"))
+
+    // O8 stat
+    val st = engine.stat(idA, ts("2024-03-01 00:00:00"), ts("2024-03-03 00:00:00")).head()
+    assert(st.getLong(1) === 3 && st.getDouble(6) === 24.0) // cnt, sum
+
+    // O13 fsck clean store
+    assert(engine.fsck() === Seq.empty)
+
+    // O11 retention: drop the 2024-03-01 partition
+    val dropped = engine.eraseOld(ts("2024-03-02 00:00:00"))
+    assert(dropped === Seq("day=2024-03-01"))
+    assert(engine.merged.count() === 1)
+
+    // O12 compact rewrites in place and preserves content
+    engine.append(Seq(Meas(idA, ts("2024-03-02 10:00:00"), 99.0, Flags.ERROR, 100)))
+    engine.compact()
+    val after = engine.merged.collect()
+    assert(after.length === 1 && after.head.getDouble(2) === 99.0)
+  }
+
+  test("fsck detects and repairs a corrupt data file") {
+    val dir = tmpDir("graft-fsck")
+    val engine = new GraftEngine(spark, dir, buckets = 2)
+    engine.append(Seq(Meas(1L, ts("2024-03-01 10:00:00"), 1.0, 1L, 1)))
+    // plant a corrupt file inside the day partition
+    val day = new java.io.File(s"$dir/data/day=2024-03-01")
+    val corrupt = new java.io.File(day, "part-corrupt.parquet")
+    java.nio.file.Files.write(corrupt.toPath, "not parquet at all".getBytes)
+    val bad = engine.fsck(repair = false)
+    assert(bad.exists(_.contains("part-corrupt")), s"fsck must flag the corrupt file, got $bad")
+    engine.fsck(repair = true)
+    assert(!corrupt.exists, "repair must delete the corrupt file")
+    assert(engine.fsck() === Seq.empty)
+    assert(engine.merged.count() === 1)
+  }
+
+  test("subscription over the engine store delivers appended measurements") {
+    val dir = tmpDir("graft-engine-sub")
+    val engine = new GraftEngine(spark, dir, buckets = 2)
+    engine.append(Seq(
+      Meas(7L, ts("2024-03-01 10:00:00"), 1.0, Flags.CLICK, 1),
+      Meas(8L, ts("2024-03-01 10:00:00"), 2.0, Flags.ERROR, 2)))
+    val q = engine.subscribe(Seq(7L), 0L, "engine_sub", tmpDir("graft-engine-sub-ckpt"))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT count(*) FROM engine_sub").head().getLong(0) === 1)
+    engine.append(Seq(Meas(7L, ts("2024-03-01 11:00:00"), 3.0, Flags.CLICK, 3)))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.sql("SELECT count(*) FROM engine_sub").head().getLong(0) === 2)
+  }
+
+  test("streaming ingest lands in the clustered layout") {
+    val src = tmpDir("graft-ingest-src")
+    val engine = new GraftEngine(spark, tmpDir("graft-ingest-store"), buckets = 2)
+    EventsSource.meas(spark, sfDir).limit(100).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(Meas.schema).parquet(src)
+    val q = engine.appendStream(stream, tmpDir("graft-ingest-ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    assert(engine.merged.count() === 100)
+  }
+}
