@@ -55,10 +55,8 @@ object CoreQueries {
   // -------------------------------------------------------------------
   val readInterval: QueryDef = QueryDef(
     build = (s, d) =>
-      meas(s, d)
-        .filter(col("id").isin(IDS: _*)
-          && col("time").between(lit(FROM).cast("timestamp"), lit(TO).cast("timestamp"))
-          && flagMatch(QFLAG))
+      EventsSource.measInInterval(s, d, FROM, TO) // pruned at the scan
+        .filter(col("id").isin(IDS: _*) && flagMatch(QFLAG))
         .orderBy("id", "time", "seq"),
     oracle = Some(
       s"""${Sql.MEAS_CTE}
@@ -77,9 +75,8 @@ object CoreQueries {
   val intervalReader: QueryDef = QueryDef(
     build = (s, d) => {
       val w = Window.partitionBy("id").orderBy("time", "seq")
-      meas(s, d)
-        .filter(col("id").isin(IDS: _*)
-          && col("time").between(lit(FROM).cast("timestamp"), lit(TO).cast("timestamp")))
+      EventsSource.measInInterval(s, d, FROM, TO)
+        .filter(col("id").isin(IDS: _*))
         .withColumn("pos", row_number().over(w).cast("long"))
         .orderBy("id", "pos")
     },
@@ -165,8 +162,7 @@ object CoreQueries {
   // -------------------------------------------------------------------
   val stat: QueryDef = QueryDef(
     build = (s, d) =>
-      meas(s, d)
-        .filter(col("time").between(lit(FROM).cast("timestamp"), lit(TO).cast("timestamp")))
+      EventsSource.measInInterval(s, d, FROM, TO)
         .groupBy("id")
         .agg(
           count(lit(1)).as("cnt"),
@@ -194,8 +190,7 @@ object CoreQueries {
   // -------------------------------------------------------------------
   val calculator: QueryDef = QueryDef(
     build = (s, d) =>
-      meas(s, d)
-        .filter(col("time").between(lit(FROM).cast("timestamp"), lit(TO).cast("timestamp")))
+      EventsSource.measInInterval(s, d, FROM, TO)
         .groupBy("id")
         .agg(
           round(avg("value"), 6).as("average"),

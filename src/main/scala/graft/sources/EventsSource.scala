@@ -46,6 +46,35 @@ object EventsSource {
     )
   }
 
+  /** Interval-pruned Meas view: the [from, to] predicate (inclusive,
+    * µs-truncated time semantics) is applied to the RAW nanosecond
+    * column before any projection, so it pushes down to the parquet
+    * scan and prunes row groups — the chunk-footer-index analog that a
+    * filter on the derived `time` column cannot give (Catalyst can't
+    * push predicates through `timestamp_micros(ts div 1000)`).
+    * Equivalence: time >= F ⟺ ts_ns >= F_µs·1000; time <= T ⟺
+    * ts_ns < (T_µs+1)·1000.
+    */
+  def measInInterval(spark: SparkSession, sfDir: String, from: String, to: String): DataFrame = {
+    def micros(s: String): Long = {
+      val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      ldt.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+        ldt.getNano / 1000L
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val code = expr(typeCodeSql)
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("ts") >= micros(from) * 1000L && col("ts") < (micros(to) + 1L) * 1000L)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(
+        (col("user_id") * 8 + code).cast("long").as("id"),
+        col("ts").as("time"),
+        col("value"),
+        expr(s"shiftleft(1, $typeCodeSql)").cast("long").as("flag"),
+        col("event_id").as("seq"),
+      )
+  }
+
   /** Series catalog [U: libdariadb/scheme/scheme.h — class Scheme]:
     * name <-> id mapping, derived from the distinct (user, type) pairs.
     * Small by construction (|users| × |types|) → always broadcastable.
