@@ -1,0 +1,133 @@
+package graft.extensions
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.QueryDef
+
+/** Corpus-preparation operators a large-scale training-data pipeline
+  * needs beyond detection-style queries: materializing the deduplicated
+  * corpus, deterministic train/val/test splitting, stratified sampling,
+  * and text normalization. All are hash-deterministic (md5-derived, no
+  * RNG) so runs are reproducible and the DuckDB oracle can replay them;
+  * all are scan + bounded-shuffle shaped.
+  */
+object TrainingQueries {
+
+  /** Deterministic unit-interval hash of a string key: md5-prefix % 100.
+    * SQL mirror kept in each oracle. */
+  private def bucketExpr(keySql: String) =
+    s"CAST(conv(substring(md5($keySql), 1, 8), 16, 10) AS BIGINT) % 100"
+  private def bucketSql(keySql: String) =
+    s"('0x' || substring(md5($keySql), 1, 8))::BIGINT % 100"
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    s.read.parquet(s"$d/documents.parquet")
+
+  // -------------------------------------------------------------------
+  // Materialized exact-dedup corpus: over a duplicate-bearing input
+  // (corpus ∪ id-shifted copy), keep exactly the smallest doc_id per
+  // content hash — the "write the clean corpus" step, not just the
+  // pair report. Partial-aggregating argmin, one shuffle on the hash.
+  // -------------------------------------------------------------------
+  val corpusDedup: QueryDef = QueryDef(
+    build = (s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      val doubled = base.unionByName(base.withColumn("doc_id", col("doc_id") + 1000000L))
+      doubled
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min_by(struct(col("doc_id"), col("lang"), col("source"), col("n_chars")), col("doc_id")).as("m"))
+        .select(col("m.doc_id").as("doc_id"), col("m.lang").as("lang"),
+          col("m.source").as("source"), col("m.n_chars").as("n_chars"))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      """WITH d2 AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, source, n_chars FROM documents
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn FROM d2
+        |)
+        |SELECT doc_id, lang, source, n_chars FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+    doc = "training: materialize the deduplicated corpus (keep min id per hash)")
+
+  // -------------------------------------------------------------------
+  // Deterministic train/val/test split: content-independent id hash →
+  // 80/10/10. Pure map-side; any worker computes the same assignment.
+  // -------------------------------------------------------------------
+  val trainSplit: QueryDef = QueryDef(
+    build = (s, d) =>
+      docs(s, d)
+        .withColumn("bucket", expr(bucketExpr("CAST(doc_id AS STRING)")))
+        .withColumn("split",
+          when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("cnt"), round(avg("n_chars"), 6).as("avg_chars"),
+          min("doc_id").as("min_doc_id"))
+        .orderBy("split"),
+    oracle = Some(
+      s"""WITH b AS (
+         |  SELECT doc_id, n_chars, ${bucketSql("doc_id::VARCHAR")} AS bucket FROM documents
+         |)
+         |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |       count(*)::BIGINT AS cnt, round(avg(n_chars), 6) AS avg_chars,
+         |       min(doc_id) AS min_doc_id
+         |FROM b GROUP BY split ORDER BY split""".stripMargin),
+    doc = "training: deterministic 80/10/10 hash split")
+
+  // -------------------------------------------------------------------
+  // Stratified sampling: top-K docs per (lang) stratum by content-
+  // independent hash order — a reproducible uniform sample within each
+  // stratum. Bounded per-group window (K rows survive per stratum).
+  // -------------------------------------------------------------------
+  private val SAMPLE_K = 20
+  val sampleStratified: QueryDef = QueryDef(
+    build = (s, d) => {
+      val w = Window.partitionBy("lang").orderBy(col("hv"), col("doc_id"))
+      docs(s, d)
+        .withColumn("hv", expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= SAMPLE_K)
+        .select("lang", "rk", "doc_id", "source")
+        .orderBy("lang", "rk")
+    },
+    oracle = Some(
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, source,
+         |         ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS hv
+         |  FROM documents
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk FROM h
+         |)
+         |SELECT lang, rk::BIGINT AS rk, doc_id, source FROM r WHERE rk <= $SAMPLE_K
+         |ORDER BY lang, rk""".stripMargin),
+    doc = "training: reproducible stratified sample (top-K per lang by hash)")
+
+  // -------------------------------------------------------------------
+  // Text normalization: lowercase, strip digits, collapse whitespace —
+  // the scrub step before tokenization. Map-only; verified via content
+  // hash of the cleaned text.
+  // -------------------------------------------------------------------
+  val textClean: QueryDef = QueryDef(
+    build = (s, d) =>
+      docs(s, d)
+        .withColumn("cleaned",
+          trim(regexp_replace(regexp_replace(lower(col("text")), "[0-9]+", ""), " +", " ")))
+        .select(col("doc_id"), md5(col("cleaned")).as("clean_md5"),
+          length(col("cleaned")).cast("long").as("clean_len"))
+        .orderBy("doc_id"),
+    oracle = Some(
+      """SELECT doc_id,
+        |       md5(trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '', 'g'), ' +', ' ', 'g'))) AS clean_md5,
+        |       length(trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '', 'g'), ' +', ' ', 'g')))::BIGINT AS clean_len
+        |FROM documents ORDER BY doc_id""".stripMargin),
+    doc = "training: text normalization scrub")
+
+  val defs: Map[String, QueryDef] = Map(
+    "corpus_dedup"      -> corpusDedup,
+    "train_split"       -> trainSplit,
+    "sample_stratified" -> sampleStratified,
+    "text_clean"        -> textClean,
+  )
+}
