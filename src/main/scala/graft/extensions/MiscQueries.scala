@@ -125,10 +125,80 @@ object MiscQueries {
         |GROUP BY n.n_name ORDER BY nation""".stripMargin),
     doc = "relational: multi-way join (shuffle on fact key, broadcast dims)")
 
+  // -------------------------------------------------------------------
+  // Sessionization: gap-based sessions per user over the event stream —
+  // lag + conditional cumulative sum, the canonical windowed pattern.
+  // Partitions are per-user (bounded); no global window.
+  // -------------------------------------------------------------------
+  private val GAP_MIN = 30
+  val sessionize: QueryDef = QueryDef(
+    build = (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      graft.sources.EventsSource.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag("us", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_us").isNull
+            || col("us") - col("prev_us") > GAP_MIN * 60 * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("session_start"),
+          (max("us") - min("us")).as("duration_us"))
+        .orderBy("user_id", "session_id")
+    },
+    oracle = Some(
+      s"""WITH e AS (
+         |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+         |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         |  FROM events
+         |), marked AS (
+         |  SELECT user_id, ts, event_id, us,
+         |         CASE WHEN prev_us IS NULL OR us - prev_us > ${GAP_MIN * 60 * 1000000L}
+         |              THEN 1 ELSE 0 END AS new_session
+         |  FROM e
+         |), sessions AS (
+         |  SELECT user_id, ts, us,
+         |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                                ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+         |  FROM marked
+         |)
+         |SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+         |       min(ts) AS session_start,
+         |       (max(us) - min(us))::BIGINT AS duration_us
+         |FROM sessions GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin),
+    doc = "events sessionization (30-min gap, windowed cumsum)")
+
+  // -------------------------------------------------------------------
+  // Vector analytics: per-label embedding centroids, element-wise —
+  // posexplode + grouped avg (shuffle key bounded by labels × dims).
+  // -------------------------------------------------------------------
+  val labelCentroids: QueryDef = QueryDef(
+    build = (s, d) =>
+      s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("label").cast("long").as("label"),
+          posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(round(avg("x"), 6).as("centroid_x"), count(lit(1)).as("cnt"))
+        .withColumn("dim", col("dim").cast("long"))
+        .orderBy("label", "dim"),
+    oracle = Some(
+      """SELECT label::BIGINT AS label, (g.i - 1)::BIGINT AS dim,
+        |       round(avg(embedding[g.i]::DOUBLE), 6) AS centroid_x,
+        |       count(*)::BIGINT AS cnt
+        |FROM embeddings CROSS JOIN generate_series(1, 64) g(i)
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin),
+    doc = "vector analytics: per-label element-wise centroids")
+
   val defs: Map[String, QueryDef] = Map(
     "multimodal_meta" -> multimodalMeta,
     "events_props"    -> eventsProps,
     "pricing_summary" -> pricingSummary,
     "revenue_by_nation" -> revenueByNation,
+    "sessionize"      -> sessionize,
+    "label_centroids" -> labelCentroids,
   )
 }

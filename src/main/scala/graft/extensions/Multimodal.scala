@@ -73,4 +73,41 @@ object Multimodal {
     * DataFrame for downstream relational composition. */
   def features(spark: SparkSession, sfDir: String): DataFrame =
     extractFeatures(mediaRows(spark, sfDir)).toDF()
+
+  /** Resized "image": the stub scales the fake dimensions and re-buckets
+    * the histogram — the payload transform slot where a real resampler
+    * plugs in. Same batched iterator contract. */
+  case class ResizedMedia(doc_id: Long, width: Int, height: Int, scale: Double, byte_histogram: Array[Long])
+  def resize(rows: Dataset[MediaRow], maxDim: Int): Dataset[ResizedMedia] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val (w, h, _) = MediaDecoder.decode(r.content)
+        val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+        val hist = new Array[Long](16)
+        var i = 0
+        while (i < r.content.length) { hist((r.content(i) & 0xff) >> 4) += 1; i += 1 }
+        ResizedMedia(r.doc_id, math.round(w * scale).toInt, math.round(h * scale).toInt, scale, hist)
+      }
+    }
+  }
+
+  /** Frame sampling for "video" payloads: every `stride`-th chunk of the
+    * payload stands in for a decoded frame; emits (doc_id, frame_idx,
+    * frame_bytes) — the explode-shaped output a real frame sampler has.
+    * Constant memory per partition (iterator chaining, no buffering). */
+  case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+  def sampleFrames(rows: Dataset[MediaRow], frameSize: Int, stride: Int): Dataset[Frame] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        val nFrames = math.max(1, (r.content.length + frameSize - 1) / frameSize)
+        (0 until nFrames by stride).iterator.map { f =>
+          val from = f * frameSize
+          val until = math.min(from + frameSize, r.content.length)
+          Frame(r.doc_id, f, java.util.Arrays.copyOfRange(r.content, from, until))
+        }
+      }
+    }
+  }
 }

@@ -26,4 +26,28 @@ class MultimodalSpec extends SparkSpec {
     val feats = Multimodal.extractFeatures(rows)
     assert(feats.rdd.getNumPartitions === 3)
   }
+
+  test("resize clamps the long edge and preserves payload histograms") {
+    val rows = Multimodal.mediaRows(spark, sfDir)
+    val resized = Multimodal.resize(rows, maxDim = 128).cache()
+    val bad = resized.filter(r => math.max(r.width, r.height) > 128 && r.scale < 1.0)
+    assert(bad.count() === 0L)
+    assert(resized.count() === rows.count())
+    resized.unpersist()
+  }
+
+  test("frame sampling emits strided frames with exact payload coverage for stride 1") {
+    val rows = Multimodal.mediaRows(spark, sfDir)
+    val frames = Multimodal.sampleFrames(rows, frameSize = 100, stride = 1).cache()
+    // stride-1 frames reassemble the payload byte count
+    val frameBytes = frames.toDF()
+      .agg(sum(length(col("frame_bytes")))).head().getLong(0)
+    val realBytes = Multimodal.extractFeatures(rows).toDF()
+      .agg(sum("byte_len")).head().getLong(0)
+    assert(frameBytes === realBytes)
+    // stride 3 is a strict subset
+    val strided = Multimodal.sampleFrames(rows, frameSize = 100, stride = 3)
+    assert(strided.count() < frames.count())
+    frames.unpersist()
+  }
 }
