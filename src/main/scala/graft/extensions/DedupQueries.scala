@@ -209,24 +209,34 @@ object DedupQueries {
   val ngramJaccard: QueryDef = QueryDef(
     build = (s, d) => {
       graft.functions.VectorFunctions.register(s)
-      // shingles as 60-bit md5-prefix ints: grouping/joining/intersecting
-      // longs instead of strings. Identical result set (same md5 both
-      // engines; the string-based oracle independently validates).
+      // Shingles as 60-bit md5-prefix ints (same md5 both engines; the
+      // string-based oracle independently validates the rewrite). The
+      // exact intersection is assembled WITHOUT per-pair wide-array
+      // intersects: |A∩B| = (# shared rare shingles — a count the
+      // blocking join produces for free) + |freq_A ∩ freq_B| (per-doc
+      // frequent-shingle arrays are bounded by the global frequent set,
+      // which is tiny by definition). No large arrays ever shuffle.
       val sh = shingled(s, d)
         .select(col("doc_id"), expr("transform(sh, x -> graft_md5_prefix(x, 15))").as("sh"))
+        .withColumn("n", size(col("sh")).cast("long"))
         .persist()
       val post = sh.select(col("doc_id"), explode(col("sh")).as("x"))
-      val rare = post.groupBy("x").agg(count(lit(1)).as("df")).filter(col("df") <= DF_MAX)
-      val blocked = post.join(rare, "x").select("doc_id", "x").persist()
-      val cand = blocked.as("a").join(blocked.as("b"),
+      val dfx = post.groupBy("x").agg(count(lit(1)).as("df")).persist()
+      val blocked = post.join(dfx.filter(col("df") <= DF_MAX).select("x"), "x").persist()
+      val pairCounts = blocked.as("a").join(blocked.as("b"),
           col("a.x") === col("b.x") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .dropDuplicates("doc_a", "doc_b")
-      cand.join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-        .withColumn("jaccard", round(col("inter").cast("double")
-          / (size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter")), 6))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("rare_shared"))
+      val emptyArr = expr("CAST(array() AS ARRAY<BIGINT>)")
+      val meta = sh.select(col("doc_id"), col("n"))
+        .join(post.join(dfx.filter(col("df") > DF_MAX).select("x"), "x")
+          .groupBy("doc_id").agg(collect_list("x").as("fr")), Seq("doc_id"), "left")
+        .withColumn("fr", coalesce(col("fr"), emptyArr))
+      pairCounts
+        .join(meta.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("fr").as("fr_a")), "doc_a")
+        .join(meta.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("fr").as("fr_b")), "doc_b")
+        .withColumn("inter", col("rare_shared") + size(array_intersect(col("fr_a"), col("fr_b"))).cast("long"))
+        .withColumn("jaccard", round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
         .filter(col("jaccard") >= NGRAM_JACCARD_MIN)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
