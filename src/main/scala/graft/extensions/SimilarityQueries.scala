@@ -156,8 +156,93 @@ object SimilarityQueries {
     },
     doc = "X3 SRP-LSH bucketed ANN (deterministic hyperplanes, band join)")
 
+  // -------------------------------------------------------------------
+  // X3c IVF-style bucketed ANN: a deterministic coarse quantizer (per-
+  // label centroids, rounded to 6dp so both engines derive bit-identical
+  // cells) partitions the corpus; queries probe their 2 nearest cells
+  // and only those vectors are scored exactly. The centroid table is
+  // dims×cells — always broadcastable; the cell assignment is one
+  // map-side pass over the corpus.
+  // -------------------------------------------------------------------
+  private val N_PROBE = 2
+
+  val ivf: QueryDef = QueryDef(
+    build = (s, d) => {
+      val e = emb(s, d)
+      val cent = s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("label").cast("long").as("clabel"),
+          posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("dim", "x")))
+        .groupBy("clabel", "dim").agg(round(avg("x"), 6).as("cx"))
+        .groupBy("clabel")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, cx))), p -> p.cx)").as("cv"))
+        .withColumn("cnorm", sqrt(call_function("graft_dot", col("cv"), col("cv"))))
+      val sims = e.crossJoin(broadcast(cent))
+        .withColumn("csim",
+          round(call_function("graft_dot", col("v"), col("cv")) / (col("norm") * col("cnorm")), 6))
+        .select(col("vec_id"), col("clabel"), col("csim"))
+      val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("clabel"))
+      val assigned = sims.withColumn("rk", row_number().over(byVec))
+        .filter(col("rk") === 1).select(col("vec_id"), col("clabel").as("cell"))
+      val probes = sims.filter(col("vec_id") < N_QUERIES)
+        .withColumn("rk", row_number().over(byVec))
+        .filter(col("rk") <= N_PROBE)
+        .select(col("vec_id").as("query_id"), col("clabel").as("cell"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+      probes.join(assigned, "cell")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        .dropDuplicates("query_id", "neighbor_id")
+        .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm")), "query_id")
+        .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("norm")), "neighbor_id")
+        .withColumn("cos_sim",
+          round(call_function("graft_dot", col("v"), col("qv")) / (col("norm") * col("qnorm")), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= K)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some(
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+         |  FROM embeddings
+         |), cd AS (
+         |  SELECT label::BIGINT AS clabel, g.i AS dim, round(avg(embedding[g.i]::DOUBLE), 6) AS cx
+         |  FROM embeddings CROSS JOIN generate_series(1, 64) g(i)
+         |  GROUP BY clabel, dim
+         |), cent AS (
+         |  SELECT clabel, list(cx ORDER BY dim) AS cv FROM cd GROUP BY clabel
+         |), cn AS (
+         |  SELECT clabel, cv, sqrt(list_dot_product(cv, cv)) AS cnorm FROM cent
+         |), sims AS (
+         |  SELECT e.vec_id, c.clabel,
+         |         round(list_dot_product(e.v, c.cv) / (e.norm * c.cnorm), 6) AS csim
+         |  FROM e CROSS JOIN cn c
+         |), rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, clabel) AS rk FROM sims
+         |), assigned AS (
+         |  SELECT vec_id, clabel AS cell FROM rk WHERE rk = 1
+         |), probes AS (
+         |  SELECT vec_id AS query_id, clabel AS cell FROM rk WHERE rk <= $N_PROBE AND vec_id < $N_QUERIES
+         |), cand AS (
+         |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN assigned a ON p.cell = a.cell
+         |  WHERE a.vec_id <> p.query_id
+         |), scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         round(list_dot_product(eq.v, en.v) / (eq.norm * en.norm), 6) AS cos_sim
+         |  FROM cand c JOIN e eq ON c.query_id = eq.vec_id JOIN e en ON c.neighbor_id = en.vec_id
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank::BIGINT AS rank, neighbor_id, cos_sim
+         |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin),
+    doc = "X3 IVF-bucketed ANN (deterministic centroid cells, probe-2)")
+
   val defs: Map[String, QueryDef] = Map(
     "sim_topk" -> topk,
     "sim_ann"  -> ann,
+    "sim_ivf"  -> ivf,
   )
 }
