@@ -37,6 +37,14 @@ object Meas {
   */
 object Flags {
   val CLICK = 1L; val ERROR = 2L; val PURCHASE = 4L; val SIGNUP = 8L; val VIEW = 16L
+
+  /** The single definition of the flag-match predicate — batch queries,
+    * the engine facade, and streaming subscriptions all share it. */
+  def matches(flagCol: org.apache.spark.sql.Column, queryFlag: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    if (queryFlag == 0L) lit(true)
+    else (flagCol.bitwiseAND(lit(queryFlag)) =!= lit(0L))
+  }
 }
 
 /** One registered query: a Spark plan builder plus (when SQL-expressible)

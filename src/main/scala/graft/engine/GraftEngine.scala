@@ -42,8 +42,7 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def hasData = fs.exists(new Path(dataPath))
 
-  private def flagPred(flag: Long) =
-    if (flag == 0L) lit(true) else (col("flag").bitwiseAND(lit(flag)) =!= 0L)
+  private def flagPred(flag: Long) = graft.core.Flags.matches(col("flag"), flag)
   private def idPred(ids: Seq[Long]) =
     if (ids.isEmpty) lit(true) else col("id").isin(ids: _*)
 
@@ -87,7 +86,10 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
       .groupBy("id")
       .agg(max_by(struct(col("time"), col("value"), col("flag")), struct(col("time"), col("seq"))).as("m"))
       .select(col("id"), col("m.time").as("time"), col("m.value").as("value"), col("m.flag").as("flag"))
-    broadcast(idsDf).join(last, col("qid") === col("id"), "left")
+    // no broadcast hint: the left (preserved) side cannot be the build
+    // side of a left-outer join, so a hint there is silently ignored —
+    // AQE picks the per-series aggregate as the broadcast side at runtime
+    idsDf.join(last, col("qid") === col("id"), "left")
       .select(col("qid").as("id"), col("time"), col("value"),
         coalesce(col("flag"), lit(Meas.NO_DATA)).as("flag"))
       .orderBy("id")
@@ -135,16 +137,31 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
 
   // ---- O11/O12/O13 maintenance -------------------------------------
   def eraseOld(cutoff: Timestamp): Seq[String] =
-    TsdbStorage.eraseOld(spark, dataPath, cutoff.toLocalDateTime.toLocalDate)
+    // interpret the cutoff in UTC explicitly: day partitions are derived
+    // under the session TZ (pinned UTC), while Timestamp.toLocalDateTime
+    // uses the JVM default TZ — on a non-UTC JVM that off-by-hours day
+    // would drop a partition still containing in-retention data
+    TsdbStorage.eraseOld(spark, dataPath,
+      cutoff.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate)
 
-  /** O12: rewrite the store with merge-on-read materialized. */
+  /** O12: rewrite the store with merge-on-read materialized.
+    * Crash-safe ordering for a single-writer store: stale tmp from a
+    * previously crashed run is removed first (mode("append") would
+    * otherwise merge it into the new snapshot), and the old store is
+    * moved aside before the swap so no failure point leaves the store
+    * path empty — a crash leaves either the old or the new snapshot
+    * recoverable. */
   def compact(): Unit = {
     if (!hasData) return
-    val tmp = s"$dataPath.compacting"
-    TsdbStorage.compactTo(spark, dataPath, tmp, buckets)
-    val p = new Path(dataPath); val t = new Path(tmp)
-    fs.delete(p, true)
-    fs.rename(t, p)
+    val tmp = new Path(s"$dataPath.compacting")
+    val old = new Path(s"$dataPath.old")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    TsdbStorage.compactTo(spark, dataPath, tmp.toString, buckets)
+    val p = new Path(dataPath)
+    fs.rename(p, old)
+    fs.rename(tmp, p)
+    fs.delete(old, true)
   }
 
   /** O13 fsck: verify every data file parses; optionally drop broken

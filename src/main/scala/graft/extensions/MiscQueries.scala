@@ -18,31 +18,36 @@ object MiscQueries {
   // whole path testable end-to-end. All expressions are codegen'd
   // built-ins — no UDF in the scan path.
   // -------------------------------------------------------------------
-  val multimodalMeta: QueryDef = QueryDef(
-    build = (s, d) =>
-      s.read.parquet(s"$d/documents.parquet")
-        .withColumn("content", col("text").cast("binary")) // opaque payload
-        .withColumn("byte_len", octet_length(col("text")).cast("long"))
-        .select(
-          col("doc_id"),
-          col("byte_len"),
-          // stubbed "decode": deterministic fake dimensions/format
-          (lit(64) + col("byte_len") % 576).cast("long").as("width"),
-          (lit(64) + (col("byte_len") * 7) % 416).cast("long").as("height"),
-          (lit(1) + col("byte_len") % 30).cast("long").as("n_frames"),
-          expr("CASE CAST(byte_len % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END").as("fmt"),
-          md5(col("text")).as("content_md5"))
-        .orderBy("doc_id"),
-    oracle = Some(
-      """SELECT doc_id,
-        |       octet_length(encode(text))::BIGINT AS byte_len,
-        |       (64 + octet_length(encode(text)) % 576)::BIGINT AS width,
-        |       (64 + (octet_length(encode(text)) * 7) % 416)::BIGINT AS height,
-        |       (1 + octet_length(encode(text)) % 30)::BIGINT AS n_frames,
-        |       CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS fmt,
-        |       md5(text) AS content_md5
-        |FROM documents ORDER BY doc_id""".stripMargin),
-    doc = "X5 multimodal metadata (binary payload + stubbed decode)")
+  val multimodalMeta: QueryDef = {
+    // the fake-decode contract lives in ONE place: Multimodal.MediaDecoder
+    val D = Multimodal.MediaDecoder
+    val fmtCase =
+      D.FORMATS.zipWithIndex.map { case (f, i) => s"WHEN $i THEN '$f'" }.mkString(" ")
+    QueryDef(
+      build = (s, d) =>
+        s.read.parquet(s"$d/documents.parquet")
+          .withColumn("content", col("text").cast("binary")) // opaque payload
+          .withColumn("byte_len", octet_length(col("text")).cast("long"))
+          .select(
+            col("doc_id"),
+            col("byte_len"),
+            (lit(D.DIM_BASE) + col("byte_len") % D.W_MOD).cast("long").as("width"),
+            (lit(D.DIM_BASE) + (col("byte_len") * D.H_MULT) % D.H_MOD).cast("long").as("height"),
+            (lit(1) + col("byte_len") % D.FRAMES_MOD).cast("long").as("n_frames"),
+            expr(s"CASE CAST(byte_len % ${D.FORMATS.size} AS INT) $fmtCase END").as("fmt"),
+            md5(col("text")).as("content_md5"))
+          .orderBy("doc_id"),
+      oracle = Some(
+        s"""SELECT doc_id,
+           |       octet_length(encode(text))::BIGINT AS byte_len,
+           |       (${D.DIM_BASE} + octet_length(encode(text)) % ${D.W_MOD})::BIGINT AS width,
+           |       (${D.DIM_BASE} + (octet_length(encode(text)) * ${D.H_MULT}) % ${D.H_MOD})::BIGINT AS height,
+           |       (1 + octet_length(encode(text)) % ${D.FRAMES_MOD})::BIGINT AS n_frames,
+           |       CASE octet_length(encode(text)) % ${D.FORMATS.size} $fmtCase END AS fmt,
+           |       md5(text) AS content_md5
+           |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "X5 multimodal metadata (binary payload + stubbed decode)")
+  }
 
   // -------------------------------------------------------------------
   // X5 semi-structured props: JSON extraction on events, aggregated per

@@ -31,12 +31,22 @@ object Multimodal {
 
   /** STUB decoder — deterministic fake standing in for an image/audio
     * codec. Derives "dimensions" from payload length and a byte
-    * histogram as the "feature vector". Marked for replacement. */
+    * histogram as the "feature vector". Marked for replacement. The
+    * constants are the single source of truth for the fake-decode
+    * contract — the SQL-path query (MiscQueries.multimodalMeta) and its
+    * oracle derive from them too. */
   object MediaDecoder {
+    val DIM_BASE = 64
+    val W_MOD = 576
+    val H_MOD = 416
+    val H_MULT = 7
+    val FRAMES_MOD = 30
+    val FORMATS: Seq[String] = Seq("png", "jpeg", "webp")
+
     def decode(content: Array[Byte]): (Int, Int, String) = {
       // ??? real codec goes here (libjpeg / ffmpeg / ...); deterministic fake:
       val n = content.length
-      (64 + n % 576, 64 + (n * 7) % 416, Seq("png", "jpeg", "webp")(n % 3))
+      (DIM_BASE + n % W_MOD, DIM_BASE + (n * H_MULT) % H_MOD, FORMATS(n % FORMATS.size))
     }
   }
 

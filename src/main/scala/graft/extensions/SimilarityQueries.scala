@@ -130,9 +130,14 @@ object SimilarityQueries {
          |  SELECT p.p, j.j,
          |         ((('0x' || substring(md5(p.p::VARCHAR || '_' || j.j::VARCHAR), 1, 8))::BIGINT % 2) * 2 - 1)::DOUBLE AS sgn
          |  FROM generate_series(0, ${N_PLANES - 1}) p(p) CROSS JOIN generate_series(0, 63) j(j)
+         |), pv AS (
+         |  -- index-ordered plane vector: the projection must accumulate in
+         |  -- the same element order as Spark's graft_dot, or FP
+         |  -- non-associativity could flip a near-zero sign bit
+         |  SELECT p, list(sgn ORDER BY j) AS sv FROM planes GROUP BY p
          |), proj AS (
-         |  SELECT e.vec_id, pl.p, sum(e.v[pl.j + 1] * pl.sgn) AS s
-         |  FROM e CROSS JOIN planes pl GROUP BY e.vec_id, pl.p
+         |  SELECT e.vec_id, pv.p, list_dot_product(e.v, pv.sv) AS s
+         |  FROM e CROSS JOIN pv
          |), coded AS (
          |  SELECT vec_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS code
          |  FROM proj GROUP BY vec_id

@@ -30,10 +30,18 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       s"graft_dot expects (array<double>, array<double>), got (${left.dataType}, ${right.dataType})")
   }
 
+  override def nullable: Boolean = true
+
+  /** Length mismatch yields NULL — matching the reference formulation
+    * `aggregate(zip_with(a,b,(x,y)->x*y), 0D, ...)`, where zip_with
+    * null-pads the shorter array and the sum degrades to NULL. A
+    * truncated/corrupt vector must surface, not produce a plausible
+    * partial similarity. */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -46,12 +54,16 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val s = ctx.freshName("dotS")
       val i = ctx.freshName("dotI")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -44,9 +44,8 @@ object CoreQueries {
 
   private def meas(s: SparkSession, d: String) = EventsSource.meas(s, d)
 
-  /** Flag predicate: query flag 0 matches all, else any shared bit. */
-  private def flagMatch(qflag: Long): Column =
-    if (qflag == 0L) lit(true) else (col("flag").bitwiseAND(lit(qflag)) =!= 0L)
+  /** Flag predicate — the shared contract in [[graft.core.Flags.matches]]. */
+  private def flagMatch(qflag: Long): Column = graft.core.Flags.matches(col("flag"), qflag)
 
   // -------------------------------------------------------------------
   // O2 readInterval — ids ∈ IdArray, from ≤ time ≤ to, flag match;

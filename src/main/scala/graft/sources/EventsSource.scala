@@ -34,17 +34,20 @@ object EventsSource {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** The canonical Meas view of the events table. */
-  def meas(spark: SparkSession, sfDir: String): DataFrame = {
-    val code = expr(typeCodeSql)
-    events(spark, sfDir).select(
-      (col("user_id") * 8 + code).cast("long").as("id"),
+  /** The single definition of the events→Meas projection (kept in
+    * lockstep with [[Sql.MEAS_CTE]]). */
+  private def toMeas(df: DataFrame): DataFrame =
+    df.select(
+      (col("user_id") * 8 + expr(typeCodeSql)).cast("long").as("id"),
       col("ts").as("time"),
       col("value"),
       expr(s"shiftleft(1, $typeCodeSql)").cast("long").as("flag"),
       col("event_id").as("seq"),
     )
-  }
+
+  /** The canonical Meas view of the events table. */
+  def meas(spark: SparkSession, sfDir: String): DataFrame =
+    toMeas(events(spark, sfDir))
 
   /** Interval-pruned Meas view: the [from, to] predicate (inclusive,
     * µs-truncated time semantics) is applied to the RAW nanosecond
@@ -62,17 +65,9 @@ object EventsSource {
         ldt.getNano / 1000L
     }
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val code = expr(typeCodeSql)
-    spark.read.parquet(s"$sfDir/events.parquet")
+    toMeas(spark.read.parquet(s"$sfDir/events.parquet")
       .filter(col("ts") >= micros(from) * 1000L && col("ts") < (micros(to) + 1L) * 1000L)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .select(
-        (col("user_id") * 8 + code).cast("long").as("id"),
-        col("ts").as("time"),
-        col("value"),
-        expr(s"shiftleft(1, $typeCodeSql)").cast("long").as("flag"),
-        col("event_id").as("seq"),
-      )
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
   }
 
   /** Series catalog [U: libdariadb/scheme/scheme.h — class Scheme]:

@@ -21,10 +21,7 @@ import graft.core.Meas
   */
 object Subscribe {
 
-  /** Flag-match semantics shared with the batch path (graft.core.Flags):
-    * 0 matches all, else any-shared-bit. */
-  private def flagPred(flag: Long) =
-    if (flag == 0L) lit(true) else (col("flag").bitwiseAND(lit(flag)) =!= 0L)
+  private def flagPred(flag: Long) = graft.core.Flags.matches(col("flag"), flag)
 
   /** The subscription plan: a streaming Meas source filtered to the
     * subscribed ids/flag. `dir` holds appended Meas-schema parquet. */
