@@ -77,6 +77,12 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
     new Iterator[Meas] { def hasNext = it.hasNext; def next() = it.next() }
   }
 
+  /** O7 foreach: push-based scan — the IReadCallback shape
+    * [U: interfaces/icallbacks.h]. Streams through the cursor; never
+    * materializes the result on the driver. */
+  def foreach(q: QueryInterval)(callback: Meas => Unit): Unit =
+    intervalReader(q).foreach(callback)
+
   // ---- O4/O5 point reads -------------------------------------------
   def readTimePoint(q: QueryTimePoint): DataFrame = {
     val ids = if (q.ids.nonEmpty) q.ids else lsIds

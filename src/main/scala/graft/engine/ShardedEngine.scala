@@ -1,0 +1,57 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** O15 ShardEngine parity [U: engines/shard.cpp — ShardEngine]: routes
+  * series across N sub-stores by id hash, fans queries out and merges
+  * results.
+  *
+  * Honest scale note: on Spark this class is mostly ceremony — a single
+  * clustered store already hash-partitions series across files and the
+  * scheduler fans out by construction (SURVEY.md §2.1 O15 calls it
+  * "what Spark does by construction"). It exists for API parity and for
+  * the one real use case: stores with different lifecycles/locations
+  * (e.g. hot vs cold roots) behind one query surface.
+  */
+class ShardedEngine(spark: SparkSession, roots: Seq[String], buckets: Int = 32) {
+  require(roots.nonEmpty, "at least one shard root")
+
+  val shards: Seq[GraftEngine] = roots.map(new GraftEngine(spark, _, buckets))
+
+  private def shardOf(id: Long): GraftEngine =
+    shards(((id % shards.size) + shards.size).toInt % shards.size)
+
+  /** Routed append: each measurement lands on its series' shard. */
+  def append(meas: DataFrame): Unit = {
+    val n = shards.size
+    shards.zipWithIndex.foreach { case (shard, i) =>
+      val slice = meas.filter(pmod(col("id"), lit(n.toLong)) === i.toLong)
+      if (!slice.isEmpty) shard.append(slice)
+    }
+  }
+
+  def append(ms: Seq[graft.core.Meas]): Unit = {
+    import spark.implicits._
+    append(spark.createDataset(ms).toDF())
+  }
+
+  /** Fan-out + merge: union of per-shard results, re-ordered. */
+  def readInterval(q: QueryInterval): DataFrame = {
+    val relevant =
+      if (q.ids.isEmpty) shards
+      else q.ids.map(shardOf).distinct // route: only shards owning requested ids
+    relevant.map(_.readInterval(q)).reduce(_ unionByName _).orderBy("id", "time")
+  }
+
+  def currentValue(ids: Seq[Long], flag: Long): DataFrame =
+    (if (ids.isEmpty) shards else ids.map(shardOf).distinct)
+      .map(_.currentValue(ids, flag))
+      .reduce(_ unionByName _)
+      .filter(col("flag") =!= graft.core.Meas.NO_DATA)
+      .orderBy("id")
+
+  def compact(): Unit = shards.foreach(_.compact())
+  def eraseOld(cutoff: java.sql.Timestamp): Seq[String] = shards.flatMap(_.eraseOld(cutoff))
+  def fsck(repair: Boolean = false): Seq[String] = shards.flatMap(_.fsck(repair))
+}

@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   */
 object TsdbStorage {
 
-  /** O1 append: write a Meas batch in the clustered layout. */
+  /** O1 append: write a Meas batch in the clustered layout. ZSTD +
+    * a bloom filter on `flag` stand in for the reference's Gorilla
+    * codecs + per-chunk flag blooms [U: compression/, storage/chunk.h
+    * — flag_bloom] — same pruning role, format-native. */
   def append(meas: DataFrame, path: String, buckets: Int = 32): Unit =
     meas
       .withColumn("day", to_date(col("time")))
@@ -31,6 +34,8 @@ object TsdbStorage {
       .sortWithinPartitions("id", "time")
       .write.mode("append")
       .partitionBy("day")
+      .option("compression", "zstd")
+      .option("parquet.bloom.filter.enabled#flag", "true")
       .parquet(path)
 
   /** Read the store back as a canonical Meas DataFrame. Day-partition

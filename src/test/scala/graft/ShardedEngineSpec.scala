@@ -1,0 +1,43 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Flags, Meas}
+import graft.engine.{QueryInterval, ShardedEngine}
+
+class ShardedEngineSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("sharded engine routes by id, fans out and merges reads") {
+    val eng = new ShardedEngine(spark, Seq(tmpDir("shard0"), tmpDir("shard1"), tmpDir("shard2")), buckets = 2)
+    val ms = (0 until 30).map(i =>
+      Meas(i.toLong, ts(f"2024-03-01 10:${i % 60}%02d:00"), i.toDouble, Flags.CLICK, i.toLong))
+    eng.append(ms)
+
+    // routing: each shard holds only ids ≡ shard index (mod 3)
+    eng.shards.zipWithIndex.foreach { case (shard, i) =>
+      val ids = shard.merged.select("id").collect().map(_.getLong(0))
+      assert(ids.nonEmpty && ids.forall(_ % 3 == i), s"shard $i got ids ${ids.toSeq}")
+    }
+
+    // fan-out read covers everything, in order
+    val all = eng.readInterval(QueryInterval(Seq.empty, 0L, ts("2024-03-01 00:00:00"), ts("2024-03-02 00:00:00")))
+    assert(all.count() === 30)
+
+    // routed read touches only the owning shards
+    val some = eng.readInterval(QueryInterval(Seq(3L, 6L), 0L, ts("2024-03-01 00:00:00"), ts("2024-03-02 00:00:00")))
+    assert(some.select("id").collect().map(_.getLong(0)).toSet === Set(3L, 6L))
+
+    // current values across shards
+    val cur = eng.currentValue(Seq(1L, 2L, 3L), 0L)
+    assert(cur.count() === 3)
+
+    // maintenance fans out
+    assert(eng.fsck() === Seq.empty)
+    eng.compact()
+    assert(eng.readInterval(QueryInterval(Seq.empty, 0L, ts("2024-03-01 00:00:00"), ts("2024-03-02 00:00:00"))).count() === 30)
+  }
+}
