@@ -345,6 +345,50 @@ object CoreQueries {
          |GROUP BY s.name ORDER BY s.name""".stripMargin),
     doc = "O14 name→id resolution [U: scheme/scheme.cpp — getParamId]")
 
+  // -------------------------------------------------------------------
+  // Value histogram per series — fixed-width bins over the interval
+  // (beyond-reference analytics; grouped agg on bounded keys id×bin).
+  // -------------------------------------------------------------------
+  private val BIN_W = 50.0
+  val histogram: QueryDef = QueryDef(
+    build = (s, d) =>
+      EventsSource.measInInterval(s, d, FROM, TO)
+        .withColumn("bin", floor(col("value") / BIN_W).cast("long"))
+        .groupBy("id", "bin")
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 6).as("sum_value"))
+        .orderBy("id", "bin"),
+    oracle = Some(
+      s"""${Sql.MEAS_CTE}
+         |SELECT id, CAST(floor(value / $BIN_W) AS BIGINT) AS bin,
+         |       count(*)::BIGINT AS cnt, round(sum(value), 6) AS sum_value
+         |FROM meas
+         |WHERE time BETWEEN TIMESTAMP '$FROM' AND TIMESTAMP '$TO'
+         |GROUP BY id, bin ORDER BY id, bin""".stripMargin),
+    doc = "per-series value histogram (fixed-width bins)")
+
+  // -------------------------------------------------------------------
+  // Top-k measurements per series — bounded per-id window (k rows
+  // survive per partition; never a global sort of the raw data).
+  // -------------------------------------------------------------------
+  private val TOPK = 3
+  val topkPerSeries: QueryDef = QueryDef(
+    build = (s, d) => {
+      val w = Window.partitionBy("id").orderBy(col("value").desc, col("seq"))
+      meas(s, d)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= TOPK)
+        .select("id", "rk", "time", "value", "seq")
+        .orderBy("id", "rk")
+    },
+    oracle = Some(
+      s"""${Sql.MEAS_CTE},
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY value DESC, seq) AS rk FROM meas
+         |)
+         |SELECT id, rk::BIGINT AS rk, time, value, seq FROM r WHERE rk <= $TOPK
+         |ORDER BY id, rk""".stripMargin),
+    doc = "top-k values per series (bounded per-id window)")
+
   /** Registry: name → QueryDef. Names are stable driver-facing keys. */
   val defs: Map[String, QueryDef] = Map(
     "read_interval"   -> readInterval,
@@ -360,5 +404,7 @@ object CoreQueries {
     "erase_old"       -> eraseOld,
     "scheme_ls"       -> schemeLs,
     "scheme_join"     -> schemeJoin,
+    "histogram"       -> histogram,
+    "topk_per_series" -> topkPerSeries,
   )
 }
