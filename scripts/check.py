@@ -45,8 +45,14 @@ def main():
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
-    names = sorted(d.name for d in Path(out_dir).iterdir() if d.is_dir())
+    dumped = {d.name for d in Path(out_dir).iterdir() if d.is_dir()}
+    # a query that failed in Verify writes no dump dir — that must FAIL
+    # the gate, not silently drop out of the comparison
+    names = sorted(dumped | set(oracle))
     failures = []
+    for name in sorted(set(oracle) - dumped):
+        failures.append((name, "oracle entry exists but Spark dump is missing (query failed in Verify?)"))
+    names = [n for n in names if n in dumped]
     for name in names:
         try:
             got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")

@@ -85,10 +85,14 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
 
   // ---- O4/O5 point reads -------------------------------------------
   def readTimePoint(q: QueryTimePoint): DataFrame = {
-    val ids = if (q.ids.nonEmpty) q.ids else lsIds
-    val idsDf = ids.toDF("qid")
+    // requested-id set as a DataFrame: explicit lists stay literal; the
+    // "all series" default derives distributedly (no driver-side collect
+    // of the id universe, no giant isin literal)
+    val idsDf =
+      if (q.ids.nonEmpty) q.ids.toDF("qid")
+      else merged.select(col("id").as("qid")).distinct()
     val last = merged
-      .filter(col("time") <= lit(q.timePoint) && flagPred(q.flag) && idPred(ids))
+      .filter(col("time") <= lit(q.timePoint) && flagPred(q.flag) && idPred(q.ids))
       .groupBy("id")
       .agg(max_by(struct(col("time"), col("value"), col("flag")), struct(col("time"), col("seq"))).as("m"))
       .select(col("id"), col("m.time").as("time"), col("m.value").as("value"), col("m.flag").as("flag"))
@@ -131,15 +135,9 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
         col("sigma"), col("minimum"), col("maximum"), col("cnt"))
       .orderBy("id")
 
-  // ---- O10 subscribe -----------------------------------------------
-  def subscribe(ids: Seq[Long], flag: Long, queryName: String, checkpoint: String): StreamingQuery = {
-    val src = spark.readStream.schema(Meas.schema)
-      .option("basePath", dataPath).parquet(s"$dataPath/day=*")
-    src.filter(idPred(ids) && flagPred(flag))
-      .drop("day")
-      .writeStream.format("memory").queryName(queryName)
-      .option("checkpointLocation", checkpoint).start()
-  }
+  // ---- O10 subscribe (delegates to the one subscription definition) --
+  def subscribe(ids: Seq[Long], flag: Long, queryName: String, checkpoint: String): StreamingQuery =
+    Subscribe.start(spark, dataPath, ids, flag, queryName, checkpoint, dayPartitioned = true)
 
   // ---- O11/O12/O13 maintenance -------------------------------------
   def eraseOld(cutoff: Timestamp): Seq[String] =
@@ -170,13 +168,15 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
     fs.delete(old, true)
   }
 
-  /** O13 fsck: verify every data file parses; optionally drop broken
-    * files [U: engines/engine.cpp — fsck]. Returns the bad file list. */
+  /** O13 fsck: verify every data file fully decodes (a head-only probe
+    * would miss corruption past the first row group); optionally drop
+    * broken files [U: engines/engine.cpp — fsck]. Returns the bad file
+    * list. */
   def fsck(repair: Boolean = false): Seq[String] = {
     if (!hasData) return Seq.empty
     val files = listParquet(new Path(dataPath))
     val bad = files.filter { f =>
-      try { spark.read.parquet(f.toString).head(1); false }
+      try { spark.read.parquet(f.toString).count(); false }
       catch { case _: Throwable => true }
     }
     if (repair) bad.foreach(fs.delete(_, false))
@@ -219,7 +219,4 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
 
   private def lsMap: Map[String, Long] =
     ls().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-
-  private def lsIds: Seq[Long] =
-    merged.select("id").distinct().as[Long].collect().toSeq.sorted
 }

@@ -22,13 +22,18 @@ class ShardedEngine(spark: SparkSession, roots: Seq[String], buckets: Int = 32) 
   private def shardOf(id: Long): GraftEngine =
     shards(((id % shards.size) + shards.size).toInt % shards.size)
 
-  /** Routed append: each measurement lands on its series' shard. */
+  /** Routed append: each measurement lands on its series' shard. The
+    * input is cached for the N filtered passes (one write per shard) —
+    * without it each slice would rescan the source, doubling per shard
+    * with the emptiness probe this used to do. */
   def append(meas: DataFrame): Unit = {
     val n = shards.size
-    shards.zipWithIndex.foreach { case (shard, i) =>
-      val slice = meas.filter(pmod(col("id"), lit(n.toLong)) === i.toLong)
-      if (!slice.isEmpty) shard.append(slice)
-    }
+    val cached = meas.persist()
+    try {
+      shards.zipWithIndex.foreach { case (shard, i) =>
+        shard.append(cached.filter(pmod(col("id"), lit(n.toLong)) === i.toLong))
+      }
+    } finally cached.unpersist()
   }
 
   def append(ms: Seq[graft.core.Meas]): Unit = {
@@ -44,11 +49,18 @@ class ShardedEngine(spark: SparkSession, roots: Seq[String], buckets: Int = 32) 
     relevant.map(_.readInterval(q)).reduce(_ unionByName _).orderBy("id", "time")
   }
 
+  /** Per requested id, exactly one row: a foreign shard answers NO_DATA
+    * for ids it doesn't own, so merge keeps a real measurement when any
+    * shard has one and keeps ONE NO_DATA row (not zero) when none does
+    * — preserving GraftEngine's one-row-per-requested-id contract. */
   def currentValue(ids: Seq[Long], flag: Long): DataFrame =
     (if (ids.isEmpty) shards else ids.map(shardOf).distinct)
       .map(_.currentValue(ids, flag))
       .reduce(_ unionByName _)
-      .filter(col("flag") =!= graft.core.Meas.NO_DATA)
+      .groupBy("id")
+      .agg(max_by(struct(col("time"), col("value"), col("flag")),
+        struct(col("flag") =!= graft.core.Meas.NO_DATA, col("time"))).as("m"))
+      .select(col("id"), col("m.time").as("time"), col("m.value").as("value"), col("m.flag").as("flag"))
       .orderBy("id")
 
   def compact(): Unit = shards.foreach(_.compact())

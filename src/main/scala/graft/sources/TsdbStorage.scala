@@ -39,9 +39,17 @@ object TsdbStorage {
       .parquet(path)
 
   /** Read the store back as a canonical Meas DataFrame. Day-partition
-    * pruning applies automatically to time predicates on `day`. */
+    * pruning applies automatically to time predicates on `day`. The
+    * schema is supplied explicitly so an empty store (e.g. after
+    * retention dropped every partition) reads as an empty DataFrame
+    * instead of failing schema inference. */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop("day")
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType(
+        graft.core.Meas.schema.fields :+
+          org.apache.spark.sql.types.StructField("day", org.apache.spark.sql.types.DateType)))
+      .parquet(path)
+      .drop("day")
 
   /** O11 eraseOld: drop whole day partitions strictly older than the
     * cutoff date. Pure metadata/filesystem operation — no data rewrite,

@@ -24,9 +24,17 @@ object Subscribe {
   private def flagPred(flag: Long) = graft.core.Flags.matches(col("flag"), flag)
 
   /** The subscription plan: a streaming Meas source filtered to the
-    * subscribed ids/flag. `dir` holds appended Meas-schema parquet. */
-  def subscribe(spark: SparkSession, dir: String, ids: Seq[Long], flag: Long): DataFrame = {
-    val src = spark.readStream.schema(Meas.schema).parquet(dir)
+    * subscribed ids/flag — the SINGLE definition of the standing-filter
+    * semantics (the engine facade delegates here). `dir` holds appended
+    * Meas-schema parquet, either flat or day-partitioned (set
+    * `dayPartitioned` for the clustered store layout). */
+  def subscribe(spark: SparkSession, dir: String, ids: Seq[Long], flag: Long,
+      dayPartitioned: Boolean = false): DataFrame = {
+    val src =
+      if (dayPartitioned)
+        spark.readStream.schema(Meas.schema)
+          .option("basePath", dir).parquet(s"$dir/day=*").drop("day")
+      else spark.readStream.schema(Meas.schema).parquet(dir)
     val idPred = if (ids.isEmpty) lit(true) else col("id").isin(ids: _*)
     src.filter(idPred && flagPred(flag))
   }
@@ -35,8 +43,8 @@ object Subscribe {
     * queryable temp view) — the test/demo harness for callbacks; a real
     * deployment would point writeStream at its delivery sink. */
   def start(spark: SparkSession, dir: String, ids: Seq[Long], flag: Long,
-      queryName: String, checkpoint: String): StreamingQuery =
-    subscribe(spark, dir, ids, flag).writeStream
+      queryName: String, checkpoint: String, dayPartitioned: Boolean = false): StreamingQuery =
+    subscribe(spark, dir, ids, flag, dayPartitioned).writeStream
       .format("memory")
       .queryName(queryName)
       .outputMode("append")
