@@ -198,6 +198,90 @@ object MiscQueries {
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin),
     doc = "vector analytics: per-label element-wise centroids")
 
+  // -------------------------------------------------------------------
+  // Relational coverage beyond the reference (§2.2 checklist): rollup /
+  // grouping sets, semi/anti joins, set operations — all native Spark,
+  // listed so the "could a reference user go further here" question has
+  // a concrete, oracle-verified yes.
+  // -------------------------------------------------------------------
+  val rollupRevenue: QueryDef = QueryDef(
+    build = (s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 4).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus"),
+    oracle = Some(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       count(*)::BIGINT AS cnt, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin),
+    doc = "relational: rollup / grouping sets")
+
+  val semiAntiJoin: QueryDef = QueryDef(
+    build = (s, d) => {
+      val c = s.read.parquet(s"$d/customer.parquet").select("c_custkey", "c_mktsegment")
+      val o = s.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_totalprice") > 200000.0).select("o_custkey")
+      val withBig = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("with_big_order"))
+      val without = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("without_big_order"))
+      withBig.join(without, Seq("c_mktsegment"), "full")
+        .select(col("c_mktsegment"),
+          coalesce(col("with_big_order"), lit(0L)).as("with_big_order"),
+          coalesce(col("without_big_order"), lit(0L)).as("without_big_order"))
+        .orderBy("c_mktsegment")
+    },
+    oracle = Some(
+      """WITH big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000.0),
+        |w AS (
+        |  SELECT c_mktsegment, count(*)::BIGINT AS with_big_order FROM customer
+        |  WHERE c_custkey IN (SELECT o_custkey FROM big) GROUP BY c_mktsegment
+        |), wo AS (
+        |  SELECT c_mktsegment, count(*)::BIGINT AS without_big_order FROM customer
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM big) GROUP BY c_mktsegment
+        |)
+        |SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+        |       coalesce(w.with_big_order, 0)::BIGINT AS with_big_order,
+        |       coalesce(wo.without_big_order, 0)::BIGINT AS without_big_order
+        |FROM w FULL JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin),
+    doc = "relational: left-semi / left-anti joins")
+
+  val setOps: QueryDef = QueryDef(
+    build = (s, d) => {
+      val active = graft.sources.EventsSource.meas(s, d)
+        .filter(col("time") >= lit("2024-01-20 00:00:00").cast("timestamp"))
+        .select("id").distinct()
+      val early = graft.sources.EventsSource.meas(s, d)
+        .filter(col("time") < lit("2024-01-05 00:00:00").cast("timestamp"))
+        .select("id").distinct()
+      val both = active.intersect(early).withColumn("set_op", lit("both"))
+      val lateOnly = active.except(early).withColumn("set_op", lit("late_only"))
+      val earlyOnly = early.except(active).withColumn("set_op", lit("early_only"))
+      both.unionByName(lateOnly).unionByName(earlyOnly)
+        .orderBy("set_op", "id")
+    },
+    oracle = Some(
+      s"""${graft.sources.Sql.MEAS_CTE},
+         |active AS (SELECT DISTINCT id FROM meas WHERE time >= TIMESTAMP '2024-01-20 00:00:00'),
+         |early AS (SELECT DISTINCT id FROM meas WHERE time < TIMESTAMP '2024-01-05 00:00:00')
+         |SELECT id, set_op FROM (
+         |  SELECT id, 'both' AS set_op FROM (SELECT id FROM active INTERSECT SELECT id FROM early)
+         |  UNION ALL
+         |  SELECT id, 'late_only' FROM (SELECT id FROM active EXCEPT SELECT id FROM early)
+         |  UNION ALL
+         |  SELECT id, 'early_only' FROM (SELECT id FROM early EXCEPT SELECT id FROM active)
+         |)
+         |ORDER BY set_op, id""".stripMargin),
+    doc = "relational: intersect / except set operations")
+
   val defs: Map[String, QueryDef] = Map(
     "multimodal_meta" -> multimodalMeta,
     "events_props"    -> eventsProps,
@@ -205,5 +289,8 @@ object MiscQueries {
     "revenue_by_nation" -> revenueByNation,
     "sessionize"      -> sessionize,
     "label_centroids" -> labelCentroids,
+    "rollup_revenue"  -> rollupRevenue,
+    "semi_anti_join"  -> semiAntiJoin,
+    "set_ops"         -> setOps,
   )
 }
