@@ -121,19 +121,29 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
       .agg(count(lit(1)).as("cnt"), min("time").as("min_time"), max("time").as("max_time"),
         min("value").as("min_value"), max("value").as("max_value"), sum("value").as("sum_value"))
 
-  /** O9: the named statistic-calculator function set
-    * [U: statistic/calculator.h — FunctionFactory]. */
-  def calculator(q: QueryInterval): DataFrame =
+  /** O9: the named statistic-calculator function set, selectable by
+    * name like the reference's `Calculator::apply(..., {functions})`
+    * [U: statistic/calculator.h — FunctionFactory::functions]. Unknown
+    * names fail fast (the reference's factory silently yields nothing
+    * for them — failing is the safer contract). */
+  def calculator(q: QueryInterval, functions: Seq[String] = GraftEngine.CalculatorFunctions): DataFrame = {
+    val unknown = functions.filterNot(GraftEngine.CalculatorFunctions.contains)
+    require(unknown.isEmpty, s"unknown calculator functions: ${unknown.mkString(", ")}")
+    val aggs = Map[String, org.apache.spark.sql.Column](
+      "average" -> avg("value").as("average"),
+      "median" -> expr("percentile(value, 0.5D)").as("median"),
+      "percentile90" -> expr("percentile(value, 0.9D)").as("percentile90"),
+      "percentile99" -> expr("percentile(value, 0.99D)").as("percentile99"),
+      "sigma" -> stddev_pop("value").as("sigma"),
+      "minimum" -> min("value").as("minimum"),
+      "maximum" -> max("value").as("maximum"),
+      "count" -> count(lit(1)).as("cnt"))
+    val selected = functions.map(aggs)
     readInterval(q)
       .groupBy("id")
-      .agg(avg("value").as("average"),
-        expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("pct"),
-        stddev_pop("value").as("sigma"),
-        min("value").as("minimum"), max("value").as("maximum"), count(lit(1)).as("cnt"))
-      .select(col("id"), col("average"), col("pct")(0).as("median"),
-        col("pct")(1).as("percentile90"), col("pct")(2).as("percentile99"),
-        col("sigma"), col("minimum"), col("maximum"), col("cnt"))
+      .agg(selected.head, selected.tail: _*)
       .orderBy("id")
+  }
 
   // ---- O10 subscribe (delegates to the one subscription definition) --
   def subscribe(ids: Seq[Long], flag: Long, queryName: String, checkpoint: String): StreamingQuery =
@@ -219,4 +229,10 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
 
   private def lsMap: Map[String, Long] =
     ls().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+}
+
+object GraftEngine {
+  /** O9 function names [U: statistic/calculator.cpp — FunctionFactory]. */
+  val CalculatorFunctions: Seq[String] =
+    Seq("average", "median", "percentile90", "percentile99", "sigma", "minimum", "maximum", "count")
 }

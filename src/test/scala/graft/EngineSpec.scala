@@ -68,6 +68,18 @@ class EngineSpec extends SparkSpec {
     val st = engine.stat(idA, ts("2024-03-01 00:00:00"), ts("2024-03-03 00:00:00")).head()
     assert(st.getLong(1) === 3 && st.getDouble(6) === 24.0) // cnt, sum
 
+    // O9 calculator: named-function selection like FunctionFactory
+    val calc = engine.calculator(
+      QueryInterval(Seq(idA), 0L, ts("2024-03-01 00:00:00"), ts("2024-03-03 00:00:00")),
+      Seq("average", "maximum", "count"))
+    assert(calc.columns.toSeq === Seq("id", "average", "maximum", "cnt"))
+    val c0 = calc.head()
+    assert(c0.getDouble(2) === 20.0 && c0.getLong(3) === 3)
+    intercept[IllegalArgumentException] {
+      engine.calculator(QueryInterval(Seq(idA), 0L, ts("2024-03-01 00:00:00"), ts("2024-03-03 00:00:00")),
+        Seq("no_such_function"))
+    }
+
     // O13 fsck clean store
     assert(engine.fsck() === Seq.empty)
 
