@@ -389,6 +389,70 @@ object CoreQueries {
          |ORDER BY id, rk""".stripMargin),
     doc = "top-k values per series (bounded per-id window)")
 
+  // -------------------------------------------------------------------
+  // Rate of change per series — Δvalue/Δt between consecutive
+  // measurements (counter-rate analytics; bounded per-id window).
+  // -------------------------------------------------------------------
+  val seriesDelta: QueryDef = QueryDef(
+    build = (s, d) => {
+      val w = Window.partitionBy("id").orderBy("time", "seq")
+      meas(s, d)
+        .withColumn("us", unix_micros(col("time")))
+        .withColumn("prev_value", lag("value", 1).over(w))
+        .withColumn("prev_us", lag("us", 1).over(w))
+        .filter(col("prev_us").isNotNull && col("us") > col("prev_us"))
+        .select(col("id"), col("time"), col("seq"),
+          round(col("value") - col("prev_value"), 6).as("delta"),
+          round((col("value") - col("prev_value")) / ((col("us") - col("prev_us")) / 1000000.0), 6)
+            .as("rate_per_sec"))
+        .orderBy("id", "time", "seq")
+    },
+    oracle = Some(
+      s"""${Sql.MEAS_CTE},
+         |l AS (
+         |  SELECT id, time, seq, value, epoch_us(time) AS us,
+         |         lag(value) OVER (PARTITION BY id ORDER BY time, seq) AS prev_value,
+         |         lag(epoch_us(time)) OVER (PARTITION BY id ORDER BY time, seq) AS prev_us
+         |  FROM meas
+         |)
+         |SELECT id, time, seq,
+         |       round(value - prev_value, 6) AS delta,
+         |       round((value - prev_value) / ((us - prev_us) / 1000000.0), 6) AS rate_per_sec
+         |FROM l WHERE prev_us IS NOT NULL AND us > prev_us
+         |ORDER BY id, time, seq""".stripMargin),
+    doc = "per-series rate of change (Δvalue/Δt, counter-rate analytics)")
+
+  // -------------------------------------------------------------------
+  // Gap detection per series — intervals between consecutive
+  // measurements exceeding a threshold (hole finding; the reference
+  // marks holes with _NO_DATA flags, we derive them).
+  // -------------------------------------------------------------------
+  private val GAP_HOURS = 12L
+  val seriesGaps: QueryDef = QueryDef(
+    build = (s, d) => {
+      val w = Window.partitionBy("id").orderBy("time", "seq")
+      meas(s, d)
+        .withColumn("us", unix_micros(col("time")))
+        .withColumn("prev_time", lag("time", 1).over(w))
+        .withColumn("prev_us", lag("us", 1).over(w))
+        .filter(col("prev_us").isNotNull && col("us") - col("prev_us") > GAP_HOURS * 3600L * 1000000L)
+        .select(col("id"), col("prev_time").as("gap_start"), col("time").as("gap_end"),
+          (col("us") - col("prev_us")).as("gap_us"))
+        .orderBy("id", "gap_start")
+    },
+    oracle = Some(
+      s"""${Sql.MEAS_CTE},
+         |l AS (
+         |  SELECT id, time, seq, epoch_us(time) AS us,
+         |         lag(time) OVER (PARTITION BY id ORDER BY time, seq) AS prev_time,
+         |         lag(epoch_us(time)) OVER (PARTITION BY id ORDER BY time, seq) AS prev_us
+         |  FROM meas
+         |)
+         |SELECT id, prev_time AS gap_start, time AS gap_end, (us - prev_us)::BIGINT AS gap_us
+         |FROM l WHERE prev_us IS NOT NULL AND us - prev_us > ${GAP_HOURS * 3600L * 1000000L}
+         |ORDER BY id, gap_start""".stripMargin),
+    doc = "per-series gap detection (holes above a threshold)")
+
   /** Registry: name → QueryDef. Names are stable driver-facing keys. */
   val defs: Map[String, QueryDef] = Map(
     "read_interval"   -> readInterval,
@@ -406,5 +470,7 @@ object CoreQueries {
     "scheme_join"     -> schemeJoin,
     "histogram"       -> histogram,
     "topk_per_series" -> topkPerSeries,
+    "series_delta"    -> seriesDelta,
+    "series_gaps"     -> seriesGaps,
   )
 }
