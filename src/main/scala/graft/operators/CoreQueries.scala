@@ -453,6 +453,26 @@ object CoreQueries {
          |ORDER BY id, gap_start""".stripMargin),
     doc = "per-series gap detection (holes above a threshold)")
 
+  // -------------------------------------------------------------------
+  // Sketch-based approximate analytics — HLL++ distinct counts and
+  // approximate percentiles per series. Constant-memory mergeable
+  // sketches are the only viable shape for these at 100 TB (exact
+  // distinct/percentile buffers grow with data). No DuckDB oracle:
+  // sketch estimates are engine-specific; SketchSpec bounds the error
+  // against exact values instead.
+  // -------------------------------------------------------------------
+  val sketchStats: QueryDef = QueryDef(
+    build = (s, d) =>
+      meas(s, d)
+        .groupBy("id")
+        .agg(
+          approx_count_distinct(col("value"), 0.02).as("approx_distinct_values"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"),
+          count(lit(1)).as("cnt"))
+        .orderBy("id"),
+    oracle = None,
+    doc = "sketches: HLL++ distinct + approximate percentile per series")
+
   /** Registry: name → QueryDef. Names are stable driver-facing keys. */
   val defs: Map[String, QueryDef] = Map(
     "read_interval"   -> readInterval,
@@ -472,5 +492,6 @@ object CoreQueries {
     "topk_per_series" -> topkPerSeries,
     "series_delta"    -> seriesDelta,
     "series_gaps"     -> seriesGaps,
+    "sketch_stats"    -> sketchStats,
   )
 }
