@@ -35,6 +35,14 @@ class ShardedEngineSpec extends SparkSpec {
     val cur = eng.currentValue(Seq(1L, 2L, 3L), 0L)
     assert(cur.count() === 3)
 
+    // one-row-per-requested-id even for an id no shard owns: the
+    // NO_DATA row survives the cross-shard merge
+    val withMissing = eng.currentValue(Seq(1L, 999L), 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(withMissing.keySet === Set(1L, 999L))
+    assert(withMissing(999L) === graft.core.Meas.NO_DATA)
+    assert(withMissing(1L) !== graft.core.Meas.NO_DATA)
+
     // maintenance fans out
     assert(eng.fsck() === Seq.empty)
     eng.compact()
