@@ -292,5 +292,38 @@ object MiscQueries {
     "rollup_revenue"  -> rollupRevenue,
     "semi_anti_join"  -> semiAntiJoin,
     "set_ops"         -> setOps,
+    "cohort_retention" -> cohortRetention,
   )
+
+  // -------------------------------------------------------------------
+  // Cohort retention: users grouped by first-activity week, counted per
+  // week offset they remained active — the canonical events-pipeline
+  // analysis (two grouped aggs + a join on the user key).
+  // -------------------------------------------------------------------
+  lazy val cohortRetention: QueryDef = QueryDef(
+    build = (s, d) => {
+      val ev = graft.sources.EventsSource.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        .distinct()
+      val first = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+      ev.join(first, "user_id")
+        .withColumn("week_offset",
+          ((unix_micros(col("week")) - unix_micros(col("cohort_week"))) / (7L * 86400L * 1000000L))
+            .cast("long"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    oracle = Some(
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts)::TIMESTAMP AS week FROM events
+        |), first AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+        |)
+        |SELECT f.cohort_week, ((epoch_us(e.week) - epoch_us(f.cohort_week)) // (7::BIGINT * 86400 * 1000000))::BIGINT AS week_offset,
+        |       count(*)::BIGINT AS active_users
+        |FROM ev e JOIN first f ON e.user_id = f.user_id
+        |GROUP BY f.cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin),
+    doc = "events cohort retention (first-activity week × active-week offset)")
 }

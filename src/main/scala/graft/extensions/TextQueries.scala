@@ -202,8 +202,48 @@ object TextQueries {
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
     doc = "X4 tf-idf (two aggregations + join)")
 
+  // -------------------------------------------------------------------
+  // Corpus-wide top bigrams: n-gram frequency analysis (the aggregate
+  // complement of the per-doc shingle machinery). Bounded output via a
+  // rank cutoff; the frequency groupBy is the only full-width shuffle.
+  // -------------------------------------------------------------------
+  private val TOP_BIGRAMS = 50
+  val topBigrams: QueryDef = QueryDef(
+    build = (s, d) => {
+      val w = Window.orderBy(col("cnt").desc, col("bigram"))
+      docs(s, d)
+        .select(col("doc_id"), expr(toksExpr).as("toks"))
+        .select(explode(expr(
+          """CASE WHEN size(toks) >= 2
+            | THEN transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1]))
+            | ELSE array() END""".stripMargin.replaceAll("\n", " "))).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TOP_BIGRAMS)
+        .select("rank", "bigram", "cnt")
+        .orderBy("rank")
+    },
+    oracle = Some(
+      s"""WITH t AS (
+         |  SELECT $toksSql AS toks FROM documents
+         |), bg AS (
+         |  SELECT unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(generate_series(1, len(toks) - 1), i -> array_to_string(toks[i:i+1], ' '))
+         |    ELSE [] END) AS bigram
+         |  FROM t
+         |), freq AS (
+         |  SELECT bigram, count(*)::BIGINT AS cnt FROM bg GROUP BY bigram
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (ORDER BY cnt DESC, bigram) AS rank FROM freq
+         |)
+         |SELECT rank::BIGINT AS rank, bigram, cnt FROM ranked
+         |WHERE rank <= $TOP_BIGRAMS ORDER BY rank""".stripMargin),
+    doc = "X4 corpus-wide top bigrams (n-gram frequency)")
+
   val defs: Map[String, QueryDef] = Map(
     "text_stats"       -> textStats,
+    "text_bigrams"     -> topBigrams,
     "text_lang"        -> textLang,
     "text_quality"     -> textQuality,
     "text_fingerprint" -> fingerprint,

@@ -7,7 +7,7 @@ class TableSourceSpec extends SparkSpec {
 
   test("csv and json round-trip the Meas set with explicit schemas") {
     val meas = EventsSource.meas(spark, sfDir).limit(200).cache()
-    for (fmt <- Seq("csv", "json")) {
+    for (fmt <- Seq("csv", "json", "orc")) {
       val dir = tmpDir(s"graft-io-$fmt")
       // default text-format timestamp patterns are millisecond-precision;
       // Meas carries microseconds, so the format must say so explicitly
