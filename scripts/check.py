@@ -24,8 +24,8 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        if v == 0.0:
-            v = 0.0  # -0.0 -> 0.0
+        # NOTE: -0.0 is deliberately NOT normalized — the driver's hash
+        # distinguishes it, so the local mirror must be exactly as strict.
         return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm(x) for x in v) + "]"

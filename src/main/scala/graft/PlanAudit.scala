@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Plan-shape audit over the whole query registry: flags the physical
+  * anti-patterns that kill a 100 TB scale-up regardless of local timing —
+  * single-partition windows (whole dataset through one task), cartesian
+  * products, and broadcast nested-loop joins (O(N·M) with a full
+  * broadcast). Exit code 1 if any query trips a rule, so this can gate
+  * like a test.
+  *
+  * Run: sbt "runMain graft.PlanAudit [sfDir]"
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def audit(p: SparkPlan): Seq[String] = {
+      val self = p match {
+        case w: WindowExec if w.partitionSpec.isEmpty => Seq("global-window")
+        case _: CartesianProductExec                  => Seq("cartesian-product")
+        case _: BroadcastNestedLoopJoinExec           => Seq("broadcast-nested-loop-join")
+        case _                                        => Seq.empty
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.initialPlan)
+        case other                    => other.children
+      }
+      self ++ kids.flatMap(audit)
+    }
+
+    // Justified exceptions: a BroadcastNestedLoopJoin is an anti-pattern
+    // only when the broadcast side grows with the data. These three
+    // broadcast a side bounded by a constant, so they stay correct and
+    // fast at any corpus size.
+    val waived: Map[String, String] = Map(
+      "sim_topk"   -> s"BNLJ broadcast side = fixed query set (bounded constant)",
+      "sim_ivf"    -> s"BNLJ broadcast side = label centroids (bounded by #labels)",
+      "text_tfidf" -> s"BNLJ broadcast side = single-row corpus count",
+    )
+
+    var flagged = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val hits = audit(fn(spark, sfDir).queryExecution.executedPlan)
+        if (hits.nonEmpty && waived.contains(name))
+          println(s"AUDIT waive $name: ${hits.mkString(", ")} — ${waived(name)}")
+        else if (hits.nonEmpty) { flagged += 1; println(s"AUDIT FLAG  $name: ${hits.mkString(", ")}") }
+        else println(s"AUDIT clean $name")
+      } catch {
+        case e: Throwable => flagged += 1; println(s"AUDIT ERROR $name: ${e.getMessage}")
+      }
+      finally spark.sharedState.cacheManager.clearCache()
+    }
+    println(s"AUDIT done: $flagged flagged")
+    spark.stop()
+    if (flagged > 0) sys.exit(1)
+  }
+}

@@ -80,8 +80,10 @@ object SimilarityQueries {
   // -------------------------------------------------------------------
   /** Hyperplane sign s(p, j) = ±1 from md5 parity of "p_j" — computed
     * once on the driver (they are constants) and shipped as array
-    * literals; the oracle derives the identical values in SQL. */
-  private lazy val planeSigns: IndexedSeq[Seq[Double]] = {
+    * literals; the oracle derives the identical values in SQL.
+    * Shared with [[DedupQueries.embedCosineLsh]] so both SRP users
+    * bucket with the identical hyperplanes. */
+  private[extensions] lazy val planeSigns: IndexedSeq[Seq[Double]] = {
     val digest = java.security.MessageDigest.getInstance("MD5")
     (0 until N_PLANES).map { p =>
       (0 until 64).map { j =>

@@ -210,8 +210,7 @@ object TextQueries {
   private val TOP_BIGRAMS = 50
   val topBigrams: QueryDef = QueryDef(
     build = (s, d) => {
-      val w = Window.orderBy(col("cnt").desc, col("bigram"))
-      docs(s, d)
+      val freq = docs(s, d)
         .select(col("doc_id"), expr(toksExpr).as("toks"))
         .select(explode(expr(
           """CASE WHEN size(toks) >= 2
@@ -219,8 +218,19 @@ object TextQueries {
             | ELSE array() END""".stripMargin.replaceAll("\n", " "))).as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("cnt"))
+      // Top-k via orderBy+limit plans as TakeOrderedAndProject — a
+      // distributed per-partition top-k merged on the driver — instead
+      // of a global single-partition window over the whole bigram
+      // vocabulary (which grows with corpus size). Rank then derives
+      // from a window over the already-bounded TOP_BIGRAMS rows. The
+      // partition key is a constant-per-row but NON-FOLDABLE expression
+      // (hash(bigram) mod 1 ≡ 0): a literal would be stripped by
+      // EliminateWindowPartitions, reintroducing the unpartitioned
+      // window this query exists to avoid.
+      val w = Window.partitionBy(pmod(hash(col("bigram")), lit(1)))
+        .orderBy(col("cnt").desc, col("bigram"))
+      freq.orderBy(col("cnt").desc, col("bigram")).limit(TOP_BIGRAMS)
         .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= TOP_BIGRAMS)
         .select("rank", "bigram", "cnt")
         .orderBy("rank")
     },

@@ -392,6 +392,13 @@ object CoreQueries {
   // -------------------------------------------------------------------
   // Rate of change per series — Δvalue/Δt between consecutive
   // measurements (counter-rate analytics; bounded per-id window).
+  //
+  // Outputs are integer-scaled micro-units (BIGINT), not rounded
+  // DOUBLEs: Spark rounds doubles via BigDecimal HALF_UP (never -0.0),
+  // DuckDB via std::round (preserves -0.0), so a rounded-DOUBLE
+  // quotient hashes differently across engines whenever a tiny negative
+  // delta rounds to zero. round(x·1e6) is computed on the identical
+  // IEEE double in both engines and the BIGINT carries no sign-of-zero.
   // -------------------------------------------------------------------
   val seriesDelta: QueryDef = QueryDef(
     build = (s, d) => {
@@ -402,9 +409,9 @@ object CoreQueries {
         .withColumn("prev_us", lag("us", 1).over(w))
         .filter(col("prev_us").isNotNull && col("us") > col("prev_us"))
         .select(col("id"), col("time"), col("seq"),
-          round(col("value") - col("prev_value"), 6).as("delta"),
-          round((col("value") - col("prev_value")) / ((col("us") - col("prev_us")) / 1000000.0), 6)
-            .as("rate_per_sec"))
+          round((col("value") - col("prev_value")) * 1000000.0).cast("long").as("delta_micro"),
+          round((col("value") - col("prev_value")) / ((col("us") - col("prev_us")) / 1000000.0) * 1000000.0)
+            .cast("long").as("rate_micro"))
         .orderBy("id", "time", "seq")
     },
     oracle = Some(
@@ -416,11 +423,11 @@ object CoreQueries {
          |  FROM meas
          |)
          |SELECT id, time, seq,
-         |       round(value - prev_value, 6) AS delta,
-         |       round((value - prev_value) / ((us - prev_us) / 1000000.0), 6) AS rate_per_sec
+         |       CAST(round((value - prev_value) * 1000000.0) AS BIGINT) AS delta_micro,
+         |       CAST(round((value - prev_value) / ((us - prev_us) / 1000000.0) * 1000000.0) AS BIGINT) AS rate_micro
          |FROM l WHERE prev_us IS NOT NULL AND us > prev_us
          |ORDER BY id, time, seq""".stripMargin),
-    doc = "per-series rate of change (Δvalue/Δt, counter-rate analytics)")
+    doc = "per-series rate of change (Δvalue/Δt in micro-units, counter-rate analytics)")
 
   // -------------------------------------------------------------------
   // Gap detection per series — intervals between consecutive
