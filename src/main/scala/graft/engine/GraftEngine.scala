@@ -38,16 +38,22 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
 
   private val schemePath = s"$path/_scheme"
   private val dataPath = s"$path/data"
+  private val statsPath = s"$path/_stats"
 
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def hasData = fs.exists(new Path(dataPath))
+  private def hasStats = fs.exists(new Path(statsPath))
 
   private def flagPred(flag: Long) = graft.core.Flags.matches(col("flag"), flag)
   private def idPred(ids: Seq[Long]) =
     if (ids.isEmpty) lit(true) else col("id").isin(ids: _*)
 
   // ---- O1 append ---------------------------------------------------
-  def append(meas: DataFrame): Unit = TsdbStorage.append(meas, dataPath, buckets)
+  /** Appends the batch AND refreshes the per-(day, id) chunk-stat index
+    * for the touched days, so stat()/minMaxTime() never scan data files
+    * (SURVEY.md §1.1 Statistic; §4.2 footer index). */
+  def append(meas: DataFrame): Unit =
+    TsdbStorage.append(meas, dataPath, buckets, Some(statsPath))
   def append(ms: Seq[Meas]): Unit = append(spark.createDataset(ms).toDF())
 
   /** O1, streaming strategy: continuous ingest from a Meas stream into
@@ -64,9 +70,18 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
     if (!hasData) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Meas.schema)
     else TsdbStorage.compacted(spark, dataPath)
 
+  /** Merge-on-read restricted to the day partitions intersecting the
+    * bounds — the interval's `day` predicate is applied BEFORE the
+    * dedup aggregation, so a one-day read of a 100-day store shuffles
+    * one partition, not the whole store. */
+  private def mergedRange(from: Option[Timestamp], to: Option[Timestamp]): DataFrame =
+    if (!hasData) merged
+    else TsdbStorage.compactedRange(spark, dataPath, from, to)
+
   // ---- O2/O3 interval reads ----------------------------------------
   def readInterval(q: QueryInterval): DataFrame =
-    merged.filter(idPred(q.ids) && col("time").between(lit(q.from), lit(q.to)) && flagPred(q.flag))
+    mergedRange(Some(q.from), Some(q.to))
+      .filter(idPred(q.ids) && col("time").between(lit(q.from), lit(q.to)) && flagPred(q.flag))
       .orderBy("id", "time")
 
   /** O3 cursor form: per-series iterator over the interval result —
@@ -91,7 +106,8 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
     val idsDf =
       if (q.ids.nonEmpty) q.ids.toDF("qid")
       else merged.select(col("id").as("qid")).distinct()
-    val last = merged
+    // the as-of scan prunes every day partition after the timepoint
+    val last = mergedRange(None, Some(q.timePoint))
       .filter(col("time") <= lit(q.timePoint) && flagPred(q.flag) && idPred(q.ids))
       .groupBy("id")
       .agg(max_by(struct(col("time"), col("value"), col("flag")), struct(col("time"), col("seq"))).as("m"))
@@ -109,17 +125,82 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
     readTimePoint(QueryTimePoint(ids, flag, new Timestamp(Long.MaxValue >> 12)))
 
   // ---- O6/O8/O9 aggregates -----------------------------------------
+  /** O6: min/max time per series — answered from the stats index when
+    * present (a |days|×1 aggregate over index rows, no data-file scan;
+    * min/max time are merge-invariant, so the index answer is exact
+    * even under duplicate-key rewrites). */
   def minMaxTime(id: Long): Option[(Timestamp, Timestamp)] = {
-    val r = merged.filter(col("id") === id).agg(min("time"), max("time")).head()
+    val r =
+      if (hasStats)
+        TsdbStorage.readStats(spark, statsPath).filter(col("id") === id)
+          .agg(min("min_time"), max("max_time")).head()
+      else merged.filter(col("id") === id).agg(min("time"), max("time")).head()
     if (r.isNullAt(0)) None else Some((r.getTimestamp(0), r.getTimestamp(1)))
   }
 
-  /** O8: the per-series Statistic struct over an interval. */
-  def stat(id: Long, from: Timestamp, to: Timestamp): DataFrame =
-    merged.filter(col("id") === id && col("time").between(lit(from), lit(to)))
-      .groupBy("id")
+  private def statPartials(df: DataFrame): DataFrame =
+    df.groupBy("id")
       .agg(count(lit(1)).as("cnt"), min("time").as("min_time"), max("time").as("max_time"),
         min("value").as("min_value"), max("value").as("max_value"), sum("value").as("sum_value"))
+
+  /** O8: the per-series Statistic struct over an interval. Served from
+    * the chunk-stat index when present, scan otherwise. */
+  def stat(id: Long, from: Timestamp, to: Timestamp): DataFrame =
+    if (hasStats && !from.after(to)) statIndexed(id, from, to)
+    else statScan(id, from, to)
+
+  /** Scan path: merge-on-read over the pruned day range, one grouped
+    * aggregation. The authoritative (and fallback) answer. */
+  def statScan(id: Long, from: Timestamp, to: Timestamp): DataFrame =
+    statPartials(
+      mergedRange(Some(from), Some(to))
+        .filter(col("id") === id && col("time").between(lit(from), lit(to))))
+
+  /** Index path: fully-covered days are answered from per-(day, id)
+    * index rows (no data files touched); at most the two boundary days
+    * are scanned with partition pruning. The index stores MERGED stats
+    * (refreshed per touched day at append), so the two paths agree
+    * exactly — EngineSpec asserts it across append/rewrite/compact/
+    * eraseOld. A 100-day stat over a 100 TB store reads ~100 tiny index
+    * rows plus ≤ 2 day partitions. */
+  def statIndexed(id: Long, from: Timestamp, to: Timestamp): DataFrame = {
+    val utc = java.time.ZoneOffset.UTC
+    val fromDay = from.toInstant.atZone(utc).toLocalDate
+    val toDay = to.toInstant.atZone(utc).toLocalDate
+    def dayStart(d: java.time.LocalDate) = Timestamp.from(d.atStartOfDay(utc).toInstant)
+    def dayEnd(d: java.time.LocalDate) =
+      Timestamp.from(d.plusDays(1).atStartOfDay(utc).toInstant.minusNanos(1000))
+    val fromCovered = !from.after(dayStart(fromDay))
+    val toCovered = !to.before(dayEnd(toDay))
+    val coveredFrom = if (fromCovered) fromDay else fromDay.plusDays(1)
+    val coveredTo = if (toCovered) toDay else toDay.minusDays(1)
+
+    val stats = TsdbStorage.readStats(spark, statsPath).filter(col("id") === id)
+    val partialCols = Seq("id", "cnt", "min_time", "max_time", "min_value", "max_value", "sum_value")
+    val full =
+      if (coveredFrom.isAfter(coveredTo)) stats.filter(lit(false)).select(partialCols.map(col): _*)
+      else stats.filter(col("day").between(
+          lit(java.sql.Date.valueOf(coveredFrom)), lit(java.sql.Date.valueOf(coveredTo))))
+        .select(partialCols.map(col): _*)
+
+    // boundary-day scans: each is a single pruned partition
+    val edgeBounds: Seq[(Timestamp, Timestamp)] =
+      if (fromDay == toDay) { if (fromCovered && toCovered) Seq.empty else Seq((from, to)) }
+      else Seq(
+        if (fromCovered) None else Some((from, dayEnd(fromDay))),
+        if (toCovered) None else Some((dayStart(toDay), to))).flatten
+    val edges = edgeBounds.map { case (a, b) =>
+      statPartials(
+        mergedRange(Some(a), Some(b))
+          .filter(col("id") === id && col("time").between(lit(a), lit(b))))
+    }
+
+    (full +: edges).reduce(_ unionByName _)
+      .groupBy("id")
+      .agg(sum("cnt").as("cnt"), min("min_time").as("min_time"), max("max_time").as("max_time"),
+        min("min_value").as("min_value"), max("max_value").as("max_value"),
+        sum("sum_value").as("sum_value"))
+  }
 
   /** O9: the named statistic-calculator function set, selectable by
     * name like the reference's `Calculator::apply(..., {functions})`
@@ -150,13 +231,16 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
     Subscribe.start(spark, dataPath, ids, flag, queryName, checkpoint, dayPartitioned = true)
 
   // ---- O11/O12/O13 maintenance -------------------------------------
-  def eraseOld(cutoff: Timestamp): Seq[String] =
+  def eraseOld(cutoff: Timestamp): Seq[String] = {
     // interpret the cutoff in UTC explicitly: day partitions are derived
     // under the session TZ (pinned UTC), while Timestamp.toLocalDateTime
     // uses the JVM default TZ — on a non-UTC JVM that off-by-hours day
     // would drop a partition still containing in-retention data
-    TsdbStorage.eraseOld(spark, dataPath,
-      cutoff.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate)
+    val cutoffDay = cutoff.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+    // the stats index is day-partitioned identically — drop in lockstep
+    TsdbStorage.eraseOld(spark, statsPath, cutoffDay)
+    TsdbStorage.eraseOld(spark, dataPath, cutoffDay)
+  }
 
   /** O12: rewrite the store with merge-on-read materialized.
     * Crash-safe ordering for a single-writer store: stale tmp from a
@@ -176,6 +260,14 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
     fs.rename(p, old)
     fs.rename(tmp, p)
     fs.delete(old, true)
+    // rebuild the stats index from the compacted store: per-day rows for
+    // days whose duplicates were just collapsed would otherwise go stale
+    fs.delete(new Path(statsPath), true)
+    val days = fs.listStatus(new Path(dataPath)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("day="))
+      .map(n => java.sql.Date.valueOf(n.stripPrefix("day=")))
+    TsdbStorage.refreshStats(spark, dataPath, statsPath, days)
   }
 
   /** O13 fsck: verify every data file fully decodes (a head-only probe

@@ -181,6 +181,59 @@ object CoreQueries {
     doc = "O8 Engine::stat [U: engines/engine.cpp — struct Statistic]")
 
   // -------------------------------------------------------------------
+  // O8 stat via the chunk-stat index decomposition: fully-covered days
+  // are answered from per-(day, id) rollup rows (the materialized
+  // Statistic index GraftEngine maintains at append [U: storage/chunk.h
+  // — Statistic; storage/pages/page_manager.cpp — footer index]); only
+  // the boundary days are re-aggregated from raw rows. The oracle is
+  // the DIRECT aggregate — a hash match proves the decomposition is
+  // exact, which is what lets a 100-day stat over a 100 TB store read
+  // ~100 index rows + ≤ 2 day partitions instead of every data file.
+  // -------------------------------------------------------------------
+  val statIndexed: QueryDef = QueryDef(
+    build = (s, d) => {
+      val from = lit(FROM).cast("timestamp")
+      val to = lit(TO).cast("timestamp")
+      val aggs = Seq(
+        count(lit(1)).as("cnt"),
+        min("time").as("min_time"), max("time").as("max_time"),
+        min("value").as("min_value"), max("value").as("max_value"),
+        sum("value").as("sum_value"))
+      val pcols = Seq("id", "cnt", "min_time", "max_time", "min_value", "max_value", "sum_value")
+      val m = meas(s, d)
+        .withColumn("day_start", to_date(col("time")).cast("timestamp"))
+        .withColumn("day_end",
+          col("day_start") + expr("INTERVAL 1 DAY") - expr("INTERVAL 1 MICROSECOND"))
+      val covered = col("day_start") >= from && col("day_end") <= to
+      // the simulated ingest-time index: per-(day, id) partial stats
+      val full = m.groupBy(col("day_start"), col("day_end"), col("id"))
+        .agg(aggs.head, aggs.tail: _*)
+        .filter(covered)
+        .select(pcols.map(col): _*)
+      // boundary days: precise time bounds over raw rows
+      val edges = m.filter(!covered && col("time").between(from, to))
+        .groupBy("id").agg(aggs.head, aggs.tail: _*)
+        .select(pcols.map(col): _*)
+      full.unionByName(edges)
+        .groupBy("id")
+        .agg(sum("cnt").as("cnt"),
+          min("min_time").as("min_time"), max("max_time").as("max_time"),
+          min("min_value").as("min_value"), max("max_value").as("max_value"),
+          round(sum("sum_value"), 6).as("sum_value"))
+        .orderBy("id")
+    },
+    oracle = Some(
+      s"""${Sql.MEAS_CTE}
+         |SELECT id, count(*)::BIGINT AS cnt,
+         |       min(time) AS min_time, max(time) AS max_time,
+         |       min(value) AS min_value, max(value) AS max_value,
+         |       round(sum(value), 6) AS sum_value
+         |FROM meas
+         |WHERE time BETWEEN TIMESTAMP '$FROM' AND TIMESTAMP '$TO'
+         |GROUP BY id ORDER BY id""".stripMargin),
+    doc = "O8 stat served by the chunk-stat index decomposition (full days from index + edge-day scan)")
+
+  // -------------------------------------------------------------------
   // O9 statistic calculator — the named function set of
   // [U: libdariadb/statistic/calculator.cpp — FunctionFactory]:
   // average, median, percentile90, percentile99, sigma, min, max, count.
@@ -488,6 +541,7 @@ object CoreQueries {
     "current_value"   -> currentValue,
     "min_max_time"    -> minMaxTime,
     "stat"            -> stat,
+    "stat_indexed"    -> statIndexed,
     "calculator"      -> calculator,
     "downsample"      -> downsample,
     "merge_dedup"     -> mergeDedup,

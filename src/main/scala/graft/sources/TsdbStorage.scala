@@ -1,8 +1,11 @@
 package graft.sources
 
+import java.sql.Timestamp
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, StructField, StructType}
 
 /** Physical storage layout for the Meas store — the Spark-native
   * re-expression of the reference's page/WAL machinery (SURVEY.md §4.2).
@@ -16,19 +19,33 @@ import org.apache.spark.sql.functions._
   *    [U: storage/pages/page_manager.cpp — ChunkLink index];
   *  - value compression: parquet dictionary/ZSTD stands in for the
   *    reference's Gorilla codecs [U: compression/delta.cpp, xor.cpp] —
-  *    same role, format-native.
+  *    same role, format-native;
+  *  - an optional per-(day, id) statistic index (the chunk-footer
+  *    `Statistic` analog [U: storage/chunk.h — Statistic]) is maintained
+  *    incrementally at append time and serves stat()/minMaxTime()
+  *    without touching data files.
   *
   * At 1000 executors none of this changes: the bucket count is the only
   * knob (≥ cluster cores; co-partitions series for merge-free reads).
   */
 object TsdbStorage {
 
+  private def withDaySchema: StructType =
+    StructType(graft.core.Meas.schema.fields :+ StructField("day", DateType))
+
   /** O1 append: write a Meas batch in the clustered layout. ZSTD +
     * a bloom filter on `flag` stand in for the reference's Gorilla
     * codecs + per-chunk flag blooms [U: compression/, storage/chunk.h
-    * — flag_bloom] — same pruning role, format-native. */
-  def append(meas: DataFrame, path: String, buckets: Int = 32): Unit =
-    meas
+    * — flag_bloom] — same pruning role, format-native.
+    *
+    * When `statsPath` is given, the per-(day, id) statistic index is
+    * refreshed for the batch's touched days in the same call — the
+    * analog of the reference writing the chunk-footer Statistic as part
+    * of the chunk flush, so the index never lags the data. */
+  def append(meas: DataFrame, path: String, buckets: Int = 32,
+             statsPath: Option[String] = None): Unit = {
+    val batch = meas.persist()
+    batch
       .withColumn("day", to_date(col("time")))
       .repartition(buckets, pmod(hash(col("id")), lit(buckets)))
       .sortWithinPartitions("id", "time")
@@ -37,23 +54,105 @@ object TsdbStorage {
       .option("compression", "zstd")
       .option("parquet.bloom.filter.enabled#flag", "true")
       .parquet(path)
+    statsPath.foreach { sp =>
+      // touched-day list is bounded by the batch's day span — a tiny
+      // driver-side collect even for a billion-row batch
+      val touched = batch.select(to_date(col("time")).as("day")).distinct()
+        .collect().map(_.getDate(0)).toSeq
+      refreshStats(batch.sparkSession, path, sp, touched)
+    }
+    batch.unpersist()
+  }
 
-  /** Read the store back as a canonical Meas DataFrame. Day-partition
-    * pruning applies automatically to time predicates on `day`. The
-    * schema is supplied explicitly so an empty store (e.g. after
-    * retention dropped every partition) reads as an empty DataFrame
-    * instead of failing schema inference. */
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read
-      .schema(org.apache.spark.sql.types.StructType(
-        graft.core.Meas.schema.fields :+
-          org.apache.spark.sql.types.StructField("day", org.apache.spark.sql.types.DateType)))
-      .parquet(path)
+  // ---- per-(day, id) statistic index ---------------------------------
+
+  /** Mergeable partial-stat columns: readers re-aggregate with
+    * sum/min/max, so per-day rows combine into any interval. */
+  private val statAggs = Seq(
+    count(lit(1)).as("cnt"),
+    min("time").as("min_time"), max("time").as("max_time"),
+    min("value").as("min_value"), max("value").as("max_value"),
+    sum("value").as("sum_value"))
+
+  /** Recompute the index rows for `touchedDays` from the data store
+    * (merge-on-read applied first, so the index always reflects the
+    * RESOLVED store — duplicate (id, time) rewrites don't double-count)
+    * and dynamically overwrite exactly those day partitions. Reading
+    * back the touched days costs one pruned partition scan per append —
+    * the same work the reference's dropper does re-packing the hot
+    * chunk, and the price of an index that is exact at all times. */
+  def refreshStats(spark: SparkSession, dataPath: String, statsPath: String,
+                   touchedDays: Seq[java.sql.Date]): Unit = {
+    if (touchedDays.isEmpty) return
+    mergeFreshest(readDays(spark, dataPath, touchedDays))
+      .withColumn("day", to_date(col("time")))
+      .groupBy("day", "id")
+      .agg(statAggs.head, statAggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day")
+      .parquet(statsPath)
+  }
+
+  private def statsSchema: StructType = StructType(Seq(
+    StructField("id", org.apache.spark.sql.types.LongType),
+    StructField("cnt", org.apache.spark.sql.types.LongType),
+    StructField("min_time", org.apache.spark.sql.types.TimestampType),
+    StructField("max_time", org.apache.spark.sql.types.TimestampType),
+    StructField("min_value", org.apache.spark.sql.types.DoubleType),
+    StructField("max_value", org.apache.spark.sql.types.DoubleType),
+    StructField("sum_value", org.apache.spark.sql.types.DoubleType),
+    StructField("day", DateType)))
+
+  /** Read the stats index. Keeps the `day` column for partition pruning
+    * and full-day interval math. */
+  def readStats(spark: SparkSession, statsPath: String): DataFrame =
+    spark.read.schema(statsSchema).parquet(statsPath)
+
+  /** Read only the given day partitions of the data store. */
+  def readDays(spark: SparkSession, path: String, days: Seq[java.sql.Date]): DataFrame =
+    spark.read.schema(withDaySchema).parquet(path)
+      .filter(col("day").isin(days: _*))
       .drop("day")
+
+  // ---- reads ---------------------------------------------------------
+
+  /** Read the store back as a canonical Meas DataFrame. The schema is
+    * supplied explicitly so an empty store (e.g. after retention dropped
+    * every partition) reads as an empty DataFrame instead of failing
+    * schema inference. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    readRange(spark, path, None, None)
+
+  /** Read only the day partitions intersecting the inclusive interval —
+    * the partition-pruning analog of the reference's page index lookup
+    * [U: storage/pages/page_manager.cpp — chunksByIterval]. The `day`
+    * predicate is derived from the time bounds (session TZ is pinned
+    * UTC, matching the writer's `to_date(time)`) and is applied BEFORE
+    * the column is dropped, so it lands in the scan's PartitionFilters:
+    * a one-day read of a 100-day store lists one directory. The precise
+    * `time` bounds additionally prune parquet row groups. */
+  def readRange(spark: SparkSession, path: String,
+                from: Option[Timestamp], to: Option[Timestamp]): DataFrame = {
+    val base = spark.read.schema(withDaySchema).parquet(path)
+    val pruned = (from, to) match {
+      case (Some(f), Some(t)) =>
+        base.filter(col("day").between(to_date(lit(f)), to_date(lit(t)))
+          && col("time").between(lit(f), lit(t)))
+      case (Some(f), None) =>
+        base.filter(col("day") >= to_date(lit(f)) && col("time") >= lit(f))
+      case (None, Some(t)) =>
+        base.filter(col("day") <= to_date(lit(t)) && col("time") <= lit(t))
+      case (None, None) => base
+    }
+    pruned.drop("day")
+  }
 
   /** O11 eraseOld: drop whole day partitions strictly older than the
     * cutoff date. Pure metadata/filesystem operation — no data rewrite,
-    * which is the only retention strategy that survives 100 TB. */
+    * which is the only retention strategy that survives 100 TB. Applies
+    * to any day-partitioned dir (data and stats index alike). */
   def eraseOld(spark: SparkSession, path: String, cutoffDay: java.time.LocalDate): Seq[String] = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -69,15 +168,26 @@ object TsdbStorage {
     dropped.map(_.getName)
   }
 
-  /** O12 compact: rewrite the store keeping exactly one (the freshest,
-    * by `seq`) row per (id, time). Partial-aggregating max_by — no
-    * window, one shuffle on the dedup key. */
-  def compacted(spark: SparkSession, path: String): DataFrame =
-    read(spark, path)
-      .groupBy("id", "time")
+  /** Merge-on-read dedup: exactly one (the freshest, by `seq`) row per
+    * (id, time). Partial-aggregating max_by — no window, one shuffle on
+    * the dedup key. */
+  private def mergeFreshest(df: DataFrame): DataFrame =
+    df.groupBy("id", "time")
       .agg(max_by(struct(col("value"), col("flag"), col("seq")), col("seq")).as("m"))
       .select(col("id"), col("time"), col("m.value").as("value"),
         col("m.flag").as("flag"), col("m.seq").as("seq"))
+
+  /** O12 compact view: the merge-on-read resolution over the whole store. */
+  def compacted(spark: SparkSession, path: String): DataFrame =
+    mergeFreshest(read(spark, path))
+
+  /** Merge-on-read over ONLY the day partitions intersecting the
+    * interval: correct because `day` is derived from `time`, so all
+    * versions of a (id, time) key live in the same partition — the
+    * dedup never needs rows outside the pruned set. */
+  def compactedRange(spark: SparkSession, path: String,
+                     from: Option[Timestamp], to: Option[Timestamp]): DataFrame =
+    mergeFreshest(readRange(spark, path, from, to))
 
   /** Compact in place: rewrite into `path` atomically-enough for a
     * single-writer store (write tmp, swap). */
