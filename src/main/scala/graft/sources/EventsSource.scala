@@ -55,18 +55,14 @@ object EventsSource {
     * scan and prunes row groups — the chunk-footer-index analog that a
     * filter on the derived `time` column cannot give (Catalyst can't
     * push predicates through `timestamp_micros(ts div 1000)`).
-    * Equivalence: time >= F ⟺ ts_ns >= F_µs·1000; time <= T ⟺
-    * ts_ns < (T_µs+1)·1000.
+    * The bound arithmetic lives in [[graft.core.TimeBounds]] — the one
+    * definition shared with every caller and pinned by property tests.
     */
   def measInInterval(spark: SparkSession, sfDir: String, from: String, to: String): DataFrame = {
-    def micros(s: String): Long = {
-      val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-      ldt.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
-        ldt.getNano / 1000L
-    }
+    import graft.core.TimeBounds
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     toMeas(spark.read.parquet(s"$sfDir/events.parquet")
-      .filter(col("ts") >= micros(from) * 1000L && col("ts") < (micros(to) + 1L) * 1000L)
+      .filter(col("ts") >= TimeBounds.nsLower(from) && col("ts") < TimeBounds.nsUpperExclusive(to))
       .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
   }
 

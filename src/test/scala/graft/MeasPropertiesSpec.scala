@@ -54,6 +54,49 @@ class MeasPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: pruned raw-ns interval source ≡ filter on derived time, random µs bounds") {
+    import graft.core.TimeBounds
+    import graft.sources.EventsSource
+    val utc = java.time.ZoneOffset.UTC
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    def str(us: Long) =
+      java.time.LocalDateTime.ofEpochSecond(us / 1000000L, (us % 1000000L).toInt * 1000, utc).format(fmt)
+    def tstamp(us: Long) =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
+
+    // bounds with arbitrary sub-second µs components — the ns→µs
+    // truncation edge is exactly where a second copy of the bound
+    // arithmetic would drift
+    val boundsGen: Gen[(Long, Long)] = for {
+      startSec <- Gen.choose(1704067200L, 1706745600L) // 2024-01-01 .. 2024-02-01
+      microFrom <- Gen.choose(0L, 999999L)
+      lenUs <- Gen.choose(0L, 7L * 86400L * 1000000L)
+    } yield {
+      val f = startSec * 1000000L + microFrom
+      (f, f + lenUs)
+    }
+    val all = EventsSource.meas(spark, sfDir).cache()
+    for (i <- 1 to 8) {
+      val (fUs, tUs) = boundsGen(Gen.Parameters.default, Seed(1000L + i))
+        .getOrElse(sys.error("gen failed"))
+      assert(TimeBounds.micros(str(fUs)) === fUs, "string round-trip must be exact")
+      val pruned = EventsSource.measInInterval(spark, sfDir, str(fUs), str(tUs))
+      val filtered = all.filter(col("time").between(lit(tstamp(fUs)), lit(tstamp(tUs))))
+      assert(pruned.exceptAll(filtered).isEmpty && filtered.exceptAll(pruned).isEmpty,
+        s"pruned ≠ filtered for [$fUs, $tUs] µs")
+    }
+    // sharpest edge: an ACTUAL raw-ns event time, with its non-zero ns
+    // remainder, used as both interval ends — inclusion must hold
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawNs = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("ts")).filter(col("ts") % 1000L =!= 0L).head().getLong(0)
+    val us = rawNs / 1000L
+    val point = EventsSource.measInInterval(spark, sfDir, str(us), str(us))
+    assert(point.filter(col("time") === lit(tstamp(us))).count() >= 1,
+      "a measurement must be included when the interval ends at its truncated µs instant")
+    all.unpersist()
+  }
+
   test("property: per-id stat respects global min/max") {
     for (ms <- cases(5)) {
       val df = spark.createDataFrame(ms)
