@@ -273,16 +273,38 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
   /** O13 fsck: verify every data file fully decodes (a head-only probe
     * would miss corruption past the first row group); optionally drop
     * broken files [U: engines/engine.cpp — fsck]. Returns the bad file
-    * list. */
+    * list.
+    *
+    * The probe runs DISTRIBUTED: file paths are parallelized and each
+    * executor task opens its files with the parquet footer reader and
+    * walks every row group — O(#files / cluster-cores) wall-clock, not
+    * O(#files) driver round-trips. */
   def fsck(repair: Boolean = false): Seq[String] = {
     if (!hasData) return Seq.empty
-    val files = listParquet(new Path(dataPath))
-    val bad = files.filter { f =>
-      try { spark.read.parquet(f.toString).count(); false }
-      catch { case _: Throwable => true }
-    }
-    if (repair) bad.foreach(fs.delete(_, false))
-    bad.map(_.toString)
+    val files = listParquet(new Path(dataPath)).map(_.toString)
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val bad = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism)))
+      .mapPartitions { paths =>
+        val conf = confBc.value.value
+        paths.filter { p =>
+          try {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new Path(p), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try {
+              var g = r.readNextRowGroup()
+              while (g != null) g = r.readNextRowGroup() // decode every page chain
+              false
+            } finally r.close()
+          } catch { case _: Throwable => true }
+        }
+      }
+      .collect().toSeq.sorted
+    if (repair) bad.foreach(p => fs.delete(new Path(p), false))
+    bad
   }
 
   private def listParquet(root: Path): Seq[Path] = {

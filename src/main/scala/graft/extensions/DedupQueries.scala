@@ -147,55 +147,129 @@ object DedupQueries {
   // -------------------------------------------------------------------
   private val HAMMING_MAX = 6
 
+  /** SimHash near-dup pairs (doc_a, doc_b, hamming), hamming ≤
+    * HAMMING_MAX — shared by the dedup_simhash query and the cluster
+    * resolution in [[clusters]]. */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    // whole signature is map-side: per-doc md5 hashes (native
+    // expression — stock md5+conv costs ~27µs/row) folded by a
+    // single-pass majority-vote loop. Zero shuffle before banding.
+    val sig = shingled(s, d).select(col("doc_id"),
+      call_function("graft_simhash",
+        expr("transform(sh, x -> graft_md5_prefix(x, 8))")).as("simhash"))
+    val bands = sig.select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("k"))
+      .withColumn("byte", expr("shiftright(simhash, k * 8) & 255"))
+      .persist()
+    bands.as("a").join(bands.as("b"),
+        col("a.k") === col("b.k") && col("a.byte") === col("b.byte")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(expr("sh_a ^ sh_b")).cast("long"))
+      .filter(col("hamming") <= HAMMING_MAX)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** SQL prefix producing the identical pair set as [[simhashPairs]];
+    * terminal CTE is `pairs(doc_a, doc_b, hamming)`. */
+  private val simhashPairsSql: String =
+    s"""WITH RECURSIVE s AS (
+       |  SELECT doc_id, $shinglesSql AS sh FROM documents
+       |), hashes AS (
+       |  SELECT doc_id, ('0x' || substring(md5(u.x), 1, 8))::BIGINT AS h
+       |  FROM s, unnest(s.sh) AS u(x)
+       |), votes AS (
+       |  SELECT doc_id, g.b, sum(((h >> g.b) & 1) * 2 - 1)::BIGINT AS v
+       |  FROM hashes CROSS JOIN generate_series(0, 31) AS g(b)
+       |  GROUP BY doc_id, g.b
+       |), sig AS (
+       |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+       |  FROM votes GROUP BY doc_id
+       |), bands AS (
+       |  SELECT doc_id, simhash, g.k, (simhash >> (g.k * 8)) & 255 AS byte
+       |  FROM sig CROSS JOIN generate_series(0, 3) AS g(k)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.simhash AS sh_a, b.simhash AS sh_b
+       |  FROM bands a JOIN bands b
+       |    ON a.k = b.k AND a.byte = b.byte AND a.doc_id < b.doc_id
+       |), pairs AS (
+       |  SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+       |  FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $HAMMING_MAX
+       |)""".stripMargin
+
   val simhash: QueryDef = QueryDef(
+    build = (s, d) => simhashPairs(s, d).orderBy("doc_a", "doc_b"),
+    oracle = Some(
+      s"""$simhashPairsSql
+         |SELECT doc_a, doc_b, hamming FROM pairs ORDER BY doc_a, doc_b""".stripMargin),
+    doc = "X2 SimHash near-dup (bit-vote signature, byte-banded)")
+
+  // -------------------------------------------------------------------
+  // X2f cluster resolution — what a production dedup pipeline runs AFTER
+  // pair generation: connected components over the near-dup pair graph,
+  // every document labeled with the min doc_id of its component (the
+  // kept representative).
+  //
+  // Shape: candidate/verify (the expensive, corpus-sized work) is the
+  // fully distributed SimHash pipeline above; the component resolution
+  // then runs union-find in a SINGLE task over the pair list. That is
+  // the right plan because the verified-pair graph is sparse relative
+  // to the corpus by construction (pairs are actual near-dups) — at
+  // 100 TB the pair list is still millions, not billions, and one
+  // executor task folds it in O(E·α). Were the pair graph itself to
+  // outgrow a task, this step swaps for iterative min-label
+  // propagation (alternating star rounds) with the same unique
+  // fixpoint. The DuckDB oracle computes the identical components via
+  // a recursive CTE, gating the whole pairs → components →
+  // representatives pipeline.
+  // -------------------------------------------------------------------
+  val clusters: QueryDef = QueryDef(
     build = (s, d) => {
-      graft.functions.VectorFunctions.register(s)
-      // whole signature is map-side: per-doc md5 hashes (native
-      // expression — stock md5+conv costs ~27µs/row) folded by a
-      // single-pass majority-vote loop. Zero shuffle before banding.
-      val sig = shingled(s, d).select(col("doc_id"),
-        call_function("graft_simhash",
-          expr("transform(sh, x -> graft_md5_prefix(x, 8))")).as("simhash"))
-      val bands = sig.select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("k"))
-        .withColumn("byte", expr("shiftright(simhash, k * 8) & 255"))
-        .persist()
-      bands.as("a").join(bands.as("b"),
-          col("a.k") === col("b.k") && col("a.byte") === col("b.byte")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-        .dropDuplicates("doc_a", "doc_b")
-        .withColumn("hamming", bit_count(expr("sh_a ^ sh_b")).cast("long"))
-        .filter(col("hamming") <= HAMMING_MAX)
-        .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
+      import s.implicits._
+      val comp = simhashPairs(s, d)
+        .select(col("doc_a").cast("long"), col("doc_b").cast("long")).as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.HashMap[Long, Long]()
+          def find(x: Long): Long = {
+            var r = x
+            while (parent(r) != r) r = parent(r)
+            var c = x
+            while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          it.foreach { case (a, b) =>
+            parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+            val ra = find(a); val rb = find(b)
+            // union keeps the SMALLER root → the final root of every
+            // component is its min doc_id, the representative
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          parent.keys.toArray.iterator.map(k => (k, find(k)))
+        }
+        .toDF("doc_id", "cluster_id")
+      docs(s, d).select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .orderBy("doc_id")
     },
     oracle = Some(
-      s"""WITH s AS (
-         |  SELECT doc_id, $shinglesSql AS sh FROM documents
-         |), hashes AS (
-         |  SELECT doc_id, ('0x' || substring(md5(u.x), 1, 8))::BIGINT AS h
-         |  FROM s, unnest(s.sh) AS u(x)
-         |), votes AS (
-         |  SELECT doc_id, g.b, sum(((h >> g.b) & 1) * 2 - 1)::BIGINT AS v
-         |  FROM hashes CROSS JOIN generate_series(0, 31) AS g(b)
-         |  GROUP BY doc_id, g.b
-         |), sig AS (
-         |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
-         |  FROM votes GROUP BY doc_id
-         |), bands AS (
-         |  SELECT doc_id, simhash, g.k, (simhash >> (g.k * 8)) & 255 AS byte
-         |  FROM sig CROSS JOIN generate_series(0, 3) AS g(k)
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |         a.simhash AS sh_a, b.simhash AS sh_b
-         |  FROM bands a JOIN bands b
-         |    ON a.k = b.k AND a.byte = b.byte AND a.doc_id < b.doc_id
+      s"""$simhashPairsSql, edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs
+         |), reach AS (
+         |  SELECT doc_id, doc_id AS label FROM documents
+         |  UNION
+         |  SELECT e.dst AS doc_id, r.label
+         |  FROM reach r JOIN edges e ON e.src = r.doc_id
          |)
-         |SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
-         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $HAMMING_MAX
-         |ORDER BY doc_a, doc_b""".stripMargin),
-    doc = "X2 SimHash near-dup (bit-vote signature, byte-banded)")
+         |SELECT doc_id, min(label) AS cluster_id FROM reach
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    doc = "X2 near-dup cluster resolution (connected components, min-id representative)")
 
   // -------------------------------------------------------------------
   // X2c n-gram Jaccard with rare-shingle blocking: candidate pairs share
@@ -413,5 +487,6 @@ object DedupQueries {
     "dedup_ngram"     -> ngramJaccard,
     "dedup_embed"     -> embedCosine,
     "dedup_embed_lsh" -> embedCosineLsh,
+    "dedup_clusters"  -> clusters,
   )
 }

@@ -247,9 +247,55 @@ object SimilarityQueries {
          |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin),
     doc = "X3 IVF-bucketed ANN (deterministic centroid cells, probe-2)")
 
+  // -------------------------------------------------------------------
+  // Embedding int8 quantization audit — the 4× storage-compression step
+  // a 100 TB embedding corpus takes before ANN serving. Per-vector
+  // affine quantization (min/max → 0..255 codes) entirely map-side with
+  // HOF lambdas; the query emits the reconstruction-error profile so a
+  // pipeline can gate on quality before swapping in quantized vectors.
+  // Error stats are integer-scaled nano values via floor(x·1e9 + 0.5):
+  // floor is the identical IEEE operation in both engines (unlike
+  // round), and the fold in `aggregate`/`list_sum` runs in index order
+  // on both sides, so the gate is bit-deterministic.
+  // -------------------------------------------------------------------
+  val quantize: QueryDef = QueryDef(
+    build = (s, d) =>
+      s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("v_min", array_min(col("v")))
+        .withColumn("v_max", array_max(col("v")))
+        .withColumn("errs", expr(
+          """CASE WHEN v_max = v_min THEN transform(v, x -> 0.0D)
+            | ELSE transform(v, x -> abs(x - (v_min + floor((x - v_min) * 255.0D / (v_max - v_min) + 0.5D) * (v_max - v_min) / 255.0D)))
+            | END""".stripMargin.replaceAll("\n", " ")))
+        .select(col("vec_id"), col("v_min"), col("v_max"),
+          expr("CAST(floor(array_max(errs) * 1e9 + 0.5D) AS BIGINT)").as("max_abs_err_nano"),
+          expr("CAST(floor(aggregate(errs, 0.0D, (a, x) -> a + x * x) / size(errs) * 1e9 + 0.5D) AS BIGINT)")
+            .as("mse_nano"))
+        .orderBy("vec_id"),
+    oracle = Some(
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         list_min(embedding::DOUBLE[]) AS v_min,
+         |         list_max(embedding::DOUBLE[]) AS v_max
+         |  FROM embeddings
+         |), q AS (
+         |  SELECT vec_id, v_min, v_max,
+         |         CASE WHEN v_max = v_min THEN list_transform(v, x -> 0.0)
+         |              ELSE list_transform(v, x -> abs(x - (v_min + floor((x - v_min) * 255.0 / (v_max - v_min) + 0.5) * (v_max - v_min) / 255.0)))
+         |         END AS errs
+         |  FROM e
+         |)
+         |SELECT vec_id, v_min, v_max,
+         |       CAST(floor(list_max(errs) * 1e9 + 0.5) AS BIGINT) AS max_abs_err_nano,
+         |       CAST(floor(list_sum(list_transform(errs, x -> x * x)) / len(errs) * 1e9 + 0.5) AS BIGINT) AS mse_nano
+         |FROM q ORDER BY vec_id""".stripMargin),
+    doc = "X3 embedding int8 quantization audit (affine codes, reconstruction-error profile)")
+
   val defs: Map[String, QueryDef] = Map(
-    "sim_topk" -> topk,
-    "sim_ann"  -> ann,
-    "sim_ivf"  -> ivf,
+    "sim_topk"       -> topk,
+    "sim_ann"        -> ann,
+    "sim_ivf"        -> ivf,
+    "embed_quantize" -> quantize,
   )
 }

@@ -251,8 +251,47 @@ object TextQueries {
          |WHERE rank <= $TOP_BIGRAMS ORDER BY rank""".stripMargin),
     doc = "X4 corpus-wide top bigrams (n-gram frequency)")
 
+  // -------------------------------------------------------------------
+  // Token counting for training-budget estimation: whitespace tokens vs
+  // a BPE-ish pre-tokenizer regex (letter runs | digit runs | single
+  // punctuation — the GPT-2-style split that approximates subword counts
+  // within a few percent). Map-only; the regex literal is passed as a
+  // Column so neither engine's SQL-string escaping touches it. The
+  // chars-per-token ratio is emitted as an integer-scaled milli value —
+  // floor(x·1000 + 0.5) is the same IEEE operation in both engines,
+  // unlike round().
+  // -------------------------------------------------------------------
+  private val BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  val tokenCounts: QueryDef = QueryDef(
+    build = (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          size(expr(toksExpr)).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit(BPE_RE), lit(0))).cast("long").as("bpe_tokens"),
+          length(col("text")).cast("long").as("n_chars"))
+        .withColumn("chars_per_bpe_milli",
+          when(col("bpe_tokens") === 0L, lit(0L))
+            .otherwise(floor(col("n_chars") * 1000.0 / col("bpe_tokens") + 0.5).cast("long")))
+        .orderBy("doc_id"),
+    oracle = Some(
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         len($toksSql)::BIGINT AS ws_tokens,
+         |         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens,
+         |         length(text)::BIGINT AS n_chars
+         |  FROM documents
+         |)
+         |SELECT doc_id, ws_tokens, bpe_tokens, n_chars,
+         |       CASE WHEN bpe_tokens = 0 THEN 0
+         |            ELSE CAST(floor(n_chars * 1000.0 / bpe_tokens + 0.5) AS BIGINT) END
+         |         AS chars_per_bpe_milli
+         |FROM t ORDER BY doc_id""".stripMargin),
+    doc = "X4 token counting (whitespace + BPE-ish pre-tokenizer regex)")
+
   val defs: Map[String, QueryDef] = Map(
     "text_stats"       -> textStats,
+    "text_tokens"      -> tokenCounts,
     "text_bigrams"     -> topBigrams,
     "text_lang"        -> textLang,
     "text_quality"     -> textQuality,
