@@ -53,14 +53,19 @@ object ScaleSmoke {
         java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))).count())
     val cv = time("currentValue (all series)")(
       engine.currentValue(Seq.empty, 0L).count())
-    val st = time("stat (1 series, full range)")(
+    val st = time("stat via chunk-stat index (1 series, full range)")(
       engine.stat(17L,
         java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
         java.sql.Timestamp.valueOf("2024-02-01 00:00:00")).count())
+    val ss = time("stat via full scan (same query, fallback path)")(
+      engine.statScan(17L,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-02-01 00:00:00")).count())
+    val mm = time("minMaxTime from index")(engine.minMaxTime(17L).isDefined)
     val er = time("eraseOld (drop 10 days)")(
       engine.eraseOld(java.sql.Timestamp.valueOf("2024-01-11 00:00:00")).size)
 
-    println(s"[scale] results: interval=$ti timepoint=$tp current=$cv stat=$st dropped_partitions=$er")
+    println(s"[scale] results: interval=$ti timepoint=$tp current=$cv stat=$st statScan=$ss minmax=$mm dropped_partitions=$er")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     spark.stop()
   }

@@ -44,11 +44,24 @@ object TsdbStorage {
     * of the chunk flush, so the index never lags the data. */
   def append(meas: DataFrame, path: String, buckets: Int = 32,
              statsPath: Option[String] = None): Unit = {
-    val batch = meas.persist()
-    batch
+    // day partitions present BEFORE this write — distinguishes brand-new
+    // days (stats derive from the batch alone, no store read-back) from
+    // already-populated days (stats must re-merge against stored rows)
+    val preExisting: Set[String] = {
+      val root = new Path(path)
+      val fs = root.getFileSystem(meas.sparkSession.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) Set.empty
+      else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("day=")).toSet
+    }
+    // the clustered frame is persisted so the stats pass re-reads the
+    // shuffle output from cache instead of re-shuffling the batch
+    val clustered = meas
       .withColumn("day", to_date(col("time")))
       .repartition(buckets, pmod(hash(col("id")), lit(buckets)))
       .sortWithinPartitions("id", "time")
+      .persist()
+    clustered
       .write.mode("append")
       .partitionBy("day")
       .option("compression", "zstd")
@@ -57,11 +70,64 @@ object TsdbStorage {
     statsPath.foreach { sp =>
       // touched-day list is bounded by the batch's day span — a tiny
       // driver-side collect even for a billion-row batch
-      val touched = batch.select(to_date(col("time")).as("day")).distinct()
+      val touched = clustered.select(col("day")).distinct()
         .collect().map(_.getDate(0)).toSeq
-      refreshStats(batch.sparkSession, path, sp, touched)
+      val (oldDays, newDays) = touched.partition(d => preExisting.contains(s"day=$d"))
+      // common ingest case (append-only daily batches): every touched day
+      // is new → stats stream out of the ALREADY-clustered batch with
+      // zero additional shuffle (ids are bucket-disjoint and (id, time)
+      // sorted, so duplicate keys are adjacent) — the Spark analog of
+      // the reference computing chunk-footer stats during the flush
+      if (newDays.nonEmpty)
+        writeStatsRows(
+          clusteredMergedStats(clustered.filter(col("day").isin(newDays: _*))), sp)
+      if (oldDays.nonEmpty) refreshStats(meas.sparkSession, path, sp, oldDays)
     }
-    batch.unpersist()
+    clustered.unpersist()
+  }
+
+  /** Per-(day, id) MERGED stats from a frame that is bucket-partitioned
+    * by id and sorted by (id, time) within partitions: one streaming
+    * pass — duplicate (id, time) runs are adjacent (freshest `seq`
+    * wins), every id lives in exactly one partition, so per-partition
+    * partials are already global. Genuine per-partition imperative
+    * logic; no shuffle. */
+  private def clusteredMergedStats(clustered: DataFrame): DataFrame = {
+    val spark = clustered.sparkSession
+    import spark.implicits._
+    clustered
+      .select(col("id"), col("time"), col("value"), col("seq"), col("day"))
+      .as[(Long, java.sql.Timestamp, Double, Long, java.sql.Date)]
+      .mapPartitions { it =>
+        final class Acc(var cnt: Long, var minT: java.sql.Timestamp, var maxT: java.sql.Timestamp,
+                        var minV: Double, var maxV: Double, var sumV: Double)
+        val acc = scala.collection.mutable.HashMap[(java.sql.Date, Long), Acc]()
+        var runId = 0L; var runTime: java.sql.Timestamp = null
+        var runDay: java.sql.Date = null; var runSeq = 0L; var runValue = 0.0
+        def foldRun(): Unit = if (runTime != null) {
+          val a = acc.getOrElseUpdate((runDay, runId),
+            new Acc(0L, runTime, runTime, runValue, runValue, 0.0))
+          a.cnt += 1
+          if (runTime.compareTo(a.minT) < 0) a.minT = runTime
+          if (runTime.compareTo(a.maxT) > 0) a.maxT = runTime
+          if (runValue < a.minV) a.minV = runValue
+          if (runValue > a.maxV) a.maxV = runValue
+          a.sumV += runValue
+        }
+        it.foreach { case (id, time, value, seq, day) =>
+          if (runTime != null && id == runId && time.equals(runTime)) {
+            if (seq > runSeq) { runSeq = seq; runValue = value } // freshest wins
+          } else {
+            foldRun()
+            runId = id; runTime = time; runDay = day; runSeq = seq; runValue = value
+          }
+        }
+        foldRun()
+        acc.iterator.map { case ((day, id), a) =>
+          (day, id, a.cnt, a.minT, a.maxT, a.minV, a.maxV, a.sumV)
+        }
+      }
+      .toDF("day", "id", "cnt", "min_time", "max_time", "min_value", "max_value", "sum_value")
   }
 
   // ---- per-(day, id) statistic index ---------------------------------
@@ -84,16 +150,28 @@ object TsdbStorage {
   def refreshStats(spark: SparkSession, dataPath: String, statsPath: String,
                    touchedDays: Seq[java.sql.Date]): Unit = {
     if (touchedDays.isEmpty) return
-    mergeFreshest(readDays(spark, dataPath, touchedDays))
-      .withColumn("day", to_date(col("time")))
-      .groupBy("day", "id")
-      .agg(statAggs.head, statAggs.tail: _*)
+    writeStats(mergeFreshest(readDays(spark, dataPath, touchedDays)), statsPath)
+  }
+
+  /** Aggregate an already-deduped Meas frame into per-(day, id) index
+    * rows and write them. */
+  private def writeStats(merged: DataFrame, statsPath: String): Unit =
+    writeStatsRows(
+      merged
+        .withColumn("day", to_date(col("time")))
+        .groupBy("day", "id")
+        .agg(statAggs.head, statAggs.tail: _*),
+      statsPath)
+
+  /** Write per-(day, id) index rows, dynamically overwriting exactly the
+    * day partitions present in the frame. */
+  private def writeStatsRows(statsRows: DataFrame, statsPath: String): Unit =
+    statsRows
       .coalesce(1)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("day")
       .parquet(statsPath)
-  }
 
   private def statsSchema: StructType = StructType(Seq(
     StructField("id", org.apache.spark.sql.types.LongType),
