@@ -306,9 +306,20 @@ object DedupQueries {
         .join(post.join(dfx.filter(col("df") > DF_MAX).select("x"), "x")
           .groupBy("doc_id").agg(collect_list("x").as("fr")), Seq("doc_id"), "left")
         .withColumn("fr", coalesce(col("fr"), emptyArr))
-      pairCounts
-        .join(meta.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("fr").as("fr_a")), "doc_a")
-        .join(meta.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("fr").as("fr_b")), "doc_b")
+      // two-stage verification: the 1M+ candidate pairs first join only
+      // COUNT scalars (no arrays shuffle) and die against the upper
+      // bound inter ≤ rare_shared + min(|fr_a|, |fr_b|) (Jaccard is
+      // monotone in inter); the surviving few hundred pairs then join
+      // the frequent-shingle arrays for the exact intersection
+      val metaSlim = meta.select(col("doc_id"), col("n"), size(col("fr")).cast("long").as("nf"))
+      val survivors = pairCounts
+        .join(metaSlim.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("nf").as("nf_a")), "doc_a")
+        .join(metaSlim.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("nf").as("nf_b")), "doc_b")
+        .withColumn("ub", col("rare_shared") + least(col("nf_a"), col("nf_b")))
+        .filter(col("ub").cast("double") / (col("n_a") + col("n_b") - col("ub")) >= NGRAM_JACCARD_MIN)
+      survivors
+        .join(meta.select(col("doc_id").as("doc_a"), col("fr").as("fr_a")), "doc_a")
+        .join(meta.select(col("doc_id").as("doc_b"), col("fr").as("fr_b")), "doc_b")
         .withColumn("inter", col("rare_shared") + size(array_intersect(col("fr_a"), col("fr_b"))).cast("long"))
         .withColumn("jaccard", round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
         .filter(col("jaccard") >= NGRAM_JACCARD_MIN)
