@@ -63,6 +63,15 @@ class ShardedEngine(spark: SparkSession, roots: Seq[String], buckets: Int = 32) 
       .select(col("id"), col("m.time").as("time"), col("m.value").as("value"), col("m.flag").as("flag"))
       .orderBy("id")
 
+  /** O6/O8 route to the single shard owning the series — with the
+    * per-shard chunk-stat index these answer from index rows, no fan-out
+    * needed (the id→shard mapping is total). */
+  def minMaxTime(id: Long): Option[(java.sql.Timestamp, java.sql.Timestamp)] =
+    shardOf(id).minMaxTime(id)
+
+  def stat(id: Long, from: java.sql.Timestamp, to: java.sql.Timestamp): DataFrame =
+    shardOf(id).stat(id, from, to)
+
   def compact(): Unit = shards.foreach(_.compact())
   def eraseOld(cutoff: java.sql.Timestamp): Seq[String] = shards.flatMap(_.eraseOld(cutoff))
   def fsck(repair: Boolean = false): Seq[String] = shards.flatMap(_.fsck(repair))

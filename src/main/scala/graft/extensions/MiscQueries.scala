@@ -282,6 +282,40 @@ object MiscQueries {
          |ORDER BY set_op, id""".stripMargin),
     doc = "relational: intersect / except set operations")
 
+  // -------------------------------------------------------------------
+  // Running (cumulative) revenue per customer — the canonical ordered-
+  // window aggregate. Prices are converted to integer cents BEFORE the
+  // cumulative sum: a running DOUBLE sum is order-sensitive in the last
+  // ulp and engines differ in windowed-aggregation strategy (sequential
+  // vs segment tree), so a rounded-DOUBLE running total is a latent
+  // cross-engine hash mismatch; BIGINT cents are exact. Window is
+  // bounded per customer key — no global ordering.
+  // -------------------------------------------------------------------
+  private val RUNNING_CUST_MAX = 200L
+
+  val runningRevenue: QueryDef = QueryDef(
+    build = (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      s.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_custkey") < RUNNING_CUST_MAX)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          round(col("o_totalprice") * 100.0).cast("long").as("cents"))
+        .withColumn("running_cents", sum("cents").over(w))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+    oracle = Some(
+      s"""WITH o AS (
+         |  SELECT o_custkey, o_orderdate, o_orderkey,
+         |         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+         |  FROM orders WHERE o_custkey < $RUNNING_CUST_MAX
+         |)
+         |SELECT o_custkey, o_orderdate, o_orderkey, cents,
+         |       sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)::BIGINT
+         |         AS running_cents
+         |FROM o ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin),
+    doc = "relational: per-customer running revenue (bounded ordered window, integer cents)")
+
   val defs: Map[String, QueryDef] = Map(
     "multimodal_meta" -> multimodalMeta,
     "events_props"    -> eventsProps,
@@ -293,6 +327,7 @@ object MiscQueries {
     "semi_anti_join"  -> semiAntiJoin,
     "set_ops"         -> setOps,
     "cohort_retention" -> cohortRetention,
+    "running_revenue" -> runningRevenue,
   )
 
   // -------------------------------------------------------------------

@@ -43,6 +43,12 @@ class ShardedEngineSpec extends SparkSpec {
     assert(withMissing(999L) === graft.core.Meas.NO_DATA)
     assert(withMissing(1L) !== graft.core.Meas.NO_DATA)
 
+    // O6/O8 route to the owning shard (index-served there)
+    assert(eng.minMaxTime(7L) === eng.shards(1).minMaxTime(7L))
+    assert(eng.minMaxTime(7L).isDefined)
+    val st = eng.stat(7L, ts("2024-03-01 00:00:00"), ts("2024-03-02 00:00:00")).head()
+    assert(st.getLong(1) === 1 && st.getDouble(6) === 7.0)
+
     // maintenance fans out
     assert(eng.fsck() === Seq.empty)
     eng.compact()
