@@ -42,7 +42,10 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
 
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def hasData = fs.exists(new Path(dataPath))
-  private def hasStats = fs.exists(new Path(statsPath))
+  // index exists AND its last mutation committed (data+index cannot
+  // commit atomically; a crash in between leaves the marker absent and
+  // every read falls back to the always-correct scan path)
+  private def hasStats = TsdbStorage.statsUsable(spark, statsPath)
 
   private def flagPred(flag: Long) = graft.core.Flags.matches(col("flag"), flag)
   private def idPred(ids: Seq[Long]) =
@@ -164,6 +167,11 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
     * eraseOld. A 100-day stat over a 100 TB store reads ~100 tiny index
     * rows plus ≤ 2 day partitions. */
   def statIndexed(id: Long, from: Timestamp, to: Timestamp): DataFrame = {
+    // inverted interval: the covered-day range is empty, but the
+    // boundary-day scans below would still match real rows — delegate
+    // to the scan path, whose between() filter yields the correct
+    // empty result with the right schema
+    if (from.after(to)) return statScan(id, from, to)
     val utc = java.time.ZoneOffset.UTC
     val fromDay = from.toInstant.atZone(utc).toLocalDate
     val toDay = to.toInstant.atZone(utc).toLocalDate
@@ -237,9 +245,13 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
     // uses the JVM default TZ — on a non-UTC JVM that off-by-hours day
     // would drop a partition still containing in-retention data
     val cutoffDay = cutoff.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
-    // the stats index is day-partitioned identically — drop in lockstep
+    // the stats index is day-partitioned identically — drop in lockstep,
+    // bracketed by the sync marker so a crash mid-drop disables the index
+    TsdbStorage.markStatsOutOfSync(spark, statsPath)
     TsdbStorage.eraseOld(spark, statsPath, cutoffDay)
-    TsdbStorage.eraseOld(spark, dataPath, cutoffDay)
+    val dropped = TsdbStorage.eraseOld(spark, dataPath, cutoffDay)
+    TsdbStorage.markStatsInSync(spark, statsPath)
+    dropped
   }
 
   /** O12: rewrite the store with merge-on-read materialized.
@@ -255,6 +267,9 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
     val old = new Path(s"$dataPath.old")
     fs.delete(tmp, true)
     fs.delete(old, true)
+    // disable the index across the whole rewrite: a crash anywhere in
+    // here must leave readers on the scan path, never a stale index
+    TsdbStorage.markStatsOutOfSync(spark, statsPath)
     TsdbStorage.compactTo(spark, dataPath, tmp.toString, buckets)
     val p = new Path(dataPath)
     fs.rename(p, old)
@@ -268,17 +283,19 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
       .filter(_.startsWith("day="))
       .map(n => java.sql.Date.valueOf(n.stripPrefix("day=")))
     TsdbStorage.refreshStats(spark, dataPath, statsPath, days)
+    TsdbStorage.markStatsInSync(spark, statsPath)
   }
 
-  /** O13 fsck: verify every data file fully decodes (a head-only probe
-    * would miss corruption past the first row group); optionally drop
-    * broken files [U: engines/engine.cpp — fsck]. Returns the bad file
-    * list.
+  /** O13 fsck: verify every data file — footer, every row group, and
+    * every page payload DECOMPRESSED for every column (a head-only or
+    * header-only probe would miss in-page corruption; codec framing and
+    * checksums fail on bit-flipped payloads). Value-level re-decoding
+    * beyond decompression is not performed. Optionally drops broken
+    * files [U: engines/engine.cpp — fsck]. Returns the bad file list.
     *
     * The probe runs DISTRIBUTED: file paths are parallelized and each
-    * executor task opens its files with the parquet footer reader and
-    * walks every row group — O(#files / cluster-cores) wall-clock, not
-    * O(#files) driver round-trips. */
+    * executor task walks its files — O(#files / cluster-cores)
+    * wall-clock, not O(#files) driver round-trips. */
   def fsck(repair: Boolean = false): Seq[String] = {
     if (!hasData) return Seq.empty
     val files = listParquet(new Path(dataPath)).map(_.toString)
@@ -295,8 +312,29 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
               .fromPath(new Path(p), conf)
             val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
             try {
+              import scala.jdk.CollectionConverters._
+              val cols = r.getFooter.getFileMetaData.getSchema.getColumns.asScala.toSeq
               var g = r.readNextRowGroup()
-              while (g != null) g = r.readNextRowGroup() // decode every page chain
+              while (g != null) {
+                cols.foreach { cd =>
+                  val pr = g.getPageReader(cd)
+                  Option(pr.readDictionaryPage()).foreach(_.getBytes.toByteArray)
+                  var remaining = pr.getTotalValueCount
+                  while (remaining > 0) {
+                    val page = pr.readPage()
+                    remaining -= page.getValueCount
+                    // force payload materialization → decompression runs
+                    page match {
+                      case p1: org.apache.parquet.column.page.DataPageV1 =>
+                        p1.getBytes.toByteArray
+                      case p2: org.apache.parquet.column.page.DataPageV2 =>
+                        p2.getData.toByteArray
+                      case _ => ()
+                    }
+                  }
+                }
+                g = r.readNextRowGroup()
+              }
               false
             } finally r.close()
           } catch { case _: Throwable => true }

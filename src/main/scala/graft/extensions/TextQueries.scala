@@ -260,8 +260,13 @@ object TextQueries {
   // chars-per-token ratio is emitted as an integer-scaled milli value —
   // floor(x·1000 + 0.5) is the same IEEE operation in both engines,
   // unlike round().
+  //
+  // The whitespace class is spelled out EXPLICITLY (no \s): Java regex
+  // (Spark) and RE2 (DuckDB) disagree on \s (vertical tab), and an
+  // implementation-defined class in a hash-gated query is a latent
+  // cross-engine mismatch of the series_delta kind.
   // -------------------------------------------------------------------
-  private val BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  private val BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f]"
 
   val tokenCounts: QueryDef = QueryDef(
     build = (s, d) =>
@@ -278,7 +283,7 @@ object TextQueries {
       s"""WITH t AS (
          |  SELECT doc_id,
          |         len($toksSql)::BIGINT AS ws_tokens,
-         |         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens,
+         |         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f]'))::BIGINT AS bpe_tokens,
          |         length(text)::BIGINT AS n_chars
          |  FROM documents
          |)

@@ -194,12 +194,17 @@ object CoreQueries {
     build = (s, d) => {
       val from = lit(FROM).cast("timestamp")
       val to = lit(TO).cast("timestamp")
+      // value sum in integer MICRO-units per row: the decomposed sum is
+      // re-associated (per-day partials, then total) and a re-associated
+      // DOUBLE sum differs from the oracle's direct sum in the last ulp
+      // — BIGINT micro sums are order-insensitive, so the gate really
+      // does prove the decomposition and nothing else
       val aggs = Seq(
         count(lit(1)).as("cnt"),
         min("time").as("min_time"), max("time").as("max_time"),
         min("value").as("min_value"), max("value").as("max_value"),
-        sum("value").as("sum_value"))
-      val pcols = Seq("id", "cnt", "min_time", "max_time", "min_value", "max_value", "sum_value")
+        sum(floor(col("value") * 1000000.0 + 0.5).cast("long")).as("sum_micro"))
+      val pcols = Seq("id", "cnt", "min_time", "max_time", "min_value", "max_value", "sum_micro")
       val m = meas(s, d)
         .withColumn("day_start", to_date(col("time")).cast("timestamp"))
         .withColumn("day_end",
@@ -219,7 +224,7 @@ object CoreQueries {
         .agg(sum("cnt").as("cnt"),
           min("min_time").as("min_time"), max("max_time").as("max_time"),
           min("min_value").as("min_value"), max("max_value").as("max_value"),
-          round(sum("sum_value"), 6).as("sum_value"))
+          sum("sum_micro").as("sum_micro"))
         .orderBy("id")
     },
     oracle = Some(
@@ -227,7 +232,7 @@ object CoreQueries {
          |SELECT id, count(*)::BIGINT AS cnt,
          |       min(time) AS min_time, max(time) AS max_time,
          |       min(value) AS min_value, max(value) AS max_value,
-         |       round(sum(value), 6) AS sum_value
+         |       sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))::BIGINT AS sum_micro
          |FROM meas
          |WHERE time BETWEEN TIMESTAMP '$FROM' AND TIMESTAMP '$TO'
          |GROUP BY id ORDER BY id""".stripMargin),

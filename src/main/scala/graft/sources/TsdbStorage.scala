@@ -44,23 +44,31 @@ object TsdbStorage {
     * of the chunk flush, so the index never lags the data. */
   def append(meas: DataFrame, path: String, buckets: Int = 32,
              statsPath: Option[String] = None): Unit = {
+    val spark = meas.sparkSession
     // day partitions present BEFORE this write — distinguishes brand-new
     // days (stats derive from the batch alone, no store read-back) from
     // already-populated days (stats must re-merge against stored rows)
     val preExisting: Set[String] = {
       val root = new Path(path)
-      val fs = root.getFileSystem(meas.sparkSession.sparkContext.hadoopConfiguration)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(root)) Set.empty
       else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
         .filter(_.startsWith("day=")).toSet
     }
-    // the clustered frame is persisted so the stats pass re-reads the
-    // shuffle output from cache instead of re-shuffling the batch
+    // data and index cannot commit atomically — so the sync MARKER is
+    // dropped before the data write and restored only after the index
+    // update: a crash in between leaves the index flagged unusable and
+    // readers fall back to the (always-correct) scan path instead of
+    // silently serving a stale index
+    statsPath.foreach(markStatsOutOfSync(spark, _))
+    // the clustered frame is persisted (only when a stats pass will
+    // consume it) so stats re-read the shuffle output from cache
+    // instead of re-shuffling the batch
     val clustered = meas
       .withColumn("day", to_date(col("time")))
       .repartition(buckets, pmod(hash(col("id")), lit(buckets)))
       .sortWithinPartitions("id", "time")
-      .persist()
+    if (statsPath.isDefined) clustered.persist()
     clustered
       .write.mode("append")
       .partitionBy("day")
@@ -81,9 +89,41 @@ object TsdbStorage {
       if (newDays.nonEmpty)
         writeStatsRows(
           clusteredMergedStats(clustered.filter(col("day").isin(newDays: _*))), sp)
-      if (oldDays.nonEmpty) refreshStats(meas.sparkSession, path, sp, oldDays)
+      if (oldDays.nonEmpty) refreshStats(spark, path, sp, oldDays)
+      markStatsInSync(spark, sp)
+      clustered.unpersist()
     }
-    clustered.unpersist()
+  }
+
+  // ---- stats-index sync protocol -------------------------------------
+  // `_SYNCED` inside the stats dir is the single-writer commit marker:
+  // absent ⇒ a mutation (append / eraseOld / compact) died between the
+  // data commit and the index update, and the index must not be served.
+
+  private val SyncMarker = "_SYNCED"
+
+  def markStatsOutOfSync(spark: SparkSession, statsPath: String): Unit = {
+    val p = new Path(statsPath, SyncMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  def markStatsInSync(spark: SparkSession, statsPath: String): Unit = {
+    val root = new Path(statsPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // never conjure an empty-but-"synced" index: marking requires actual
+    // index content to exist (a maintenance op on a store without an
+    // index must leave it index-less)
+    if (!fs.exists(root)) return
+    fs.create(new Path(root, SyncMarker), true).close()
+  }
+
+  /** True iff the stats index exists AND its last mutation committed —
+    * the serve-from-index precondition. */
+  def statsUsable(spark: SparkSession, statsPath: String): Boolean = {
+    val p = new Path(statsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.exists(new Path(p, SyncMarker))
   }
 
   /** Per-(day, id) MERGED stats from a frame that is bucket-partitioned

@@ -62,6 +62,33 @@ class StatIndexSpec extends SparkSpec {
       "dropped day must vanish from the index too")
   }
 
+  test("sync marker: an index left unsynced by a crash is bypassed until repaired") {
+    import graft.sources.TsdbStorage
+    val dir = tmpDir("graft-marker")
+    val engine = new GraftEngine(spark, dir, buckets = 2)
+    engine.append(Seq(Meas(1L, ts("2024-03-01 10:00:00"), 1.0, Flags.CLICK, 1)))
+
+    // simulate a crash between the data commit and the index update:
+    // marker cleared, data written WITHOUT the stats pass
+    TsdbStorage.markStatsOutOfSync(spark, s"$dir/_stats")
+    val bypass = spark.createDataFrame(
+      Seq(Meas(1L, ts("2024-03-01 11:00:00"), 5.0, Flags.CLICK, 2)))
+    TsdbStorage.append(bypass, s"$dir/data", buckets = 2)
+
+    // the index knows nothing of the 5.0 row — stat() must fall back to
+    // the scan path and still see it
+    val st = engine.stat(1L, ts("2024-03-01 00:00:00"), ts("2024-03-02 00:00:00")).head()
+    assert(st.getLong(1) === 2 && st.getDouble(6) === 6.0,
+      "unsynced index must not be served; scan fallback sees all rows")
+
+    // the next engine append touching the same day recomputes it from
+    // storage and restores the marker — index serves again, correctly
+    engine.append(Seq(Meas(1L, ts("2024-03-01 12:00:00"), 10.0, Flags.CLICK, 3)))
+    assertPathsAgree(engine, 1L, "2024-03-01 00:00:00", "2024-03-02 00:00:00")
+    val st2 = engine.stat(1L, ts("2024-03-01 00:00:00"), ts("2024-03-02 00:00:00")).head()
+    assert(st2.getLong(1) === 3 && st2.getDouble(6) === 16.0)
+  }
+
   test("readInterval prunes day partitions before the merge-on-read dedup") {
     val dir = tmpDir("graft-prune")
     val engine = new GraftEngine(spark, dir, buckets = 2)
