@@ -1,0 +1,120 @@
+package graft.extensions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity-search scale smoke: synthesize N 64-dim vectors (default
+  * 1M — 500× the sf0.1 embeddings table) and drive the X3 paths against
+  * them. Not a driver gate; measured evidence that the ANN design holds
+  * when the corpus is no longer toy-sized:
+  *
+  *  - brute-force top-k scales linearly in N per query (the baseline
+  *    everyone pays without an index);
+  *  - SRP-LSH scores only same-band-bucket candidates — the candidate
+  *    ratio printed here is the fraction of the corpus each query
+  *    actually touches (for random vectors ≈ 1-(15/16)^4 ≈ 23 %; real
+  *    corpora cluster, pushing matches into shared buckets and the
+  *    ratio down).
+  *
+  * Usage: runMain graft.extensions.VectorScaleSmoke [rows]
+  */
+object VectorScaleSmoke {
+  private val DIMS = 64
+  private val K = 10
+  private val N_QUERIES = 50
+
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.nonEmpty) args(0).toLong else 1000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.VectorFunctions.register(spark)
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[vscale] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // deterministic synthetic vectors via integer hashing — 64 codegen'd
+    // column expressions, no RNG, no interpreted lambdas in the hot path
+    val dimCols = (0 until DIMS).map { j =>
+      (pmod(col("vec_id") * lit(2654435761L) + lit(j) * lit(40503L), lit(2000L)) / 1000.0 - 1.0)
+    }
+    val e = spark.range(rows).select(col("id").as("vec_id"), array(dimCols: _*).as("v"))
+      .withColumn("norm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+      .persist()
+    time(f"materialize $rows%,d vectors")(e.count())
+
+    val q = e.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+
+    val brute = time(s"brute-force top-$K for $N_QUERIES queries (${rows * N_QUERIES} dots)") {
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos_sim",
+          call_function("graft_dot", col("v"), col("qv")) / (col("norm") * col("qnorm")))
+        .withColumn("neighbor_id", col("vec_id"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select("query_id", "neighbor_id", "cos_sim")
+        .collect()
+    }
+
+    // SRP coding: 16 deterministic hyperplanes shared with sim_ann
+    val coded = time("SRP-code the corpus (16 planes, map-side)") {
+      val c = (0 until 16).foldLeft(e) { (df, p) =>
+        df.withColumn(s"bit_$p",
+          (call_function("graft_dot", col("v"), typedlit(SimilarityQueries.planeSigns(p))) > 0D)
+            .cast("long"))
+      }.withColumn("code", (0 until 16).map(p => expr(s"shiftleft(bit_$p, $p)")).reduce(_ + _))
+        .select("vec_id", "v", "norm", "code")
+        .persist()
+      c.count()
+      c
+    }
+    // SLIM candidate generation — the 64-double vectors never enter the
+    // band join or the pair-dedup (the wide-array-through-the-shuffle
+    // trap); they are joined back exactly once, for scoring
+    val bands = coded.select(col("vec_id"), col("code"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bucket", expr("shiftright(code, band * 4) & 15"))
+      .select("vec_id", "band", "bucket")
+    val qbands = bands.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("query_id"), col("band"), col("bucket"))
+
+    val cands = bands.join(qbands, Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").dropDuplicates("query_id", "vec_id")
+      .persist()
+    val candCount = time("ANN candidate generation (slim band equi-join + dedup)")(cands.count())
+    println(f"[vscale] candidate ratio: ${candCount.toDouble / (rows * N_QUERIES)}%.3f of all pairs")
+
+    val ann = time(s"ANN top-$K (join vectors to candidates, score)") {
+      cands
+        .join(coded.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+        .join(broadcast(q), "query_id")
+        .withColumn("neighbor_id", col("vec_id"))
+        .withColumn("cos_sim",
+          call_function("graft_dot", col("v"), col("qv")) / (col("norm") * col("qnorm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select("query_id", "neighbor_id", "cos_sim")
+        .collect()
+    }
+
+    val bruteSet = brute.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val annSet = ann.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = annSet.intersect(bruteSet).size.toDouble / bruteSet.size
+    println(f"[vscale] ANN recall@$K vs brute force: $recall%.2f (random vectors — worst case for LSH)")
+    spark.stop()
+  }
+}
