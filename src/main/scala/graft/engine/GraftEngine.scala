@@ -147,10 +147,26 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
         min("value").as("min_value"), max("value").as("max_value"), sum("value").as("sum_value"))
 
   /** O8: the per-series Statistic struct over an interval. Served from
-    * the chunk-stat index when present, scan otherwise. */
+    * the chunk-stat index when usable, scan otherwise. (statIndexed
+    * itself delegates inverted intervals back to the scan path.) */
   def stat(id: Long, from: Timestamp, to: Timestamp): DataFrame =
-    if (hasStats && !from.after(to)) statIndexed(id, from, to)
+    if (hasStats) statIndexed(id, from, to)
     else statScan(id, from, to)
+
+  /** Rebuild the chunk-stat index from scratch — the explicit repair
+    * path for an index left uncertified by a crash (or for a store that
+    * predates the index). Cheaper than compact(): no data rewrite. */
+  def reindex(): Unit = {
+    if (!hasData) return
+    TsdbStorage.markStatsOutOfSync(spark, statsPath)
+    fs.delete(new Path(statsPath), true)
+    val days = fs.listStatus(new Path(dataPath)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("day="))
+      .map(n => java.sql.Date.valueOf(n.stripPrefix("day=")))
+    TsdbStorage.refreshStats(spark, dataPath, statsPath, days)
+    TsdbStorage.markStatsInSync(spark, statsPath)
+  }
 
   /** Scan path: merge-on-read over the pruned day range, one grouped
     * aggregation. The authoritative (and fallback) answer. */
@@ -246,11 +262,15 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
     // would drop a partition still containing in-retention data
     val cutoffDay = cutoff.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
     // the stats index is day-partitioned identically — drop in lockstep,
-    // bracketed by the sync marker so a crash mid-drop disables the index
+    // bracketed by the sync marker so a crash mid-drop disables the
+    // index. Re-certify only if the index was usable going in: dropping
+    // days from an already-stale index must not launder it back to
+    // "usable" (repair is compact()/reindex(), never incidental).
+    val wasUsable = hasStats
     TsdbStorage.markStatsOutOfSync(spark, statsPath)
     TsdbStorage.eraseOld(spark, statsPath, cutoffDay)
     val dropped = TsdbStorage.eraseOld(spark, dataPath, cutoffDay)
-    TsdbStorage.markStatsInSync(spark, statsPath)
+    if (wasUsable) TsdbStorage.markStatsInSync(spark, statsPath)
     dropped
   }
 

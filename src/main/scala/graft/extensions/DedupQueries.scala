@@ -417,8 +417,8 @@ object DedupQueries {
   // recall with ~6 % candidates — that is the regime this operator is
   // for; the exact variant above covers the tail-pair contract.
   // -------------------------------------------------------------------
-  private val LSH_PLANES = 16
-  private val LSH_BAND_BITS = 4
+  private def LSH_PLANES = SimilarityQueries.N_PLANES
+  private def LSH_BAND_BITS = SimilarityQueries.BAND_BITS
 
   val embedCosineLsh: QueryDef = QueryDef(
     build = (s, d) => {
@@ -430,21 +430,8 @@ object DedupQueries {
       // Candidate generation runs on SLIM (id, band, bucket) rows — the
       // 64-double vectors never enter the self-join shuffle or the
       // pair-dedup; they are joined back only for the surviving pairs.
-      val coded = (0 until LSH_PLANES).foldLeft(e) { (df, p) =>
-        df.withColumn(s"bit_$p",
-          (call_function("graft_dot", col("v"), typedlit(SimilarityQueries.planeSigns(p))) > 0D)
-            .cast("long"))
-      }.withColumn("code",
-        (0 until LSH_PLANES).map(p => expr(s"shiftleft(bit_$p, $p)")).reduce(_ + _))
-        .select("vec_id", "code")
-      val bands = coded
-        .select(col("vec_id"),
-          explode(expr(s"sequence(0, ${LSH_PLANES / LSH_BAND_BITS - 1})")).as("band"),
-          col("code"))
-        .withColumn("bucket",
-          expr(s"shiftright(code, band * $LSH_BAND_BITS) & ${(1 << LSH_BAND_BITS) - 1}"))
-        .select("vec_id", "band", "bucket")
-        .persist()
+      // Coding/banding is the shared SRP scheme in SimilarityQueries.
+      val bands = SimilarityQueries.srpBands(SimilarityQueries.srpCoded(e)).persist()
       bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
             && col("a.vec_id") < col("b.vec_id"))

@@ -24,8 +24,8 @@ object SimilarityQueries {
 
   private val K = 10
   private val N_QUERIES = 10 // query set: vec_id < 10
-  private val N_PLANES = 16
-  private val BAND_BITS = 4
+  private[extensions] val N_PLANES = 16
+  private[extensions] val BAND_BITS = 4
 
   private def emb(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
@@ -94,28 +94,41 @@ object SimilarityQueries {
     }
   }
 
+  /** SRP code per vector, map-side: (vec_id, v, norm) → + 16-bit code.
+    * Shared by sim_ann, dedup_embed_lsh, and VectorScaleSmoke so every
+    * SRP user buckets with the identical scheme. */
+  private[extensions] def srpCoded(e: DataFrame): DataFrame =
+    (0 until N_PLANES).foldLeft(e) { (df, p) =>
+      df.withColumn(s"bit_$p",
+        (call_function("graft_dot", col("v"), typedlit(planeSigns(p))) > 0D).cast("long"))
+    }.withColumn("code",
+      (0 until N_PLANES).map(p => expr(s"shiftleft(bit_$p, $p)")).reduce(_ + _))
+      .select(col("vec_id"), col("v"), col("norm"), col("code"))
+
+  /** SLIM (vec_id, band, bucket) rows — the only shape that may enter a
+    * band self-join: wide vectors riding the join + pair-dedup measured
+    * 3× slower at 1M vectors (VectorScaleSmoke / docs/PLANS.md). */
+  private[extensions] def srpBands(coded: DataFrame): DataFrame =
+    coded.select(col("vec_id"), col("code"),
+        explode(expr(s"sequence(0, ${N_PLANES / BAND_BITS - 1})")).as("band"))
+      .withColumn("bucket", expr(s"shiftright(code, band * $BAND_BITS) & ${(1 << BAND_BITS) - 1}"))
+      .select("vec_id", "band", "bucket")
+
   val ann: QueryDef = QueryDef(
     build = (s, d) => {
-      val e = emb(s, d)
-      // code: 16 projection signs folded into a 16-bit integer, map-side
-      val coded = (0 until N_PLANES).foldLeft(e) { (df, p) =>
-        df.withColumn(s"bit_$p",
-          (call_function("graft_dot", col("v"), typedlit(planeSigns(p))) > 0D).cast("long"))
-      }.withColumn("code",
-        (0 until N_PLANES).map(p => expr(s"shiftleft(bit_$p, $p)")).reduce(_ + _))
-        .select("vec_id", "v", "norm", "code")
-      val bands = coded.select(col("vec_id"), col("v"), col("norm"), col("code"),
-          explode(expr(s"sequence(0, ${N_PLANES / BAND_BITS - 1})")).as("band"))
-        .withColumn("bucket", expr(s"shiftright(code, band * $BAND_BITS) & ${(1 << BAND_BITS) - 1}"))
+      val e = emb(s, d).persist()
+      // candidates on slim rows only; vectors join back once for scoring
+      val bands = srpBands(srpCoded(e)).persist()
       val qb = bands.filter(col("vec_id") < N_QUERIES)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"),
-          col("band"), col("bucket"))
+        .select(col("vec_id").as("query_id"), col("band"), col("bucket"))
       val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
       bands.join(qb, Seq("band", "bucket"))
         .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          col("v"), col("qv"), col("norm"), col("qnorm"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
         .dropDuplicates("query_id", "neighbor_id")
+        .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("norm")), "neighbor_id")
+        .join(broadcast(e.filter(col("vec_id") < N_QUERIES)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))), "query_id")
         .withColumn("dot", call_function("graft_dot", col("v"), col("qv")))
         .withColumn("cos_sim", round(col("dot") / (col("norm") * col("qnorm")), 6))
         .withColumn("rank", row_number().over(w).cast("long"))

@@ -69,25 +69,15 @@ object VectorScaleSmoke {
         .collect()
     }
 
-    // SRP coding: 16 deterministic hyperplanes shared with sim_ann
+    // SRP coding/banding: the SAME shared scheme the shipped sim_ann and
+    // dedup_embed_lsh use — the smoke measures the product path, not a
+    // lookalike
     val coded = time("SRP-code the corpus (16 planes, map-side)") {
-      val c = (0 until 16).foldLeft(e) { (df, p) =>
-        df.withColumn(s"bit_$p",
-          (call_function("graft_dot", col("v"), typedlit(SimilarityQueries.planeSigns(p))) > 0D)
-            .cast("long"))
-      }.withColumn("code", (0 until 16).map(p => expr(s"shiftleft(bit_$p, $p)")).reduce(_ + _))
-        .select("vec_id", "v", "norm", "code")
-        .persist()
+      val c = SimilarityQueries.srpCoded(e).persist()
       c.count()
       c
     }
-    // SLIM candidate generation — the 64-double vectors never enter the
-    // band join or the pair-dedup (the wide-array-through-the-shuffle
-    // trap); they are joined back exactly once, for scoring
-    val bands = coded.select(col("vec_id"), col("code"),
-        explode(expr("sequence(0, 3)")).as("band"))
-      .withColumn("bucket", expr("shiftright(code, band * 4) & 15"))
-      .select("vec_id", "band", "bucket")
+    val bands = SimilarityQueries.srpBands(coded)
     val qbands = bands.filter(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("query_id"), col("band"), col("bucket"))
 

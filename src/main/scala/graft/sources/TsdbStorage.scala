@@ -59,7 +59,17 @@ object TsdbStorage {
     // dropped before the data write and restored only after the index
     // update: a crash in between leaves the index flagged unusable and
     // readers fall back to the (always-correct) scan path instead of
-    // silently serving a stale index
+    // silently serving a stale index.
+    //
+    // Re-certification rule: this append may re-mark the index ONLY if
+    // the index was usable when the append started (refreshing the
+    // touched days preserves completeness) or the store held no data at
+    // all (the index it builds covers everything). An index staled by a
+    // PREVIOUS crash, or absent over pre-existing data, stays
+    // uncertified — repair is an explicit full rebuild (engine
+    // compact()/reindex()), never an incidental later append.
+    val canCertify = statsPath.forall(sp =>
+      statsUsable(spark, sp) || preExisting.isEmpty)
     statsPath.foreach(markStatsOutOfSync(spark, _))
     // the clustered frame is persisted (only when a stats pass will
     // consume it) so stats re-read the shuffle output from cache
@@ -90,7 +100,7 @@ object TsdbStorage {
         writeStatsRows(
           clusteredMergedStats(clustered.filter(col("day").isin(newDays: _*))), sp)
       if (oldDays.nonEmpty) refreshStats(spark, path, sp, oldDays)
-      markStatsInSync(spark, sp)
+      if (canCertify) markStatsInSync(spark, sp)
       clustered.unpersist()
     }
   }

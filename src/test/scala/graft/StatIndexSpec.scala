@@ -81,12 +81,20 @@ class StatIndexSpec extends SparkSpec {
     assert(st.getLong(1) === 2 && st.getDouble(6) === 6.0,
       "unsynced index must not be served; scan fallback sees all rows")
 
-    // the next engine append touching the same day recomputes it from
-    // storage and restores the marker — index serves again, correctly
+    // a later append must NOT incidentally re-certify the index — the
+    // crashed mutation may have staled days this append never touches
     engine.append(Seq(Meas(1L, ts("2024-03-01 12:00:00"), 10.0, Flags.CLICK, 3)))
-    assertPathsAgree(engine, 1L, "2024-03-01 00:00:00", "2024-03-02 00:00:00")
+    assert(!TsdbStorage.statsUsable(spark, s"$dir/_stats"),
+      "append over a store with an uncertified index must not launder it")
     val st2 = engine.stat(1L, ts("2024-03-01 00:00:00"), ts("2024-03-02 00:00:00")).head()
-    assert(st2.getLong(1) === 3 && st2.getDouble(6) === 16.0)
+    assert(st2.getLong(1) === 3 && st2.getDouble(6) === 16.0, "scan fallback stays correct")
+
+    // repair is EXPLICIT: reindex() rebuilds from storage and certifies
+    engine.reindex()
+    assert(TsdbStorage.statsUsable(spark, s"$dir/_stats"))
+    assertPathsAgree(engine, 1L, "2024-03-01 00:00:00", "2024-03-02 00:00:00")
+    val st3 = engine.stat(1L, ts("2024-03-01 00:00:00"), ts("2024-03-02 00:00:00")).head()
+    assert(st3.getLong(1) === 3 && st3.getDouble(6) === 16.0)
   }
 
   test("readInterval prunes day partitions before the merge-on-read dedup") {
