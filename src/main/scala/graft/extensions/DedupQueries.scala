@@ -86,16 +86,19 @@ object DedupQueries {
 
   val minhash: QueryDef = QueryDef(
     build = (s, d) => {
+      graft.functions.VectorFunctions.register(s)
       // signature chain (split → shingle → 8 × md5-min) is the expensive
       // part: compute it ONCE, persist the narrow results, and let the
       // self-join read the cache instead of re-deriving md5s per side.
+      // graft_minhash emits all NUM_HASHES minima in a single codegen'd
+      // pass over the shingle array (hex-min semantics identical to the
+      // oracle's 8 × list_min(list_transform(md5)) chain).
       val sh = shingled(s, d).persist()
-      val sig = (0 until NUM_HASHES).foldLeft(sh) { (df, i) =>
-        df.withColumn(s"mh_$i", expr(s"array_min(transform(sh, x -> md5(concat('$i|', x))))"))
-      }
+      val sig = sh.select(col("doc_id"),
+        call_function("graft_minhash", col("sh"), lit(NUM_HASHES)).as("mhs"))
       val bands = sig.select(col("doc_id"),
           posexplode(array((0 until NUM_HASHES / BAND_ROWS).map(b =>
-            md5(concat(col(s"mh_${2 * b}"), col(s"mh_${2 * b + 1}")))): _*)))
+            md5(concat(col("mhs").getItem(2 * b), col("mhs").getItem(2 * b + 1)))): _*)))
         .toDF("doc_id", "band", "bucket")
         .persist()
       val cand = bands.as("a").join(bands.as("b"),

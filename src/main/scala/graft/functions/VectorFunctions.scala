@@ -173,6 +173,99 @@ object SimHash32 {
   }
 }
 
+/** Single-pass MinHash signature over an array of shingle strings:
+  * element i of the result is `min(md5(concat(i, '|', shingle)))` over
+  * all shingles — hex-lexicographic min, exactly what the HOF chain
+  * `array_min(transform(sh, x -> md5(concat('i|', x))))` computes per
+  * hash i, and what the DuckDB oracle reproduces with
+  * `list_min(list_transform(...))`. The HOF chain costs numHashes
+  * interpreted array traversals per row, each allocating a concat'd
+  * UTF8String and a 32-char hex string per element; this expression
+  * makes ONE pass over the shingles, reuses a thread-local
+  * MessageDigest, compares raw 16-byte digests unsigned (equivalent to
+  * lexicographic order of lowercase hex), and hex-encodes only the
+  * numHashes winners.
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(numHashes > 0 && numHashes <= 256, "numHashes must be in [1, 256]")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = true)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash expects array<string>, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    MinHashSig.compute(v.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = MinHashSig.getClass.getName // graft.functions.MinHashSig$
+    defineCodeGen(ctx, ev, c => s"(org.apache.spark.sql.catalyst.util.ArrayData) $cls.MODULE$$.compute($c, $numHashes)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "graft_minhash"
+}
+
+object MinHashSig {
+  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+  // "0|", "1|", … prefix byte strings, cached per numHashes
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def prefixes(n: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(n, k =>
+      Array.tabulate(k)(i => s"$i|".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
+  private val HEX = "0123456789abcdef".toCharArray
+  private def hex(b: Array[Byte]): String = {
+    val out = new Array[Char](b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      out(2 * i) = HEX((b(i) >> 4) & 0xf)
+      out(2 * i + 1) = HEX(b(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  def compute(arr: ArrayData, numHashes: Int): ArrayData = {
+    val md = digests.get()
+    val pre = prefixes(numHashes)
+    val mins = new Array[Array[Byte]](numHashes)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) { // null shingles are skipped, as array_min skips nulls
+        val sb = arr.getUTF8String(j).getBytes
+        var i = 0
+        while (i < numHashes) {
+          md.reset()
+          md.update(pre(i))
+          md.update(sb)
+          val dig = md.digest()
+          if (mins(i) == null || java.util.Arrays.compareUnsigned(dig, mins(i)) < 0) mins(i) = dig
+          i += 1
+        }
+      }
+      j += 1
+    }
+    val out = new Array[Any](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      // empty/all-null input → null minima, matching array_min(empty) = NULL
+      out(i) = if (mins(i) == null) null
+        else org.apache.spark.unsafe.types.UTF8String.fromString(hex(mins(i)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Registration: exposes graft functions to SQL/expr(). Idempotent —
   * call from any query builder that uses them. A SparkSessionExtensions
   * hook (`GraftExtensions`) covers spark.sql.extensions deployments.
@@ -183,6 +276,8 @@ object VectorFunctions {
     "graft_md5_prefix" -> (exprs =>
       Md5Prefix64(exprs(0), exprs(1).eval(null).asInstanceOf[Number].intValue())),
     "graft_simhash" -> (exprs => SimHash32(exprs(0))),
+    "graft_minhash" -> (exprs =>
+      MinHashSig(exprs(0), exprs(1).eval(null).asInstanceOf[Number].intValue())),
   )
 
   def register(spark: SparkSession): Unit = {

@@ -40,6 +40,19 @@ class FunctionsSpec extends SparkSpec {
     assert(df.filter(col("fast8") =!= col("ref8") || col("fast15") =!= col("ref15")).count() === 0L)
   }
 
+  test("graft_minhash equals the per-hash array_min(transform(md5)) chain") {
+    val sh = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), expr("filter(split(text, ' '), t -> t != '')").as("sh"))
+    val both = sh.withColumn("fast", expr("graft_minhash(sh, 8)"))
+      .withColumn("ref", array((0 until 8).map(i =>
+        expr(s"array_min(transform(sh, x -> md5(concat('$i|', x))))")): _*))
+    assert(both.filter(col("fast") =!= col("ref")).count() === 0L)
+    // empty input → all-null minima, matching array_min(empty) = NULL
+    val empty = spark.sql(
+      "SELECT graft_minhash(CAST(array() AS ARRAY<STRING>), 4) AS mhs").head()
+    assert(empty.getSeq[String](0) === Seq(null, null, null, null))
+  }
+
   test("graft_simhash equals the explode/majority-vote SQL formulation") {
     val hashes = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"),
