@@ -1,0 +1,295 @@
+package graft.network
+
+import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.net.{ServerSocket, Socket, SocketException}
+import java.sql.Timestamp
+
+import graft.core.Meas
+import graft.engine.{GraftEngine, QueryInterval, QueryTimePoint}
+
+/** O17 — the network server, re-expressed for Spark (SURVEY.md §2.1 O17)
+  * [U: network/libserver/server.cpp, network/common/net_data.h —
+  * QueryKinds APPEND/READ_INTERVAL/READ_TIMEPOINT/CURRENT_VALUE/
+  * SUBSCRIBE].
+  *
+  * The reference serves its five message kinds over a custom TCP
+  * protocol; for a Spark deployment the production-grade remote surface
+  * is Spark Connect (docs/NETWORK.md maps every QueryKind onto it).
+  * This module is the faithful in-repo analog of the reference's own
+  * wire shape: a TCP server exposing exactly the five QueryKinds over a
+  * line protocol, delegating every operation to the embedded
+  * [[GraftEngine]] facade — the server owns no query logic of its own.
+  *
+  * Protocol (one request line; text, space-separated):
+  *   APPEND <n>                         then n MEAS payload lines
+  *                                      → `OK <n>`
+  *   READ_INTERVAL <ids> <flag> <fromUs> <toUs>
+  *                                      → `MEAS …` lines, then `END <n>`
+  *   READ_TIMEPOINT <ids> <flag> <tpUs> → `POINT …` lines, then `END <n>`
+  *   CURRENT_VALUE <ids> <flag>         → `POINT …` lines, then `END <n>`
+  *   SUBSCRIBE <ids> <flag>             → `SUBSCRIBED`, then server-push
+  *                                        `MEAS …` lines as appends arrive
+  *   PING / QUIT                        → `PONG` / connection close
+  * where <ids> is `*` (all series) or comma-separated longs, times are
+  * µs since epoch, and MEAS payload is `id timeUs value flag seq`
+  * (doubles via Double.toString — exact round-trip). POINT rows are
+  * `id timeUs value flag` with `-` for the NULL time/value of a series
+  * with no data at/before the timepoint (flag = _NO_DATA, the
+  * reference's contract).
+  *
+  * SUBSCRIBE matches the reference's server-push semantics: the
+  * subscription filter (same id-set + shared-bit flag semantics as
+  * every other read — [[graft.core.Flags.matches]]) is evaluated
+  * against each APPEND batch and matching measurements are pushed to
+  * the subscriber's connection as they arrive. The engine-side
+  * continuous-query surface (O10, Structured Streaming) remains
+  * [[graft.streaming.Subscribe]]; the socket path is the last-hop push
+  * transport, exactly the split the reference has between
+  * `SubscribeLogic` in the server and the storage engine underneath.
+  *
+  * Reads stream through `toLocalIterator` — a large interval result
+  * flows executor → driver → socket in chunks; it is never
+  * materialized whole on the server.
+  */
+class GraftServer(engine: GraftEngine, port: Int = 0) {
+
+  private val server = new ServerSocket(port)
+
+  /** Ephemeral-port support for tests: the port actually bound. */
+  def boundPort: Int = server.getLocalPort
+
+  private case class Subscriber(ids: Set[Long], flag: Long, out: PrintWriter)
+  private val subscribers =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Subscriber]()
+
+  @volatile private var running = false
+
+  def start(): this.type = {
+    running = true
+    val t = new Thread(() => acceptLoop(), "graft-server-accept")
+    t.setDaemon(true)
+    t.start()
+    this
+  }
+
+  def stop(): Unit = {
+    running = false
+    try server.close() catch { case _: Throwable => () }
+  }
+
+  private def acceptLoop(): Unit =
+    while (running) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => handle(sock), s"graft-server-conn-${sock.getPort}")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: SocketException => () // closed in stop()
+        case _: Throwable if !running => ()
+      }
+    }
+
+  private def handle(sock: Socket): Unit = {
+    val in = new BufferedReader(new InputStreamReader(sock.getInputStream, "UTF-8"))
+    val out = new PrintWriter(new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8"))
+    var sub: Option[Subscriber] = None
+    def reply(s: String): Unit = out.synchronized { out.println(s); out.flush() }
+    try {
+      var line = in.readLine()
+      while (line != null) {
+        try {
+          val parts = line.trim.split("\\s+")
+          parts(0).toUpperCase match {
+            case "APPEND" =>
+              val n = parts(1).toInt
+              val ms = (1 to n).map(_ => Wire.parseMeas(in.readLine()))
+              // single-writer store: serialize wire appends across connections
+              engine.synchronized { engine.append(ms) }
+              pushToSubscribers(ms)
+              reply(s"OK $n")
+            case "READ_INTERVAL" =>
+              val q = QueryInterval(Wire.parseIds(parts(1)), parts(2).toLong,
+                Wire.usToTs(parts(3).toLong), Wire.usToTs(parts(4).toLong))
+              var n = 0
+              engine.intervalReader(q).foreach { m => reply("MEAS " + Wire.fmtMeas(m)); n += 1 }
+              reply(s"END $n")
+            case "READ_TIMEPOINT" =>
+              val q = QueryTimePoint(Wire.parseIds(parts(1)), parts(2).toLong,
+                Wire.usToTs(parts(3).toLong))
+              replyPoints(engine.readTimePoint(q), reply)
+            case "CURRENT_VALUE" =>
+              replyPoints(engine.currentValue(Wire.parseIds(parts(1)), parts(2).toLong), reply)
+            case "SUBSCRIBE" =>
+              val s = Subscriber(Wire.parseIds(parts(1)).toSet, parts(2).toLong, out)
+              subscribers.add(s)
+              sub = Some(s)
+              reply("SUBSCRIBED")
+            case "PING" => reply("PONG")
+            case "QUIT" => return
+            case other  => reply(s"ERR unknown request: $other")
+          }
+        } catch {
+          case e: Throwable => reply(s"ERR ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").replace('\n', ' ')}")
+        }
+        line = in.readLine()
+      }
+    } catch { case _: Throwable => () }
+    finally {
+      sub.foreach(subscribers.remove)
+      try sock.close() catch { case _: Throwable => () }
+    }
+  }
+
+  private def replyPoints(df: org.apache.spark.sql.DataFrame, reply: String => Unit): Unit = {
+    val it = df.toLocalIterator()
+    var n = 0
+    while (it.hasNext) { reply("POINT " + Wire.fmtPoint(it.next())); n += 1 }
+    reply(s"END $n")
+  }
+
+  private def pushToSubscribers(ms: Seq[Meas]): Unit = {
+    subscribers.forEach { s =>
+      val hit = ms.filter(m =>
+        (s.ids.isEmpty || s.ids.contains(m.id)) &&
+          (s.flag == 0L || (m.flag & s.flag) != 0L))
+      if (hit.nonEmpty) s.out.synchronized {
+        hit.foreach(m => s.out.println("MEAS " + Wire.fmtMeas(m)))
+        s.out.flush()
+      }
+    }
+  }
+}
+
+/** O17 client half [U: network/libclient/client.cpp]. One TCP
+  * connection, synchronous request/response; `subscribe` flips the
+  * connection into push mode (mirror of the reference client's
+  * callback-driven subscribe).
+  */
+class GraftClient(host: String, port: Int) extends AutoCloseable {
+  private val sock = new Socket(host, port)
+  private val in = new BufferedReader(new InputStreamReader(sock.getInputStream, "UTF-8"))
+  private val out = new PrintWriter(new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8"))
+
+  private def send(line: String): Unit = { out.println(line); out.flush() }
+  private def expect(prefix: String): String = {
+    val l = in.readLine()
+    if (l == null) throw new java.io.IOException("connection closed")
+    if (l.startsWith("ERR")) throw new RuntimeException(s"server: $l")
+    if (!l.startsWith(prefix)) throw new RuntimeException(s"protocol: expected $prefix, got $l")
+    l
+  }
+
+  def ping(): Boolean = { send("PING"); expect("PONG"); true }
+
+  def append(ms: Seq[Meas]): Int = {
+    send(s"APPEND ${ms.size}")
+    ms.foreach(m => send(Wire.fmtMeas(m)))
+    out.flush()
+    expect("OK ").stripPrefix("OK ").trim.toInt
+  }
+
+  private def readMeasList(): Seq[Meas] = {
+    val buf = scala.collection.mutable.ArrayBuffer[Meas]()
+    var l = in.readLine()
+    while (l != null && !l.startsWith("END")) {
+      if (l.startsWith("ERR")) throw new RuntimeException(s"server: $l")
+      buf += Wire.parseMeas(l.stripPrefix("MEAS "))
+      l = in.readLine()
+    }
+    buf.toSeq
+  }
+
+  private def readPointList(): Seq[(Long, Option[Timestamp], Option[Double], Long)] = {
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Option[Timestamp], Option[Double], Long)]()
+    var l = in.readLine()
+    while (l != null && !l.startsWith("END")) {
+      if (l.startsWith("ERR")) throw new RuntimeException(s"server: $l")
+      buf += Wire.parsePoint(l.stripPrefix("POINT "))
+      l = in.readLine()
+    }
+    buf.toSeq
+  }
+
+  def readInterval(q: QueryInterval): Seq[Meas] = {
+    send(s"READ_INTERVAL ${Wire.fmtIds(q.ids)} ${q.flag} ${Wire.tsToUs(q.from)} ${Wire.tsToUs(q.to)}")
+    readMeasList()
+  }
+
+  def readTimePoint(q: QueryTimePoint): Seq[(Long, Option[Timestamp], Option[Double], Long)] = {
+    send(s"READ_TIMEPOINT ${Wire.fmtIds(q.ids)} ${q.flag} ${Wire.tsToUs(q.timePoint)}")
+    readPointList()
+  }
+
+  def currentValue(ids: Seq[Long], flag: Long): Seq[(Long, Option[Timestamp], Option[Double], Long)] = {
+    send(s"CURRENT_VALUE ${Wire.fmtIds(ids)} $flag")
+    readPointList()
+  }
+
+  /** Push-mode subscription: registers the filter, then delivers every
+    * matching server-pushed measurement to `callback` on a daemon
+    * thread until the client is closed. */
+  def subscribe(ids: Seq[Long], flag: Long)(callback: Meas => Unit): Unit = {
+    send(s"SUBSCRIBE ${Wire.fmtIds(ids)} $flag")
+    expect("SUBSCRIBED")
+    val t = new Thread(() => {
+      try {
+        var l = in.readLine()
+        while (l != null) {
+          if (l.startsWith("MEAS ")) callback(Wire.parseMeas(l.stripPrefix("MEAS ")))
+          l = in.readLine()
+        }
+      } catch { case _: Throwable => () }
+    }, "graft-client-subscribe")
+    t.setDaemon(true)
+    t.start()
+  }
+
+  override def close(): Unit = {
+    try send("QUIT") catch { case _: Throwable => () }
+    try sock.close() catch { case _: Throwable => () }
+  }
+}
+
+/** Wire codec shared by server and client. Timestamps travel as µs
+  * since epoch (the store's native precision — exact round-trip);
+  * doubles travel as `Double.toString`, which Java parses back
+  * bit-identically.
+  */
+private[network] object Wire {
+
+  def tsToUs(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  def usToTs(us: Long): Timestamp = {
+    val ts = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    ts
+  }
+
+  def fmtIds(ids: Seq[Long]): String = if (ids.isEmpty) "*" else ids.mkString(",")
+  def parseIds(s: String): Seq[Long] = if (s == "*") Seq.empty else s.split(",").map(_.toLong).toSeq
+
+  def fmtMeas(m: Meas): String =
+    s"${m.id} ${tsToUs(m.time)} ${m.value} ${m.flag} ${m.seq}"
+
+  def parseMeas(line: String): Meas = {
+    val p = line.trim.split("\\s+")
+    Meas(p(0).toLong, usToTs(p(1).toLong), p(2).toDouble, p(3).toLong, p(4).toLong)
+  }
+
+  /** readTimePoint/currentValue row: (id, time?, value?, flag). */
+  def fmtPoint(r: org.apache.spark.sql.Row): String = {
+    val time = if (r.isNullAt(1)) "-" else tsToUs(r.getTimestamp(1)).toString
+    val value = if (r.isNullAt(2)) "-" else r.getDouble(2).toString
+    s"${r.getLong(0)} $time $value ${r.getLong(3)}"
+  }
+
+  def parsePoint(line: String): (Long, Option[Timestamp], Option[Double], Long) = {
+    val p = line.trim.split("\\s+")
+    (p(0).toLong,
+      if (p(1) == "-") None else Some(usToTs(p(1).toLong)),
+      if (p(2) == "-") None else Some(p(2).toDouble),
+      p(3).toLong)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.core.{Flags, Meas}
+import graft.engine.{GraftEngine, QueryInterval, QueryTimePoint}
+import graft.network.{GraftClient, GraftServer}
+
+/** O17 round-trip spec: every QueryKind over the wire must agree with
+  * the in-process engine result on the same store.
+  */
+class NetworkSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("append/read/subscribe round-trip over the wire equals in-process results") {
+    val engine = new GraftEngine(spark, tmpDir("graft-net"), buckets = 4)
+    val server = new GraftServer(engine).start()
+    try {
+      val client = new GraftClient("127.0.0.1", server.boundPort)
+      assert(client.ping())
+
+      // SUBSCRIBE registered before the appends it must observe
+      val pushed = new java.util.concurrent.LinkedBlockingQueue[Meas]()
+      val subClient = new GraftClient("127.0.0.1", server.boundPort)
+      subClient.subscribe(Seq(1L), Flags.ERROR)(pushed.put)
+
+      // APPEND over the wire (batch 1), then a fresher rewrite (batch 2)
+      val batch = Seq(
+        Meas(1L, ts("2024-03-01 10:00:00"), 1.5, Flags.CLICK, 1),
+        Meas(1L, ts("2024-03-01 11:00:00"), 2.25, Flags.ERROR, 2),
+        Meas(2L, ts("2024-03-01 10:30:00"), -10.125, Flags.CLICK, 3),
+        Meas(2L, ts("2024-03-02 09:00:00"), 4.0, Flags.SIGNUP, 4))
+      assert(client.append(batch) === 4)
+      assert(client.append(Seq(Meas(1L, ts("2024-03-01 11:00:00"), 20.0, Flags.ERROR, 5))) === 1)
+
+      // READ_INTERVAL over the wire ≡ in-process readInterval
+      val q = QueryInterval(Seq(1L, 2L), 0L, ts("2024-03-01 00:00:00"), ts("2024-03-03 00:00:00"))
+      val wire = client.readInterval(q)
+      val local = engine.readInterval(q).collect().map(r =>
+        Meas(r.getLong(0), r.getTimestamp(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(wire === local)
+      assert(wire.size === 4, "merge-on-read: the fresher rewrite replaced the stale row")
+      assert(wire.find(m => m.id == 1L && m.time == ts("2024-03-01 11:00:00")).get.value === 20.0)
+
+      // flag filter travels: any-shared-bit semantics
+      val flagged = client.readInterval(q.copy(flag = Flags.ERROR))
+      assert(flagged.map(_.seq) === Seq(5L))
+
+      // READ_TIMEPOINT: as-of value per series, _NO_DATA for unknown id
+      val tp = client.readTimePoint(QueryTimePoint(Seq(1L, 2L, 999L), 0L, ts("2024-03-01 10:45:00")))
+      assert(tp.size === 3)
+      val byId = tp.map(p => p._1 -> p).toMap
+      assert(byId(1L)._3 === Some(1.5))
+      assert(byId(2L)._2 === Some(ts("2024-03-01 10:30:00")))
+      assert(byId(999L)._3 === None)
+      assert(byId(999L)._4 === Meas.NO_DATA)
+
+      // CURRENT_VALUE ≡ in-process currentValue
+      val cur = client.currentValue(Seq(1L, 2L), 0L)
+      val curLocal = engine.currentValue(Seq(1L, 2L), 0L).collect().map { r =>
+        (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getTimestamp(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          r.getLong(3))
+      }.toSeq
+      assert(cur === curLocal)
+      assert(cur.find(_._1 == 2L).get._3 === Some(4.0))
+
+      // SUBSCRIBE: the id-1 ERROR appends were pushed (seq 2 then 5),
+      // the CLICK/SIGNUP and id-2 rows were filtered server-side
+      val got = Iterator.continually(
+        Option(pushed.poll(10, java.util.concurrent.TimeUnit.SECONDS)))
+        .take(2).flatten.toSeq
+      assert(got.map(_.seq).sorted === Seq(2L, 5L))
+      assert(pushed.poll(200, java.util.concurrent.TimeUnit.MILLISECONDS) === null,
+        "no unmatched measurement is pushed")
+
+      // malformed requests get an ERR reply, not a dropped connection
+      val raw = new java.net.Socket("127.0.0.1", server.boundPort)
+      val rawOut = new java.io.PrintWriter(raw.getOutputStream)
+      val rawIn = new java.io.BufferedReader(new java.io.InputStreamReader(raw.getInputStream))
+      rawOut.println("BOGUS 1 2 3"); rawOut.flush()
+      assert(rawIn.readLine().startsWith("ERR"))
+      rawOut.println("READ_INTERVAL 1 0 not_a_number 5"); rawOut.flush()
+      assert(rawIn.readLine().startsWith("ERR"))
+      rawOut.println("PING"); rawOut.flush()
+      assert(rawIn.readLine() === "PONG", "connection survives a bad request")
+      raw.close()
+
+      client.close()
+      subClient.close()
+    } finally server.stop()
+  }
+}
