@@ -218,42 +218,21 @@ object DedupQueries {
   //
   // Shape: candidate/verify (the expensive, corpus-sized work) is the
   // fully distributed SimHash pipeline above; the component resolution
-  // then runs union-find in a SINGLE task over the pair list. That is
-  // the right plan because the verified-pair graph is sparse relative
-  // to the corpus by construction (pairs are actual near-dups) — at
+  // is ConnectedComponents.resolve — union-find in a SINGLE task while
+  // the pair list fits one (the verified-pair graph is sparse relative
+  // to the corpus by construction: pairs are actual near-dups, so at
   // 100 TB the pair list is still millions, not billions, and one
-  // executor task folds it in O(E·α). Were the pair graph itself to
-  // outgrow a task, this step swaps for iterative min-label
-  // propagation (alternating star rounds) with the same unique
-  // fixpoint. The DuckDB oracle computes the identical components via
-  // a recursive CTE, gating the whole pairs → components →
-  // representatives pipeline.
+  // executor task folds it in O(E·α)), switching to distributed
+  // min-label propagation with pointer jumping past the pair-count
+  // threshold — same unique fixpoint, proven by
+  // ConnectedComponentsSpec. The DuckDB oracle computes the identical
+  // components via a recursive CTE, gating the whole pairs →
+  // components → representatives pipeline.
   // -------------------------------------------------------------------
   val clusters: QueryDef = QueryDef(
     build = (s, d) => {
-      import s.implicits._
-      val comp = simhashPairs(s, d)
-        .select(col("doc_a").cast("long"), col("doc_b").cast("long")).as[(Long, Long)]
-        .coalesce(1)
-        .mapPartitions { it =>
-          val parent = scala.collection.mutable.HashMap[Long, Long]()
-          def find(x: Long): Long = {
-            var r = x
-            while (parent(r) != r) r = parent(r)
-            var c = x
-            while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
-            r
-          }
-          it.foreach { case (a, b) =>
-            parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-            val ra = find(a); val rb = find(b)
-            // union keeps the SMALLER root → the final root of every
-            // component is its min doc_id, the representative
-            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-          }
-          parent.keys.toArray.iterator.map(k => (k, find(k)))
-        }
-        .toDF("doc_id", "cluster_id")
+      val comp = graft.operators.ConnectedComponents.resolve(
+        simhashPairs(s, d).select(col("doc_a"), col("doc_b")))
       docs(s, d).select(col("doc_id"))
         .join(comp, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
