@@ -10,12 +10,59 @@ import org.apache.spark.sql.execution.window.WindowExec
   * anti-patterns that kill a 100 TB scale-up regardless of local timing —
   * single-partition windows (whole dataset through one task), cartesian
   * products, and broadcast nested-loop joins (O(N·M) with a full
-  * broadcast). Exit code 1 if any query trips a rule, so this can gate
-  * like a test.
+  * broadcast).
   *
-  * Run: sbt "runMain graft.PlanAudit [sfDir]"
+  * Runs two ways (same core): `sbt "runMain graft.PlanAudit [sfDir]"`
+  * (exit 1 on a flag) and PlanAuditSpec inside `sbt test`, so the gate
+  * is not skippable by forgetting the manual step.
   */
 object PlanAudit {
+
+  private def audit(p: SparkPlan): Seq[String] = {
+    val self = p match {
+      case w: WindowExec if w.partitionSpec.isEmpty => Seq("global-window")
+      case _: CartesianProductExec                  => Seq("cartesian-product")
+      case _: BroadcastNestedLoopJoinExec           => Seq("broadcast-nested-loop-join")
+      case _                                        => Seq.empty
+    }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.initialPlan)
+      case other                    => other.children
+    }
+    self ++ kids.flatMap(audit)
+  }
+
+  // Justified exceptions, waived PER RULE: a BroadcastNestedLoopJoin
+  // is an anti-pattern only when the broadcast side grows with the
+  // data; these three broadcast a constant-bounded side. Any OTHER
+  // anti-pattern appearing in these queries still flags — a blanket
+  // per-query waiver would blind the gate to regressions.
+  private val waived: Map[String, (String, String)] = Map(
+    "sim_topk"   -> ("broadcast-nested-loop-join", "broadcast side = fixed query set (bounded constant)"),
+    "sim_ivf"    -> ("broadcast-nested-loop-join", "broadcast side = label centroids (bounded by #labels)"),
+    "text_tfidf" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus count"),
+  )
+
+  /** Audit every registered query's physical plan; returns the flagged
+    * query names (empty = gate passes). Prints one line per query. */
+  def run(spark: SparkSession, sfDir: String): Seq[String] = {
+    val flagged = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val hits = audit(fn(spark, sfDir).queryExecution.executedPlan)
+        val (ok, bad) = hits.partition(h => waived.get(name).exists(_._1 == h))
+        if (bad.nonEmpty) { flagged += name; println(s"AUDIT FLAG  $name: ${bad.mkString(", ")}") }
+        else if (ok.nonEmpty) println(s"AUDIT waive $name: ${ok.mkString(", ")} — ${waived(name)._2}")
+        else println(s"AUDIT clean $name")
+      } catch {
+        case e: Throwable => flagged += name; println(s"AUDIT ERROR $name: ${e.getMessage}")
+      }
+      finally spark.sharedState.cacheManager.clearCache()
+    }
+    println(s"AUDIT done: ${flagged.size} flagged")
+    flagged.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,47 +73,8 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-
-    def audit(p: SparkPlan): Seq[String] = {
-      val self = p match {
-        case w: WindowExec if w.partitionSpec.isEmpty => Seq("global-window")
-        case _: CartesianProductExec                  => Seq("cartesian-product")
-        case _: BroadcastNestedLoopJoinExec           => Seq("broadcast-nested-loop-join")
-        case _                                        => Seq.empty
-      }
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.initialPlan)
-        case other                    => other.children
-      }
-      self ++ kids.flatMap(audit)
-    }
-
-    // Justified exceptions, waived PER RULE: a BroadcastNestedLoopJoin
-    // is an anti-pattern only when the broadcast side grows with the
-    // data; these three broadcast a constant-bounded side. Any OTHER
-    // anti-pattern appearing in these queries still flags — a blanket
-    // per-query waiver would blind the gate to regressions.
-    val waived: Map[String, (String, String)] = Map(
-      "sim_topk"   -> ("broadcast-nested-loop-join", "broadcast side = fixed query set (bounded constant)"),
-      "sim_ivf"    -> ("broadcast-nested-loop-join", "broadcast side = label centroids (bounded by #labels)"),
-      "text_tfidf" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus count"),
-    )
-
-    var flagged = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val hits = audit(fn(spark, sfDir).queryExecution.executedPlan)
-        val (ok, bad) = hits.partition(h => waived.get(name).exists(_._1 == h))
-        if (bad.nonEmpty) { flagged += 1; println(s"AUDIT FLAG  $name: ${bad.mkString(", ")}") }
-        else if (ok.nonEmpty) println(s"AUDIT waive $name: ${ok.mkString(", ")} — ${waived(name)._2}")
-        else println(s"AUDIT clean $name")
-      } catch {
-        case e: Throwable => flagged += 1; println(s"AUDIT ERROR $name: ${e.getMessage}")
-      }
-      finally spark.sharedState.cacheManager.clearCache()
-    }
-    println(s"AUDIT done: $flagged flagged")
+    val flagged = run(spark, sfDir)
     spark.stop()
-    if (flagged > 0) sys.exit(1)
+    if (flagged.nonEmpty) sys.exit(1)
   }
 }

@@ -33,12 +33,49 @@ case class QueryTimePoint(ids: Seq[Long], flag: Long, timePoint: Timestamp)
   * levels (SURVEY.md §2.1 O16); `compact()` materializes that
   * resolution ([U: engines/engine.cpp — compact]).
   */
-class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) {
+class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
+                  hotCapacity: Long = 0L) {
   import spark.implicits._
 
   private val schemePath = s"$path/_scheme"
   private val dataPath = s"$path/data"
   private val statsPath = s"$path/_stats"
+
+  // ---- MEMORY-strategy hot level -----------------------------------
+  // The reference's Strategy::MEMORY keeps appends in an in-process
+  // memstorage level and drops them to pages when the memory limit is
+  // hit [U: libdariadb/settings.h — Strategy; storage/memstorage/
+  // memstorage.cpp]. Spark-native analog: each appended batch becomes a
+  // persisted (MEMORY_AND_DISK) DataFrame chunk; reads union the chunks
+  // under the SAME seq-freshness merge as the durable levels (O16), so
+  // hot rows outrank older stored rows and are outranked by fresher
+  // appends after flush — no second resolution mechanism. `flush()`
+  // drains the level through the normal append path (stats index
+  // included). hotCapacity == 0 ⇒ WAL/COMPRESSED behavior (every append
+  // goes straight to parquet), which is also the multi-writer-safe mode;
+  // the hot level, like the reference's memstorage, is single-process.
+  private val hotChunks = scala.collection.mutable.ArrayBuffer[DataFrame]()
+  private var hotRows = 0L
+
+  /** Rows currently held in the MEMORY level (0 unless hotCapacity > 0). */
+  def hotSize: Long = synchronized { hotRows }
+
+  /** Drop the MEMORY level to the durable store — the memstorage→page
+    * "drop" [U: storage/memstorage/memstorage.cpp — drop_by_limit]. */
+  def flush(): Unit = synchronized {
+    if (hotChunks.nonEmpty) {
+      val batch = hotChunks.reduce(_ unionByName _)
+      TsdbStorage.append(batch, dataPath, buckets, Some(statsPath))
+      hotChunks.foreach(_.unpersist())
+      hotChunks.clear()
+      hotRows = 0L
+    }
+  }
+
+  private def hotUnion: Option[DataFrame] = synchronized { hotChunks.reduceOption(_ unionByName _) }
+
+  private def emptyMeas: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Meas.schema)
 
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def hasData = fs.exists(new Path(dataPath))
@@ -54,9 +91,19 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
   // ---- O1 append ---------------------------------------------------
   /** Appends the batch AND refreshes the per-(day, id) chunk-stat index
     * for the touched days, so stat()/minMaxTime() never scan data files
-    * (SURVEY.md §1.1 Statistic; §4.2 footer index). */
+    * (SURVEY.md §1.1 Statistic; §4.2 footer index).
+    *
+    * Under the MEMORY strategy (hotCapacity > 0) the batch lands in the
+    * in-memory level instead and is dropped to parquet when the level
+    * exceeds hotCapacity rows — reads see it immediately either way. */
   def append(meas: DataFrame): Unit =
-    TsdbStorage.append(meas, dataPath, buckets, Some(statsPath))
+    if (hotCapacity <= 0L) TsdbStorage.append(meas, dataPath, buckets, Some(statsPath))
+    else synchronized {
+      val chunk = meas.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      hotRows += chunk.count() // materializes the cache; hot reads never recompute lineage
+      hotChunks += chunk
+      if (hotRows >= hotCapacity) flush()
+    }
   def append(ms: Seq[Meas]): Unit = append(spark.createDataset(ms).toDF())
 
   /** O1, streaming strategy: continuous ingest from a Meas stream into
@@ -68,18 +115,31 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
       .foreachBatch { (batch: DataFrame, _: Long) => append(batch) }
       .start()
 
-  /** Merge-on-read view: freshest row per (id, time). */
-  def merged: DataFrame =
-    if (!hasData) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Meas.schema)
-    else TsdbStorage.compacted(spark, dataPath)
+  /** Merge-on-read view: freshest row per (id, time), across the
+    * durable store AND the MEMORY hot level. */
+  def merged: DataFrame = mergedRange(None, None)
 
   /** Merge-on-read restricted to the day partitions intersecting the
     * bounds — the interval's `day` predicate is applied BEFORE the
     * dedup aggregation, so a one-day read of a 100-day store shuffles
-    * one partition, not the whole store. */
-  private def mergedRange(from: Option[Timestamp], to: Option[Timestamp]): DataFrame =
-    if (!hasData) merged
-    else TsdbStorage.compactedRange(spark, dataPath, from, to)
+    * one partition, not the whole store. The hot level (bounded by
+    * hotCapacity, already materialized in memory) unions in under the
+    * same `time` bounds before the freshness merge. */
+  private def mergedRange(from: Option[Timestamp], to: Option[Timestamp]): DataFrame = {
+    val cold = if (!hasData) emptyMeas else TsdbStorage.readRange(spark, dataPath, from, to)
+    val levels = hotUnion match {
+      case None => cold
+      case Some(hot) =>
+        val bounded = (from, to) match {
+          case (Some(f), Some(t)) => hot.filter(col("time").between(lit(f), lit(t)))
+          case (Some(f), None) => hot.filter(col("time") >= lit(f))
+          case (None, Some(t)) => hot.filter(col("time") <= lit(t))
+          case (None, None) => hot
+        }
+        cold.unionByName(bounded)
+    }
+    TsdbStorage.mergeFreshest(levels)
+  }
 
   // ---- O2/O3 interval reads ----------------------------------------
   def readInterval(q: QueryInterval): DataFrame =
@@ -134,7 +194,7 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
     * even under duplicate-key rewrites). */
   def minMaxTime(id: Long): Option[(Timestamp, Timestamp)] = {
     val r =
-      if (hasStats)
+      if (hasStats && hotSize == 0L)
         TsdbStorage.readStats(spark, statsPath).filter(col("id") === id)
           .agg(min("min_time"), max("max_time")).head()
       else merged.filter(col("id") === id).agg(min("time"), max("time")).head()
@@ -148,9 +208,11 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
 
   /** O8: the per-series Statistic struct over an interval. Served from
     * the chunk-stat index when usable, scan otherwise. (statIndexed
-    * itself delegates inverted intervals back to the scan path.) */
+    * itself delegates inverted intervals back to the scan path.) The
+    * index only covers the durable store, so unflushed hot rows force
+    * the scan path — which reads the hot level through mergedRange. */
   def stat(id: Long, from: Timestamp, to: Timestamp): DataFrame =
-    if (hasStats) statIndexed(id, from, to)
+    if (hasStats && hotSize == 0L) statIndexed(id, from, to)
     else statScan(id, from, to)
 
   /** Rebuild the chunk-stat index from scratch — the explicit repair
@@ -232,18 +294,7 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
     * names fail fast (the reference's factory silently yields nothing
     * for them — failing is the safer contract). */
   def calculator(q: QueryInterval, functions: Seq[String] = GraftEngine.CalculatorFunctions): DataFrame = {
-    val unknown = functions.filterNot(GraftEngine.CalculatorFunctions.contains)
-    require(unknown.isEmpty, s"unknown calculator functions: ${unknown.mkString(", ")}")
-    val aggs = Map[String, org.apache.spark.sql.Column](
-      "average" -> avg("value").as("average"),
-      "median" -> expr("percentile(value, 0.5D)").as("median"),
-      "percentile90" -> expr("percentile(value, 0.9D)").as("percentile90"),
-      "percentile99" -> expr("percentile(value, 0.99D)").as("percentile99"),
-      "sigma" -> stddev_pop("value").as("sigma"),
-      "minimum" -> min("value").as("minimum"),
-      "maximum" -> max("value").as("maximum"),
-      "count" -> count(lit(1)).as("cnt"))
-    val selected = functions.map(aggs)
+    val selected = GraftEngine.calculatorAggs(functions)
     readInterval(q)
       .groupBy("id")
       .agg(selected.head, selected.tail: _*)
@@ -251,6 +302,9 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
   }
 
   // ---- O10 subscribe (delegates to the one subscription definition) --
+  // Subscriptions tap the DURABLE level (the parquet file stream):
+  // MEMORY-level rows reach subscribers at flush time, the same moment
+  // the reference's memstorage drop makes them page-visible.
   def subscribe(ids: Seq[Long], flag: Long, queryName: String, checkpoint: String): StreamingQuery =
     Subscribe.start(spark, dataPath, ids, flag, queryName, checkpoint, dayPartitioned = true)
 
@@ -260,6 +314,9 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
     // under the session TZ (pinned UTC), while Timestamp.toLocalDateTime
     // uses the JVM default TZ — on a non-UTC JVM that off-by-hours day
     // would drop a partition still containing in-retention data
+    // drop the MEMORY level to its day partitions first, so retention
+    // applies uniformly (the reference drops memstorage before erase)
+    flush()
     val cutoffDay = cutoff.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
     // the stats index is day-partitioned identically — drop in lockstep,
     // bracketed by the sync marker so a crash mid-drop disables the
@@ -282,6 +339,7 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
     * path empty — a crash leaves either the old or the new snapshot
     * recoverable. */
   def compact(): Unit = {
+    flush()
     if (!hasData) return
     val tmp = new Path(s"$dataPath.compacting")
     val old = new Path(s"$dataPath.old")
@@ -377,34 +435,85 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32) 
 
   // ---- O14 scheme --------------------------------------------------
   /** addParam: register (or look up) a series name → id
-    * [U: scheme/scheme.cpp — Scheme::addParam]. Single-writer
-    * read-modify-write, like the reference's in-process catalog. */
+    * [U: scheme/scheme.cpp — Scheme::addParam].
+    *
+    * Content-addressed: the id IS a 63-bit md5 prefix of the name, so
+    * registration never reads the existing catalog — it appends ONE row
+    * to an append-only log, O(1) at any catalog size (the round-2
+    * read-modify-write collected and rewrote the whole catalog per
+    * call). `ls()` is the log's dedup view: duplicate registrations of
+    * the same name produce bit-identical rows, which `distinct`
+    * collapses. Collision odds are n²/2⁶⁴ ≈ 5e-8 at a million series —
+    * the same determinism-for-capacity trade every content-addressed id
+    * in this repo makes. A per-instance memo elides repeat appends from
+    * the same engine. */
   def addParam(name: String): Long = {
-    val existing = lsMap
-    existing.get(name) match {
-      case Some(id) => id
-      case None =>
-        val id = if (existing.isEmpty) 1L else existing.values.max + 1L
-        (existing + (name -> id)).toSeq.toDF("name", "series_id")
-          .coalesce(1).write.mode("overwrite").parquet(schemePath)
-        id
-    }
+    val id = GraftEngine.seriesId(name)
+    val isNew = synchronized { registeredNames.add(name) }
+    if (isNew) appendScheme(Seq(name -> id))
+    id
   }
 
-  def getParamId(name: String): Option[Long] = lsMap.get(name)
+  /** Batch registration: one log write for any number of names — the
+    * shape to use when onboarding 10⁴+ series. */
+  def addParams(names: Seq[String]): Map[String, Long] = {
+    val fresh = synchronized { names.distinct.filter(registeredNames.add) }
+    if (fresh.nonEmpty) appendScheme(fresh.map(n => n -> GraftEngine.seriesId(n)))
+    names.map(n => n -> GraftEngine.seriesId(n)).toMap
+  }
 
-  /** ls(): the full catalog. */
+  private val registeredNames = scala.collection.mutable.HashSet[String]()
+
+  private def appendScheme(rows: Seq[(String, Long)]): Unit =
+    rows.toDF("name", "series_id").coalesce(1).write.mode("append").parquet(schemePath)
+
+  /** getParamId: pruned distributed lookup — no full-catalog collect. */
+  def getParamId(name: String): Option[Long] =
+    ls().filter(col("name") === name).take(1).headOption.map(_.getLong(1))
+
+  /** ls(): the catalog (dedup view over the append-only log). */
   def ls(): DataFrame =
     if (!fs.exists(new Path(schemePath)))
       Seq.empty[(String, Long)].toDF("name", "series_id")
-    else spark.read.parquet(schemePath)
-
-  private def lsMap: Map[String, Long] =
-    ls().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    else spark.read.parquet(schemePath).distinct()
 }
 
 object GraftEngine {
   /** O9 function names [U: statistic/calculator.cpp — FunctionFactory]. */
   val CalculatorFunctions: Seq[String] =
     Seq("average", "median", "percentile90", "percentile99", "sigma", "minimum", "maximum", "count")
+
+  /** The SINGLE name→aggregate definition of the O9 function set —
+    * `calculator` above and the oracle-gated `calculator_subset` query
+    * both build from it, so the driver's hash gate pins the facade's
+    * selection logic, not a parallel re-implementation. Unknown names
+    * fail fast (the reference's factory silently yields nothing — the
+    * safer contract here is failing). `round6` wraps the float
+    * aggregates for cross-engine determinism in gated queries; the
+    * facade serves full precision. */
+  def calculatorAggs(functions: Seq[String], round6: Boolean = false): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    val unknown = functions.filterNot(CalculatorFunctions.contains)
+    require(unknown.isEmpty, s"unknown calculator functions: ${unknown.mkString(", ")}")
+    require(functions.nonEmpty, "calculator needs at least one function")
+    def r(c: org.apache.spark.sql.Column) = if (round6) round(c, 6) else c
+    functions.map {
+      case "average"      => r(avg("value")).as("average")
+      case "median"       => r(expr("percentile(value, 0.5D)")).as("median")
+      case "percentile90" => r(expr("percentile(value, 0.9D)")).as("percentile90")
+      case "percentile99" => r(expr("percentile(value, 0.99D)")).as("percentile99")
+      case "sigma"        => r(stddev_pop("value")).as("sigma")
+      case "minimum"      => min("value").as("minimum")
+      case "maximum"      => max("value").as("maximum")
+      case "count"        => count(lit(1)).as("cnt")
+    }
+  }
+
+  /** Content-addressed series id: first 8 bytes of md5(name), sign bit
+    * cleared. Deterministic across engines/shards — two stores assign
+    * the same id to the same name with no coordination. */
+  def seriesId(name: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(name.getBytes("UTF-8"))
+    java.nio.ByteBuffer.wrap(d).getLong & Long.MaxValue
+  }
 }

@@ -279,6 +279,33 @@ object CoreQueries {
     doc = "O9 statistic::Calculator [U: statistic/calculator.h — IFunction set]")
 
   // -------------------------------------------------------------------
+  // O9 with function SELECTION — the facade's per-name subsetting
+  // (`Calculator::apply(..., {median, sigma})`). Built from the SAME
+  // name→aggregate map the engine facade uses
+  // (GraftEngine.calculatorAggs), so this gate pins the selection
+  // logic itself: picked names present, unpicked absent, values exact.
+  // -------------------------------------------------------------------
+  val calculatorSubset: QueryDef = QueryDef(
+    build = (s, d) => {
+      val selected = graft.engine.GraftEngine.calculatorAggs(
+        Seq("median", "sigma", "count"), round6 = true)
+      EventsSource.measInInterval(s, d, FROM, TO)
+        .groupBy("id")
+        .agg(selected.head, selected.tail: _*)
+        .orderBy("id")
+    },
+    oracle = Some(
+      s"""${Sql.MEAS_CTE}
+         |SELECT id,
+         |       round(quantile_cont(value, 0.5), 6) AS median,
+         |       round(stddev_pop(value), 6) AS sigma,
+         |       count(*)::BIGINT AS cnt
+         |FROM meas
+         |WHERE time BETWEEN TIMESTAMP '$FROM' AND TIMESTAMP '$TO'
+         |GROUP BY id ORDER BY id""".stripMargin),
+    doc = "O9 calculator with function selection [U: statistic/calculator.h — Calculator::apply({functions})]")
+
+  // -------------------------------------------------------------------
   // Downsampling — 1-hour tumbling buckets per series (timeutil interval
   // rounding [U: libdariadb/timeutil.h] generalized to a grouped agg).
   // -------------------------------------------------------------------
@@ -548,6 +575,7 @@ object CoreQueries {
     "stat"            -> stat,
     "stat_indexed"    -> statIndexed,
     "calculator"      -> calculator,
+    "calculator_subset" -> calculatorSubset,
     "downsample"      -> downsample,
     "merge_dedup"     -> mergeDedup,
     "compact"         -> compact,

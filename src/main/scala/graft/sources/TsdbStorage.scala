@@ -298,8 +298,9 @@ object TsdbStorage {
 
   /** Merge-on-read dedup: exactly one (the freshest, by `seq`) row per
     * (id, time). Partial-aggregating max_by — no window, one shuffle on
-    * the dedup key. */
-  private def mergeFreshest(df: DataFrame): DataFrame =
+    * the dedup key. Public because the engine's MEMORY hot level unions
+    * into the same resolution (SURVEY.md §2.1 O16, §3.1 strategies). */
+  def mergeFreshest(df: DataFrame): DataFrame =
     df.groupBy("id", "time")
       .agg(max_by(struct(col("value"), col("flag"), col("seq")), col("seq")).as("m"))
       .select(col("id"), col("time"), col("m.value").as("value"),
