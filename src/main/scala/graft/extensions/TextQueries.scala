@@ -294,8 +294,77 @@ object TextQueries {
          |FROM t ORDER BY doc_id""".stripMargin),
     doc = "X4 token counting (whitespace + BPE-ish pre-tokenizer regex)")
 
+  // -------------------------------------------------------------------
+  // Repetition-based quality filters (the MassiveText/Gopher family):
+  // duplicate-token fraction, most-frequent-token fraction, and
+  // most-frequent-bigram fraction per document. High values mark the
+  // boilerplate/spam documents a pretraining pipeline drops.
+  //
+  // 100 TB shape: one token explode + grouped counts on (doc_id, token)
+  // — partial aggregation collapses each doc's counts map-side (tokens
+  // of one doc co-locate after the shuffle on a bounded key). Fractions
+  // emitted as integer micro-units (floor(x·1e6 + 0.5) is the identical
+  // IEEE op chain in Spark and DuckDB; rounded DOUBLE quotients are not
+  // cross-engine stable).
+  // -------------------------------------------------------------------
+  val repetition: QueryDef = QueryDef(
+    build = (s, d) => {
+      val t = docs(s, d).select(col("doc_id"), expr(toksExpr).as("toks"))
+      val tokAgg = t.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("distinct_tokens"),
+          max("c").as("top_tok"))
+      val bgAgg = t.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))")).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_bigrams"), max("c").as("top_bigram"))
+      tokAgg.join(bgAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("distinct_tokens"),
+          floor((col("n_tokens") - col("distinct_tokens")).cast("double") * lit(1000000.0)
+            / col("n_tokens") + lit(0.5)).cast("long").as("dup_frac_micro"),
+          floor(col("top_tok").cast("double") * lit(1000000.0)
+            / col("n_tokens") + lit(0.5)).cast("long").as("top_tok_micro"),
+          coalesce(floor(col("top_bigram").cast("double") * lit(1000000.0)
+            / col("n_bigrams") + lit(0.5)).cast("long"), lit(0L)).as("top_bigram_micro"))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), tok AS (
+         |  SELECT doc_id, u.x FROM t, unnest(t.toks) AS u(x)
+         |), tc AS (
+         |  SELECT doc_id, x, count(*) AS c FROM tok GROUP BY doc_id, x
+         |), ta AS (
+         |  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS distinct_tokens,
+         |         max(c)::BIGINT AS top_tok
+         |  FROM tc GROUP BY doc_id
+         |), bgl AS (
+         |  SELECT doc_id, list_transform(generate_series(1, len(toks) - 1),
+         |                                i -> toks[i] || ' ' || toks[i+1]) AS bgs
+         |  FROM t WHERE len(toks) >= 2
+         |), bgu AS (
+         |  SELECT doc_id, u.x FROM bgl, unnest(bgl.bgs) AS u(x)
+         |), bc AS (
+         |  SELECT doc_id, x, count(*) AS c FROM bgu GROUP BY doc_id, x
+         |), ba AS (
+         |  SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c)::BIGINT AS top_bigram
+         |  FROM bc GROUP BY doc_id
+         |)
+         |SELECT ta.doc_id, ta.n_tokens, ta.distinct_tokens,
+         |       CAST(floor((ta.n_tokens - ta.distinct_tokens)::DOUBLE * 1000000.0 / ta.n_tokens + 0.5) AS BIGINT) AS dup_frac_micro,
+         |       CAST(floor(ta.top_tok::DOUBLE * 1000000.0 / ta.n_tokens + 0.5) AS BIGINT) AS top_tok_micro,
+         |       coalesce(CAST(floor(ba.top_bigram::DOUBLE * 1000000.0 / ba.n_bigrams + 0.5) AS BIGINT), 0) AS top_bigram_micro
+         |FROM ta LEFT JOIN ba ON ta.doc_id = ba.doc_id
+         |ORDER BY ta.doc_id""".stripMargin),
+    doc = "X4 repetition quality filters (dup-token / top-token / top-bigram fractions)")
+
   val defs: Map[String, QueryDef] = Map(
     "text_stats"       -> textStats,
+    "text_repetition"  -> repetition,
     "text_tokens"      -> tokenCounts,
     "text_bigrams"     -> topBigrams,
     "text_lang"        -> textLang,

@@ -124,10 +124,66 @@ object TrainingQueries {
         |FROM documents ORDER BY doc_id""".stripMargin),
     doc = "training: text normalization scrub")
 
+  // -------------------------------------------------------------------
+  // Benchmark decontamination: flag training documents sharing any
+  // 4-gram word shingle with the held-out eval set (here the
+  // deterministic doc_id % 25 slice — in production, the benchmark
+  // suite). The standard leakage gate run before every pretraining
+  // corpus ships.
+  //
+  // 100 TB shape: shingles explode map-side; the EVAL side is bounded
+  // by the benchmark suite (thousands of docs, not corpus-sized), so
+  // the contamination join BROADCASTS the eval shingle set and the
+  // whole gate is one map-side semi-join + grouped count — no
+  // corpus-sized shuffle.
+  // -------------------------------------------------------------------
+  private val K = 4 // shingle width: long enough that overlap means leakage, not vocabulary
+  private val shingle4Expr =
+    s"""array_distinct(CASE WHEN size(toks) >= $K
+       | THEN transform(sequence(0, size(toks) - $K),
+       |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3]))
+       | ELSE array(concat_ws(' ', toks)) END)""".stripMargin.replaceAll("\n", " ")
+  private val shingle4Sql =
+    s"""list_distinct(CASE WHEN len(toks) >= $K
+       | THEN list_transform(generate_series(1, len(toks) - ${K - 1}),
+       |                     i -> array_to_string(toks[i:i+${K - 1}], ' '))
+       | ELSE [array_to_string(toks, ' ')] END)""".stripMargin.replaceAll("\n", " ")
+
+  val decontaminate: QueryDef = QueryDef(
+    build = (s, d) => {
+      val post = docs(s, d)
+        .select(col("doc_id"), expr("filter(split(text, ' '), t -> t != '')").as("toks"))
+        .select(col("doc_id"), explode(expr(shingle4Expr)).as("x"))
+      val eval_ = post.filter(col("doc_id") % 25 === 0)
+        .select(col("x"), col("doc_id").as("eval_id"))
+      val train = post.filter(col("doc_id") % 25 =!= 0)
+      train.join(broadcast(eval_), "x")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("eval_id")).as("eval_docs"),
+          countDistinct(col("x")).as("shared_shingles"))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id, $shingle4Sql AS sh FROM t
+         |), post AS (
+         |  SELECT doc_id, u.x FROM s, unnest(s.sh) AS u(x)
+         |), ev AS (SELECT doc_id AS eval_id, x FROM post WHERE doc_id % 25 = 0),
+         |tr AS (SELECT doc_id, x FROM post WHERE doc_id % 25 <> 0)
+         |SELECT tr.doc_id,
+         |       count(DISTINCT ev.eval_id)::BIGINT AS eval_docs,
+         |       count(DISTINCT tr.x)::BIGINT AS shared_shingles
+         |FROM tr JOIN ev ON tr.x = ev.x
+         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin),
+    doc = "training: benchmark decontamination (train/eval 4-gram overlap gate)")
+
   val defs: Map[String, QueryDef] = Map(
     "corpus_dedup"      -> corpusDedup,
     "train_split"       -> trainSplit,
     "sample_stratified" -> sampleStratified,
     "text_clean"        -> textClean,
+    "decontaminate"     -> decontaminate,
   )
 }
