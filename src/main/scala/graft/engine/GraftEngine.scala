@@ -331,6 +331,35 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     dropped
   }
 
+  /** O11, per-id variant [U: engines/engine.cpp — eraseOld(id, to)]:
+    * drop only the given series' rows older than the cutoff. Unlike the
+    * whole-store form this cannot be a partition drop — affected day
+    * partitions are REWRITTEN with an anti-filter (dynamic partition
+    * overwrite: untouched days are never read or written). Cost is
+    * proportional to the days the cutoff spans, not the store — the
+    * same bound the reference pays walking the id's chunks. */
+  def eraseOld(cutoff: Timestamp, ids: Seq[Long]): Seq[String] = {
+    require(ids.nonEmpty, "per-id eraseOld needs at least one id")
+    flush()
+    if (!hasData) return Seq.empty
+    val cutoffDay = cutoff.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val affectedDays = fs.listStatus(new Path(dataPath)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("day="))
+      .map(n => java.sql.Date.valueOf(n.stripPrefix("day=")))
+      .filter(_.toLocalDate.isBefore(cutoffDay))
+    if (affectedDays.isEmpty) return Seq.empty
+    val wasUsable = hasStats
+    TsdbStorage.markStatsOutOfSync(spark, statsPath)
+    TsdbStorage.rewriteDaysFiltered(spark, dataPath, affectedDays, buckets,
+      keep = !(col("id").isin(ids: _*) && col("time") < lit(cutoff)))
+    if (wasUsable) {
+      TsdbStorage.refreshStats(spark, dataPath, statsPath, affectedDays)
+      TsdbStorage.markStatsInSync(spark, statsPath)
+    }
+    affectedDays.map(d => s"day=$d")
+  }
+
   /** O12: rewrite the store with merge-on-read materialized.
     * Crash-safe ordering for a single-writer store: stale tmp from a
     * previously crashed run is removed first (mode("append") would
@@ -340,6 +369,10 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     * recoverable. */
   def compact(): Unit = {
     flush()
+    // repack the scheme log first (independent of data presence):
+    // per-call appends accumulate one tiny file each; compact() is
+    // where the store pays that debt down
+    compactScheme()
     if (!hasData) return
     val tmp = new Path(s"$dataPath.compacting")
     val old = new Path(s"$dataPath.old")
@@ -362,6 +395,21 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
       .map(n => java.sql.Date.valueOf(n.stripPrefix("day=")))
     TsdbStorage.refreshStats(spark, dataPath, statsPath, days)
     TsdbStorage.markStatsInSync(spark, statsPath)
+  }
+
+  /** Rewrite the append-only scheme log as its dedup view in one file
+    * (same tmp-swap discipline as the data rewrite). */
+  private def compactScheme(): Unit = {
+    if (!fs.exists(new Path(schemePath))) return
+    val tmp = new Path(s"$schemePath.compacting")
+    val old = new Path(s"$schemePath.old")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    ls().coalesce(1).write.parquet(tmp.toString)
+    val p = new Path(schemePath)
+    fs.rename(p, old)
+    fs.rename(tmp, p)
+    fs.delete(old, true)
   }
 
   /** O13 fsck: verify every data file — footer, every row group, and

@@ -179,11 +179,53 @@ object TrainingQueries {
          |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin),
     doc = "training: benchmark decontamination (train/eval 4-gram overlap gate)")
 
+  // -------------------------------------------------------------------
+  // Sequence packing: assign documents to fixed token-budget training
+  // batches. Deterministic in-order packing (bin = start-offset div
+  // budget over the running token total), the streaming-friendly
+  // packing real pretraining loaders use — not bin-packing-optimal,
+  // which is NP-hard and order-unstable.
+  //
+  // 100 TB shape: the window partitions by `source` (the shard key), so
+  // packing is per-shard sequential — each shard's running sum is one
+  // task's sorted scan, shards run in parallel, and no global order is
+  // ever imposed. Integer division only: exact in both engines.
+  // -------------------------------------------------------------------
+  private val PACK_BUDGET = 512
+  val packBatches: QueryDef = QueryDef(
+    build = (s, d) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .select(col("doc_id"), col("source"),
+          size(expr("filter(split(text, ' '), t -> t != '')")).cast("long").as("n_tokens"))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .withColumn("bin", expr(s"(cum_tokens - n_tokens) div $PACK_BUDGET"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens", "bin")
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT AS n_tokens
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+         |  FROM t
+         |)
+         |SELECT doc_id, source, n_tokens, cum_tokens,
+         |       ((cum_tokens - n_tokens) // $PACK_BUDGET)::BIGINT AS bin
+         |FROM c ORDER BY doc_id""".stripMargin),
+    doc = "training: sequence packing into fixed token-budget batches (per-shard running sum)")
+
   val defs: Map[String, QueryDef] = Map(
     "corpus_dedup"      -> corpusDedup,
     "train_split"       -> trainSplit,
     "sample_stratified" -> sampleStratified,
     "text_clean"        -> textClean,
     "decontaminate"     -> decontaminate,
+    "pack_batches"      -> packBatches,
   )
 }

@@ -200,6 +200,15 @@ object TsdbStorage {
   def refreshStats(spark: SparkSession, dataPath: String, statsPath: String,
                    touchedDays: Seq[java.sql.Date]): Unit = {
     if (touchedDays.isEmpty) return
+    // drop the touched index partitions first: dynamic overwrite only
+    // rewrites partitions PRESENT in the output, so a touched day whose
+    // data vanished entirely (per-id retention emptied it) would keep
+    // its stale index rows. Callers bracket with the sync marker, so
+    // the transient gap is never served.
+    val root = new Path(statsPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root))
+      touchedDays.foreach(d => fs.delete(new Path(root, s"day=$d"), true))
     writeStats(mergeFreshest(readDays(spark, dataPath, touchedDays)), statsPath)
   }
 
@@ -294,6 +303,44 @@ object TsdbStorage {
       }
     dropped.foreach(fs.delete(_, true))
     dropped.map(_.getName)
+  }
+
+  /** Rewrite ONLY the given day partitions, keeping rows matching
+    * `keep`, in the clustered layout. Untouched days are never read or
+    * written. Used by per-id retention (O11 per-id variant), where a
+    * partition drop is too coarse. Writes to a sibling tmp dir first,
+    * then swaps each day dir — Spark cannot overwrite a path it is
+    * reading, and the swap keeps the non-affected days live throughout.
+    * A day whose rows are ALL erased is deleted outright (dynamic
+    * overwrite would silently leave it behind). Crash mid-swap leaves
+    * some days rewritten and some not — safe for retention (idempotent;
+    * re-running converges) under the engine's out-of-sync stats
+    * bracket. */
+  def rewriteDaysFiltered(spark: SparkSession, path: String,
+                          days: Seq[java.sql.Date], buckets: Int,
+                          keep: org.apache.spark.sql.Column): Unit = {
+    if (days.isEmpty) return
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$path.rewrite")
+    fs.delete(tmp, true)
+    spark.read.schema(withDaySchema).parquet(path)
+      .filter(col("day").isin(days: _*))
+      .filter(keep)
+      .repartition(buckets, pmod(hash(col("id")), lit(buckets)))
+      .sortWithinPartitions("id", "time")
+      .write.mode("overwrite")
+      .partitionBy("day")
+      .option("compression", "zstd")
+      .option("parquet.bloom.filter.enabled#flag", "true")
+      .parquet(tmp.toString)
+    days.foreach { d =>
+      val dst = new Path(root, s"day=$d")
+      val src = new Path(tmp, s"day=$d")
+      fs.delete(dst, true)
+      if (fs.exists(src)) fs.rename(src, dst)
+    }
+    fs.delete(tmp, true)
   }
 
   /** Merge-on-read dedup: exactly one (the freshest, by `seq`) row per

@@ -56,4 +56,63 @@ object StatefulStreams {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .start()
+
+  // ---- streaming sessionization (flatMapGroupsWithState) -------------
+
+  case class SessionState(start: java.sql.Timestamp, end: java.sql.Timestamp, n: Long)
+  case class SessionOut(id: Long, session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp, n_meas: Long)
+
+  /** Streaming gap-sessionizer — the live analog of the batch
+    * `sessionize` query: per-series sessions close when the next
+    * measurement arrives more than `gapMinutes` after the session's
+    * end, and ONLY closed sessions are emitted (append mode). State is
+    * one open session per series — constant-size, like currentValues
+    * above. flatMapGroupsWithState rather than mapGroupsWithState
+    * because one microbatch can close many sessions for one key
+    * (0..n output rows per group per batch).
+    *
+    * 100 TB shape: state store is O(#series); each microbatch shuffles
+    * only its own rows on id. The batch query remains the backfill
+    * path — this is the incremental tail. */
+  def sessions(spark: SparkSession, dir: String, gapMinutes: Long): DataFrame = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    spark.readStream.schema(Meas.schema).parquet(dir).as[Meas]
+      .groupByKey(_.id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, batch: Iterator[Meas], state: GroupState[SessionState]) =>
+          // microbatch group is unordered; sessionization needs time order
+          val sorted = batch.toSeq.sortBy(m => (m.time.getTime, m.seq))
+          val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          var open = state.getOption
+          sorted.foreach { m =>
+            open match {
+              case Some(s) if m.time.getTime - s.end.getTime <= gapMs =>
+                // late rows (time ≤ end) fold in without moving the end
+                val end = if (m.time.after(s.end)) m.time else s.end
+                open = Some(SessionState(s.start, end, s.n + 1))
+              case Some(s) =>
+                closed += SessionOut(id, s.start, s.end, s.n)
+                open = Some(SessionState(m.time, m.time, 1L))
+              case None =>
+                open = Some(SessionState(m.time, m.time, 1L))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+      .toDF()
+  }
+
+  /** Run the session stream into a queryable in-memory sink. */
+  def startSessions(spark: SparkSession, dir: String, gapMinutes: Long,
+                    queryName: String, checkpoint: String): StreamingQuery =
+    sessions(spark, dir, gapMinutes).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

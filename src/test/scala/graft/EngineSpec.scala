@@ -150,6 +150,37 @@ class EngineSpec extends SparkSpec {
     // generous wall-clock bound: the round-2 O(catalog) rewrite was
     // quadratic (~10^8 row-writes for this workload); the log is linear
     assert(elapsedSec < 60.0, s"catalog registration took ${elapsedSec}s")
+
+    // compact() repacks the log (100+ per-call files) into one file
+    engine2.compact()
+    val schemeFiles = new java.io.File(s"$dir/_scheme").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(schemeFiles === 1, s"scheme log must repack to one file, found $schemeFiles")
+    assert(engine2.ls().count() === 10100, "repack must preserve the catalog")
+  }
+
+  test("per-id eraseOld rewrites only affected days; other series and newer rows survive") {
+    val dir = tmpDir("graft-erase-id")
+    val engine = new GraftEngine(spark, dir, buckets = 2)
+    engine.append(Seq(
+      Meas(1L, ts("2024-03-01 10:00:00"), 1.0, 1L, 1),
+      Meas(1L, ts("2024-03-02 10:00:00"), 2.0, 1L, 2),
+      Meas(2L, ts("2024-03-01 10:00:00"), 3.0, 1L, 3),
+      Meas(2L, ts("2024-03-03 10:00:00"), 4.0, 1L, 4)))
+    val touched = engine.eraseOld(ts("2024-03-03 00:00:00"), Seq(1L))
+    assert(touched.sorted === Seq("day=2024-03-01", "day=2024-03-02"))
+    val left = engine.merged.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSet
+    assert(left === Set(
+      (2L, ts("2024-03-01 10:00:00"), 3.0),
+      (2L, ts("2024-03-03 10:00:00"), 4.0)))
+    // a day emptied by the erase is deleted; a day with survivors stays
+    assert(!new java.io.File(s"$dir/data/day=2024-03-02").exists)
+    assert(new java.io.File(s"$dir/data/day=2024-03-01").exists)
+    // the stats index was refreshed for the rewritten days and stays exact
+    assert(engine.minMaxTime(1L) === None)
+    val st = engine.stat(2L, ts("2024-03-01 00:00:00"), ts("2024-03-04 00:00:00")).head()
+    assert(st.getLong(1) === 2 && st.getDouble(6) === 7.0)
   }
 
   test("MEMORY strategy: hot-level rows serve reads before any parquet exists, flush outranks") {

@@ -45,4 +45,38 @@ class StatefulStreamSpec extends SparkSpec {
     assert(l2(2L) === ((6.0, 2L)), "fresher measurement replaces state")
     assert(l2(1L) === ((2.0, 3L)), "stale measurement counted but not surfaced")
   }
+
+  test("streaming sessionizer closes sessions on gap, carries open sessions across batches") {
+    val dir = tmpDir("graft-sess-src")
+    val ckpt = tmpDir("graft-sess-ckpt")
+
+    // batch 1: one completed session (10:00–10:10) then a gap > 30 min —
+    // the 12:00 row opens a new session, closing the first
+    write(dir, Seq(
+      Meas(7L, ts("2024-03-01 10:00:00"), 1.0, Flags.CLICK, 1),
+      Meas(7L, ts("2024-03-01 10:10:00"), 2.0, Flags.CLICK, 2),
+      Meas(7L, ts("2024-03-01 12:00:00"), 3.0, Flags.CLICK, 3)))
+    val q = StatefulStreams.startSessions(spark, dir, gapMinutes = 30, "state_sess", ckpt)
+    q.processAllAvailable()
+
+    def sessions(): Seq[(Timestamp, Timestamp, Long)] =
+      spark.sql("SELECT session_start, session_end, n_meas FROM state_sess WHERE id = 7 ORDER BY session_start")
+        .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2))).toSeq
+
+    assert(sessions() === Seq((ts("2024-03-01 10:00:00"), ts("2024-03-01 10:10:00"), 2L)),
+      "only the CLOSED session is emitted; 12:00 stays open in state")
+
+    // batch 2: 12:05 extends the open session ACROSS the batch boundary;
+    // 14:00 closes it
+    write(dir, Seq(
+      Meas(7L, ts("2024-03-01 12:05:00"), 4.0, Flags.CLICK, 4),
+      Meas(7L, ts("2024-03-01 14:00:00"), 5.0, Flags.CLICK, 5)))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(sessions() === Seq(
+      (ts("2024-03-01 10:00:00"), ts("2024-03-01 10:10:00"), 2L),
+      (ts("2024-03-01 12:00:00"), ts("2024-03-01 12:05:00"), 2L)),
+      "open session extended across batches, then closed by the 14:00 gap")
+  }
 }
