@@ -43,16 +43,23 @@ object Bench {
       val fn = SparkEntry.queries(name)
       try runOnce(fn(spark, sfDir)) catch { case _: Throwable => () } // warm-up, untimed
       val passes = (1 to reps).map { _ =>
+        // clear BEFORE each timed pass, never between: a query that
+        // persist()s internally would otherwise serve timed reps from
+        // the previous pass's InMemoryRelation (CacheManager substitutes
+        // by canonicalized plan) and under-measure its real cost
+        spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         try runOnce(fn(spark, sfDir)) catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      // release anything this query persisted before timing the next one
+      // release anything the last pass persisted before the next query
       spark.sharedState.cacheManager.clearCache()
       name -> passes
     }
 
-    def fmt(v: Double): String = f"$v%.4f"
+    // Locale.ROOT: the default-locale f-interpolator renders a comma
+    // decimal separator on e.g. de_DE JVMs — malformed JSON
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, ts) => s"\"$k\":${fmt(median(ts))}" }
       .mkString("{", ",", "}")
     val qsMin = results.map { case (k, ts) => s"\"$k\":${fmt(ts.min)}" }

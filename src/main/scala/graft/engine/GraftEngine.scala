@@ -66,7 +66,11 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     if (hotChunks.nonEmpty) {
       val batch = hotChunks.reduce(_ unionByName _)
       TsdbStorage.append(batch, dataPath, buckets, Some(statsPath))
-      hotChunks.foreach(_.unpersist())
+      // no explicit unpersist: a concurrent reader may still hold a plan
+      // over these chunks, and dropping their blocks under it would
+      // force a recompute through lineage the checkpoint has truncated.
+      // References are cleared; the ContextCleaner reclaims the blocks
+      // once the chunk DataFrames become unreachable.
       hotChunks.clear()
       hotRows = 0L
     }
@@ -99,8 +103,12 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
   def append(meas: DataFrame): Unit =
     if (hotCapacity <= 0L) TsdbStorage.append(meas, dataPath, buckets, Some(statsPath))
     else synchronized {
-      val chunk = meas.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      hotRows += chunk.count() // materializes the cache; hot reads never recompute lineage
+      // eager localCheckpoint: materializes the chunk AND truncates its
+      // lineage — a foreachBatch-sourced batch must not keep a live
+      // dependency on streaming source files that compaction/retention
+      // may later remove
+      val chunk = meas.localCheckpoint(true)
+      hotRows += chunk.count()
       hotChunks += chunk
       if (hotRows >= hotCapacity) flush()
     }
@@ -343,11 +351,19 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     flush()
     if (!hasData) return Seq.empty
     val cutoffDay = cutoff.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+    // unlike the whole-store partition-drop form (day granularity by
+    // necessity), this path is a row-level rewrite — so a mid-day cutoff
+    // includes the cutoff day itself and the keep-filter's exact time
+    // bound applies. A midnight cutoff skips it (no row can precede
+    // 00:00 on its own day).
+    val midnightCutoff =
+      cutoff.toInstant == cutoffDay.atStartOfDay(java.time.ZoneOffset.UTC).toInstant
     val affectedDays = fs.listStatus(new Path(dataPath)).toSeq
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith("day="))
       .map(n => java.sql.Date.valueOf(n.stripPrefix("day=")))
-      .filter(_.toLocalDate.isBefore(cutoffDay))
+      .filter(d => d.toLocalDate.isBefore(cutoffDay)
+        || (!midnightCutoff && d.toLocalDate == cutoffDay))
     if (affectedDays.isEmpty) return Seq.empty
     val wasUsable = hasStats
     TsdbStorage.markStatsOutOfSync(spark, statsPath)
@@ -493,24 +509,40 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     * the same name produce bit-identical rows, which `distinct`
     * collapses. Collision odds are n²/2⁶⁴ ≈ 5e-8 at a million series —
     * the same determinism-for-capacity trade every content-addressed id
-    * in this repo makes. A per-instance memo elides repeat appends from
-    * the same engine. */
-  def addParam(name: String): Long = {
-    val id = GraftEngine.seriesId(name)
-    val isNew = synchronized { registeredNames.add(name) }
-    if (isNew) appendScheme(Seq(name -> id))
-    id
+    * in this repo makes. The catalog memo loads from the log once per
+    * engine instance (O(catalog) once, O(1) per call — never the
+    * round-2 per-call read-modify-write), which also keeps the log
+    * authoritative for stores whose ids predate content addressing. */
+  def addParam(name: String): Long = synchronized {
+    knownIds.getOrElse(name, {
+      val id = GraftEngine.seriesId(name)
+      knownIds(name) = id
+      appendScheme(Seq(name -> id))
+      id
+    })
   }
 
   /** Batch registration: one log write for any number of names — the
     * shape to use when onboarding 10⁴+ series. */
-  def addParams(names: Seq[String]): Map[String, Long] = {
-    val fresh = synchronized { names.distinct.filter(registeredNames.add) }
-    if (fresh.nonEmpty) appendScheme(fresh.map(n => n -> GraftEngine.seriesId(n)))
-    names.map(n => n -> GraftEngine.seriesId(n)).toMap
+  def addParams(names: Seq[String]): Map[String, Long] = synchronized {
+    val fresh = names.distinct.filterNot(knownIds.contains)
+      .map(n => n -> GraftEngine.seriesId(n))
+    fresh.foreach { case (n, id) => knownIds(n) = id }
+    if (fresh.nonEmpty) appendScheme(fresh)
+    names.map(n => n -> knownIds(n)).toMap
   }
 
-  private val registeredNames = scala.collection.mutable.HashSet[String]()
+  /** Driver memo of the catalog, loaded from the log ONCE per engine
+    * instance (single-writer store, like the reference's in-process
+    * Scheme). The log stays authoritative: a store whose catalog was
+    * written by an engine version with different id assignment keeps
+    * its stored ids — re-registration returns the logged id, never a
+    * conflicting fresh one. */
+  private lazy val knownIds: scala.collection.mutable.HashMap[String, Long] = {
+    val m = scala.collection.mutable.HashMap[String, Long]()
+    ls().collect().foreach(r => m(r.getString(0)) = r.getLong(1))
+    m
+  }
 
   private def appendScheme(rows: Seq[(String, Long)]): Unit =
     rows.toDF("name", "series_id").coalesce(1).write.mode("append").parquet(schemePath)

@@ -131,11 +131,13 @@ object TrainingQueries {
   // suite). The standard leakage gate run before every pretraining
   // corpus ships.
   //
-  // 100 TB shape: shingles explode map-side; the EVAL side is bounded
-  // by the benchmark suite (thousands of docs, not corpus-sized), so
-  // the contamination join BROADCASTS the eval shingle set and the
-  // whole gate is one map-side semi-join + grouped count — no
-  // corpus-sized shuffle.
+  // 100 TB shape: shingles explode map-side; the join strategy is left
+  // to AQE. With a REAL eval set (a benchmark suite: thousands of docs,
+  // not corpus-sized) AQE broadcasts it and the gate is a map-side
+  // semi-join; here the eval slice is deliberately corpus-proportional
+  // (doc_id % 25) so the oracle has substance, and a hard-coded
+  // broadcast hint would force collecting a corpus-sized side at scale
+  // — so no hint.
   // -------------------------------------------------------------------
   private val K = 4 // shingle width: long enough that overlap means leakage, not vocabulary
   private val shingle4Expr =
@@ -157,7 +159,7 @@ object TrainingQueries {
       val eval_ = post.filter(col("doc_id") % 25 === 0)
         .select(col("x"), col("doc_id").as("eval_id"))
       val train = post.filter(col("doc_id") % 25 =!= 0)
-      train.join(broadcast(eval_), "x")
+      train.join(eval_, "x")
         .groupBy("doc_id")
         .agg(countDistinct(col("eval_id")).as("eval_docs"),
           countDistinct(col("x")).as("shared_shingles"))

@@ -103,7 +103,17 @@ class GraftServer(engine: GraftEngine, port: Int = 0) {
           parts(0).toUpperCase match {
             case "APPEND" =>
               val n = parts(1).toInt
-              val ms = (1 to n).map(_ => Wire.parseMeas(in.readLine()))
+              // drain ALL n payload lines BEFORE parsing: a malformed
+              // line mid-payload must not leave the remainder in the
+              // stream to be misread as top-level requests (protocol
+              // desync — every later response on the connection would
+              // answer the wrong request)
+              val raw = (1 to n).map { _ =>
+                val l = in.readLine()
+                if (l == null) throw new java.io.IOException(s"EOF inside APPEND payload (expected $n lines)")
+                l
+              }
+              val ms = raw.map(Wire.parseMeas)
               // single-writer store: serialize wire appends across connections
               engine.synchronized { engine.append(ms) }
               pushToSubscribers(ms)
@@ -121,6 +131,11 @@ class GraftServer(engine: GraftEngine, port: Int = 0) {
             case "CURRENT_VALUE" =>
               replyPoints(engine.currentValue(Wire.parseIds(parts(1)), parts(2).toLong), reply)
             case "SUBSCRIBE" =>
+              // re-subscribing REPLACES this connection's filter: the
+              // previous registration must be removed or it would be
+              // pushed to forever (PrintWriter swallows IO errors, so a
+              // leaked subscriber is never detected by failing writes)
+              sub.foreach(subscribers.remove)
               val s = Subscriber(Wire.parseIds(parts(1)).toSet, parts(2).toLong, out)
               subscribers.add(s)
               sub = Some(s)
@@ -197,6 +212,10 @@ class GraftClient(host: String, port: Int) extends AutoCloseable {
       buf += Wire.parseMeas(l.stripPrefix("MEAS "))
       l = in.readLine()
     }
+    // EOF before the END terminator = truncated result, NOT a complete
+    // one — a dropped connection must never masquerade as a small result
+    if (l == null) throw new java.io.IOException(
+      s"connection closed mid-stream after ${buf.size} rows (no END)")
     buf.toSeq
   }
 
@@ -208,6 +227,8 @@ class GraftClient(host: String, port: Int) extends AutoCloseable {
       buf += Wire.parsePoint(l.stripPrefix("POINT "))
       l = in.readLine()
     }
+    if (l == null) throw new java.io.IOException(
+      s"connection closed mid-stream after ${buf.size} rows (no END)")
     buf.toSeq
   }
 

@@ -38,7 +38,13 @@ object ConnectedComponents {
     * undirected edge. Returns (doc_id, cluster_id) for every vertex
     * that appears in `pairs` — singletons are the caller's left-join. */
   def resolve(pairs: DataFrame, singleTaskMaxPairs: Long = SingleTaskMaxPairs): DataFrame = {
-    val canon = canonical(pairs)
+    // materialize the canonical pair list ONCE (eager checkpoint, lineage
+    // truncated): the routing count and the chosen resolution path both
+    // read the same cached blocks — without this the expensive
+    // candidate-pair join upstream would execute twice, once for the
+    // count and again for the result. Data-dependent routing makes
+    // resolve() eager by nature; callers construct it per execution.
+    val canon = canonical(pairs).localCheckpoint(true)
     if (canon.count() <= singleTaskMaxPairs) unionFindSingleTask(canon)
     else minLabelPropagation(canon)
   }

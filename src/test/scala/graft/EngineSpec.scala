@@ -159,6 +159,36 @@ class EngineSpec extends SparkSpec {
     assert(engine2.ls().count() === 10100, "repack must preserve the catalog")
   }
 
+  test("addParam honors ids already in the log, whatever scheme assigned them") {
+    val dir = tmpDir("graft-scheme-legacy")
+    // a catalog written by an engine version with sequential ids
+    spark.createDataFrame(Seq(("legacy.series", 42L))).toDF("name", "series_id")
+      .write.parquet(s"$dir/_scheme")
+    val engine = new GraftEngine(spark, dir, buckets = 2)
+    assert(engine.addParam("legacy.series") === 42L,
+      "re-registration must return the LOGGED id, not a conflicting content-addressed one")
+    assert(engine.ls().count() === 1, "no duplicate row for the legacy name")
+    assert(engine.getParamId("legacy.series") === Some(42L))
+    // new names still get content-addressed ids
+    assert(engine.addParam("new.series") === GraftEngine.seriesId("new.series"))
+  }
+
+  test("per-id eraseOld with a mid-day cutoff erases cutoff-day rows before the exact time") {
+    val dir = tmpDir("graft-erase-midday")
+    val engine = new GraftEngine(spark, dir, buckets = 2)
+    engine.append(Seq(
+      Meas(1L, ts("2024-03-03 06:00:00"), 1.0, 1L, 1),
+      Meas(1L, ts("2024-03-03 18:00:00"), 2.0, 1L, 2),
+      Meas(2L, ts("2024-03-03 06:00:00"), 3.0, 1L, 3)))
+    engine.eraseOld(ts("2024-03-03 12:00:00"), Seq(1L))
+    val left = engine.merged.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSet
+    assert(left === Set(
+      (1L, ts("2024-03-03 18:00:00"), 2.0),
+      (2L, ts("2024-03-03 06:00:00"), 3.0)),
+      "the 06:00 row of id 1 is gone; id 1 after the cutoff and id 2 survive")
+  }
+
   test("per-id eraseOld rewrites only affected days; other series and newer rows survive") {
     val dir = tmpDir("graft-erase-id")
     val engine = new GraftEngine(spark, dir, buckets = 2)
