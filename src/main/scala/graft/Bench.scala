@@ -38,7 +38,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those queries
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       try runOnce(fn(spark, sfDir)) catch { case _: Throwable => () } // warm-up, untimed

@@ -41,6 +41,7 @@ object PlanAudit {
     "sim_topk"   -> ("broadcast-nested-loop-join", "broadcast side = fixed query set (bounded constant)"),
     "sim_ivf"    -> ("broadcast-nested-loop-join", "broadcast side = label centroids (bounded by #labels)"),
     "text_tfidf" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus count"),
+    "mixture_sample" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus count"),
   )
 
   /** Audit every registered query's physical plan; returns the flagged

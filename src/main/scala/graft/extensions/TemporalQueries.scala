@@ -1,0 +1,133 @@
+package graft.extensions
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.QueryDef
+import graft.sources.{EventsSource, Sql}
+
+/** Temporal join/resample operators over the events stream — the two
+  * query shapes every time-series engine ends up needing beyond plain
+  * interval reads (the reference's readTimePoint is the single-point
+  * special case of both [U: libdariadb/query.h — QueryTimePoint]):
+  *
+  *  - `asof_join`: for every probe row, the latest reference row
+  *    at-or-before its timestamp (trade↔quote / purchase↔click).
+  *  - `series_fill`: resample each series onto a fixed time grid with
+  *    forward fill + staleness age (gap-filled dashboards, feature
+  *    snapshots at training time).
+  *
+  * Both use the union + running `last(…, ignoreNulls)` window
+  * formulation rather than a range join: one shuffle on the partition
+  * key, no per-row interval probe, no O(probe × reference) candidate
+  * pairs. At 100 TB the window is per-user/per-series partitioned —
+  * bounded state, shuffle-parallel, and AQE-splittable; a range join
+  * would either broadcast a corpus-sized side or build an interval
+  * index per partition for strictly more work at the same answer.
+  *
+  * Determinism contract: tie rows at one timestamp are ordered
+  * (is_probe, seq) — reference rows sort before the probes they serve
+  * (at-or-before includes equality), and equal-time reference rows
+  * resolve to the highest seq, the store's freshness rule (O16).
+  */
+object TemporalQueries {
+
+  // -------------------------------------------------------------------
+  // asof_join: purchases probe, clicks reference, per user.
+  // -------------------------------------------------------------------
+  val asofJoin: QueryDef = QueryDef(
+    build = (s, d) => {
+      val u = EventsSource.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .filter(col("event_type").isin("purchase", "click"))
+        .withColumn("is_probe", when(col("event_type") === "purchase", lit(1)).otherwise(lit(0)))
+      val win = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_probe"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.withColumn("click_ts", last(when(col("is_probe") === 0, col("ts")), ignoreNulls = true).over(win))
+        .withColumn("click_value", last(when(col("is_probe") === 0, col("value")), ignoreNulls = true).over(win))
+        .filter(col("is_probe") === 1)
+        .select(col("user_id"), col("ts").as("purchase_ts"), col("event_id"),
+          col("value").as("purchase_value"), col("click_ts"), col("click_value"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("lag_us"))
+        .orderBy("user_id", "purchase_ts", "event_id")
+    },
+    oracle = Some(
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_probe
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |), w AS (
+        |  SELECT user_id, ts, event_id, value, is_probe,
+        |         last_value(CASE WHEN is_probe = 0 THEN ts END IGNORE NULLS) OVER win AS click_ts,
+        |         last_value(CASE WHEN is_probe = 0 THEN value END IGNORE NULLS) OVER win AS click_value
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, is_probe, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT user_id, ts AS purchase_ts, event_id, value AS purchase_value,
+        |       click_ts, click_value, epoch_us(ts) - epoch_us(click_ts) AS lag_us
+        |FROM w WHERE is_probe = 1 ORDER BY user_id, purchase_ts, event_id""".stripMargin),
+    doc = "temporal: as-of join (latest click at-or-before each purchase, per user)")
+
+  // -------------------------------------------------------------------
+  // series_fill: hourly grid over [FROM_G, TO_G] (inclusive ends, 49
+  // points), forward-filled per series with the fill's staleness age.
+  // Grid cardinality = |series| × 49 — output-proportional, never
+  // corpus-proportional.
+  // -------------------------------------------------------------------
+  private val FROM_G = "2024-01-10 00:00:00"
+  private val TO_G   = "2024-01-12 00:00:00"
+
+  val seriesFill: QueryDef = QueryDef(
+    build = (s, d) => {
+      val m0 = EventsSource.meas(s, d)
+      val m = m0.filter(col("time") <= lit(TO_G).cast("timestamp"))
+      // grid covers EVERY known series (not just those with data before
+      // the grid end) — a series first observed later still gets its 49
+      // null-filled grid rows, matching the oracle's DISTINCT over meas
+      val grid = m0.select("id").distinct()
+        .withColumn("t", explode(expr(
+          s"sequence(to_timestamp('$FROM_G'), to_timestamp('$TO_G'), interval 1 hour)")))
+      val obs = m.select(col("id"), col("time").as("t"),
+        lit(0).as("is_grid"), col("seq"), col("value"))
+      val gridRows = grid.select(col("id"), col("t"),
+        lit(1).as("is_grid"), lit(0L).as("seq"), lit(null).cast("double").as("value"))
+      val win = Window.partitionBy("id")
+        .orderBy(col("t"), col("is_grid"), col("seq"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      obs.unionByName(gridRows)
+        .withColumn("fv", last(when(col("is_grid") === 0, col("value")), ignoreNulls = true).over(win))
+        .withColumn("ft", last(when(col("is_grid") === 0, col("t")), ignoreNulls = true).over(win))
+        .filter(col("is_grid") === 1)
+        .select(col("id"), col("t").as("grid_ts"), col("fv").as("value"),
+          (unix_micros(col("t")) - unix_micros(col("ft"))).as("fill_age_us"))
+        .orderBy("id", "grid_ts")
+    },
+    oracle = Some(
+      s"""${Sql.MEAS_CTE}, g AS (
+         |  SELECT ids.id, gs.gts AS t
+         |  FROM (SELECT DISTINCT id FROM meas) ids
+         |  CROSS JOIN generate_series(TIMESTAMP '$FROM_G', TIMESTAMP '$TO_G', INTERVAL 1 HOUR) gs(gts)
+         |), u AS (
+         |  SELECT id, time AS t, 0 AS is_grid, seq, value FROM meas
+         |  WHERE time <= TIMESTAMP '$TO_G'
+         |  UNION ALL
+         |  SELECT id, t, 1, 0, NULL::DOUBLE FROM g
+         |), w AS (
+         |  SELECT id, t, is_grid,
+         |         last_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS) OVER win AS fv,
+         |         last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS) OVER win AS ft
+         |  FROM u
+         |  WINDOW win AS (PARTITION BY id ORDER BY t, is_grid, seq
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT id, t AS grid_ts, fv AS value, epoch_us(t) - epoch_us(ft) AS fill_age_us
+         |FROM w WHERE is_grid = 1 ORDER BY id, grid_ts""".stripMargin),
+    doc = "temporal: fixed-grid resample with forward fill + staleness age, per series")
+
+  val defs: Map[String, QueryDef] = Map(
+    "asof_join"   -> asofJoin,
+    "series_fill" -> seriesFill,
+  )
+}

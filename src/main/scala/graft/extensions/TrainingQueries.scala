@@ -222,7 +222,54 @@ object TrainingQueries {
          |FROM c ORDER BY doc_id""".stripMargin),
     doc = "training: sequence packing into fixed token-budget batches (per-shard running sum)")
 
+  // -------------------------------------------------------------------
+  // Mixture resampling: rebalance the corpus toward target language
+  // proportions (the domain/language-mixing step of corpus assembly).
+  // Per-lang acceptance rates derive from corpus counts with INTEGER
+  // arithmetic only (permille target × total ÷ lang count — identical
+  // `div` both engines, no float rounding to drift), and each document
+  // accepts itself via its deterministic md5 bucket — pure map-side
+  // after a tiny counts join, reproducible on any cluster.
+  //
+  // 100 TB shape: the rates table is |langs| rows joined broadcast; the
+  // corpus-side work is one grouped count plus a map-side filter — no
+  // corpus-sized shuffle, no RNG.
+  // -------------------------------------------------------------------
+  private val MIX_PERMILLE = Seq("en" -> 400L, "de" -> 200L, "es" -> 150L, "fr" -> 150L, "zh" -> 100L)
+
+  val mixtureSample: QueryDef = QueryDef(
+    build = (s, d) => {
+      val w = s.createDataFrame(MIX_PERMILLE).toDF("lang", "w")
+      val totals = docs(s, d).agg(count(lit(1)).as("t"))
+      val rates = docs(s, d).groupBy("lang").agg(count(lit(1)).as("n"))
+        .crossJoin(totals) // single-row corpus count — bounded broadcast
+        .join(w, "lang")
+        .withColumn("ppm", expr("least(CAST(1000 AS BIGINT), (w * t div 1000) * 1000 div n)"))
+        .select("lang", "ppm")
+      docs(s, d)
+        .withColumn("bkt", expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 1000"))
+        .join(rates, "lang")
+        .filter(col("bkt") < col("ppm"))
+        .select("doc_id", "lang", "source", "bkt", "ppm")
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      """WITH t AS (SELECT count(*)::BIGINT AS t FROM documents),
+        |n AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+        |w AS (SELECT * FROM (VALUES ('en', 400), ('de', 200), ('es', 150), ('fr', 150), ('zh', 100)) AS w(lang, w)),
+        |r AS (
+        |  SELECT n.lang, least(1000::BIGINT, ((w.w::BIGINT * t.t) // 1000) * 1000 // n.n) AS ppm
+        |  FROM n CROSS JOIN t JOIN w ON w.lang = n.lang
+        |)
+        |SELECT d.doc_id, d.lang, d.source,
+        |       ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS bkt, r.ppm
+        |FROM documents d JOIN r ON r.lang = d.lang
+        |WHERE ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000 < r.ppm
+        |ORDER BY d.doc_id""".stripMargin),
+    doc = "training: deterministic mixture resampling to target language proportions")
+
   val defs: Map[String, QueryDef] = Map(
+    "mixture_sample"    -> mixtureSample,
     "corpus_dedup"      -> corpusDedup,
     "train_split"       -> trainSplit,
     "sample_stratified" -> sampleStratified,
