@@ -42,6 +42,7 @@ object PlanAudit {
     "sim_ivf"    -> ("broadcast-nested-loop-join", "broadcast side = label centroids (bounded by #labels)"),
     "text_tfidf" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus count"),
     "mixture_sample" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus count"),
+    "vocab_topk" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus total"),
   )
 
   /** Audit every registered query's physical plan; returns the flagged

@@ -32,24 +32,56 @@ import graft.sources.{EventsSource, Sql}
   */
 object TemporalQueries {
 
+  import org.apache.spark.sql.DataFrame
+
+  /** Library form of the as-of join. Both inputs carry (k, t, seq, v);
+    * returns each probe row with (ref_t, ref_v) = the reference row with
+    * the greatest t ≤ probe t (ties on t resolved to the greatest seq),
+    * or nulls when no reference precedes. One shuffle on k. */
+  def asofCore(probes: DataFrame, refs: DataFrame): DataFrame = {
+    val u = probes.withColumn("is_probe", lit(1))
+      .unionByName(refs.withColumn("is_probe", lit(0)))
+    val win = Window.partitionBy("k")
+      .orderBy(col("t"), col("is_probe"), col("seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("ref_t", last(when(col("is_probe") === 0, col("t")), ignoreNulls = true).over(win))
+      .withColumn("ref_v", last(when(col("is_probe") === 0, col("v")), ignoreNulls = true).over(win))
+      .filter(col("is_probe") === 1)
+      .select("k", "t", "seq", "v", "ref_t", "ref_v")
+  }
+
+  /** Library form of grid forward-fill: every grid (k, t) row gains the
+    * latest observation value at-or-before t (ties to greatest seq) and
+    * the observation's timestamp, or nulls before the first one. */
+  def fillCore(obs: DataFrame, grid: DataFrame): DataFrame = {
+    val u = obs.withColumn("is_grid", lit(0))
+      .unionByName(grid
+        .withColumn("is_grid", lit(1))
+        .withColumn("seq", lit(0L))
+        .withColumn("v", lit(null).cast("double")))
+    val win = Window.partitionBy("k")
+      .orderBy(col("t"), col("is_grid"), col("seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("fv", last(when(col("is_grid") === 0, col("v")), ignoreNulls = true).over(win))
+      .withColumn("ft", last(when(col("is_grid") === 0, col("t")), ignoreNulls = true).over(win))
+      .filter(col("is_grid") === 1)
+      .select("k", "t", "fv", "ft")
+  }
+
   // -------------------------------------------------------------------
   // asof_join: purchases probe, clicks reference, per user.
   // -------------------------------------------------------------------
   val asofJoin: QueryDef = QueryDef(
     build = (s, d) => {
-      val u = EventsSource.events(s, d)
+      val ev = EventsSource.events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-        .filter(col("event_type").isin("purchase", "click"))
-        .withColumn("is_probe", when(col("event_type") === "purchase", lit(1)).otherwise(lit(0)))
-      val win = Window.partitionBy("user_id")
-        .orderBy(col("ts"), col("is_probe"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      u.withColumn("click_ts", last(when(col("is_probe") === 0, col("ts")), ignoreNulls = true).over(win))
-        .withColumn("click_value", last(when(col("is_probe") === 0, col("value")), ignoreNulls = true).over(win))
-        .filter(col("is_probe") === 1)
-        .select(col("user_id"), col("ts").as("purchase_ts"), col("event_id"),
-          col("value").as("purchase_value"), col("click_ts"), col("click_value"),
-          (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("lag_us"))
+      def shaped(tpe: String) = ev.filter(col("event_type") === tpe)
+        .select(col("user_id").as("k"), col("ts").as("t"),
+          col("event_id").as("seq"), col("value").as("v"))
+      asofCore(shaped("purchase"), shaped("click"))
+        .select(col("k").as("user_id"), col("t").as("purchase_ts"), col("seq").as("event_id"),
+          col("v").as("purchase_value"), col("ref_t").as("click_ts"), col("ref_v").as("click_value"),
+          (unix_micros(col("t")) - unix_micros(col("ref_t"))).as("lag_us"))
         .orderBy("user_id", "purchase_ts", "event_id")
     },
     oracle = Some(
@@ -82,25 +114,16 @@ object TemporalQueries {
   val seriesFill: QueryDef = QueryDef(
     build = (s, d) => {
       val m0 = EventsSource.meas(s, d)
-      val m = m0.filter(col("time") <= lit(TO_G).cast("timestamp"))
       // grid covers EVERY known series (not just those with data before
       // the grid end) — a series first observed later still gets its 49
       // null-filled grid rows, matching the oracle's DISTINCT over meas
-      val grid = m0.select("id").distinct()
+      val grid = m0.select(col("id").as("k")).distinct()
         .withColumn("t", explode(expr(
           s"sequence(to_timestamp('$FROM_G'), to_timestamp('$TO_G'), interval 1 hour)")))
-      val obs = m.select(col("id"), col("time").as("t"),
-        lit(0).as("is_grid"), col("seq"), col("value"))
-      val gridRows = grid.select(col("id"), col("t"),
-        lit(1).as("is_grid"), lit(0L).as("seq"), lit(null).cast("double").as("value"))
-      val win = Window.partitionBy("id")
-        .orderBy(col("t"), col("is_grid"), col("seq"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      obs.unionByName(gridRows)
-        .withColumn("fv", last(when(col("is_grid") === 0, col("value")), ignoreNulls = true).over(win))
-        .withColumn("ft", last(when(col("is_grid") === 0, col("t")), ignoreNulls = true).over(win))
-        .filter(col("is_grid") === 1)
-        .select(col("id"), col("t").as("grid_ts"), col("fv").as("value"),
+      val obs = m0.filter(col("time") <= lit(TO_G).cast("timestamp"))
+        .select(col("id").as("k"), col("time").as("t"), col("seq"), col("value").as("v"))
+      fillCore(obs, grid)
+        .select(col("k").as("id"), col("t").as("grid_ts"), col("fv").as("value"),
           (unix_micros(col("t")) - unix_micros(col("ft"))).as("fill_age_us"))
         .orderBy("id", "grid_ts")
     },

@@ -362,7 +362,101 @@ object TextQueries {
          |ORDER BY ta.doc_id""".stripMargin),
     doc = "X4 repetition quality filters (dup-token / top-token / top-bigram fractions)")
 
+  // -------------------------------------------------------------------
+  // Composite quality gate: the C4/Gopher-style keep/drop decision with
+  // machine-readable reject reasons. Every signal is INTEGER arithmetic
+  // (per-mille via BIGINT div) — no float rounding to drift between
+  // engines, and the gate is reproducible bit-for-bit on any cluster.
+  // Map-only scan; the reasons string is the audit trail a 100 TB
+  // filtering run ships alongside the kept corpus.
+  // -------------------------------------------------------------------
+  private val MIN_TOKENS = 30L
+  private val MIN_DISTINCT_PM = 300L   // distinct/total per-mille
+  private val TOKLEN_PM_LO = 2000L     // mean token length per-mille (chars ×1000)
+  private val TOKLEN_PM_HI = 15000L
+
+  val qualityGate: QueryDef = QueryDef(
+    build = (s, d) =>
+      docs(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("distinct_pm", expr("CAST(size(array_distinct(toks)) AS BIGINT) * 1000 div n_tokens"))
+        .withColumn("toklen_pm", expr("CAST(length(concat_ws('', toks)) AS BIGINT) * 1000 div n_tokens"))
+        .withColumn("reasons", concat(
+          when(col("n_tokens") < MIN_TOKENS, lit("short;")).otherwise(lit("")),
+          when(col("distinct_pm") < MIN_DISTINCT_PM, lit("repetitive;")).otherwise(lit("")),
+          when(col("toklen_pm") < TOKLEN_PM_LO || col("toklen_pm") > TOKLEN_PM_HI,
+            lit("tok_len;")).otherwise(lit(""))))
+        .select(col("doc_id"), col("n_tokens"), col("distinct_pm"), col("toklen_pm"),
+          (col("reasons") === "").as("keep"), col("reasons"))
+        .orderBy("doc_id"),
+    oracle = Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |         len(toks)::BIGINT AS n_tokens,
+         |         len(list_distinct(toks))::BIGINT * 1000 // len(toks) AS distinct_pm,
+         |         length(array_to_string(toks, ''))::BIGINT * 1000 // len(toks) AS toklen_pm
+         |  FROM t
+         |), r AS (
+         |  SELECT *,
+         |         (CASE WHEN n_tokens < $MIN_TOKENS THEN 'short;' ELSE '' END ||
+         |          CASE WHEN distinct_pm < $MIN_DISTINCT_PM THEN 'repetitive;' ELSE '' END ||
+         |          CASE WHEN toklen_pm < $TOKLEN_PM_LO OR toklen_pm > $TOKLEN_PM_HI THEN 'tok_len;' ELSE '' END) AS reasons
+         |  FROM m
+         |)
+         |SELECT doc_id, n_tokens, distinct_pm, toklen_pm, reasons = '' AS keep, reasons
+         |FROM r ORDER BY doc_id""".stripMargin),
+    doc = "X4 composite quality gate (keep/drop with reject-reason audit trail)")
+
+  // -------------------------------------------------------------------
+  // Vocabulary induction: top-K corpus tokens by frequency with
+  // cumulative-coverage per-mille — the "how big must the vocab be"
+  // question of tokenizer training. Token counts are one grouped agg
+  // (vocab-sized output); the cumulative window runs over the top-K
+  // rows only, after a TakeOrderedAndProject — never over the full
+  // vocabulary. The partition key is a non-foldable constant
+  // (pmod(hash, 1)) so EliminateWindowPartitions cannot rewrite it
+  // into a flagged global window: the single partition is bounded at
+  // K rows by construction.
+  // -------------------------------------------------------------------
+  private val VOCAB_K = 100
+
+  val vocabTopK: QueryDef = QueryDef(
+    build = (s, d) => {
+      val counts = docs(s, d)
+        .select(explode(expr(toksExpr)).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum("cnt").as("total"))
+      val top = counts.orderBy(col("cnt").desc, col("token")).limit(VOCAB_K)
+      val win = Window.partitionBy(pmod(hash(col("token")), lit(1)))
+        .orderBy(col("cnt").desc, col("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      top.crossJoin(total) // single-row corpus total — bounded broadcast
+        .withColumn("rank", row_number().over(win).cast("long"))
+        .withColumn("cum_pm", expr("sum(cnt) OVER (PARTITION BY pmod(hash(token), 1) ORDER BY cnt DESC, token ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000 div total"))
+        .select("rank", "token", "cnt", "cum_pm")
+        .orderBy("rank")
+    },
+    oracle = Some(
+      s"""WITH c AS (
+         |  SELECT u.t AS token, count(*)::BIGINT AS cnt
+         |  FROM (SELECT $toksSql AS toks FROM documents) d, unnest(d.toks) AS u(t)
+         |  GROUP BY u.t
+         |), tot AS (SELECT sum(cnt)::BIGINT AS total FROM c),
+         |top AS (
+         |  SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT $VOCAB_K
+         |)
+         |SELECT row_number() OVER (ORDER BY cnt DESC, token)::BIGINT AS rank,
+         |       token, cnt,
+         |       (sum(cnt) OVER (ORDER BY cnt DESC, token ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT * 1000 // tot.total) AS cum_pm
+         |FROM top CROSS JOIN tot ORDER BY rank""".stripMargin),
+    doc = "X4 vocabulary induction (top-K tokens + cumulative coverage)")
+
   val defs: Map[String, QueryDef] = Map(
+    "quality_gate"     -> qualityGate,
+    "vocab_topk"       -> vocabTopK,
     "text_stats"       -> textStats,
     "text_repetition"  -> repetition,
     "text_tokens"      -> tokenCounts,
