@@ -106,6 +106,51 @@ object StatefulStreams {
       .toDF()
   }
 
+  // ---- streaming as-of enrichment (flatMapGroupsWithState) -----------
+
+  case class TaggedRow(k: Long, t: java.sql.Timestamp, seq: Long, v: Double, is_probe: Boolean)
+  case class RefState(t: java.sql.Timestamp, seq: Long, v: Double)
+  case class AsofOut(k: Long, t: java.sql.Timestamp, seq: Long, v: Double,
+                     ref_t: Option[java.sql.Timestamp], ref_v: Option[Double])
+
+  /** Streaming analog of the batch as-of join
+    * (extensions/TemporalQueries.asofCore): probe rows are enriched
+    * with the freshest reference row seen so far for their key; state
+    * is ONE reference per key — constant-size, like currentValues.
+    *
+    * Semantics note (deliberate, documented difference from batch):
+    * this is latest-reference-AT-ENRICH-TIME — processing-order
+    * semantics, the same contract as the reference engine's subscribe
+    * push [U: network/libserver — SUBSCRIBE]. Within a microbatch rows
+    * are time-ordered (references before the probes they serve, seq
+    * tie-break = store freshness rule), so the batch-local answer
+    * matches the event-time operator; across batches a reference that
+    * arrives late cannot retro-enrich an already-emitted probe — the
+    * batch asof_join is the backfill path, this is the incremental
+    * tail. */
+  def asofEnrich(tagged: org.apache.spark.sql.Dataset[TaggedRow]): DataFrame = {
+    import tagged.sparkSession.implicits._
+    tagged
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[RefState, AsofOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: Long, batch: Iterator[TaggedRow], state: GroupState[RefState]) =>
+          val sorted = batch.toSeq.sortBy(r => (r.t.getTime, r.is_probe, r.seq))
+          val out = scala.collection.mutable.ArrayBuffer[AsofOut]()
+          var st = state.getOption
+          sorted.foreach { r =>
+            if (!r.is_probe) {
+              if (st.forall(s => newer(r.t, r.seq, s.t, s.seq)))
+                st = Some(RefState(r.t, r.seq, r.v))
+            } else
+              out += AsofOut(r.k, r.t, r.seq, r.v, st.map(_.t), st.map(_.v))
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** Run the session stream into a queryable in-memory sink. */
   def startSessions(spark: SparkSession, dir: String, gapMinutes: Long,
                     queryName: String, checkpoint: String): StreamingQuery =

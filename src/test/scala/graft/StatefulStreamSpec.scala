@@ -46,6 +46,49 @@ class StatefulStreamSpec extends SparkSpec {
     assert(l2(1L) === ((2.0, 3L)), "stale measurement counted but not surfaced")
   }
 
+  test("streaming as-of enrich: batch-local event-time order, cross-batch state, stale refs ignored") {
+    import graft.streaming.StatefulStreams.TaggedRow
+    val dir = tmpDir("graft-asof-src")
+    val ckpt = tmpDir("graft-asof-ckpt")
+    def writeTagged(rows: Seq[TaggedRow]): Unit =
+      spark.createDataset(rows).toDF().write.mode("append").parquet(dir)
+
+    // batch 1: a probe BEFORE the batch's ref gets no enrichment (rows
+    // are time-ordered within a batch); a probe after it gets enriched
+    writeTagged(Seq(
+      TaggedRow(1L, ts("2024-03-01 09:00:00"), 1L, 1.0, is_probe = true),
+      TaggedRow(1L, ts("2024-03-01 10:00:00"), 2L, 10.0, is_probe = false),
+      TaggedRow(1L, ts("2024-03-01 10:30:00"), 3L, 2.0, is_probe = true)))
+    val stream = spark.readStream.schema(spark.createDataset(Seq.empty[TaggedRow]).schema)
+      .parquet(dir).as[TaggedRow]
+    val q = StatefulStreams.asofEnrich(stream).writeStream
+      .format("memory").queryName("asof_enrich")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+
+    def outBySeq(): Map[Long, Option[Double]] =
+      spark.sql("SELECT seq, ref_v FROM asof_enrich").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+
+    val o1 = outBySeq()
+    assert(o1(1L) === None, "probe before the batch's only reference must stay unenriched")
+    assert(o1(3L) === Some(10.0), "probe after the reference picks it up")
+
+    // batch 2: state carries the 10:00 ref across batches; a STALE ref
+    // (09:30) must not displace it; a fresher ref then takes over
+    writeTagged(Seq(
+      TaggedRow(1L, ts("2024-03-01 09:30:00"), 4L, 99.0, is_probe = false),
+      TaggedRow(1L, ts("2024-03-01 11:00:00"), 5L, 3.0, is_probe = true),
+      TaggedRow(1L, ts("2024-03-01 11:30:00"), 6L, 20.0, is_probe = false),
+      TaggedRow(1L, ts("2024-03-01 11:45:00"), 7L, 4.0, is_probe = true)))
+    q.processAllAvailable()
+    q.stop()
+
+    val o2 = outBySeq()
+    assert(o2(5L) === Some(10.0), "cross-batch state enriches; the stale 09:30 ref is ignored")
+    assert(o2(7L) === Some(20.0), "fresher in-batch reference takes over")
+  }
+
   test("streaming sessionizer closes sessions on gap, carries open sessions across batches") {
     val dir = tmpDir("graft-sess-src")
     val ckpt = tmpDir("graft-sess-ckpt")
