@@ -316,6 +316,11 @@ object MiscQueries {
          |FROM o ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin),
     doc = "relational: per-customer running revenue (bounded ordered window, integer cents)")
 
+  // Declared ABOVE `defs`: building the map forces the lazy QueryDefs
+  // below, whose oracle strings interpolate this at that moment — a
+  // constant declared after `defs` would still read 0.
+  private val FUNNEL_US = 24L * 3600L * 1000000L
+
   val defs: Map[String, QueryDef] = Map(
     "multimodal_meta" -> multimodalMeta,
     "events_props"    -> eventsProps,
@@ -328,6 +333,7 @@ object MiscQueries {
     "set_ops"         -> setOps,
     "cohort_retention" -> cohortRetention,
     "running_revenue" -> runningRevenue,
+    "events_funnel"   -> eventsFunnel,
   )
 
   // -------------------------------------------------------------------
@@ -361,4 +367,48 @@ object MiscQueries {
         |GROUP BY f.cohort_week, week_offset
         |ORDER BY cohort_week, week_offset""".stripMargin),
     doc = "events cohort retention (first-activity week × active-week offset)")
+
+  // -------------------------------------------------------------------
+  // Funnel: first click → first qualifying purchase within a 24h
+  // horizon, per user. Stage 2 is a conditional argmin over the joined
+  // purchases — the left join and the regroup share the user_id hash
+  // partitioning (group keys are a superset of the join key), so the
+  // whole funnel is ONE shuffle of each input on user_id; no window.
+  // -------------------------------------------------------------------
+  lazy val eventsFunnel: QueryDef = QueryDef(
+    build = (s, d) => {
+      val ev = graft.sources.EventsSource.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min("ts").as("first_click"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      val qualifies = col("ts") >= col("first_click") &&
+        unix_micros(col("ts")) - unix_micros(col("first_click")) <= lit(FUNNEL_US)
+      clicks.join(purchases, Seq("user_id"), "left")
+        .groupBy("user_id", "first_click")
+        .agg(min(when(qualifies, col("ts"))).as("first_purchase"))
+        .select(col("user_id"), col("first_click"), col("first_purchase"),
+          when(col("first_purchase").isNotNull, 1L).otherwise(0L).as("converted"),
+          (unix_micros(col("first_purchase")) - unix_micros(col("first_click"))).as("delay_us"))
+        .orderBy("user_id")
+    },
+    oracle = Some(
+      s"""WITH c AS (
+         |  SELECT user_id, min(ts) AS first_click FROM events
+         |  WHERE event_type = 'click' GROUP BY user_id
+         |), p AS (
+         |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+         |), f AS (
+         |  SELECT c.user_id, c.first_click,
+         |         min(CASE WHEN p.ts >= c.first_click
+         |                   AND epoch_us(p.ts) - epoch_us(c.first_click) <= $FUNNEL_US
+         |                  THEN p.ts END) AS first_purchase
+         |  FROM c LEFT JOIN p ON c.user_id = p.user_id
+         |  GROUP BY c.user_id, c.first_click
+         |)
+         |SELECT user_id, first_click, first_purchase,
+         |       CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END::BIGINT AS converted,
+         |       epoch_us(first_purchase) - epoch_us(first_click) AS delay_us
+         |FROM f ORDER BY user_id""".stripMargin),
+    doc = "events funnel: first click → first purchase within 24h, per user (one shuffle)")
 }

@@ -32,7 +32,7 @@ import graft.sources.{EventsSource, Sql}
   */
 object TemporalQueries {
 
-  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.{Column, DataFrame}
 
   /** Library form of the as-of join. Both inputs carry (k, t, seq, v);
     * returns each probe row with (ref_t, ref_v) = the reference row with
@@ -149,8 +149,172 @@ object TemporalQueries {
          |FROM w WHERE is_grid = 1 ORDER BY id, grid_ts""".stripMargin),
     doc = "temporal: fixed-grid resample with forward fill + staleness age, per series")
 
+  /** Library form of linear interpolation at grid points: each grid
+    * (k, t) row gets pv/pt = latest observation at-or-before t and
+    * nv/nt = earliest observation strictly after t (an observation AT
+    * the grid instant is an exact hit served by the pv branch). Both
+    * window frames share one partitioning and sort — a single shuffle
+    * and a single per-key ordered scan, like fillCore. */
+  def interpCore(obs: DataFrame, grid: DataFrame): DataFrame = {
+    val u = obs.withColumn("is_grid", lit(0))
+      .unionByName(grid
+        .withColumn("is_grid", lit(1))
+        .withColumn("seq", lit(0L))
+        .withColumn("v", lit(null).cast("double")))
+    val past = Window.partitionBy("k")
+      .orderBy(col("t"), col("is_grid"), col("seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val future = Window.partitionBy("k")
+      .orderBy(col("t"), col("is_grid"), col("seq"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsOnly = (c: Column) => when(col("is_grid") === 0, c)
+    u.withColumn("pv", last(obsOnly(col("v")), ignoreNulls = true).over(past))
+      .withColumn("pt", last(obsOnly(col("t")), ignoreNulls = true).over(past))
+      .withColumn("nv", first(obsOnly(col("v")), ignoreNulls = true).over(future))
+      .withColumn("nt", first(obsOnly(col("t")), ignoreNulls = true).over(future))
+      .filter(col("is_grid") === 1)
+      .select(col("k"), col("t"), col("pv"), col("pt"), col("nv"), col("nt"))
+  }
+
+  // -------------------------------------------------------------------
+  // series_interp: linear interpolation onto the same hourly grid as
+  // series_fill. The interpolation arithmetic is written ONCE in a fixed
+  // operation order (sub, cast, div, mul, add — all IEEE-754 double) and
+  // mirrored verbatim in the oracle: identical ops in identical order
+  // are bit-deterministic across engines, unlike reassociated sums.
+  // -------------------------------------------------------------------
+  val seriesInterp: QueryDef = QueryDef(
+    build = (s, d) => {
+      val m0 = EventsSource.meas(s, d)
+      val grid = m0.select(col("id").as("k")).distinct()
+        .withColumn("t", explode(expr(
+          s"sequence(to_timestamp('$FROM_G'), to_timestamp('$TO_G'), interval 1 hour)")))
+      val obs = m0.select(col("id").as("k"), col("time").as("t"), col("seq"), col("value").as("v"))
+      val ratio = (unix_micros(col("t")) - unix_micros(col("pt"))).cast("double") /
+        (unix_micros(col("nt")) - unix_micros(col("pt"))).cast("double")
+      interpCore(obs, grid)
+        .select(col("k").as("id"), col("t").as("grid_ts"),
+          when(col("pt") === col("t"), col("pv"))
+            .when(col("pt").isNotNull && col("nt").isNotNull,
+              col("pv") + (col("nv") - col("pv")) * ratio)
+            .as("value"))
+        .orderBy("id", "grid_ts")
+    },
+    oracle = Some(
+      s"""${Sql.MEAS_CTE}, g AS (
+         |  SELECT ids.id, gs.gts AS t
+         |  FROM (SELECT DISTINCT id FROM meas) ids
+         |  CROSS JOIN generate_series(TIMESTAMP '$FROM_G', TIMESTAMP '$TO_G', INTERVAL 1 HOUR) gs(gts)
+         |), u AS (
+         |  SELECT id, time AS t, 0 AS is_grid, seq, value FROM meas
+         |  UNION ALL
+         |  SELECT id, t, 1, 0, NULL::DOUBLE FROM g
+         |), w AS (
+         |  SELECT id, t, is_grid,
+         |         last_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS) OVER win_p AS pv,
+         |         last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS) OVER win_p AS pt,
+         |         first_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS) OVER win_f AS nv,
+         |         first_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS) OVER win_f AS nt
+         |  FROM u
+         |  WINDOW win_p AS (PARTITION BY id ORDER BY t, is_grid, seq
+         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         win_f AS (PARTITION BY id ORDER BY t, is_grid, seq
+         |                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |)
+         |SELECT id, t AS grid_ts,
+         |       CASE WHEN pt = t THEN pv
+         |            WHEN pt IS NOT NULL AND nt IS NOT NULL
+         |            THEN pv + (nv - pv) * ((epoch_us(t) - epoch_us(pt))::DOUBLE
+         |                                   / (epoch_us(nt) - epoch_us(pt))::DOUBLE)
+         |       END AS value
+         |FROM w WHERE is_grid = 1 ORDER BY id, grid_ts""".stripMargin),
+    doc = "temporal: fixed-grid resample with LINEAR interpolation between neighbors, per series")
+
+  // -------------------------------------------------------------------
+  // series_bars: OHLC downsampling — the bar/candle operator every
+  // time-series store grows. open/close are argmin/argmax of the full
+  // (time, seq) order within the bucket (seq = store freshness rule for
+  // equal timestamps); one grouped aggregation, partial agg map-side,
+  // no window over the data.
+  // -------------------------------------------------------------------
+  val seriesBars: QueryDef = QueryDef(
+    build = (s, d) =>
+      EventsSource.meas(s, d)
+        .groupBy(col("id"), date_trunc("hour", col("time")).as("bucket"))
+        .agg(
+          min_by(col("value"), struct(col("time"), col("seq"))).as("open"),
+          max_by(col("value"), struct(col("time"), col("seq"))).as("close"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          count(lit(1)).as("cnt"))
+        .orderBy("id", "bucket"),
+    oracle = Some(
+      s"""${Sql.MEAS_CTE}, b AS (
+         |  SELECT id, date_trunc('hour', time) AS bucket, value,
+         |         row_number() OVER (PARTITION BY id, date_trunc('hour', time)
+         |                            ORDER BY time, seq) AS rn_a,
+         |         row_number() OVER (PARTITION BY id, date_trunc('hour', time)
+         |                            ORDER BY time DESC, seq DESC) AS rn_d
+         |  FROM meas
+         |)
+         |SELECT id, bucket,
+         |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+         |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+         |       max(value) AS high, min(value) AS low, count(*)::BIGINT AS cnt
+         |FROM b GROUP BY id, bucket ORDER BY id, bucket""".stripMargin),
+    doc = "temporal: OHLC bars per series per hour (argmin/argmax by (time, seq) order)")
+
+  // -------------------------------------------------------------------
+  // asof_tolerance: the bounded-staleness as-of join. Because the as-of
+  // match is the LATEST reference at-or-before the probe, a staleness
+  // bound is a post-filter on that single match (any other reference is
+  // older still) — no second join, no extra shuffle.
+  // -------------------------------------------------------------------
+  private val TOL_US = 6L * 3600L * 1000000L // 6 hours
+
+  val asofTolerance: QueryDef = QueryDef(
+    build = (s, d) => {
+      val ev = EventsSource.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      def shaped(tpe: String) = ev.filter(col("event_type") === tpe)
+        .select(col("user_id").as("k"), col("ts").as("t"),
+          col("event_id").as("seq"), col("value").as("v"))
+      val lagUs = unix_micros(col("t")) - unix_micros(col("ref_t"))
+      val fresh = col("ref_t").isNotNull && lagUs <= lit(TOL_US)
+      asofCore(shaped("purchase"), shaped("click"))
+        .select(col("k").as("user_id"), col("t").as("purchase_ts"), col("seq").as("event_id"),
+          col("v").as("purchase_value"),
+          when(fresh, col("ref_t")).as("click_ts"),
+          when(fresh, col("ref_v")).as("click_value"),
+          when(fresh, lagUs).as("lag_us"))
+        .orderBy("user_id", "purchase_ts", "event_id")
+    },
+    oracle = Some(
+      s"""WITH u AS (
+         |  SELECT user_id, ts, event_id, value,
+         |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_probe
+         |  FROM events WHERE event_type IN ('purchase', 'click')
+         |), w AS (
+         |  SELECT user_id, ts, event_id, value, is_probe,
+         |         last_value(CASE WHEN is_probe = 0 THEN ts END IGNORE NULLS) OVER win AS ct,
+         |         last_value(CASE WHEN is_probe = 0 THEN value END IGNORE NULLS) OVER win AS cv
+         |  FROM u
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, is_probe, event_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT user_id, ts AS purchase_ts, event_id, value AS purchase_value,
+         |       CASE WHEN epoch_us(ts) - epoch_us(ct) <= $TOL_US THEN ct END AS click_ts,
+         |       CASE WHEN epoch_us(ts) - epoch_us(ct) <= $TOL_US THEN cv END AS click_value,
+         |       CASE WHEN epoch_us(ts) - epoch_us(ct) <= $TOL_US
+         |            THEN epoch_us(ts) - epoch_us(ct) END AS lag_us
+         |FROM w WHERE is_probe = 1 ORDER BY user_id, purchase_ts, event_id""".stripMargin),
+    doc = "temporal: as-of join with a staleness tolerance (match dropped when older than 6h)")
+
   val defs: Map[String, QueryDef] = Map(
-    "asof_join"   -> asofJoin,
-    "series_fill" -> seriesFill,
+    "asof_join"      -> asofJoin,
+    "asof_tolerance" -> asofTolerance,
+    "series_fill"    -> seriesFill,
+    "series_interp"  -> seriesInterp,
+    "series_bars"    -> seriesBars,
   )
 }

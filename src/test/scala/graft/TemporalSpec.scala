@@ -62,4 +62,44 @@ class TemporalSpec extends SparkSpec {
     assert(row.getTimestamp(3) === ts("2024-01-01 10:00:00"),
       "ft must be the supplying observation's timestamp (staleness-age source)")
   }
+
+  test("interpCore: neighbor selection — exact hit served by prev, strict-after next, edge nulls") {
+    val obs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 10.0),
+      (1L, ts("2024-01-01 12:00:00"), 2L, 30.0),
+    ).toDF("k", "t", "seq", "v")
+    val grid = Seq(
+      (1L, ts("2024-01-01 09:00:00")), // before first obs → pt null
+      (1L, ts("2024-01-01 10:00:00")), // exact hit → pt == t, pv = 10
+      (1L, ts("2024-01-01 11:30:00")), // between → pv=10, nv=30
+      (1L, ts("2024-01-01 13:00:00")), // after last obs → nt null
+    ).toDF("k", "t")
+
+    val out = TemporalQueries.interpCore(obs, grid).collect()
+      .map(r => r.getTimestamp(1) ->
+        ((Option(r.get(2)), Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))).toMap
+    assert(out(ts("2024-01-01 09:00:00"))._2 === None, "no observation before the first grid point")
+    assert(out(ts("2024-01-01 09:00:00"))._3 === Some(10.0), "next obs visible from before the range")
+    assert(out(ts("2024-01-01 10:00:00"))._2 === Some(ts("2024-01-01 10:00:00")),
+      "an observation AT the grid instant is the prev neighbor (exact hit)")
+    assert(out(ts("2024-01-01 11:30:00"))._1 === Some(10.0))
+    assert(out(ts("2024-01-01 11:30:00"))._3 === Some(30.0))
+    assert(out(ts("2024-01-01 13:00:00"))._3 === None, "no observation after the last grid point")
+  }
+
+  test("interpCore: equal-ts observations resolve prev to greatest seq; linear midpoint is exact") {
+    val obs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 99.0), // superseded at equal ts
+      (1L, ts("2024-01-01 10:00:00"), 2L, 10.0), // freshest at 10:00 — must win
+      (1L, ts("2024-01-01 12:00:00"), 3L, 30.0),
+    ).toDF("k", "t", "seq", "v")
+    val grid = Seq((1L, ts("2024-01-01 11:00:00"))).toDF("k", "t")
+    val r = TemporalQueries.interpCore(obs, grid).collect().head
+    assert(r.getDouble(2) === 10.0, "prev value must be the greatest-seq observation at its ts")
+    // the seriesInterp formula on these neighbors: 10 + (30-10) * (3600/7200) = 20 exactly
+    val v = r.getDouble(2) + (r.getDouble(4) - r.getDouble(2)) *
+      ((r.getTimestamp(1).getTime - r.getTimestamp(3).getTime).toDouble /
+        (r.getTimestamp(5).getTime - r.getTimestamp(3).getTime).toDouble)
+    assert(v === 20.0)
+  }
 }
