@@ -153,8 +153,9 @@ object TemporalQueries {
     * (k, t) row gets pv/pt = latest observation at-or-before t and
     * nv/nt = earliest observation strictly after t (an observation AT
     * the grid instant is an exact hit served by the pv branch). Both
-    * window frames share one partitioning and sort — a single shuffle
-    * and a single per-key ordered scan, like fillCore. */
+    * window frames share one partitioning and sort order, so the plan
+    * has ONE Exchange + ONE Sort feeding two pipelined Window passes —
+    * no second shuffle, no re-sort. */
   def interpCore(obs: DataFrame, grid: DataFrame): DataFrame = {
     val u = obs.withColumn("is_grid", lit(0))
       .unionByName(grid
