@@ -44,8 +44,12 @@ object TemporalQueries {
     val win = Window.partitionBy("k")
       .orderBy(col("t"), col("is_probe"), col("seq"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn("ref_t", last(when(col("is_probe") === 0, col("t")), ignoreNulls = true).over(win))
-      .withColumn("ref_v", last(when(col("is_probe") === 0, col("v")), ignoreNulls = true).over(win))
+    // one select, not a withColumn chain: same-spec window expressions
+    // then land in a single Window operator (one buffered pass per key
+    // instead of one per column)
+    u.select(col("k"), col("t"), col("seq"), col("v"), col("is_probe"),
+        last(when(col("is_probe") === 0, col("t")), ignoreNulls = true).over(win).as("ref_t"),
+        last(when(col("is_probe") === 0, col("v")), ignoreNulls = true).over(win).as("ref_v"))
       .filter(col("is_probe") === 1)
       .select("k", "t", "seq", "v", "ref_t", "ref_v")
   }
@@ -62,8 +66,9 @@ object TemporalQueries {
     val win = Window.partitionBy("k")
       .orderBy(col("t"), col("is_grid"), col("seq"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn("fv", last(when(col("is_grid") === 0, col("v")), ignoreNulls = true).over(win))
-      .withColumn("ft", last(when(col("is_grid") === 0, col("t")), ignoreNulls = true).over(win))
+    u.select(col("k"), col("t"), col("is_grid"),
+        last(when(col("is_grid") === 0, col("v")), ignoreNulls = true).over(win).as("fv"),
+        last(when(col("is_grid") === 0, col("t")), ignoreNulls = true).over(win).as("ft"))
       .filter(col("is_grid") === 1)
       .select("k", "t", "fv", "ft")
   }
@@ -169,10 +174,11 @@ object TemporalQueries {
       .orderBy(col("t"), col("is_grid"), col("seq"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val obsOnly = (c: Column) => when(col("is_grid") === 0, c)
-    u.withColumn("pv", last(obsOnly(col("v")), ignoreNulls = true).over(past))
-      .withColumn("pt", last(obsOnly(col("t")), ignoreNulls = true).over(past))
-      .withColumn("nv", first(obsOnly(col("v")), ignoreNulls = true).over(future))
-      .withColumn("nt", first(obsOnly(col("t")), ignoreNulls = true).over(future))
+    u.select(col("k"), col("t"), col("is_grid"),
+        last(obsOnly(col("v")), ignoreNulls = true).over(past).as("pv"),
+        last(obsOnly(col("t")), ignoreNulls = true).over(past).as("pt"),
+        first(obsOnly(col("v")), ignoreNulls = true).over(future).as("nv"),
+        first(obsOnly(col("t")), ignoreNulls = true).over(future).as("nt"))
       .filter(col("is_grid") === 1)
       .select(col("k"), col("t"), col("pv"), col("pt"), col("nv"), col("nt"))
   }
