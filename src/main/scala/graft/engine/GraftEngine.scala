@@ -195,6 +195,38 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
   def currentValue(ids: Seq[Long], flag: Long): DataFrame =
     readTimePoint(QueryTimePoint(ids, flag, new Timestamp(Long.MaxValue >> 12)))
 
+  /** Grid read — the dashboard/feature-snapshot shape: every catalog
+    * series sampled on a fixed step over [from, to], forward-filled
+    * with a bounded staleness horizon (readTimePoint is the single-
+    * point special case). The bound is what makes this an engine-grade
+    * scan: plain forward fill implies unbounded history lookback, but a
+    * fill older than maxStaleness answers null anyway — so the read is
+    * day-pruned to [from − maxStaleness, to], a constant-width window
+    * however old the store is. Grid ids come from the scheme catalog
+    * (O14): a registered series with no rows in the window still emits
+    * its grid points with null value — the _NO_DATA analog. One shuffle
+    * (on id), one sort, one window pass (TemporalQueries.fillCore). */
+  def readGrid(from: Timestamp, to: Timestamp, stepSeconds: Long,
+               maxStalenessSeconds: Long): DataFrame = {
+    require(!to.before(from), "readGrid: inverted interval")
+    require(stepSeconds > 0, "readGrid: step must be positive")
+    require(maxStalenessSeconds >= 0, "readGrid: staleness must be nonnegative")
+    val lower = new Timestamp(from.getTime - maxStalenessSeconds * 1000L)
+    val obs = mergedRange(Some(lower), Some(to))
+      .filter(col("time").between(lit(lower), lit(to)))
+      .select(col("id").as("k"), col("time").as("t"), col("seq"), col("value").as("v"))
+    val grid = ls().select(col("series_id").as("k"))
+      .withColumn("t", explode(sequence(lit(from), lit(to), expr(s"interval $stepSeconds seconds"))))
+    val stalenessUs = maxStalenessSeconds * 1000000L
+    val fresh = col("ft").isNotNull &&
+      (unix_micros(col("t")) - unix_micros(col("ft"))) <= lit(stalenessUs)
+    graft.extensions.TemporalQueries.fillCore(obs, grid)
+      .select(col("k").as("id"), col("t").as("grid_ts"),
+        when(fresh, col("fv")).as("value"),
+        when(fresh, unix_micros(col("t")) - unix_micros(col("ft"))).as("fill_age_us"))
+      .orderBy("id", "grid_ts")
+  }
+
   // ---- O6/O8/O9 aggregates -----------------------------------------
   /** O6: min/max time per series — answered from the stats index when
     * present (a |days|×1 aggregate over index rows, no data-file scan;

@@ -111,6 +111,43 @@ class EngineSpec extends SparkSpec {
     assert(engine.merged.count() === 1)
   }
 
+  test("readGrid: staleness-bounded forward fill, catalog-driven grid, out-of-horizon days pruned") {
+    val dir = tmpDir("graft-grid")
+    val engine = new GraftEngine(spark, dir, buckets = 2)
+    val idA = engine.addParam("grid.a")
+    val idB = engine.addParam("grid.b") // registered, no data → null grid rows
+    engine.append(Seq(
+      Meas(idA, ts("2024-03-01 10:00:00"), 1.0, 1L, 1),   // far outside the horizon
+      Meas(idA, ts("2024-03-05 09:30:00"), 5.0, 1L, 2),
+      Meas(idA, ts("2024-03-05 11:10:00"), 7.0, 1L, 3)))
+
+    // horizon = 1h back from 10:00 → scan range [09:00, 13:00]: the
+    // 2024-03-01 day partition is pruned. Prove it the hard way: corrupt
+    // that partition on disk — a pruned read must still succeed.
+    val day1 = new java.io.File(s"$dir/data/day=2024-03-01")
+    day1.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => java.nio.file.Files.write(f.toPath, "ruined".getBytes))
+
+    val out = engine.readGrid(ts("2024-03-05 10:00:00"), ts("2024-03-05 13:00:00"),
+      stepSeconds = 3600L, maxStalenessSeconds = 3600L)
+    val rows = out.collect()
+    assert(rows.length === 8, "2 catalog series x 4 grid points")
+
+    def cell(id: Long, t: String): Option[Double] =
+      rows.find(r => r.getLong(0) == id && r.getTimestamp(1) == ts(t))
+        .flatMap(r => Option(r.get(2)).map(_.asInstanceOf[Double]))
+    assert(cell(idA, "2024-03-05 10:00:00") === Some(5.0), "09:30 obs within 1h staleness")
+    assert(cell(idA, "2024-03-05 11:00:00") === None, "09:30 obs now 90min stale → null")
+    assert(cell(idA, "2024-03-05 12:00:00") === Some(7.0), "11:10 obs within 1h")
+    assert(cell(idA, "2024-03-05 13:00:00") === None, "11:10 obs now 110min stale → null")
+    assert((0 to 3).forall(h => cell(idB, s"2024-03-05 1$h:00:00") === None),
+      "registered series without data emits null grid rows")
+
+    // age tracks the supplying observation
+    val age = rows.find(r => r.getLong(0) == idA && r.getTimestamp(1) == ts("2024-03-05 10:00:00")).get
+    assert(age.getLong(3) === 30L * 60L * 1000000L, "fill_age_us = 30 minutes")
+  }
+
   test("subscription over the engine store delivers appended measurements") {
     val dir = tmpDir("graft-engine-sub")
     val engine = new GraftEngine(spark, dir, buckets = 2)
