@@ -63,6 +63,26 @@ class ShardedEngine(spark: SparkSession, roots: Seq[String], buckets: Int = 32) 
       .select(col("id"), col("m.time").as("time"), col("m.value").as("value"), col("m.flag").as("flag"))
       .orderBy("id")
 
+  /** O14 routed scheme: a name registers on the shard that will own its
+    * content-addressed id, so per-shard catalogs stay disjoint and
+    * catalog-driven reads (readGrid) union exactly. */
+  def addParam(name: String): Long =
+    shardOf(GraftEngine.seriesId(name)).addParam(name)
+
+  def getParamId(name: String): Option[Long] =
+    shardOf(GraftEngine.seriesId(name)).getParamId(name)
+
+  def ls(): DataFrame =
+    shards.map(_.ls()).reduce(_ unionByName _).orderBy("name")
+
+  /** Grid read: union of per-shard grids — shard catalogs are disjoint
+    * (routed addParam), so the union is exact and each shard's scan
+    * keeps its own staleness-bounded day pruning. */
+  def readGrid(from: java.sql.Timestamp, to: java.sql.Timestamp, stepSeconds: Long,
+               maxStalenessSeconds: Long): DataFrame =
+    shards.map(_.readGrid(from, to, stepSeconds, maxStalenessSeconds))
+      .reduce(_ unionByName _).orderBy("id", "grid_ts")
+
   /** O6/O8 route to the single shard owning the series — with the
     * per-shard chunk-stat index these answer from index rows, no fan-out
     * needed (the id→shard mapping is total). */

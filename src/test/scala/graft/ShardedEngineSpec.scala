@@ -54,4 +54,27 @@ class ShardedEngineSpec extends SparkSpec {
     eng.compact()
     assert(eng.readInterval(QueryInterval(Seq.empty, 0L, ts("2024-03-01 00:00:00"), ts("2024-03-02 00:00:00"))).count() === 30)
   }
+
+  test("routed scheme and cross-shard grid read") {
+    val eng = new ShardedEngine(spark, Seq(tmpDir("gshard0"), tmpDir("gshard1")), buckets = 2)
+    val idX = eng.addParam("grid.x")
+    val idY = eng.addParam("grid.y")
+    assert(eng.getParamId("grid.x") === Some(idX))
+    assert(eng.ls().count() === 2)
+    // each name registered on exactly one shard (disjoint catalogs)
+    assert(eng.shards.map(_.ls().count()).sum === 2)
+
+    eng.append(Seq(
+      Meas(idX, ts("2024-03-05 09:30:00"), 5.0, Flags.CLICK, 1),
+      Meas(idY, ts("2024-03-05 10:15:00"), 9.0, Flags.CLICK, 2)))
+    val grid = eng.readGrid(ts("2024-03-05 10:00:00"), ts("2024-03-05 11:00:00"),
+      stepSeconds = 3600L, maxStalenessSeconds = 3600L).collect()
+    assert(grid.length === 4, "2 series x 2 grid points across shards")
+    def cell(id: Long, t: String) =
+      grid.find(r => r.getLong(0) == id && r.getTimestamp(1) == ts(t))
+        .flatMap(r => Option(r.get(2)).map(_.asInstanceOf[Double]))
+    assert(cell(idX, "2024-03-05 10:00:00") === Some(5.0))
+    assert(cell(idY, "2024-03-05 10:00:00") === None, "observation after the grid point")
+    assert(cell(idY, "2024-03-05 11:00:00") === Some(9.0))
+  }
 }
