@@ -210,7 +210,10 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
                maxStalenessSeconds: Long): DataFrame = {
     require(!to.before(from), "readGrid: inverted interval")
     require(stepSeconds > 0, "readGrid: step must be positive")
-    require(maxStalenessSeconds >= 0, "readGrid: staleness must be nonnegative")
+    // upper bound keeps the ms/µs arithmetic below overflow — a horizon
+    // past a century is "unbounded", which this API deliberately isn't
+    require(maxStalenessSeconds >= 0 && maxStalenessSeconds <= 100L * 365L * 86400L,
+      "readGrid: staleness must be in [0, ~100 years]")
     val lower = new Timestamp(from.getTime - maxStalenessSeconds * 1000L)
     val obs = mergedRange(Some(lower), Some(to))
       .filter(col("time").between(lit(lower), lit(to)))

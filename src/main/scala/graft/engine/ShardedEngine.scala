@@ -63,14 +63,17 @@ class ShardedEngine(spark: SparkSession, roots: Seq[String], buckets: Int = 32) 
       .select(col("id"), col("m.time").as("time"), col("m.value").as("value"), col("m.flag").as("flag"))
       .orderBy("id")
 
-  /** O14 routed scheme: a name registers on the shard that will own its
-    * content-addressed id, so per-shard catalogs stay disjoint and
-    * catalog-driven reads (readGrid) union exactly. */
+  /** O14 routed scheme: a new name registers on the shard that will own
+    * its content-addressed id, so per-shard catalogs stay disjoint and
+    * catalog-driven reads (readGrid) union exactly. A name ALREADY in
+    * some shard's log keeps its logged id and shard — per-shard engines
+    * honor legacy ids, so routing by the content hash alone could miss
+    * an existing registration and split the name across two shards. */
   def addParam(name: String): Long =
-    shardOf(GraftEngine.seriesId(name)).addParam(name)
+    getParamId(name).getOrElse(shardOf(GraftEngine.seriesId(name)).addParam(name))
 
   def getParamId(name: String): Option[Long] =
-    shardOf(GraftEngine.seriesId(name)).getParamId(name)
+    shards.iterator.flatMap(_.getParamId(name)).nextOption()
 
   def ls(): DataFrame =
     shards.map(_.ls()).reduce(_ unionByName _).orderBy("name")

@@ -77,4 +77,19 @@ class ShardedEngineSpec extends SparkSpec {
     assert(cell(idY, "2024-03-05 10:00:00") === None, "observation after the grid point")
     assert(cell(idY, "2024-03-05 11:00:00") === Some(9.0))
   }
+
+  test("routed addParam honors a legacy registration on whatever shard holds it") {
+    val roots = Seq(tmpDir("lshard0"), tmpDir("lshard1"))
+    // a legacy catalog row sits on a shard the content-addressed route
+    // would NOT pick — registration must still find and keep it
+    import graft.engine.GraftEngine
+    val contentShard = (((GraftEngine.seriesId("legacy.name") % 2) + 2) % 2).toInt
+    val legacyShard = 1 - contentShard
+    spark.createDataFrame(Seq(("legacy.name", 42L))).toDF("name", "series_id")
+      .write.parquet(s"${roots(legacyShard)}/_scheme")
+    val eng = new ShardedEngine(spark, roots, buckets = 2)
+    assert(eng.addParam("legacy.name") === 42L, "logged id wins over the content hash")
+    assert(eng.getParamId("legacy.name") === Some(42L))
+    assert(eng.ls().count() === 1, "no duplicate registration on the content-routed shard")
+  }
 }
