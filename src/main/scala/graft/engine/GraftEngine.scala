@@ -582,9 +582,21 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
   private def appendScheme(rows: Seq[(String, Long)]): Unit =
     rows.toDF("name", "series_id").coalesce(1).write.mode("append").parquet(schemePath)
 
-  /** getParamId: pruned distributed lookup — no full-catalog collect. */
-  def getParamId(name: String): Option[Long] =
-    ls().filter(col("name") === name).take(1).headOption.map(_.getLong(1))
+  /** getParamId: served from the once-per-engine driver memo — a Spark
+    * job per name lookup would reintroduce the per-call catalog-scan
+    * cost addParam was rid of (single-writer store: the memo cannot go
+    * stale under this engine's own registrations, which update it). */
+  def getParamId(name: String): Option[Long] = synchronized { knownIds.get(name) }
+
+  /** Adopt an EXISTING (name, id) registration from another store — used
+    * by the sharded router to co-locate a legacy catalog row with the
+    * shard that owns the id's data. No-op when the name is known. */
+  private[engine] def adopt(name: String, id: Long): Unit = synchronized {
+    if (!knownIds.contains(name)) {
+      knownIds(name) = id
+      appendScheme(Seq(name -> id))
+    }
+  }
 
   /** ls(): the catalog (dedup view over the append-only log). */
   def ls(): DataFrame =

@@ -64,27 +64,40 @@ class ShardedEngine(spark: SparkSession, roots: Seq[String], buckets: Int = 32) 
       .orderBy("id")
 
   /** O14 routed scheme: a new name registers on the shard that will own
-    * its content-addressed id, so per-shard catalogs stay disjoint and
-    * catalog-driven reads (readGrid) union exactly. A name ALREADY in
-    * some shard's log keeps its logged id and shard — per-shard engines
-    * honor legacy ids, so routing by the content hash alone could miss
-    * an existing registration and split the name across two shards. */
+    * its content-addressed id. A name ALREADY in some shard's log keeps
+    * its logged id — and because DATA for that id routes by the id hash
+    * regardless of where the legacy catalog row sits, the owning shard
+    * ADOPTS the registration, co-locating catalog and data (readGrid
+    * derives each shard's grid from the ids it owns). */
   def addParam(name: String): Long =
-    getParamId(name).getOrElse(shardOf(GraftEngine.seriesId(name)).addParam(name))
+    shards.iterator.flatMap(_.getParamId(name)).nextOption() match {
+      case Some(id) => shardOf(id).adopt(name, id); id
+      case None     => shardOf(GraftEngine.seriesId(name)).addParam(name)
+    }
+
+  def addParams(names: Seq[String]): Map[String, Long] =
+    names.distinct.map(n => n -> addParam(n)).toMap
 
   def getParamId(name: String): Option[Long] =
     shards.iterator.flatMap(_.getParamId(name)).nextOption()
 
+  /** The catalog: distinct because adoption may leave the same
+    * (name, id) row on two shards' logs. */
   def ls(): DataFrame =
-    shards.map(_.ls()).reduce(_ unionByName _).orderBy("name")
+    shards.map(_.ls()).reduce(_ unionByName _).distinct().orderBy("name")
 
-  /** Grid read: union of per-shard grids — shard catalogs are disjoint
-    * (routed addParam), so the union is exact and each shard's scan
-    * keeps its own staleness-bounded day pruning. */
+  /** Grid read: per-shard grids restricted to the ids the shard OWNS
+    * (an adopted-away legacy catalog row would otherwise emit all-null
+    * grid rows from a shard that holds no data for the id), unioned —
+    * each shard's scan keeps its own staleness-bounded day pruning. */
   def readGrid(from: java.sql.Timestamp, to: java.sql.Timestamp, stepSeconds: Long,
-               maxStalenessSeconds: Long): DataFrame =
-    shards.map(_.readGrid(from, to, stepSeconds, maxStalenessSeconds))
-      .reduce(_ unionByName _).orderBy("id", "grid_ts")
+               maxStalenessSeconds: Long): DataFrame = {
+    val n = shards.size.toLong
+    shards.zipWithIndex.map { case (sh, i) =>
+      sh.readGrid(from, to, stepSeconds, maxStalenessSeconds)
+        .filter(pmod(col("id"), lit(n)) === i.toLong)
+    }.reduce(_ unionByName _).orderBy("id", "grid_ts")
+  }
 
   /** O6/O8 route to the single shard owning the series — with the
     * per-shard chunk-stat index these answer from index rows, no fan-out

@@ -28,7 +28,12 @@ import graft.engine.{GraftEngine, QueryInterval, QueryTimePoint}
   *   READ_TIMEPOINT <ids> <flag> <tpUs> → `POINT …` lines, then `END <n>`
   *   CURRENT_VALUE <ids> <flag>         → `POINT …` lines, then `END <n>`
   *   SUBSCRIBE <ids> <flag>             → `SUBSCRIBED`, then server-push
-  *                                        `MEAS …` lines as appends arrive
+  *                                        `MEAS …` lines as appends arrive;
+  *                                        the connection is now push-only
+  *                                        (reads/appends on it → ERR —
+  *                                        they would interleave with
+  *                                        pushes; PING/SUBSCRIBE/QUIT
+  *                                        stay legal)
   *   PING / QUIT                        → `PONG` / connection close
   * where <ids> is `*` (all series) or comma-separated longs, times are
   * µs since epoch, and MEAS payload is `id timeUs value flag seq`
@@ -86,7 +91,14 @@ class GraftServer(engine: GraftEngine, port: Int = 0) {
         t.start()
       } catch {
         case _: SocketException => () // closed in stop()
-        case _: Throwable if !running => ()
+        case e: Throwable =>
+          // a transient accept failure (fd exhaustion, interrupt) must
+          // not kill the accept thread — the server would stay bound
+          // but silently never service another connection
+          if (running) {
+            System.err.println(s"[graft-server] accept failed: $e")
+            Thread.sleep(100L)
+          }
       }
     }
 
@@ -100,9 +112,28 @@ class GraftServer(engine: GraftEngine, port: Int = 0) {
       while (line != null) {
         try {
           val parts = line.trim.split("\\s+")
-          parts(0).toUpperCase match {
+          val kind = parts(0).toUpperCase
+          // a subscription consumes the connection: its PrintWriter now
+          // carries asynchronous MEAS pushes, and any multi-line reply
+          // (or even a one-line OK) would interleave with them and
+          // desync the reader. Only SUBSCRIBE (filter replace), PING
+          // and QUIT stay legal.
+          if (sub.isDefined && kind != "SUBSCRIBE" && kind != "PING" && kind != "QUIT")
+            reply(s"ERR connection is in subscribe mode; $kind needs its own connection")
+          else kind match {
             case "APPEND" =>
-              val n = parts(1).toInt
+              // the count must parse BEFORE anything else: with an
+              // unknown payload length the stream cannot be resynced —
+              // close instead of replaying payload lines as requests.
+              // (No closure here: a `return` inside a by-name default
+              // would throw NonLocalReturnControl into the generic ERR
+              // handler and the connection would stay open, desynced.)
+              val nOpt = if (parts.length > 1) parts(1).toIntOption else None
+              if (nOpt.isEmpty) {
+                reply("ERR bad APPEND count; closing (cannot resync)")
+                return
+              }
+              val n = nOpt.get
               // drain ALL n payload lines BEFORE parsing: a malformed
               // line mid-payload must not leave the remainder in the
               // stream to be misread as top-level requests (protocol
@@ -186,6 +217,8 @@ class GraftClient(host: String, port: Int) extends AutoCloseable {
   private val in = new BufferedReader(new InputStreamReader(sock.getInputStream, "UTF-8"))
   private val out = new PrintWriter(new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8"))
 
+  @volatile private var subscribed = false
+
   private def send(line: String): Unit = { out.println(line); out.flush() }
   private def expect(prefix: String): String = {
     val l = in.readLine()
@@ -194,10 +227,17 @@ class GraftClient(host: String, port: Int) extends AutoCloseable {
     if (!l.startsWith(prefix)) throw new RuntimeException(s"protocol: expected $prefix, got $l")
     l
   }
+  /** After subscribe() the reader thread owns the input stream — a
+    * synchronous request would race it for response lines and hang.
+    * Mirrors the server, which rejects reads on subscribed connections. */
+  private def requireSync(op: String): Unit =
+    if (subscribed) throw new IllegalStateException(
+      s"$op on a subscribed connection: open a separate GraftClient for requests")
 
-  def ping(): Boolean = { send("PING"); expect("PONG"); true }
+  def ping(): Boolean = { requireSync("ping"); send("PING"); expect("PONG"); true }
 
   def append(ms: Seq[Meas]): Int = {
+    requireSync("append")
     send(s"APPEND ${ms.size}")
     ms.foreach(m => send(Wire.fmtMeas(m)))
     out.flush()
@@ -233,26 +273,34 @@ class GraftClient(host: String, port: Int) extends AutoCloseable {
   }
 
   def readInterval(q: QueryInterval): Seq[Meas] = {
+    requireSync("readInterval")
     send(s"READ_INTERVAL ${Wire.fmtIds(q.ids)} ${q.flag} ${Wire.tsToUs(q.from)} ${Wire.tsToUs(q.to)}")
     readMeasList()
   }
 
   def readTimePoint(q: QueryTimePoint): Seq[(Long, Option[Timestamp], Option[Double], Long)] = {
+    requireSync("readTimePoint")
     send(s"READ_TIMEPOINT ${Wire.fmtIds(q.ids)} ${q.flag} ${Wire.tsToUs(q.timePoint)}")
     readPointList()
   }
 
   def currentValue(ids: Seq[Long], flag: Long): Seq[(Long, Option[Timestamp], Option[Double], Long)] = {
+    requireSync("currentValue")
     send(s"CURRENT_VALUE ${Wire.fmtIds(ids)} $flag")
     readPointList()
   }
 
   /** Push-mode subscription: registers the filter, then delivers every
     * matching server-pushed measurement to `callback` on a daemon
-    * thread until the client is closed. */
+    * thread until the client is closed. The connection is CONSUMED —
+    * further synchronous requests (and re-subscribes) on this client
+    * throw; the raw-protocol re-SUBSCRIBE (filter replace) remains for
+    * wire users driving their own reader. */
   def subscribe(ids: Seq[Long], flag: Long)(callback: Meas => Unit): Unit = {
+    requireSync("subscribe")
     send(s"SUBSCRIBE ${Wire.fmtIds(ids)} $flag")
     expect("SUBSCRIBED")
+    subscribed = true
     val t = new Thread(() => {
       try {
         var l = in.readLine()

@@ -312,10 +312,15 @@ object TsdbStorage {
     * then swaps each day dir — Spark cannot overwrite a path it is
     * reading, and the swap keeps the non-affected days live throughout.
     * A day whose rows are ALL erased is deleted outright (dynamic
-    * overwrite would silently leave it behind). Crash mid-swap leaves
-    * some days rewritten and some not — safe for retention (idempotent;
-    * re-running converges) under the engine's out-of-sync stats
-    * bracket. */
+    * overwrite would silently leave it behind).
+    *
+    * Crash safety: a live day dir is never deleted while it is the only
+    * copy. Each swap moves the old day ASIDE (rename), lands the
+    * rewrite, then drops the aside copy — and the next invocation's
+    * recovery preamble restores any day whose swap died between the two
+    * renames (dst missing ⇒ the aside copy is the only copy; restoring
+    * the ORIGINAL is correct for retention, which simply re-erases on
+    * the re-run). Only after recovery may the tmp dir be cleared. */
   def rewriteDaysFiltered(spark: SparkSession, path: String,
                           days: Seq[java.sql.Date], buckets: Int,
                           keep: org.apache.spark.sql.Column): Unit = {
@@ -323,6 +328,14 @@ object TsdbStorage {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(s"$path.rewrite")
+    val aside = new Path(s"$path.rewrite.old")
+    if (fs.exists(aside)) {
+      fs.listStatus(aside).filter(_.getPath.getName.startsWith("day=")).foreach { st =>
+        val dst = new Path(root, st.getPath.getName)
+        if (!fs.exists(dst)) fs.rename(st.getPath, dst)
+      }
+      fs.delete(aside, true)
+    }
     fs.delete(tmp, true)
     spark.read.schema(withDaySchema).parquet(path)
       .filter(col("day").isin(days: _*))
@@ -334,12 +347,14 @@ object TsdbStorage {
       .option("compression", "zstd")
       .option("parquet.bloom.filter.enabled#flag", "true")
       .parquet(tmp.toString)
+    fs.mkdirs(aside)
     days.foreach { d =>
       val dst = new Path(root, s"day=$d")
       val src = new Path(tmp, s"day=$d")
-      fs.delete(dst, true)
+      if (fs.exists(dst)) fs.rename(dst, new Path(aside, s"day=$d"))
       if (fs.exists(src)) fs.rename(src, dst)
     }
+    fs.delete(aside, true)
     fs.delete(tmp, true)
   }
 
@@ -356,14 +371,6 @@ object TsdbStorage {
   /** O12 compact view: the merge-on-read resolution over the whole store. */
   def compacted(spark: SparkSession, path: String): DataFrame =
     mergeFreshest(read(spark, path))
-
-  /** Merge-on-read over ONLY the day partitions intersecting the
-    * interval: correct because `day` is derived from `time`, so all
-    * versions of a (id, time) key live in the same partition — the
-    * dedup never needs rows outside the pruned set. */
-  def compactedRange(spark: SparkSession, path: String,
-                     from: Option[Timestamp], to: Option[Timestamp]): DataFrame =
-    mergeFreshest(readRange(spark, path, from, to))
 
   /** Compact in place: rewrite into `path` atomically-enough for a
     * single-writer store (write tmp, swap). */

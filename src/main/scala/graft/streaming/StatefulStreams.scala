@@ -89,8 +89,18 @@ object StatefulStreams {
           var open = state.getOption
           sorted.foreach { m =>
             open match {
+              case Some(s) if m.time.before(s.start) =>
+                // older than the open session's start = closed-session
+                // territory: an already-emitted session cannot be
+                // amended (append mode), and folding the row into the
+                // CURRENT session would count an event from before its
+                // start. Dropped here; the batch `sessionize` query is
+                // the backfill path for such stragglers (same contract
+                // as asofEnrich below).
+                ()
               case Some(s) if m.time.getTime - s.end.getTime <= gapMs =>
-                // late rows (time ≤ end) fold in without moving the end
+                // in-span late rows (start ≤ time ≤ end) fold in
+                // without moving the end
                 val end = if (m.time.after(s.end)) m.time else s.end
                 open = Some(SessionState(s.start, end, s.n + 1))
               case Some(s) =>

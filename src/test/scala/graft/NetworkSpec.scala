@@ -88,6 +88,30 @@ class NetworkSpec extends SparkSpec {
       assert(rawIn.readLine() === "PONG", "connection survives a bad request")
       raw.close()
 
+      // a malformed APPEND COUNT is unresyncable (unknown payload
+      // length): ERR then CLOSE, payload lines never replay as requests
+      val raw2 = new java.net.Socket("127.0.0.1", server.boundPort)
+      val raw2Out = new java.io.PrintWriter(raw2.getOutputStream)
+      val raw2In = new java.io.BufferedReader(new java.io.InputStreamReader(raw2.getInputStream))
+      raw2Out.println("APPEND x"); raw2Out.flush()
+      assert(raw2In.readLine().startsWith("ERR"))
+      assert(raw2In.readLine() === null, "server closes after an unresyncable APPEND")
+      raw2.close()
+
+      // a subscribed connection is consumed: server rejects reads on it,
+      // client refuses to issue them at all
+      intercept[IllegalStateException](subClient.ping())
+      intercept[IllegalStateException](subClient.currentValue(Seq(1L), 0L))
+      val raw3 = new java.net.Socket("127.0.0.1", server.boundPort)
+      val raw3Out = new java.io.PrintWriter(raw3.getOutputStream)
+      val raw3In = new java.io.BufferedReader(new java.io.InputStreamReader(raw3.getInputStream))
+      raw3Out.println("SUBSCRIBE * 0"); raw3Out.flush()
+      assert(raw3In.readLine() === "SUBSCRIBED")
+      raw3Out.println("CURRENT_VALUE 1 0"); raw3Out.flush()
+      assert(raw3In.readLine().startsWith("ERR"),
+        "a multi-line reply would interleave with MEAS pushes")
+      raw3.close()
+
       client.close()
       subClient.close()
     } finally server.stop()

@@ -90,6 +90,16 @@ class ShardedEngineSpec extends SparkSpec {
     val eng = new ShardedEngine(spark, roots, buckets = 2)
     assert(eng.addParam("legacy.name") === 42L, "logged id wins over the content hash")
     assert(eng.getParamId("legacy.name") === Some(42L))
-    assert(eng.ls().count() === 1, "no duplicate registration on the content-routed shard")
+    assert(eng.ls().count() === 1, "adoption must not surface duplicate catalog rows")
+
+    // catalog/data co-location: data for id 42 routes by id hash to
+    // shard 0 — the catalog row started on shard 1, so without adoption
+    // the grid would read the series as all-null from the wrong shard
+    eng.append(Seq(Meas(42L, ts("2024-03-05 09:30:00"), 7.5, Flags.CLICK, 1)))
+    val grid = eng.readGrid(ts("2024-03-05 10:00:00"), ts("2024-03-05 10:00:00"),
+      stepSeconds = 3600L, maxStalenessSeconds = 3600L).collect()
+    assert(grid.length === 1, "one grid row for the one registered series")
+    assert(grid.head.getLong(0) === 42L && grid.head.getDouble(2) === 7.5,
+      "the owning shard serves the legacy series' data at the grid point")
   }
 }

@@ -110,9 +110,11 @@ class StatefulStreamSpec extends SparkSpec {
       "only the CLOSED session is emitted; 12:00 stays open in state")
 
     // batch 2: 12:05 extends the open session ACROSS the batch boundary;
-    // 14:00 closes it
+    // a 10:05 straggler belongs to the already-CLOSED first session and
+    // must be dropped, not folded into the open one; 14:00 closes it
     write(dir, Seq(
       Meas(7L, ts("2024-03-01 12:05:00"), 4.0, Flags.CLICK, 4),
+      Meas(7L, ts("2024-03-01 10:05:00"), 9.0, Flags.CLICK, 6),
       Meas(7L, ts("2024-03-01 14:00:00"), 5.0, Flags.CLICK, 5)))
     q.processAllAvailable()
     q.stop()
@@ -120,6 +122,7 @@ class StatefulStreamSpec extends SparkSpec {
     assert(sessions() === Seq(
       (ts("2024-03-01 10:00:00"), ts("2024-03-01 10:10:00"), 2L),
       (ts("2024-03-01 12:00:00"), ts("2024-03-01 12:05:00"), 2L)),
-      "open session extended across batches, then closed by the 14:00 gap")
+      "open session extended across batches then closed; the pre-start " +
+        "straggler neither inflates n_meas nor reopens the closed session")
   }
 }

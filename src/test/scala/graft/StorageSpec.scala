@@ -29,6 +29,47 @@ class StorageSpec extends SparkSpec {
     assert(back.count() === expectKept)
   }
 
+  test("rewriteDaysFiltered survives a crash between moving a day aside and landing its rewrite") {
+    import graft.core.Meas
+    import java.sql.Timestamp
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dir = tmpDir("graft-rewrite-crash")
+    TsdbStorage.append(spark.createDataset(Seq(
+      Meas(1L, ts("2024-03-01 06:00:00"), 1.0, 1L, 1), // id to erase
+      Meas(2L, ts("2024-03-01 07:00:00"), 2.0, 1L, 2), // bystander, same day
+      Meas(2L, ts("2024-03-02 07:00:00"), 3.0, 1L, 3))).toDF(), dir, buckets = 2)
+
+    // simulate the fatal window of the old delete-then-rename swap: the
+    // rewrite tmp is fully written, day=2024-03-01 was moved ASIDE, and
+    // the process died before the rewritten copy was renamed in — the
+    // live store no longer has the day at all
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val day = "day=2024-03-01"
+    val keep = !(col("id") === 1L)
+    val days = Seq(java.sql.Date.valueOf("2024-03-01"))
+    // produce a real tmp the way the implementation would
+    TsdbStorage.rewriteDaysFiltered(spark, dir, days, buckets = 2, keep)
+    // wind back to the crash state: restore an UN-rewritten day copy
+    // aside, and plant a stale tmp
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir.rewrite.old"))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/$day"),
+      new org.apache.hadoop.fs.Path(s"$dir.rewrite.old/$day"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$day")))
+
+    // the re-run must first RECOVER the aside copy (never delete the
+    // only copy), then redo the rewrite; the bystander id-2 row of the
+    // crashed day must survive
+    TsdbStorage.rewriteDaysFiltered(spark, dir, days, buckets = 2, keep)
+    val back = TsdbStorage.read(spark, dir)
+    assert(back.filter(col("id") === 2L).count() === 2L,
+      "bystander rows in the crashed day survived the recovery + redo")
+    assert(back.filter(col("id") === 1L).count() === 0L, "erase target stays erased")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir.rewrite.old")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$dir.rewrite")), "no swap debris left")
+  }
+
   test("compact keeps exactly the freshest row per (id, time) and is idempotent") {
     val dir = tmpDir("graft-compact")
     val meas = EventsSource.meas(spark, sfDir)
