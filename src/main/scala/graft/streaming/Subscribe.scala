@@ -60,4 +60,24 @@ object Subscribe {
       .groupBy(col("id"), window(col("time"), bucket).as("w"))
       .agg(count(lit(1)).as("cnt"), avg("value").as("avg_value"))
       .select(col("id"), col("w.start").as("bucket"), col("cnt"), col("avg_value"))
+
+  /** Live OHLC bars — the streaming form of the batch `series_bars`
+    * query, same semantics: open/close are argmin/argmax of the
+    * (time, seq) order within the bucket (seq = the store's freshness
+    * rule for equal timestamps). Watermarked tumbling window, so state
+    * is one partial bar per (id, open bucket) and a bar emits exactly
+    * once when the watermark passes its window end (append mode). */
+  def barsStream(spark: SparkSession, dir: String, bucket: String = "1 hour",
+                 lateness: String = "1 hour"): DataFrame =
+    spark.readStream.schema(Meas.schema).parquet(dir)
+      .withWatermark("time", lateness)
+      .groupBy(col("id"), window(col("time"), bucket).as("w"))
+      .agg(
+        min_by(col("value"), struct(col("time"), col("seq"))).as("open"),
+        max_by(col("value"), struct(col("time"), col("seq"))).as("close"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        count(lit(1)).as("cnt"))
+      .select(col("id"), col("w.start").as("bucket"),
+        col("open"), col("close"), col("high"), col("low"), col("cnt"))
 }
