@@ -460,6 +460,49 @@ object DedupQueries {
          |ORDER BY vec_a, vec_b""".stripMargin),
     doc = "X2 SRP-LSH-bucketed embedding near-dup (band-join candidates)")
 
+  // -------------------------------------------------------------------
+  // X1 chunk-level dedup (the C4/FineWeb "line dedup" pass at
+  // sub-document granularity): documents split into consecutive
+  // CHUNK-token windows; the most-duplicated chunks across the corpus
+  // surface with their spread. Map-side chunking (slice arithmetic, no
+  // per-chunk re-tokenize), one grouped shuffle on the chunk hash,
+  // distributed top-k (TakeOrderedAndProject) — no global window.
+  // -------------------------------------------------------------------
+  private val CHUNK = 5
+  private val CHUNK_TOP = 50
+
+  val chunkDedup: QueryDef = QueryDef(
+    build = (s, d) => {
+      val c = lit(CHUNK)
+      docs(s, d)
+        .select(col("doc_id"), expr(toksExpr).as("toks"))
+        .filter(size(col("toks")) > 0)
+        // chunk i covers toks[i*CHUNK .. i*CHUNK+CHUNK-1]; slice clamps
+        // the final partial chunk
+        .withColumn("ci", explode(sequence(lit(0L), floor((size(col("toks")) - 1) / c).cast("long"))))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(col("toks"), (col("ci") * c + 1).cast("int"), lit(CHUNK)))).as("chunk_hash"))
+        .groupBy("chunk_hash")
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min("doc_id").as("first_doc"))
+        .orderBy(col("n_occ").desc, col("chunk_hash"))
+        .limit(CHUNK_TOP)
+    },
+    oracle = Some(
+      s"""WITH d AS (
+         |  SELECT doc_id, $toksSql AS ts FROM documents WHERE len($toksSql) > 0
+         |), c AS (
+         |  SELECT d.doc_id,
+         |         md5(array_to_string(d.ts[i.i * $CHUNK + 1 : i.i * $CHUNK + $CHUNK], ' ')) AS chunk_hash
+         |  FROM d, LATERAL unnest(range(0, (len(d.ts) + ${CHUNK - 1}) // $CHUNK)) AS i(i)
+         |)
+         |SELECT chunk_hash, count(*)::BIGINT AS n_occ,
+         |       count(DISTINCT doc_id)::BIGINT AS n_docs, min(doc_id) AS first_doc
+         |FROM c GROUP BY chunk_hash
+         |ORDER BY n_occ DESC, chunk_hash LIMIT $CHUNK_TOP""".stripMargin),
+    doc = "X1 chunk-level dedup: top duplicated 5-token windows across the corpus (line-dedup analog)")
+
   val defs: Map[String, QueryDef] = Map(
     "dedup_exact"     -> exact,
     "dedup_minhash"   -> minhash,
@@ -468,5 +511,6 @@ object DedupQueries {
     "dedup_embed"     -> embedCosine,
     "dedup_embed_lsh" -> embedCosineLsh,
     "dedup_clusters"  -> clusters,
+    "dedup_chunks"    -> chunkDedup,
   )
 }
