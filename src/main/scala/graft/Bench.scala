@@ -43,9 +43,16 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // a query that throws must NOT bench as near-zero and vanish from the
+    // total — per-query failures are collected into the artifact's
+    // "errors" map so the driver can tell "fast" from "broken"
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def errMsg(e: Throwable): String =
+      s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}"
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      try runOnce(fn(spark, sfDir)) catch { case _: Throwable => () } // warm-up, untimed
+      try runOnce(fn(spark, sfDir))
+      catch { case e: Throwable => errors(name) = errMsg(e) } // warm-up, untimed
       val passes = (1 to reps).map { _ =>
         // clear BEFORE each timed pass, never between: a query that
         // persist()s internally would otherwise serve timed reps from
@@ -53,7 +60,8 @@ object Bench {
         // by canonicalized plan) and under-measure its real cost
         spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
-        try runOnce(fn(spark, sfDir)) catch { case _: Throwable => () }
+        try runOnce(fn(spark, sfDir))
+        catch { case e: Throwable => errors.getOrElseUpdate(name, errMsg(e)) }
         (System.nanoTime() - t0) / 1e9
       }
       // release anything the last pass persisted before the next query
@@ -71,9 +79,20 @@ object Bench {
     val qsMax = results.map { case (k, ts) => s"\"$k\":${fmt(ts.max)}" }
       .mkString("{", ",", "}")
     val total = results.map { case (_, ts) => median(ts) }.sum
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    if (errors.nonEmpty)
+      System.err.println(s"BENCH ERRORS (${errors.size}): ${errors.keys.mkString(", ")}")
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,""" +
-        s""""queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"sf":"$sfDir"}""")
+        s""""queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"errors":$errJson,"sf":"$sfDir"}""")
+    // exit 0 even with errors: the driver records stdout's JSON line as
+    // the artifact — the non-empty "errors" map IS the failure signal
     spark.stop()
   }
 }

@@ -82,7 +82,25 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Meas.schema)
 
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private def hasData = fs.exists(new Path(dataPath))
+
+  /** Crash recovery for the compact swap protocols: a crash between
+    * `rename(live → .old)` and `rename(.compacting → live)` leaves the
+    * live path MISSING while the aside copy holds the only data — a
+    * reader would then silently see an empty store/catalog (and scheme
+    * re-registrations would assign ids diverging from the logged ones).
+    * Restoring the aside copy (the pre-compact original) is always
+    * correct: re-running compact() simply redoes the work. Checked on
+    * every read-path entry; two fs.exists when the live path is absent,
+    * one when present. */
+  private def recoverSwap(live: String): Unit = {
+    val p = new Path(live)
+    if (!fs.exists(p)) {
+      val old = new Path(s"$live.old")
+      if (fs.exists(old)) fs.rename(old, p)
+    }
+  }
+
+  private def hasData = { recoverSwap(dataPath); fs.exists(new Path(dataPath)) }
   // index exists AND its last mutation committed (data+index cannot
   // commit atomically; a crash in between leaves the marker absent and
   // every read falls back to the always-correct scan path)
@@ -92,6 +110,37 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
   private def idPred(ids: Seq[Long]) =
     if (ids.isEmpty) lit(true) else col("id").isin(ids: _*)
 
+  // ---- append listeners --------------------------------------------
+  // The reference notifies its subscribe machinery on EVERY append
+  // reaching the engine [U: engines/engine.cpp — Engine::append →
+  // SubscribeNotificator]; this is the same hook, used by the network
+  // server's last-hop socket push (O17). Listeners fire INSIDE the
+  // append lock, after the level commit — so delivery order matches
+  // commit order across concurrent appenders. Driver-side by nature
+  // (the push target is a driver-held socket); the DataFrame path
+  // streams the batch through toLocalIterator in bounded chunks and
+  // only when a listener is actually registered.
+  private val appendListeners =
+    new java.util.concurrent.CopyOnWriteArrayList[Seq[Meas] => Unit]()
+
+  /** Register an append observer (e.g. the network server's push). */
+  def onAppend(listener: Seq[Meas] => Unit): Unit = appendListeners.add(listener)
+
+  def removeAppendListener(listener: Seq[Meas] => Unit): Unit =
+    appendListeners.remove(listener)
+
+  private def notifyAppended(ms: Seq[Meas]): Unit =
+    appendListeners.forEach(l => l(ms))
+
+  private def notifyAppended(meas: DataFrame): Unit =
+    if (!appendListeners.isEmpty) {
+      import scala.jdk.CollectionConverters._
+      meas.select(Meas.schema.fieldNames.map(col).toSeq: _*).as[Meas]
+        .toLocalIterator().asScala
+        .grouped(1024)
+        .foreach(chunk => notifyAppended(chunk.toSeq))
+    }
+
   // ---- O1 append ---------------------------------------------------
   /** Appends the batch AND refreshes the per-(day, id) chunk-stat index
     * for the touched days, so stat()/minMaxTime() never scan data files
@@ -100,9 +149,22 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     * Under the MEMORY strategy (hotCapacity > 0) the batch lands in the
     * in-memory level instead and is dropped to parquet when the level
     * exceeds hotCapacity rows — reads see it immediately either way. */
-  def append(meas: DataFrame): Unit =
-    if (hotCapacity <= 0L) TsdbStorage.append(meas, dataPath, buckets, Some(statsPath))
-    else synchronized {
+  def append(meas: DataFrame): Unit = synchronized {
+    notifyAppended(appendCore(meas))
+  }
+  def append(ms: Seq[Meas]): Unit = synchronized {
+    appendCore(spark.createDataset(ms).toDF())
+    notifyAppended(ms)
+  }
+
+  /** Level commit; returns the frame listeners should replay (the
+    * checkpointed hot chunk when one was made — re-running the caller's
+    * plan for notification would double-read its source). */
+  private def appendCore(meas: DataFrame): DataFrame =
+    if (hotCapacity <= 0L) {
+      TsdbStorage.append(meas, dataPath, buckets, Some(statsPath))
+      meas
+    } else {
       // eager localCheckpoint: materializes the chunk AND truncates its
       // lineage — a foreachBatch-sourced batch must not keep a live
       // dependency on streaming source files that compaction/retention
@@ -111,8 +173,8 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
       hotRows += chunk.count()
       hotChunks += chunk
       if (hotRows >= hotCapacity) flush()
+      chunk
     }
-  def append(ms: Seq[Meas]): Unit = append(spark.createDataset(ms).toDF())
 
   /** O1, streaming strategy: continuous ingest from a Meas stream into
     * the clustered layout — the reference's WAL→Dropper→page pipeline
@@ -207,7 +269,7 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     * its grid points with null value — the _NO_DATA analog. One shuffle
     * (on id), one sort, one window pass (TemporalQueries.fillCore). */
   def readGrid(from: Timestamp, to: Timestamp, stepSeconds: Long,
-               maxStalenessSeconds: Long): DataFrame = {
+               maxStalenessSeconds: Long, gridIds: Option[DataFrame] = None): DataFrame = {
     require(!to.before(from), "readGrid: inverted interval")
     require(stepSeconds > 0, "readGrid: step must be positive")
     // upper bound keeps the ms/µs arithmetic below overflow — a horizon
@@ -218,7 +280,10 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     val obs = mergedRange(Some(lower), Some(to))
       .filter(col("time").between(lit(lower), lit(to)))
       .select(col("id").as("k"), col("time").as("t"), col("seq"), col("value").as("v"))
-    val grid = ls().select(col("series_id").as("k"))
+    // gridIds (a `series_id` frame) overrides the catalog-derived grid —
+    // the sharded router passes each shard the ids it OWNS, which may
+    // include legacy series whose catalog row sits on another shard
+    val grid = gridIds.getOrElse(ls()).select(col("series_id").as("k"))
       .withColumn("t", explode(sequence(lit(from), lit(to), expr(s"interval $stepSeconds seconds"))))
     val stalenessUs = maxStalenessSeconds * 1000000L
     val fresh = col("ft").isNotNull &&
@@ -424,7 +489,7 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     // per-call appends accumulate one tiny file each; compact() is
     // where the store pays that debt down
     compactScheme()
-    if (!hasData) return
+    if (!hasData) return // hasData ran the swap-recovery preamble
     val tmp = new Path(s"$dataPath.compacting")
     val old = new Path(s"$dataPath.old")
     fs.delete(tmp, true)
@@ -451,6 +516,7 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
   /** Rewrite the append-only scheme log as its dedup view in one file
     * (same tmp-swap discipline as the data rewrite). */
   private def compactScheme(): Unit = {
+    recoverSwap(schemePath)
     if (!fs.exists(new Path(schemePath))) return
     val tmp = new Path(s"$schemePath.compacting")
     val old = new Path(s"$schemePath.old")
@@ -591,18 +657,24 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
   /** Adopt an EXISTING (name, id) registration from another store — used
     * by the sharded router to co-locate a legacy catalog row with the
     * shard that owns the id's data. No-op when the name is known. */
-  private[engine] def adopt(name: String, id: Long): Unit = synchronized {
-    if (!knownIds.contains(name)) {
-      knownIds(name) = id
-      appendScheme(Seq(name -> id))
-    }
+  private[engine] def adopt(name: String, id: Long): Unit = adoptAll(Seq(name -> id))
+
+  /** Batched adoption: ONE log write for any number of foreign
+    * registrations — the sharded router's bulk-onboarding path (a
+    * per-name append would write one tiny file per name). */
+  private[engine] def adoptAll(rows: Seq[(String, Long)]): Unit = synchronized {
+    val fresh = rows.filterNot { case (n, _) => knownIds.contains(n) }
+    fresh.foreach { case (n, id) => knownIds(n) = id }
+    if (fresh.nonEmpty) appendScheme(fresh)
   }
 
   /** ls(): the catalog (dedup view over the append-only log). */
-  def ls(): DataFrame =
+  def ls(): DataFrame = {
+    recoverSwap(schemePath)
     if (!fs.exists(new Path(schemePath)))
       Seq.empty[(String, Long)].toDF("name", "series_id")
     else spark.read.parquet(schemePath).distinct()
+  }
 }
 
 object GraftEngine {

@@ -75,8 +75,22 @@ class ShardedEngine(spark: SparkSession, roots: Seq[String], buckets: Int = 32) 
       case None     => shardOf(GraftEngine.seriesId(name)).addParam(name)
     }
 
-  def addParams(names: Seq[String]): Map[String, Long] =
-    names.distinct.map(n => n -> addParam(n)).toMap
+  /** Batch registration: fresh names are grouped by OWNING shard and
+    * registered with one `GraftEngine.addParams` call (= one log file)
+    * per shard — onboarding 10⁴ names writes ≤ |shards| files, not 10⁴.
+    * Names already logged somewhere keep their logged id and are
+    * batch-adopted onto their owning shard, same single-write discipline. */
+  def addParams(names: Seq[String]): Map[String, Long] = {
+    val distinct = names.distinct
+    val (legacy, fresh) = distinct.partition(n => getParamId(n).isDefined)
+    val legacyPairs = legacy.map(n => n -> getParamId(n).get)
+    legacyPairs.groupBy { case (_, id) => shardOf(id) }
+      .foreach { case (shard, pairs) => shard.adoptAll(pairs) }
+    fresh.map(n => n -> GraftEngine.seriesId(n))
+      .groupBy { case (_, id) => shardOf(id) }
+      .foreach { case (shard, pairs) => shard.addParams(pairs.map(_._1)) }
+    distinct.map(n => n -> getParamId(n).get).toMap
+  }
 
   def getParamId(name: String): Option[Long] =
     shards.iterator.flatMap(_.getParamId(name)).nextOption()
@@ -86,16 +100,21 @@ class ShardedEngine(spark: SparkSession, roots: Seq[String], buckets: Int = 32) 
   def ls(): DataFrame =
     shards.map(_.ls()).reduce(_ unionByName _).distinct().orderBy("name")
 
-  /** Grid read: per-shard grids restricted to the ids the shard OWNS
-    * (an adopted-away legacy catalog row would otherwise emit all-null
-    * grid rows from a shard that holds no data for the id), unioned —
-    * each shard's scan keeps its own staleness-bounded day pruning. */
+  /** Grid read: the grid id set comes from the UNIONED catalog and each
+    * id is served by the shard that OWNS its data — so a legacy series
+    * whose catalog row sits on a non-owning shard (registered before
+    * sharding, never re-touched by addParam adoption) still emits its
+    * grid rows from the shard holding its data, preserving the
+    * registered-series-emits-rows contract. Each shard's scan keeps its
+    * own staleness-bounded day pruning; exactly one shard serves each
+    * id, so the union needs no dedup. */
   def readGrid(from: java.sql.Timestamp, to: java.sql.Timestamp, stepSeconds: Long,
                maxStalenessSeconds: Long): DataFrame = {
     val n = shards.size.toLong
+    val catalog = ls().select("series_id")
     shards.zipWithIndex.map { case (sh, i) =>
-      sh.readGrid(from, to, stepSeconds, maxStalenessSeconds)
-        .filter(pmod(col("id"), lit(n)) === i.toLong)
+      sh.readGrid(from, to, stepSeconds, maxStalenessSeconds,
+        gridIds = Some(catalog.filter(pmod(col("series_id"), lit(n)) === i.toLong)))
     }.reduce(_ unionByName _).orderBy("id", "grid_ts")
   }
 

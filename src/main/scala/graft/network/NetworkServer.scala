@@ -42,12 +42,15 @@ import graft.engine.{GraftEngine, QueryInterval, QueryTimePoint}
   * with no data at/before the timepoint (flag = _NO_DATA, the
   * reference's contract).
   *
-  * SUBSCRIBE matches the reference's server-push semantics: the
-  * subscription filter (same id-set + shared-bit flag semantics as
-  * every other read — [[graft.core.Flags.matches]]) is evaluated
-  * against each APPEND batch and matching measurements are pushed to
-  * the subscriber's connection as they arrive. The engine-side
-  * continuous-query surface (O10, Structured Streaming) remains
+  * SUBSCRIBE matches the reference's server-push semantics: the server
+  * registers an [[GraftEngine.onAppend]] observer, so EVERY append
+  * reaching the engine — wire APPEND, direct API call, or a streaming
+  * foreachBatch commit — is evaluated against each subscription filter
+  * (same id-set + shared-bit flag semantics as every other read —
+  * [[graft.core.Flags.matches]]) and matching measurements are pushed
+  * to the subscriber's connection, in commit order (the observer fires
+  * inside the engine's append lock). The engine-side continuous-query
+  * surface (O10, Structured Streaming) remains
   * [[graft.streaming.Subscribe]]; the socket path is the last-hop push
   * transport, exactly the split the reference has between
   * `SubscribeLogic` in the server and the storage engine underneath.
@@ -55,10 +58,19 @@ import graft.engine.{GraftEngine, QueryInterval, QueryTimePoint}
   * Reads stream through `toLocalIterator` — a large interval result
   * flows executor → driver → socket in chunks; it is never
   * materialized whole on the server.
+  *
+  * Trust model: the protocol has NO authentication — any connected
+  * client can read, mutate, and subscribe (the reference's server is
+  * the same). The server therefore binds the LOOPBACK interface unless
+  * an explicit `bindAddress` opts into wider exposure; deployments that
+  * bind a routable address must front it with network-level access
+  * control.
   */
-class GraftServer(engine: GraftEngine, port: Int = 0) {
+class GraftServer(engine: GraftEngine, port: Int = 0, bindAddress: Option[String] = None) {
 
-  private val server = new ServerSocket(port)
+  private val server = new ServerSocket(port, 50,
+    bindAddress.map(java.net.InetAddress.getByName)
+      .getOrElse(java.net.InetAddress.getLoopbackAddress))
 
   /** Ephemeral-port support for tests: the port actually bound. */
   def boundPort: Int = server.getLocalPort
@@ -68,6 +80,12 @@ class GraftServer(engine: GraftEngine, port: Int = 0) {
     java.util.concurrent.ConcurrentHashMap.newKeySet[Subscriber]()
 
   @volatile private var running = false
+
+  // engine-append observer: fires inside the engine's append lock for
+  // every append path (wire, API, streaming), so push order matches
+  // commit order across concurrent appenders
+  private val pushListener: Seq[Meas] => Unit = pushToSubscribers
+  engine.onAppend(pushListener)
 
   def start(): this.type = {
     running = true
@@ -79,6 +97,7 @@ class GraftServer(engine: GraftEngine, port: Int = 0) {
 
   def stop(): Unit = {
     running = false
+    engine.removeAppendListener(pushListener)
     try server.close() catch { case _: Throwable => () }
   }
 
@@ -134,6 +153,15 @@ class GraftServer(engine: GraftEngine, port: Int = 0) {
                 return
               }
               val n = nOpt.get
+              // bound the buffered payload: an APPEND claiming 2e9 rows
+              // would OOM the server before any parse error fired. The
+              // connection closes (same unresyncable-count handling as
+              // the non-numeric case — the client will still send its
+              // payload lines, which must not replay as requests).
+              if (n < 0 || n > GraftServer.MaxAppendRows) {
+                reply(s"ERR APPEND count $n out of range [0, ${GraftServer.MaxAppendRows}]; closing (cannot resync)")
+                return
+              }
               // drain ALL n payload lines BEFORE parsing: a malformed
               // line mid-payload must not leave the remainder in the
               // stream to be misread as top-level requests (protocol
@@ -145,9 +173,11 @@ class GraftServer(engine: GraftEngine, port: Int = 0) {
                 l
               }
               val ms = raw.map(Wire.parseMeas)
-              // single-writer store: serialize wire appends across connections
-              engine.synchronized { engine.append(ms) }
-              pushToSubscribers(ms)
+              // engine.append is synchronized and notifies subscribers
+              // (via the onAppend observer) inside its lock — wire
+              // appends across connections serialize there, and push
+              // order matches commit order
+              engine.append(ms)
               reply(s"OK $n")
             case "READ_INTERVAL" =>
               val q = QueryInterval(Wire.parseIds(parts(1)), parts(2).toLong,
@@ -205,6 +235,13 @@ class GraftServer(engine: GraftEngine, port: Int = 0) {
       }
     }
   }
+}
+
+object GraftServer {
+  /** Upper bound on a single wire APPEND batch — larger ingests should
+    * arrive as multiple APPENDs (or through the engine's streaming
+    * path). Caps the per-connection payload buffer. */
+  val MaxAppendRows: Int = 1000000
 }
 
 /** O17 client half [U: network/libclient/client.cpp]. One TCP

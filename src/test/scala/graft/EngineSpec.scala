@@ -95,6 +95,33 @@ class EngineSpec extends SparkSpec {
     assert(after.length === 1 && after.head.getDouble(2) === 99.0)
   }
 
+  test("compact-swap crash recovery: a live path left aside-only is restored on next read") {
+    val dir = tmpDir("graft-swap")
+    val engine = new GraftEngine(spark, dir, buckets = 2)
+    val id = engine.addParam("swap.series")
+    engine.append(Seq(Meas(id, ts("2024-03-01 10:00:00"), 5.0, Flags.CLICK, 1)))
+
+    // simulate a compactScheme() crash between rename(_scheme → .old)
+    // and rename(.compacting → _scheme): the aside copy is the only copy
+    val scheme = new java.io.File(s"$dir/_scheme")
+    assert(scheme.renameTo(new java.io.File(s"$dir/_scheme.old")))
+    // ls() must recover the catalog, NOT silently read it as empty
+    assert(engine.ls().count() === 1)
+    assert(scheme.exists, "recovery restored the live scheme path")
+    // a fresh engine (no memo) still resolves the logged id after recovery
+    assert(new GraftEngine(spark, dir, buckets = 2).getParamId("swap.series") === Some(id))
+
+    // same crash window for the data compact(): data → data.old only
+    val data = new java.io.File(s"$dir/data")
+    assert(data.renameTo(new java.io.File(s"$dir/data.old")))
+    assert(engine.merged.count() === 1, "read path recovered the aside data copy")
+    assert(data.exists)
+    // and compact() itself starts with the recovery preamble
+    assert(data.renameTo(new java.io.File(s"$dir/data.old")))
+    engine.compact()
+    assert(engine.merged.count() === 1)
+  }
+
   test("fsck detects and repairs a corrupt data file") {
     val dir = tmpDir("graft-fsck")
     val engine = new GraftEngine(spark, dir, buckets = 2)

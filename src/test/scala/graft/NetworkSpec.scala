@@ -116,4 +116,60 @@ class NetworkSpec extends SparkSpec {
       subClient.close()
     } finally server.stop()
   }
+
+  test("engine-API appends reach socket subscribers (observer fires for every append path)") {
+    val engine = new GraftEngine(spark, tmpDir("graft-net-obs"), buckets = 4)
+    val server = new GraftServer(engine).start()
+    try {
+      val pushed = new java.util.concurrent.LinkedBlockingQueue[Meas]()
+      val subClient = new GraftClient("127.0.0.1", server.boundPort)
+      subClient.subscribe(Seq(7L), 0L)(pushed.put)
+
+      // NOT a wire APPEND: a direct engine-API call (the round-3 server
+      // only pushed for wire appends — the reference pushes on every
+      // append reaching the engine)
+      engine.append(Seq(
+        Meas(7L, ts("2024-04-01 10:00:00"), 1.0, Flags.CLICK, 1),
+        Meas(8L, ts("2024-04-01 10:00:00"), 2.0, Flags.CLICK, 2)))
+      // DataFrame-path append must notify too (streams via toLocalIterator)
+      import spark.implicits._
+      engine.append(spark.createDataset(Seq(
+        Meas(7L, ts("2024-04-01 11:00:00"), 3.0, Flags.ERROR, 3))).toDF())
+
+      val got = Iterator.continually(
+        Option(pushed.poll(10, java.util.concurrent.TimeUnit.SECONDS)))
+        .take(2).flatten.toSeq
+      assert(got.map(_.seq) === Seq(1L, 3L), "id-7 rows pushed in commit order; id-8 filtered")
+      assert(pushed.poll(200, java.util.concurrent.TimeUnit.MILLISECONDS) === null)
+      subClient.close()
+
+      // after stop() the observer is unregistered: engine appends no
+      // longer touch the (dead) server
+      server.stop()
+      engine.append(Seq(Meas(7L, ts("2024-04-01 12:00:00"), 4.0, Flags.CLICK, 4)))
+      assert(pushed.poll(200, java.util.concurrent.TimeUnit.MILLISECONDS) === null)
+    } finally server.stop()
+  }
+
+  test("oversized APPEND count is rejected before buffering (ERR + close)") {
+    val engine = new GraftEngine(spark, tmpDir("graft-net-cap"), buckets = 4)
+    val server = new GraftServer(engine).start()
+    try {
+      val raw = new java.net.Socket("127.0.0.1", server.boundPort)
+      val rawOut = new java.io.PrintWriter(raw.getOutputStream)
+      val rawIn = new java.io.BufferedReader(new java.io.InputStreamReader(raw.getInputStream))
+      rawOut.println("APPEND 2000000000"); rawOut.flush()
+      assert(rawIn.readLine().startsWith("ERR"), "count beyond MaxAppendRows rejected up front")
+      assert(rawIn.readLine() === null, "server closes (payload lines must not replay as requests)")
+      raw.close()
+
+      val raw2 = new java.net.Socket("127.0.0.1", server.boundPort)
+      val raw2Out = new java.io.PrintWriter(raw2.getOutputStream)
+      val raw2In = new java.io.BufferedReader(new java.io.InputStreamReader(raw2.getInputStream))
+      raw2Out.println("APPEND -1"); raw2Out.flush()
+      assert(raw2In.readLine().startsWith("ERR"))
+      assert(raw2In.readLine() === null)
+      raw2.close()
+    } finally server.stop()
+  }
 }

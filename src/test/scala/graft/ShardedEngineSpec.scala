@@ -78,6 +78,52 @@ class ShardedEngineSpec extends SparkSpec {
     assert(cell(idY, "2024-03-05 11:00:00") === Some(9.0))
   }
 
+  test("batched registration writes at most one scheme log file per shard") {
+    val roots = Seq(tmpDir("bshard0"), tmpDir("bshard1"), tmpDir("bshard2"))
+    val eng = new ShardedEngine(spark, roots, buckets = 2)
+    val names = (0 until 10000).map(i => s"series.batch.$i")
+    val ids = eng.addParams(names)
+    assert(ids.size === 10000)
+    assert(eng.ls().count() === 10000)
+    // one GraftEngine.addParams call per owning shard = ≤ 1 parquet
+    // part-file per shard log (the looped form wrote one file per name)
+    roots.foreach { root =>
+      val dir = new java.io.File(s"$root/_scheme")
+      val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".parquet"))
+      assert(parts <= 1, s"shard $root wrote $parts scheme files for one batch")
+    }
+    // every id routes consistently: lookup agrees with content addressing
+    names.take(100).foreach { n =>
+      assert(eng.getParamId(n) === Some(graft.engine.GraftEngine.seriesId(n)))
+    }
+  }
+
+  test("readGrid serves a legacy series whose catalog row sits on a non-owning shard") {
+    val roots = Seq(tmpDir("fshard0"), tmpDir("fshard1"))
+    // catalog row for id 42 lives ONLY on shard 1; id 42's data routes
+    // to shard 0 (42 pmod 2 = 0). No addParam call ever adopts it — the
+    // grid must still emit the series from its owning shard.
+    spark.createDataFrame(Seq(("foreign.legacy", 42L))).toDF("name", "series_id")
+      .write.parquet(s"${roots(1)}/_scheme")
+    val eng = new ShardedEngine(spark, roots, buckets = 2)
+    eng.append(Seq(Meas(42L, ts("2024-03-05 09:30:00"), 6.25, Flags.CLICK, 1)))
+    val grid = eng.readGrid(ts("2024-03-05 10:00:00"), ts("2024-03-05 10:00:00"),
+      stepSeconds = 3600L, maxStalenessSeconds = 3600L).collect()
+    assert(grid.length === 1, "the legacy series emits exactly one grid row")
+    assert(grid.head.getLong(0) === 42L && grid.head.getDouble(2) === 6.25)
+
+    // and a registered series with NO data still emits its null grid row
+    // from its owning shard (the contract the ownership filter used to break)
+    spark.createDataFrame(Seq(("foreign.empty", 43L))).toDF("name", "series_id")
+      .write.mode("append").parquet(s"${roots(0)}/_scheme") // 43 pmod 2 = 1: shard 0 is non-owning
+    val grid2 = eng.readGrid(ts("2024-03-05 10:00:00"), ts("2024-03-05 10:00:00"),
+      stepSeconds = 3600L, maxStalenessSeconds = 3600L).collect()
+    assert(grid2.length === 2)
+    val empty = grid2.find(_.getLong(0) === 43L).get
+    assert(empty.isNullAt(2), "registered series with no data emits its null grid row")
+  }
+
   test("routed addParam honors a legacy registration on whatever shard holds it") {
     val roots = Seq(tmpDir("lshard0"), tmpDir("lshard1"))
     // a legacy catalog row sits on a shard the content-addressed route
