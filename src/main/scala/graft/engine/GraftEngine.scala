@@ -443,9 +443,13 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     * drop only the given series' rows older than the cutoff. Unlike the
     * whole-store form this cannot be a partition drop — affected day
     * partitions are REWRITTEN with an anti-filter (dynamic partition
-    * overwrite: untouched days are never read or written). Cost is
-    * proportional to the days the cutoff spans, not the store — the
-    * same bound the reference pays walking the id's chunks. */
+    * overwrite: untouched days are never read or written). The
+    * per-(day, id) stats index restricts the rewrite to days ACTUALLY
+    * holding erasable rows for the target ids (index row present with
+    * min_time < cutoff) — so erasing a series that lived one week out
+    * of a year-old store rewrites ~7 days, not 365. Falls back to the
+    * full pre-cutoff day list when the index is unusable; cost is then
+    * proportional to the days the cutoff spans, never the store. */
   def eraseOld(cutoff: Timestamp, ids: Seq[Long]): Seq[String] = {
     require(ids.nonEmpty, "per-id eraseOld needs at least one id")
     flush()
@@ -458,14 +462,29 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     // 00:00 on its own day).
     val midnightCutoff =
       cutoff.toInstant == cutoffDay.atStartOfDay(java.time.ZoneOffset.UTC).toInstant
-    val affectedDays = fs.listStatus(new Path(dataPath)).toSeq
+    val candidateDays = fs.listStatus(new Path(dataPath)).toSeq
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith("day="))
       .map(n => java.sql.Date.valueOf(n.stripPrefix("day=")))
       .filter(d => d.toLocalDate.isBefore(cutoffDay)
         || (!midnightCutoff && d.toLocalDate == cutoffDay))
-    if (affectedDays.isEmpty) return Seq.empty
+    if (candidateDays.isEmpty) return Seq.empty
     val wasUsable = hasStats
+    // index-driven day pruning: the index reflects the MERGED store, so
+    // a (day, id) row with min_time < cutoff exists iff that day holds
+    // at least one erasable row. The collect is bounded by the candidate
+    // day count (tiny), same as the directory listing above.
+    val affectedDays =
+      if (!wasUsable) candidateDays
+      else {
+        val present = TsdbStorage.readStats(spark, statsPath)
+          .filter(idPred(ids) && col("day").isin(candidateDays: _*)
+            && col("min_time") < lit(cutoff))
+          .select("day").distinct()
+          .collect().map(_.getDate(0)).toSet
+        candidateDays.filter(present)
+      }
+    if (affectedDays.isEmpty) return Seq.empty
     TsdbStorage.markStatsOutOfSync(spark, statsPath)
     TsdbStorage.rewriteDaysFiltered(spark, dataPath, affectedDays, buckets,
       keep = !(col("id").isin(ids: _*) && col("time") < lit(cutoff)))

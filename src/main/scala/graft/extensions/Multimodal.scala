@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   * feature-extraction runs batched per partition so a real decoder
   * amortizes model/codec init once per partition, not per row.
   *
-  * The decode itself is a STUB — this container has no image/audio
-  * libraries — but it is the ONLY stubbed piece: schema, encoders,
-  * partitioning, and the per-partition batch loop are the real
-  * production shape. Swap [[MediaDecoder.decode]] for a JNI/library call
-  * and nothing else changes.
+  * Decode is REAL for the formats the JDK ships codecs for (PNG, BMP,
+  * GIF, JPEG via `javax.imageio` — full pixel decode, no external
+  * libraries): a payload those codecs recognize yields its true
+  * dimensions and format. Payloads no JDK codec accepts (this
+  * container has no ffmpeg/audio libs; the synthetic test corpus rides
+  * text bytes) fall back to a deterministic fake so the pipeline shape
+  * stays exercised end-to-end — that fallback is the ONLY stubbed
+  * piece. Schema, encoders, partitioning, and the per-partition batch
+  * loop are the production shape either way.
   */
 object Multimodal {
 
@@ -29,12 +33,12 @@ object Multimodal {
       fmt: String,
       byte_histogram: Array[Long]) // 16-bucket histogram of payload bytes
 
-  /** STUB decoder — deterministic fake standing in for an image/audio
-    * codec. Derives "dimensions" from payload length and a byte
-    * histogram as the "feature vector". Marked for replacement. The
-    * constants are the single source of truth for the fake-decode
-    * contract — the SQL-path query (MiscQueries.multimodalMeta) and its
-    * oracle derive from them too. */
+  /** Decoder: real `javax.imageio` pixel decode first, deterministic
+    * fake fallback for payloads no JDK codec accepts. The fake's
+    * constants are the single source of truth for the fallback
+    * contract — the SQL-path query (MiscQueries.multimodalMeta) and
+    * its oracle derive from them too (the synthetic corpus is all
+    * fallback-path, so the oracle is decoder-independent). */
   object MediaDecoder {
     val DIM_BASE = 64
     val W_MOD = 576
@@ -43,11 +47,36 @@ object Multimodal {
     val FRAMES_MOD = 30
     val FORMATS: Seq[String] = Seq("png", "jpeg", "webp")
 
-    def decode(content: Array[Byte]): (Int, Int, String) = {
-      // ??? real codec goes here (libjpeg / ffmpeg / ...); deterministic fake:
-      val n = content.length
-      (DIM_BASE + n % W_MOD, DIM_BASE + (n * H_MULT) % H_MOD, FORMATS(n % FORMATS.size))
-    }
+    def decode(content: Array[Byte]): (Int, Int, String) =
+      decodeImage(content) match {
+        case Some((w, h, fmt)) => (w, h, fmt)
+        case None => // deterministic fake: the audio/video/unknown-codec stand-in
+          val n = content.length
+          (DIM_BASE + n % W_MOD, DIM_BASE + (n * H_MULT) % H_MOD, FORMATS(n % FORMATS.size))
+      }
+
+    /** Real image decode via the JDK's own codecs (PNG/BMP/GIF/JPEG).
+      * Fully decodes the pixel raster — corrupt payloads past the header
+      * fail here and fall back, they don't yield half-real metadata.
+      * None for formats the JDK lacks or non-image payloads. */
+    def decodeImage(content: Array[Byte]): Option[(Int, Int, String)] =
+      try {
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(in)
+              val fmt = r.getFormatName.toLowerCase
+              val img = r.read(0) // full raster decode, not a header probe
+              Some((img.getWidth, img.getHeight, fmt))
+            } finally r.dispose()
+          }
+        } finally if (in != null) in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Lift the documents table into typed media rows (text bytes stand in

@@ -277,6 +277,59 @@ class EngineSpec extends SparkSpec {
     assert(st.getLong(1) === 2 && st.getDouble(6) === 7.0)
   }
 
+  test("per-id eraseOld prunes via the stats index: days without the ids are byte-identical") {
+    val dir = tmpDir("graft-erase-pruned")
+    val engine = new GraftEngine(spark, dir, buckets = 2)
+    // id 1 lives on five days; id 2 lived exactly one day in the middle
+    engine.append((1 to 5).map(d =>
+      Meas(1L, ts(f"2024-03-0$d 10:00:00"), d.toDouble, 1L, d.toLong)) :+
+      Meas(2L, ts("2024-03-03 11:00:00"), 30.0, 1L, 99))
+
+    def snapshot(day: String): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"$dir/data/day=2024-03-0$day")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val before = Seq("1", "2", "4", "5").map(d => d -> snapshot(d)).toMap
+
+    // erase id 2's whole history: only its one day may be rewritten
+    val touched = engine.eraseOld(ts("2024-03-06 00:00:00"), Seq(2L))
+    assert(touched === Seq("day=2024-03-03"),
+      "index pruning must restrict the rewrite to the days holding the id")
+    Seq("1", "2", "4", "5").foreach { d =>
+      assert(snapshot(d) === before(d), s"day 2024-03-0$d files must be byte-identical")
+    }
+    // semantics unchanged: id 2 gone, id 1 intact, index stays exact
+    assert(engine.minMaxTime(2L) === None)
+    val st = engine.stat(1L, ts("2024-03-01 00:00:00"), ts("2024-03-06 00:00:00")).head()
+    assert(st.getLong(1) === 5 && st.getDouble(6) === 15.0)
+
+    // a second erase for the same id finds no erasable rows: zero days touched
+    assert(engine.eraseOld(ts("2024-03-06 00:00:00"), Seq(2L)) === Seq.empty)
+
+    // min_time refinement: a mid-day cutoff BEFORE the id's first row on
+    // the cutoff day touches nothing (no erasable row exists)
+    assert(engine.eraseOld(ts("2024-03-05 09:00:00"), Seq(1L)).sorted
+      === Seq("day=2024-03-01", "day=2024-03-02", "day=2024-03-03", "day=2024-03-04"),
+      "cutoff-day partition skipped when the id's min_time there is after the cutoff")
+  }
+
+  test("per-id eraseOld falls back to the full day list when the index is unusable") {
+    val dir = tmpDir("graft-erase-fallback")
+    val engine = new GraftEngine(spark, dir, buckets = 2)
+    engine.append(Seq(
+      Meas(1L, ts("2024-03-01 10:00:00"), 1.0, 1L, 1),
+      Meas(1L, ts("2024-03-02 10:00:00"), 2.0, 1L, 2),
+      Meas(2L, ts("2024-03-02 11:00:00"), 3.0, 1L, 3)))
+    // simulate a crash-staled index: marker gone ⇒ index unusable
+    graft.sources.TsdbStorage.markStatsOutOfSync(spark, s"$dir/_stats")
+    val touched = engine.eraseOld(ts("2024-03-03 00:00:00"), Seq(1L))
+    assert(touched.sorted === Seq("day=2024-03-01", "day=2024-03-02"),
+      "without a usable index every pre-cutoff day is rewritten")
+    val left = engine.merged.collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(left === Set((2L, 3.0)))
+  }
+
   test("MEMORY strategy: hot-level rows serve reads before any parquet exists, flush outranks") {
     val dir = tmpDir("graft-hot")
     val engine = new GraftEngine(spark, dir, buckets = 2, hotCapacity = 1000L)
