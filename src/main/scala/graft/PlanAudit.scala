@@ -45,23 +45,69 @@ object PlanAudit {
     "vocab_topk" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus total"),
   )
 
+  private def auditOne(spark: SparkSession, name: String,
+                       df: => org.apache.spark.sql.DataFrame,
+                       flagged: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+    try {
+      val hits = audit(df.queryExecution.executedPlan)
+      val (ok, bad) = hits.partition(h => waived.get(name).exists(_._1 == h))
+      if (bad.nonEmpty) { flagged += name; println(s"AUDIT FLAG  $name: ${bad.mkString(", ")}") }
+      else if (ok.nonEmpty) println(s"AUDIT waive $name: ${ok.mkString(", ")} — ${waived(name)._2}")
+      else println(s"AUDIT clean $name")
+    } catch {
+      case e: Throwable => flagged += name; println(s"AUDIT ERROR $name: ${e.getMessage}")
+    }
+    finally spark.sharedState.cacheManager.clearCache()
+  }
+
   /** Audit every registered query's physical plan; returns the flagged
     * query names (empty = gate passes). Prints one line per query. */
   def run(spark: SparkSession, sfDir: String): Seq[String] = {
     val flagged = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val hits = audit(fn(spark, sfDir).queryExecution.executedPlan)
-        val (ok, bad) = hits.partition(h => waived.get(name).exists(_._1 == h))
-        if (bad.nonEmpty) { flagged += name; println(s"AUDIT FLAG  $name: ${bad.mkString(", ")}") }
-        else if (ok.nonEmpty) println(s"AUDIT waive $name: ${ok.mkString(", ")} — ${waived(name)._2}")
-        else println(s"AUDIT clean $name")
-      } catch {
-        case e: Throwable => flagged += name; println(s"AUDIT ERROR $name: ${e.getMessage}")
-      }
-      finally spark.sharedState.cacheManager.clearCache()
+      auditOne(spark, name, fn(spark, sfDir), flagged)
     }
     println(s"AUDIT done: ${flagged.size} flagged")
+    flagged.toSeq
+  }
+
+  /** Audit the ENGINE FACADE's own read plans — the DataFrames
+    * GraftEngine/ShardedEngine build internally (readInterval,
+    * readTimePoint/currentValue, readGrid, statIndexed, sharded
+    * fan-outs), which the registry walk never sees. Builds a throwaway
+    * store so the plans are the real ones (stats index present, scheme
+    * catalog populated, multi-day partitions). Same three rules. */
+  def runFacade(spark: SparkSession): Seq[String] = {
+    import graft.core.Meas
+    import graft.engine.{GraftEngine, QueryInterval, QueryTimePoint, ShardedEngine}
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-audit").toString
+    val flagged = scala.collection.mutable.ArrayBuffer[String]()
+    try {
+      val engine = new GraftEngine(spark, s"$dir/single", buckets = 4)
+      val measBatch = (0 until 200).map { i =>
+        Meas(i % 7L, ts(f"2024-03-${1 + i % 5}%02d 10:00:00"), i.toDouble, 1L, i.toLong)
+      }
+      engine.append(measBatch)
+      engine.addParams(Seq("audit.a", "audit.b"))
+      val sharded = new ShardedEngine(spark, Seq(s"$dir/s0", s"$dir/s1"), buckets = 2)
+      sharded.append(measBatch)
+      sharded.addParams(Seq("audit.c", "audit.d"))
+      val from = ts("2024-03-01 00:00:00"); val to = ts("2024-03-06 00:00:00")
+      val facadePlans: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        "facade:readInterval" -> (() => engine.readInterval(QueryInterval(Seq(1L, 2L), 0L, from, to))),
+        "facade:readTimePoint" -> (() => engine.readTimePoint(QueryTimePoint(Seq.empty, 0L, to))),
+        "facade:currentValue" -> (() => engine.currentValue(Seq(1L), 0L)),
+        "facade:readGrid" -> (() => engine.readGrid(from, to, 3600L, 7200L)),
+        "facade:statIndexed" -> (() => engine.statIndexed(1L, from, to)),
+        "facade:merged" -> (() => engine.merged),
+        "facade:sharded.readGrid" -> (() => sharded.readGrid(from, to, 3600L, 7200L)),
+        "facade:sharded.currentValue" -> (() => sharded.currentValue(Seq(1L, 2L), 0L)))
+      facadePlans.foreach { case (name, mk) => auditOne(spark, name, mk(), flagged) }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+    println(s"AUDIT facade done: ${flagged.size} flagged")
     flagged.toSeq
   }
 
@@ -75,7 +121,7 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val flagged = run(spark, sfDir)
+    val flagged = run(spark, sfDir) ++ runFacade(spark)
     spark.stop()
     if (flagged.nonEmpty) sys.exit(1)
   }

@@ -11,4 +11,9 @@ class PlanAuditSpec extends SparkSpec {
     val flagged = PlanAudit.run(spark, sfDir)
     assert(flagged.isEmpty, s"plan audit flagged: ${flagged.mkString(", ")}")
   }
+
+  test("no engine-facade read plan trips a scale anti-pattern rule") {
+    val flagged = PlanAudit.runFacade(spark)
+    assert(flagged.isEmpty, s"facade plan audit flagged: ${flagged.mkString(", ")}")
+  }
 }
