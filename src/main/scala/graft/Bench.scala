@@ -38,6 +38,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_ANN_INDEX=build: materialize the persisted ANN index
+    // once (untimed) and point sim_ann/sim_ivf at it — measures the
+    // index-served path (the production 100 TB shape, where the index
+    // is built at ingest, not per query). Unset ⇒ recompute path, the
+    // driver's default envelope.
+    val annDir = sys.env.get("SPARK_GRAFT_ANN_INDEX").map { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-ann-bench").toString
+      graft.extensions.AnnIndex.build(spark, spark.read.parquet(s"$sfDir/embeddings.parquet"), dir)
+      spark.conf.set(graft.extensions.AnnIndex.ConfKey, dir)
+      dir
+    }
+
     // iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those queries
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -93,6 +105,7 @@ object Bench {
         s""""queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"errors":$errJson,"sf":"$sfDir"}""")
     // exit 0 even with errors: the driver records stdout's JSON line as
     // the artifact — the non-empty "errors" map IS the failure signal
+    annDir.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
     spark.stop()
   }
 }

@@ -27,10 +27,15 @@ object SimilarityQueries {
   private[extensions] val N_PLANES = 16
   private[extensions] val BAND_BITS = 4
 
-  private def emb(s: SparkSession, d: String): DataFrame = {
+  private def emb(s: SparkSession, d: String): DataFrame =
+    prep(s, s.read.parquet(s"$d/embeddings.parquet"))
+
+  /** Normalize a raw embeddings frame (vec_id, embedding, ...) into the
+    * scoring shape (vec_id, v: double[], norm). Shared with AnnIndex so
+    * index-build and query-time math are the same expressions. */
+  private[extensions] def prep(s: SparkSession, raw: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    s.read.parquet(s"$d/embeddings.parquet")
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    raw.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("norm", sqrt(call_function("graft_dot", col("v"), col("v"))))
   }
 
@@ -117,8 +122,15 @@ object SimilarityQueries {
   val ann: QueryDef = QueryDef(
     build = (s, d) => {
       val e = emb(s, d).persist()
+      // codes from the persisted _ann index when one is certified
+      // (AnnIndex.ConfKey → usable dir), recomputed map-side otherwise —
+      // same hyperplanes either way, so results are identical
+      val coded = AnnIndex.resolve(s) match {
+        case Some(dir) => AnnIndex.readCodes(s, dir).select("vec_id", "code")
+        case None      => srpCoded(e)
+      }
       // candidates on slim rows only; vectors join back once for scoring
-      val bands = srpBands(srpCoded(e)).persist()
+      val bands = srpBands(coded).persist()
       val qb = bands.filter(col("vec_id") < N_QUERIES)
         .select(col("vec_id").as("query_id"), col("band"), col("bucket"))
       val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
@@ -186,24 +198,56 @@ object SimilarityQueries {
   // -------------------------------------------------------------------
   private val N_PROBE = 2
 
+  /** The IVF coarse quantizer: per-label centroid table, rounded 6dp so
+    * both engines (and index-build vs query-time) derive bit-identical
+    * cells. dims×cells rows — always broadcastable. Shared with
+    * AnnIndex.build so the persisted centroids are the same values the
+    * live path derives. */
+  private[extensions] def centroidTable(s: SparkSession, raw: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    raw.select(col("label").cast("long").as("clabel"),
+        posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("dim", "x")))
+      .groupBy("clabel", "dim").agg(round(avg("x"), 6).as("cx"))
+      .groupBy("clabel")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cx))), p -> p.cx)").as("cv"))
+      .withColumn("cnorm", sqrt(call_function("graft_dot", col("cv"), col("cv"))))
+  }
+
+  /** Rounded cosine of every vector against every centroid — one
+    * map-side pass (broadcast centroid table). */
+  private[extensions] def cellSims(vecs: DataFrame, cent: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cent))
+      .withColumn("csim",
+        round(call_function("graft_dot", col("v"), col("cv")) / (col("norm") * col("cnorm")), 6))
+      .select(col("vec_id"), col("clabel"), col("csim"))
+
+  /** Nearest-centroid cell per vector (deterministic: rounded sim +
+    * label tiebreak). Shared by the live ivf path and AnnIndex, so
+    * cells persisted at build/append time are exactly the cells the
+    * live path would assign against the same centroids. */
+  private[extensions] def assignCells(vecs: DataFrame, cent: DataFrame): DataFrame = {
+    val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("clabel"))
+    cellSims(vecs, cent).withColumn("rk", row_number().over(byVec))
+      .filter(col("rk") === 1).select(col("vec_id"), col("clabel").as("cell"))
+  }
+
   val ivf: QueryDef = QueryDef(
     build = (s, d) => {
       val e = emb(s, d)
-      val cent = s.read.parquet(s"$d/embeddings.parquet")
-        .select(col("label").cast("long").as("clabel"),
-          posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("dim", "x")))
-        .groupBy("clabel", "dim").agg(round(avg("x"), 6).as("cx"))
-        .groupBy("clabel")
-        .agg(expr("transform(array_sort(collect_list(struct(dim, cx))), p -> p.cx)").as("cv"))
-        .withColumn("cnorm", sqrt(call_function("graft_dot", col("cv"), col("cv"))))
-      val sims = e.crossJoin(broadcast(cent))
-        .withColumn("csim",
-          round(call_function("graft_dot", col("v"), col("cv")) / (col("norm") * col("cnorm")), 6))
-        .select(col("vec_id"), col("clabel"), col("csim"))
+      // centroids + corpus cell assignment from the persisted _ann index
+      // when certified, derived live otherwise. Probes are always
+      // computed at query time (|queries| × |cells| — trivial) against
+      // whichever centroid table is in play.
+      val (cent, assigned) = AnnIndex.resolve(s) match {
+        case Some(dir) =>
+          (AnnIndex.readCentroids(s, dir),
+            AnnIndex.readCodes(s, dir).select(col("vec_id"), col("cell")))
+        case None =>
+          val c = centroidTable(s, s.read.parquet(s"$d/embeddings.parquet"))
+          (c, assignCells(e, c))
+      }
       val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("clabel"))
-      val assigned = sims.withColumn("rk", row_number().over(byVec))
-        .filter(col("rk") === 1).select(col("vec_id"), col("clabel").as("cell"))
-      val probes = sims.filter(col("vec_id") < N_QUERIES)
+      val probes = cellSims(e.filter(col("vec_id") < N_QUERIES), cent)
         .withColumn("rk", row_number().over(byVec))
         .filter(col("rk") <= N_PROBE)
         .select(col("vec_id").as("query_id"), col("clabel").as("cell"))

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.extensions.{AnnIndex, SimilarityQueries}
+
+/** The persisted ANN index: index-served queries must be IDENTICAL to
+  * the recompute path, appends must extend the index exactly (frozen
+  * quantizer), and an uncommitted mutation must disable it — never
+  * serve it stale.
+  */
+class AnnIndexSpec extends SparkSpec {
+
+  private def raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def collectAnn(name: String): Seq[Seq[Any]] =
+    SparkEntry.queries(name)(spark, sfDir).collect().toSeq.map(_.toSeq)
+
+  private def withIndex[T](dir: String)(body: => T): T = {
+    spark.conf.set(AnnIndex.ConfKey, dir)
+    try body finally spark.conf.unset(AnnIndex.ConfKey)
+  }
+
+  test("index-served sim_ann and sim_ivf are identical to the recompute path") {
+    val dir = tmpDir("graft-ann-idx")
+    val recomputedAnn = collectAnn("sim_ann")
+    val recomputedIvf = collectAnn("sim_ivf")
+    AnnIndex.build(spark, raw, dir)
+    assert(AnnIndex.usable(spark, dir))
+    withIndex(dir) {
+      assert(AnnIndex.resolve(spark) === Some(dir))
+      assert(collectAnn("sim_ann") === recomputedAnn)
+      assert(collectAnn("sim_ivf") === recomputedIvf)
+    }
+  }
+
+  test("append extends the index exactly: SRP codes corpus-invariant, cells frozen-quantizer") {
+    val dir = tmpDir("graft-ann-append")
+    val dirFull = tmpDir("graft-ann-full")
+    // build on a subset, then append the rest (queries included)
+    AnnIndex.build(spark, raw.filter(col("vec_id") >= 50), dir)
+    AnnIndex.append(spark, raw.filter(col("vec_id") < 50), dir)
+    val appended = AnnIndex.readCodes(spark, dir)
+    assert(appended.count() === raw.count(), "one codes row per corpus vector")
+    assert(appended.select("vec_id").distinct().count() === raw.count(), "no duplicate rows")
+    // SRP codes don't depend on the quantizer: they must equal a
+    // full-corpus build's codes bit-for-bit
+    AnnIndex.build(spark, raw, dirFull)
+    val codeDiff = appended.select("vec_id", "code")
+      .exceptAll(AnnIndex.readCodes(spark, dirFull).select("vec_id", "code"))
+    assert(codeDiff.isEmpty, "appended SRP codes must match a from-scratch build")
+    // cells ARE quantizer-dependent: appended rows must carry exactly the
+    // assignment against the index's FROZEN centroids (never re-derived)
+    val expected = AnnIndex.assign(spark, raw, dir)
+    val cellDiff = appended.select("vec_id", "cell").exceptAll(expected)
+    assert(cellDiff.isEmpty, "cells must be assigned against the frozen build-time centroids")
+  }
+
+  test("uncommitted mutation disables the index; queries fall back; build recertifies") {
+    val dir = tmpDir("graft-ann-crash")
+    AnnIndex.build(spark, raw, dir)
+    val served = withIndex(dir)(collectAnn("sim_ann"))
+    // simulate a crash between content write and certification
+    graft.sources.TsdbStorage.markStatsOutOfSync(spark, dir)
+    assert(!AnnIndex.usable(spark, dir))
+    withIndex(dir) {
+      assert(AnnIndex.resolve(spark) === None, "an uncertified index must never be served")
+      assert(collectAnn("sim_ann") === served, "fallback recompute serves the same answer")
+    }
+    intercept[IllegalArgumentException](AnnIndex.append(spark, raw.limit(1), dir))
+    AnnIndex.build(spark, raw, dir) // repair = rebuild
+    assert(AnnIndex.usable(spark, dir))
+  }
+
+  test("compact coalesces the codes files without changing contents") {
+    val dir = tmpDir("graft-ann-compact")
+    AnnIndex.build(spark, raw.filter(col("vec_id") >= 50), dir)
+    AnnIndex.append(spark, raw.filter(col("vec_id") < 50), dir)
+    val before = AnnIndex.readCodes(spark, dir).collect().map(_.toSeq).toSet
+    AnnIndex.compact(spark, dir)
+    assert(AnnIndex.usable(spark, dir))
+    val after = AnnIndex.readCodes(spark, dir)
+    assert(after.collect().map(_.toSeq).toSet === before)
+    assert(after.inputFiles.length === 1, "compact coalesces to a single file")
+    // index-served results survive the append+compact lifecycle
+    val recomputed = collectAnn("sim_ann")
+    withIndex(dir)(assert(collectAnn("sim_ann") === recomputed))
+  }
+}
