@@ -3,18 +3,23 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.engine.{GraftEngine, QueryInterval, QueryTimePoint}
+import graft.engine.{GraftEngine, QueryInterval, QueryTimePoint, ShardedEngine}
 
 /** Scale-headroom smoke: synthesize an N-row Meas store (default 20M —
-  * 200× the sf0.1 events table) in the clustered layout and drive the
-  * core engine operators against it. Not a driver gate; evidence that
-  * the operator plans and the storage layout hold when the data is no
-  * longer toy-sized. Usage: runMain graft.ScaleSmoke [rows] [seriesCount]
+  * 200× the sf0.1 events table) spread over `days` day partitions and
+  * drive the core engine operators against it. Not a driver gate;
+  * evidence that the operator plans and the storage layout hold when
+  * the data is no longer toy-sized — and, run at days=30 vs days=365
+  * with the same row count, that the DAY-PRUNED read paths (readGrid,
+  * indexed stat, index-pruned per-id erase) stay FLAT as the store
+  * ages instead of scaling with its history.
+  * Usage: runMain graft.ScaleSmoke [rows] [seriesCount] [days]
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val rows = if (args.length > 0) args(0).toLong else 20000000L
     val series = if (args.length > 1) args(1).toLong else 10000L
+    val days = if (args.length > 2) args(2).toInt else 30
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -25,7 +30,12 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
 
     val dir = java.nio.file.Files.createTempDirectory("graft-scale").toString
-    val engine = new GraftEngine(spark, dir, buckets = cpus.toInt * 2)
+    // bucket count trades file count for per-file size: at 365 day
+    // partitions the default would mint days×buckets tiny files, so the
+    // year run caps buckets — in production per-day volume is what sets
+    // the bucket count, not history length
+    val buckets = if (days > 60) 16 else cpus.toInt * 2
+    val engine = new GraftEngine(spark, dir, buckets = buckets)
 
     def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -34,38 +44,81 @@ object ScaleSmoke {
       r
     }
 
-    // deterministic synthetic Meas: `series` ids over 30 days of data
-    val meas = spark.range(rows).select(
+    // deterministic synthetic Meas: `series` ids spread over `days` days
+    val baseUs = 1704067200000000L // 2024-01-01 00:00:00 UTC
+    val spanSeconds = days * 86400L
+    // stride 37 is coprime with any day-span (whose factors are 2/3/5/73),
+    // so (37·i) mod span covers the WHOLE span even when rows < span —
+    // a plain i mod span would leave the tail days empty on a year store
+    def mkMeas(n: Long) = spark.range(n).select(
       pmod(col("id"), lit(series)).as("id"),
-      timestamp_micros(lit(1704067200000000L) + (col("id") % 2592000L) * 1000000L).as("time"),
+      timestamp_micros(lit(baseUs) + ((col("id") * 37L) % spanSeconds) * 1000000L).as("time"),
       (pmod(col("id") * 2654435761L, lit(100000L)) / 100.0).as("value"),
       expr("CAST(shiftleft(1, CAST(id % 5 AS INT)) AS BIGINT)").as("flag"),
       col("id").as("seq"))
 
-    time(f"ingest $rows%,d rows")(engine.append(meas))
+    time(f"ingest $rows%,d rows across $days day partitions")(engine.append(mkMeas(rows)))
+
+    // one SHORT-LIVED series: hourly points on 7 days in the middle of
+    // the span — the per-id retention case the stats index prunes for
+    val shortId = series + 1L
+    val shortStartDay = days / 2
+    engine.append(spark.range(7L * 24).select(
+      lit(shortId).as("id"),
+      timestamp_micros(lit(baseUs) + (col("id") * 3600L + lit(shortStartDay * 86400L)) * 1000000L).as("time"),
+      lit(1.0).as("value"), lit(1L).as("flag"), col("id").as("seq")))
+
+    def dayTs(d: Long) = new java.sql.Timestamp(baseUs / 1000L + d * 86400000L)
 
     val ti = time("readInterval (1 day, 3 series)")(
       engine.readInterval(QueryInterval(Seq(17L, 42L, 99L), 0L,
-        java.sql.Timestamp.valueOf("2024-01-05 00:00:00"),
-        java.sql.Timestamp.valueOf("2024-01-06 00:00:00"))).count())
+        dayTs(days - 2L), dayTs(days - 1L))).count())
     val tp = time("readTimePoint (all series)")(
-      engine.readTimePoint(QueryTimePoint(Seq.empty, 0L,
-        java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))).count())
+      engine.readTimePoint(QueryTimePoint(Seq.empty, 0L, dayTs(days / 2L))).count())
     val cv = time("currentValue (all series)")(
       engine.currentValue(Seq.empty, 0L).count())
-    val st = time("stat via chunk-stat index (1 series, full range)")(
-      engine.stat(17L,
-        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
-        java.sql.Timestamp.valueOf("2024-02-01 00:00:00")).count())
-    val ss = time("stat via full scan (same query, fallback path)")(
-      engine.statScan(17L,
-        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
-        java.sql.Timestamp.valueOf("2024-02-01 00:00:00")).count())
-    val mm = time("minMaxTime from index")(engine.minMaxTime(17L).isDefined)
-    val er = time("eraseOld (drop 10 days)")(
-      engine.eraseOld(java.sql.Timestamp.valueOf("2024-01-11 00:00:00")).size)
 
-    println(s"[scale] results: interval=$ti timepoint=$tp current=$cv stat=$st statScan=$ss minmax=$mm dropped_partitions=$er")
+    // readGrid: 1-day dashboard window, hourly step, 2 h staleness —
+    // day-pruned to a constant-width window however old the store is
+    import spark.implicits._
+    val gridIds = (0L until 1000L).toDF("series_id")
+    val rg = time("readGrid (1k series, 1-day window, 1h step, 2h staleness)")(
+      engine.readGrid(dayTs(days - 2L), dayTs(days - 1L), 3600L, 7200L,
+        gridIds = Some(gridIds)).count())
+
+    // stat over a 300-day interval (clamped to the span): index-covered
+    // days answer from ~1 row each, ≤2 boundary days scan
+    val statSpan = math.min(300L, days.toLong)
+    val st = time(s"stat via chunk-stat index (1 series, $statSpan-day interval)")(
+      engine.stat(17L, dayTs(days.toLong - statSpan), dayTs(days.toLong)).count())
+    val ss = time(s"stat via full scan (same query, fallback path)")(
+      engine.statScan(17L, dayTs(days.toLong - statSpan), dayTs(days.toLong)).count())
+    val mm = time("minMaxTime from index")(engine.minMaxTime(17L).isDefined)
+
+    // per-id retention of the short-lived series: the stats index must
+    // restrict the rewrite to its ~7 resident days, not the whole span
+    val erShort = time("per-id eraseOld (7-day-lived series, index-pruned)")(
+      engine.eraseOld(dayTs(days.toLong), Seq(shortId)).size)
+
+    // sharded fan-out over a 10% slice: routed append + cross-shard grid
+    val shardRows = math.max(rows / 10L, 1L)
+    val sharded = new ShardedEngine(spark, Seq(s"$dir/s0", s"$dir/s1"), buckets = 8)
+    time(f"sharded ingest ($shardRows%,d rows, 2 shards)")(
+      sharded.append(mkMeas(shardRows)))
+    val sg = time("sharded readGrid fan-out (same 1-day window, ids routed to owners)")(
+      sharded.shards.zipWithIndex.map { case (sh, i) =>
+        sh.readGrid(dayTs(days - 2L), dayTs(days - 1L), 3600L, 7200L,
+          gridIds = Some(gridIds.filter(pmod(col("series_id"), lit(2L)) === i.toLong)))
+      }.reduce(_ unionByName _).count())
+    val sstat = time("sharded stat routed to owning shard")(
+      sharded.stat(17L, dayTs(0L), dayTs(days.toLong)).count())
+
+    val er = time("eraseOld (drop 1/3 of the day partitions)")(
+      engine.eraseOld(dayTs(days / 3L)).size)
+
+    println(s"[scale] results: interval=$ti timepoint=$tp current=$cv grid=$rg " +
+      s"stat=$st statScan=$ss minmax=$mm erase_short_days=$erShort sharded_grid=$sg " +
+      s"sharded_stat=$sstat dropped_partitions=$er")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     spark.stop()
   }
