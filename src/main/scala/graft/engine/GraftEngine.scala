@@ -232,14 +232,31 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     intervalReader(q).foreach(callback)
 
   // ---- O4/O5 point reads -------------------------------------------
-  def readTimePoint(q: QueryTimePoint): DataFrame = {
-    // requested-id set as a DataFrame: explicit lists stay literal; the
-    // "all series" default derives distributedly (no driver-side collect
-    // of the id universe, no giant isin literal)
-    val idsDf =
-      if (q.ids.nonEmpty) q.ids.toDF("qid")
-      else merged.select(col("id").as("qid")).distinct()
-    // the as-of scan prunes every day partition after the timepoint
+  /** O4 as-of read. Served from the stats index when it can be exact:
+    * flag 0 (match-all — the index doesn't know flags), no unflushed
+    * hot rows, index certified. The index pinpoints each series' LAST
+    * RESIDENT day at-or-before the timepoint, so the scan touches only
+    * those few partitions instead of every day up to the timepoint —
+    * the difference between "a few pruned partitions" and "half the
+    * store" on an aged store. Falls back to the always-correct scan. */
+  def readTimePoint(q: QueryTimePoint): DataFrame =
+    if (q.flag == 0L && hasStats && hotSize == 0L) readTimePointIndexed(q)
+    else readTimePointScan(q)
+
+  /** The requested-id universe: explicit lists stay literal; the "all
+    * series" default derives distributedly — from the (tiny) stats
+    * index when usable, from the store otherwise (no driver-side
+    * collect of the id universe, no giant isin literal). */
+  private def idUniverse(ids: Seq[Long]): DataFrame =
+    if (ids.nonEmpty) ids.toDF("qid")
+    else if (hasStats && hotSize == 0L)
+      TsdbStorage.readStats(spark, statsPath).select(col("id").as("qid")).distinct()
+    else merged.select(col("id").as("qid")).distinct()
+
+  /** Scan path: prunes every day partition after the timepoint. The
+    * authoritative (and fallback) answer. */
+  def readTimePointScan(q: QueryTimePoint): DataFrame = {
+    val idsDf = idUniverse(q.ids)
     val last = mergedRange(None, Some(q.timePoint))
       .filter(col("time") <= lit(q.timePoint) && flagPred(q.flag) && idPred(q.ids))
       .groupBy("id")
@@ -248,6 +265,43 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     // no broadcast hint: the left (preserved) side cannot be the build
     // side of a left-outer join, so a hint there is silently ignored —
     // AQE picks the per-series aggregate as the broadcast side at runtime
+    idsDf.join(last, col("qid") === col("id"), "left")
+      .select(col("qid").as("id"), col("time"), col("value"),
+        coalesce(col("flag"), lit(Meas.NO_DATA)).as("flag"))
+      .orderBy("id")
+  }
+
+  /** Index path: per id, the last day at-or-before the timepoint that
+    * holds a row ≤ timepoint (day before the timepoint's day, or the
+    * day itself when its min_time is ≤ the timepoint — min_time is in
+    * the index, so a day whose rows all fall AFTER a mid-day timepoint
+    * is correctly skipped for its predecessor). Only the distinct
+    * last-resident days are scanned — for a live store, typically one
+    * or two partitions. The collect is bounded by the store's day
+    * count, same class as the directory listings. Exactness: the index
+    * reflects the merged store (refreshed under the _SYNCED marker at
+    * every mutation), and the freshness merge runs over the scanned
+    * days exactly as the scan path would. */
+  private def readTimePointIndexed(q: QueryTimePoint): DataFrame = {
+    val tpDay = java.sql.Date.valueOf(
+      q.timePoint.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate)
+    val stats = TsdbStorage.readStats(spark, statsPath).filter(idPred(q.ids))
+    val days = stats
+      .filter(col("day") < lit(tpDay)
+        || (col("day") === lit(tpDay) && col("min_time") <= lit(q.timePoint)))
+      .groupBy("id").agg(max("day").as("last_day"))
+      .select(col("last_day")).distinct()
+      .collect().map(_.getDate(0)).toSeq
+    val idsDf = idUniverse(q.ids)
+    val noData = idsDf.select(col("qid").as("id"),
+      lit(null).cast("timestamp").as("time"), lit(null).cast("double").as("value"),
+      lit(Meas.NO_DATA).as("flag")).orderBy("id")
+    if (days.isEmpty) return noData
+    val last = TsdbStorage.mergeFreshest(TsdbStorage.readDays(spark, dataPath, days))
+      .filter(col("time") <= lit(q.timePoint) && idPred(q.ids))
+      .groupBy("id")
+      .agg(max_by(struct(col("time"), col("value"), col("flag")), struct(col("time"), col("seq"))).as("m"))
+      .select(col("id"), col("m.time").as("time"), col("m.value").as("value"), col("m.flag").as("flag"))
     idsDf.join(last, col("qid") === col("id"), "left")
       .select(col("qid").as("id"), col("time"), col("value"),
         coalesce(col("flag"), lit(Meas.NO_DATA)).as("flag"))
@@ -530,6 +584,38 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
       .map(n => java.sql.Date.valueOf(n.stripPrefix("day=")))
     TsdbStorage.refreshStats(spark, dataPath, statsPath, days)
     TsdbStorage.markStatsInSync(spark, statsPath)
+  }
+
+  /** O12, incremental form: compact ONLY the given day partitions
+    * (merge-on-read materialized, small files coalesced) — how an aged
+    * store pays down its hot days' append debt without the full-store
+    * rewrite. The stats index rows for these days are value-invariant
+    * (they already reflect the merged view) but are refreshed anyway so
+    * index files track data files one-to-one. */
+  def compactDays(days: Seq[java.sql.Date]): Unit = {
+    flush()
+    if (!hasData || days.isEmpty) return
+    val wasUsable = hasStats
+    TsdbStorage.markStatsOutOfSync(spark, statsPath)
+    TsdbStorage.compactDays(spark, dataPath, days, buckets)
+    if (wasUsable) {
+      TsdbStorage.refreshStats(spark, dataPath, statsPath, days)
+      TsdbStorage.markStatsInSync(spark, statsPath)
+    }
+  }
+
+  /** The days worth compacting: more parquet files than `maxFiles` (the
+    * append-accumulation signature). Pure directory-listing metadata —
+    * the periodic-maintenance driver for [[compactDays]], the analog of
+    * the reference's period-worker picking hot chunks to drop. */
+  def fragmentedDays(maxFiles: Int = 2 * buckets): Seq[java.sql.Date] = {
+    if (!hasData) return Seq.empty
+    fs.listStatus(new Path(dataPath)).toSeq
+      .filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("day="))
+      .filter(d => fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet")) > maxFiles)
+      .map(d => java.sql.Date.valueOf(d.getPath.getName.stripPrefix("day=")))
+      .sortBy(_.toString)
   }
 
   /** Rewrite the append-only scheme log as its dedup view in one file

@@ -323,7 +323,25 @@ object TsdbStorage {
     * the re-run). Only after recovery may the tmp dir be cleared. */
   def rewriteDaysFiltered(spark: SparkSession, path: String,
                           days: Seq[java.sql.Date], buckets: Int,
-                          keep: org.apache.spark.sql.Column): Unit = {
+                          keep: org.apache.spark.sql.Column): Unit =
+    rewriteDays(spark, path, days, buckets, _.filter(keep))
+
+  /** O12 incremental form: rewrite only the given day partitions with
+    * merge-on-read MATERIALIZED (duplicate (id, time) keys collapse to
+    * the freshest seq, append-accumulated small files coalesce into the
+    * clustered layout). Duplicate keys never span days (a row's day is
+    * a function of its time), so a per-day merge equals the global one
+    * restricted to those days — which is what lets a year-old store pay
+    * its hot days' debt down without the full-store rewrite compact()
+    * does. Same crash-safe swap as the retention rewrite. */
+  def compactDays(spark: SparkSession, path: String,
+                  days: Seq[java.sql.Date], buckets: Int): Unit =
+    rewriteDays(spark, path, days, buckets,
+      df => mergeFreshest(df).withColumn("day", to_date(col("time"))))
+
+  private def rewriteDays(spark: SparkSession, path: String,
+                          days: Seq[java.sql.Date], buckets: Int,
+                          transform: DataFrame => DataFrame): Unit = {
     if (days.isEmpty) return
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -337,9 +355,9 @@ object TsdbStorage {
       fs.delete(aside, true)
     }
     fs.delete(tmp, true)
-    spark.read.schema(withDaySchema).parquet(path)
-      .filter(col("day").isin(days: _*))
-      .filter(keep)
+    transform(
+      spark.read.schema(withDaySchema).parquet(path)
+        .filter(col("day").isin(days: _*)))
       .repartition(buckets, pmod(hash(col("id")), lit(buckets)))
       .sortWithinPartitions("id", "time")
       .write.mode("overwrite")

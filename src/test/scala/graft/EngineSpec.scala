@@ -314,6 +314,43 @@ class EngineSpec extends SparkSpec {
       "cutoff-day partition skipped when the id's min_time there is after the cutoff")
   }
 
+  test("index-served readTimePoint ≡ scan path: boundary days, NO_DATA, rewrites") {
+    val dir = tmpDir("graft-tp-indexed")
+    val engine = new GraftEngine(spark, dir, buckets = 2)
+    engine.append(Seq(
+      Meas(1L, ts("2024-03-01 10:00:00"), 1.0, 1L, 1),
+      Meas(1L, ts("2024-03-03 09:00:00"), 2.0, 1L, 2),
+      Meas(1L, ts("2024-03-03 18:00:00"), 3.0, 1L, 3),
+      Meas(2L, ts("2024-03-01 08:00:00"), 9.0, 1L, 4)))
+    engine.append(Seq( // fresher-seq rewrite of an existing key
+      Meas(1L, ts("2024-03-03 09:00:00"), 20.0, 1L, 5)))
+
+    def both(q: QueryTimePoint): (Seq[Seq[Any]], Seq[Seq[Any]]) = {
+      val indexed = engine.readTimePoint(q).collect().toSeq.map(_.toSeq)
+      val scan = engine.readTimePointScan(q).collect().toSeq.map(_.toSeq)
+      (indexed, scan)
+    }
+    // mid-day timepoint BEFORE the cutoff day's first row: the index
+    // must fall back to the previous resident day, not return NO_DATA
+    val qEarly = QueryTimePoint(Seq(1L, 2L, 999L), 0L, ts("2024-03-03 08:00:00"))
+    val (iEarly, sEarly) = both(qEarly)
+    assert(iEarly === sEarly)
+    assert(iEarly.find(_.head == 1L).get(2) === 1.0, "day-3 rows are all after 08:00 → day-1 row answers")
+    assert(iEarly.find(_.head == 999L).get(3) === Meas.NO_DATA)
+    // mid-day timepoint between the cutoff day's rows: rewrite wins
+    val qMid = QueryTimePoint(Seq.empty, 0L, ts("2024-03-03 12:00:00"))
+    val (iMid, sMid) = both(qMid)
+    assert(iMid === sMid)
+    assert(iMid.find(_.head == 1L).get(2) === 20.0, "freshest seq at 09:00 wins on the scanned day")
+    // timepoint before ANY data: every requested id answers NO_DATA
+    val qNone = QueryTimePoint(Seq(1L, 2L), 0L, ts("2024-02-01 00:00:00"))
+    val (iNone, sNone) = both(qNone)
+    assert(iNone === sNone && iNone.forall(_(3) == Meas.NO_DATA))
+    // a staled index forces the scan path (same result, no index read)
+    graft.sources.TsdbStorage.markStatsOutOfSync(spark, s"$dir/_stats")
+    assert(engine.readTimePoint(qMid).collect().toSeq.map(_.toSeq) === sMid)
+  }
+
   test("per-id eraseOld falls back to the full day list when the index is unusable") {
     val dir = tmpDir("graft-erase-fallback")
     val engine = new GraftEngine(spark, dir, buckets = 2)
@@ -328,6 +365,34 @@ class EngineSpec extends SparkSpec {
       "without a usable index every pre-cutoff day is rewritten")
     val left = engine.merged.collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
     assert(left === Set((2L, 3.0)))
+  }
+
+  test("compactDays merges duplicates and coalesces files for ONLY the chosen days") {
+    val dir = tmpDir("graft-compact-days")
+    val engine = new GraftEngine(spark, dir, buckets = 2)
+    // five appends: day 1 accumulates five files rewriting ONE key, day 2
+    // accumulates five files of distinct keys
+    (1 to 5).foreach { k =>
+      engine.append(Seq(
+        Meas(1L, ts("2024-03-01 10:00:00"), k.toDouble, 1L, k.toLong),
+        Meas(1L, ts(f"2024-03-02 0$k%d:00:00"), k.toDouble, 1L, (10 + k).toLong)))
+    }
+    def files(day: String) = new java.io.File(s"$dir/data/day=$day").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> (f.length, f.lastModified)).toMap
+    assert(files("2024-03-01").size >= 5, "append accumulation is the fixture premise")
+    val day2Before = files("2024-03-02")
+    assert(engine.fragmentedDays(maxFiles = 4)
+      === Seq(java.sql.Date.valueOf("2024-03-01"), java.sql.Date.valueOf("2024-03-02")))
+
+    val before = engine.merged.collect().map(_.toSeq).toSet
+    engine.compactDays(Seq(java.sql.Date.valueOf("2024-03-01")))
+    assert(engine.merged.collect().map(_.toSeq).toSet === before, "merge-on-read view unchanged")
+    assert(files("2024-03-01").size <= 2, "chosen day coalesced to ≤ buckets files")
+    assert(files("2024-03-02") === day2Before, "unchosen day byte-identical")
+    assert(engine.fragmentedDays(maxFiles = 4) === Seq(java.sql.Date.valueOf("2024-03-02")))
+    // stats index stays certified and exact over the compacted day
+    val st = engine.stat(1L, ts("2024-03-01 00:00:00"), ts("2024-03-01 23:00:00")).head()
+    assert(st.getLong(1) === 1 && st.getDouble(6) === 5.0, "the freshest-seq rewrite is the one surviving row")
   }
 
   test("MEMORY strategy: hot-level rows serve reads before any parquet exists, flush outranks") {
