@@ -595,11 +595,20 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
   def compactDays(days: Seq[java.sql.Date]): Unit = {
     flush()
     if (!hasData || days.isEmpty) return
+    // no-op for days this store doesn't host (a sharded router passes
+    // every shard the same day list) — saves the rewrite/index machinery
+    // an empty pass
+    val existing = fs.listStatus(new Path(dataPath)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("day="))
+      .map(n => java.sql.Date.valueOf(n.stripPrefix("day="))).toSet
+    val target = days.filter(existing)
+    if (target.isEmpty) return
     val wasUsable = hasStats
     TsdbStorage.markStatsOutOfSync(spark, statsPath)
-    TsdbStorage.compactDays(spark, dataPath, days, buckets)
+    TsdbStorage.compactDays(spark, dataPath, target, buckets)
     if (wasUsable) {
-      TsdbStorage.refreshStats(spark, dataPath, statsPath, days)
+      TsdbStorage.refreshStats(spark, dataPath, statsPath, target)
       TsdbStorage.markStatsInSync(spark, statsPath)
     }
   }

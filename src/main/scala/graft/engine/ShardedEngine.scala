@@ -53,15 +53,25 @@ class ShardedEngine(spark: SparkSession, roots: Seq[String], buckets: Int = 32) 
     * for ids it doesn't own, so merge keeps a real measurement when any
     * shard has one and keeps ONE NO_DATA row (not zero) when none does
     * — preserving GraftEngine's one-row-per-requested-id contract. */
-  def currentValue(ids: Seq[Long], flag: Long): DataFrame =
-    (if (ids.isEmpty) shards else ids.map(shardOf).distinct)
-      .map(_.currentValue(ids, flag))
-      .reduce(_ unionByName _)
+  private def mergePointRows(perShard: Seq[DataFrame]): DataFrame =
+    perShard.reduce(_ unionByName _)
       .groupBy("id")
       .agg(max_by(struct(col("time"), col("value"), col("flag")),
         struct(col("flag") =!= graft.core.Meas.NO_DATA, col("time"))).as("m"))
       .select(col("id"), col("m.time").as("time"), col("m.value").as("value"), col("m.flag").as("flag"))
       .orderBy("id")
+
+  /** O4 as-of fan-out: routed to owning shards for explicit ids (each
+    * shard's index-served path applies), all shards for the catalog
+    * default — per-shard id universes are pmod-disjoint, the merge
+    * keeps the real-over-NO_DATA contract either way. */
+  def readTimePoint(q: QueryTimePoint): DataFrame =
+    mergePointRows(
+      (if (q.ids.isEmpty) shards else q.ids.map(shardOf).distinct).map(_.readTimePoint(q)))
+
+  def currentValue(ids: Seq[Long], flag: Long): DataFrame =
+    mergePointRows(
+      (if (ids.isEmpty) shards else ids.map(shardOf).distinct).map(_.currentValue(ids, flag)))
 
   /** O14 routed scheme: a new name registers on the shard that will own
     * its content-addressed id. A name ALREADY in some shard's log keeps
@@ -129,5 +139,20 @@ class ShardedEngine(spark: SparkSession, roots: Seq[String], buckets: Int = 32) 
 
   def compact(): Unit = shards.foreach(_.compact())
   def eraseOld(cutoff: java.sql.Timestamp): Seq[String] = shards.flatMap(_.eraseOld(cutoff))
+
+  /** O11 per-id retention, routed: each id's rewrite runs ONLY on its
+    * owning shard (where its data lives), with the per-shard stats
+    * index restricting the touched days further. */
+  def eraseOld(cutoff: java.sql.Timestamp, ids: Seq[Long]): Seq[String] =
+    ids.distinct.groupBy(shardOf).toSeq
+      .flatMap { case (shard, shardIds) => shard.eraseOld(cutoff, shardIds) }
+
+  /** O12 incremental compaction, fanned out: every shard compacts the
+    * days it hosts from the list (foreign days no-op per shard). */
+  def compactDays(days: Seq[java.sql.Date]): Unit = shards.foreach(_.compactDays(days))
+
+  def fragmentedDays(maxFiles: Int): Seq[java.sql.Date] =
+    shards.flatMap(_.fragmentedDays(maxFiles)).distinct.sortBy(_.toString)
+
   def fsck(repair: Boolean = false): Seq[String] = shards.flatMap(_.fsck(repair))
 }

@@ -55,6 +55,60 @@ class ShardedEngineSpec extends SparkSpec {
     assert(eng.readInterval(QueryInterval(Seq.empty, 0L, ts("2024-03-01 00:00:00"), ts("2024-03-02 00:00:00"))).count() === 30)
   }
 
+  test("sharded readTimePoint: as-of fan-out with real-over-NO_DATA merge") {
+    val eng = new ShardedEngine(spark, Seq(tmpDir("tpshard0"), tmpDir("tpshard1")), buckets = 2)
+    eng.append(Seq(
+      Meas(2L, ts("2024-03-01 10:00:00"), 1.0, Flags.CLICK, 1), // shard 0
+      Meas(2L, ts("2024-03-01 14:00:00"), 2.0, Flags.CLICK, 2),
+      Meas(3L, ts("2024-03-01 11:00:00"), 3.0, Flags.CLICK, 3))) // shard 1
+    import graft.engine.QueryTimePoint
+    val tp = eng.readTimePoint(QueryTimePoint(Seq(2L, 3L, 999L), 0L, ts("2024-03-01 12:00:00")))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(tp.keySet === Set(2L, 3L, 999L))
+    assert(tp(2L).getDouble(2) === 1.0, "as-of 12:00 is the 10:00 row, not the 14:00 one")
+    assert(tp(3L).getDouble(2) === 3.0)
+    assert(tp(999L).getLong(3) === graft.core.Meas.NO_DATA)
+    // catalog default (ids empty): one row per series across shards
+    val all = eng.readTimePoint(QueryTimePoint(Seq.empty, 0L, ts("2024-03-02 00:00:00")))
+    assert(all.collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+  }
+
+  test("sharded per-id eraseOld touches only the owning shard") {
+    val eng = new ShardedEngine(spark, Seq(tmpDir("eshard0"), tmpDir("eshard1")), buckets = 2)
+    eng.append(Seq(
+      Meas(2L, ts("2024-03-01 10:00:00"), 1.0, Flags.CLICK, 1), // shard 0
+      Meas(3L, ts("2024-03-01 11:00:00"), 3.0, Flags.CLICK, 2))) // shard 1
+    def snapshot(shard: Int): Map[String, Long] = {
+      val dataDir = new java.io.File(s"${eng.shards(shard).path}/data/day=2024-03-01")
+      dataDir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val shard1Before = snapshot(1)
+    val touched = eng.eraseOld(ts("2024-03-02 00:00:00"), Seq(2L))
+    assert(touched === Seq("day=2024-03-01"), "only the owning shard's day is rewritten")
+    assert(snapshot(1) === shard1Before, "the non-owning shard is untouched")
+    assert(eng.currentValue(Seq(2L), 0L).head().getLong(3) === graft.core.Meas.NO_DATA)
+    assert(eng.currentValue(Seq(3L), 0L).head().getDouble(2) === 3.0)
+  }
+
+  test("sharded compactDays compacts hosted days per shard; fragmentedDays unions") {
+    val eng = new ShardedEngine(spark, Seq(tmpDir("cshard0"), tmpDir("cshard1")), buckets = 2)
+    (1 to 4).foreach { k =>
+      eng.append(Seq(
+        Meas(2L, ts("2024-03-01 10:00:00"), k.toDouble, Flags.CLICK, k.toLong),
+        Meas(3L, ts("2024-03-01 11:00:00"), k.toDouble, Flags.CLICK, (10 + k).toLong)))
+    }
+    val frag = eng.fragmentedDays(maxFiles = 3)
+    assert(frag === Seq(java.sql.Date.valueOf("2024-03-01")))
+    val before = eng.readInterval(QueryInterval(Seq.empty, 0L,
+      ts("2024-03-01 00:00:00"), ts("2024-03-02 00:00:00"))).collect().map(_.toSeq).toSet
+    eng.compactDays(frag)
+    assert(eng.fragmentedDays(maxFiles = 3) === Seq.empty)
+    val after = eng.readInterval(QueryInterval(Seq.empty, 0L,
+      ts("2024-03-01 00:00:00"), ts("2024-03-02 00:00:00"))).collect().map(_.toSeq).toSet
+    assert(after === before, "merge-on-read view unchanged by compaction")
+  }
+
   test("routed scheme and cross-shard grid read") {
     val eng = new ShardedEngine(spark, Seq(tmpDir("gshard0"), tmpDir("gshard1")), buckets = 2)
     val idX = eng.addParam("grid.x")
