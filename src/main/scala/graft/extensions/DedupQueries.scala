@@ -412,8 +412,14 @@ object DedupQueries {
       // Candidate generation runs on SLIM (id, band, bucket) rows — the
       // 64-double vectors never enter the self-join shuffle or the
       // pair-dedup; they are joined back only for the surviving pairs.
-      // Coding/banding is the shared SRP scheme in SimilarityQueries.
-      val bands = SimilarityQueries.srpBands(SimilarityQueries.srpCoded(e)).persist()
+      // Coding/banding is the shared SRP scheme in SimilarityQueries;
+      // a certified persisted index (AnnIndex) serves the codes without
+      // the per-query coding pass — identical hyperplanes either way.
+      val coded = AnnIndex.resolve(s) match {
+        case Some(dir) => AnnIndex.readCodes(s, dir).select("vec_id", "code")
+        case None      => SimilarityQueries.srpCoded(e)
+      }
+      val bands = SimilarityQueries.srpBands(coded).persist()
       bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
             && col("a.vec_id") < col("b.vec_id"))

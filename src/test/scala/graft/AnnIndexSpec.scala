@@ -25,12 +25,14 @@ class AnnIndexSpec extends SparkSpec {
     val dir = tmpDir("graft-ann-idx")
     val recomputedAnn = collectAnn("sim_ann")
     val recomputedIvf = collectAnn("sim_ivf")
+    val recomputedLsh = collectAnn("dedup_embed_lsh")
     AnnIndex.build(spark, raw, dir)
     assert(AnnIndex.usable(spark, dir))
     withIndex(dir) {
       assert(AnnIndex.resolve(spark) === Some(dir))
       assert(collectAnn("sim_ann") === recomputedAnn)
       assert(collectAnn("sim_ivf") === recomputedIvf)
+      assert(collectAnn("dedup_embed_lsh") === recomputedLsh)
     }
   }
 
