@@ -113,6 +113,19 @@ object ScaleSmoke {
     val sstat = time("sharded stat routed to owning shard")(
       sharded.stat(17L, dayTs(0L), dayTs(days.toLong)).count())
 
+    // ---- throughput vs the reference's claimed "millions of values/sec"
+    // (BASELINE.md rows 4-5, (L)-caveat): measure all three regimes.
+    // MEMORY-level append = the reference's MEMORY strategy analog;
+    // durable append = COMPRESSED/WAL analog (clustered write + stats
+    // index); scan = interval read of the whole store.
+    val hotRows = math.min(rows / 4L, 5000000L)
+    val hotEngine = new GraftEngine(spark, s"$dir/hot", buckets = buckets,
+      hotCapacity = Long.MaxValue)
+    val tHot = { val t0 = System.nanoTime(); hotEngine.append(mkMeas(hotRows)); (System.nanoTime() - t0) / 1e9 }
+    println(f"[scale] MEMORY-level append throughput: ${hotRows / tHot / 1e6}%.1f M rows/s ($hotRows%,d rows in $tHot%.2f s)")
+    locally { val t0 = System.nanoTime(); val n = engine.merged.count(); val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] merge-on-read full scan throughput: ${n / dt / 1e6}%.1f M rows/s ($n%,d rows in $dt%.2f s)") }
+
     val er = time("eraseOld (drop 1/3 of the day partitions)")(
       engine.eraseOld(dayTs(days / 3L)).size)
 
