@@ -16,9 +16,10 @@ import graft.engine.{GraftEngine, QueryInterval, QueryTimePoint}
   * protocol; for a Spark deployment the production-grade remote surface
   * is Spark Connect (docs/NETWORK.md maps every QueryKind onto it).
   * This module is the faithful in-repo analog of the reference's own
-  * wire shape: a TCP server exposing exactly the five QueryKinds over a
-  * line protocol, delegating every operation to the embedded
-  * [[GraftEngine]] facade — the server owns no query logic of its own.
+  * wire shape: a TCP server exposing the five QueryKinds (plus
+  * READ_GRID for the engine's beyond-reference grid read) over a line
+  * protocol, delegating every operation to the embedded [[GraftEngine]]
+  * facade — the server owns no query logic of its own.
   *
   * Protocol (one request line; text, space-separated):
   *   APPEND <n>                         then n MEAS payload lines
@@ -27,6 +28,15 @@ import graft.engine.{GraftEngine, QueryInterval, QueryTimePoint}
   *                                      → `MEAS …` lines, then `END <n>`
   *   READ_TIMEPOINT <ids> <flag> <tpUs> → `POINT …` lines, then `END <n>`
   *   CURRENT_VALUE <ids> <flag>         → `POINT …` lines, then `END <n>`
+  *   READ_GRID <fromUs> <toUs> <stepSec> <stalenessSec>
+  *                                      → `GRID …` lines, then `END <n>`
+  *                                      (beyond-reference: the engine's
+  *                                      catalog-driven dashboard read,
+  *                                      [[GraftEngine.readGrid]]; GRID
+  *                                      rows are `id gridTsUs value
+  *                                      fillAgeUs` with `-` for null
+  *                                      value/age past the staleness
+  *                                      horizon)
   *   SUBSCRIBE <ids> <flag>             → `SUBSCRIBED`, then server-push
   *                                        `MEAS …` lines as appends arrive;
   *                                        the connection is now push-only
@@ -191,6 +201,13 @@ class GraftServer(engine: GraftEngine, port: Int = 0, bindAddress: Option[String
               replyPoints(engine.readTimePoint(q), reply)
             case "CURRENT_VALUE" =>
               replyPoints(engine.currentValue(Wire.parseIds(parts(1)), parts(2).toLong), reply)
+            case "READ_GRID" =>
+              val df = engine.readGrid(Wire.usToTs(parts(1).toLong), Wire.usToTs(parts(2).toLong),
+                parts(3).toLong, parts(4).toLong)
+              val it = df.toLocalIterator()
+              var n = 0
+              while (it.hasNext) { reply("GRID " + Wire.fmtGrid(it.next())); n += 1 }
+              reply(s"END $n")
             case "SUBSCRIBE" =>
               // re-subscribing REPLACES this connection's filter: the
               // previous registration must be removed or it would be
@@ -327,6 +344,25 @@ class GraftClient(host: String, port: Int) extends AutoCloseable {
     readPointList()
   }
 
+  /** Beyond-reference: the engine's catalog-driven grid read over the
+    * wire. Rows are (id, gridTs, value?, fillAgeUs?) — None past the
+    * staleness horizon (the grid's _NO_DATA analog). */
+  def readGrid(from: Timestamp, to: Timestamp, stepSeconds: Long,
+               stalenessSeconds: Long): Seq[(Long, Timestamp, Option[Double], Option[Long])] = {
+    requireSync("readGrid")
+    send(s"READ_GRID ${Wire.tsToUs(from)} ${Wire.tsToUs(to)} $stepSeconds $stalenessSeconds")
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Timestamp, Option[Double], Option[Long])]()
+    var l = in.readLine()
+    while (l != null && !l.startsWith("END")) {
+      if (l.startsWith("ERR")) throw new RuntimeException(s"server: $l")
+      buf += Wire.parseGrid(l.stripPrefix("GRID "))
+      l = in.readLine()
+    }
+    if (l == null) throw new java.io.IOException(
+      s"connection closed mid-stream after ${buf.size} rows (no END)")
+    buf.toSeq
+  }
+
   /** Push-mode subscription: registers the filter, then delivers every
     * matching server-pushed measurement to `callback` on a daemon
     * thread until the client is closed. The connection is CONSUMED —
@@ -397,5 +433,19 @@ private[network] object Wire {
       if (p(1) == "-") None else Some(usToTs(p(1).toLong)),
       if (p(2) == "-") None else Some(p(2).toDouble),
       p(3).toLong)
+  }
+
+  /** readGrid row: (id, grid_ts, value?, fill_age_us?). */
+  def fmtGrid(r: org.apache.spark.sql.Row): String = {
+    val value = if (r.isNullAt(2)) "-" else r.getDouble(2).toString
+    val age = if (r.isNullAt(3)) "-" else r.getLong(3).toString
+    s"${r.getLong(0)} ${tsToUs(r.getTimestamp(1))} $value $age"
+  }
+
+  def parseGrid(line: String): (Long, Timestamp, Option[Double], Option[Long]) = {
+    val p = line.trim.split("\\s+")
+    (p(0).toLong, usToTs(p(1).toLong),
+      if (p(2) == "-") None else Some(p(2).toDouble),
+      if (p(3) == "-") None else Some(p(3).toLong))
   }
 }

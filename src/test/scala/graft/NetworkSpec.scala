@@ -117,6 +117,32 @@ class NetworkSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("READ_GRID over the wire equals the in-process grid read") {
+    val engine = new GraftEngine(spark, tmpDir("graft-net-grid"), buckets = 2)
+    val idA = engine.addParam("net.grid.a")
+    val idB = engine.addParam("net.grid.b") // registered, no data → null grid rows
+    engine.append(Seq(
+      Meas(idA, ts("2024-03-01 10:00:00"), 1.5, Flags.CLICK, 1),
+      Meas(idA, ts("2024-03-01 11:30:00"), 2.5, Flags.CLICK, 2)))
+    val server = new GraftServer(engine).start()
+    try {
+      val client = new GraftClient("127.0.0.1", server.boundPort)
+      val from = ts("2024-03-01 10:00:00"); val to = ts("2024-03-01 13:00:00")
+      val wire = client.readGrid(from, to, 3600L, 5000L)
+      val local = engine.readGrid(from, to, 3600L, 5000L).collect().map(r =>
+        (r.getLong(0), r.getTimestamp(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+      assert(wire === local)
+      assert(wire.size === 8, "two catalog series x four grid points")
+      assert(wire.filter(_._1 == idB).forall(_._3.isEmpty), "dataless series emits null grid rows")
+      val aRows = wire.filter(_._1 == idA)
+      assert(aRows.head._3 === Some(1.5) && aRows.head._4 === Some(0L))
+      assert(aRows.last._3.isEmpty, "13:00 is 5400s after the 11:30 point — past the 5000s horizon")
+      client.close()
+    } finally server.stop()
+  }
+
   test("engine-API appends reach socket subscribers (observer fires for every append path)") {
     val engine = new GraftEngine(spark, tmpDir("graft-net-obs"), buckets = 4)
     val server = new GraftServer(engine).start()
