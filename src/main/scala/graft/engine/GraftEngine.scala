@@ -650,16 +650,44 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     * beyond decompression is not performed. Optionally drops broken
     * files [U: engines/engine.cpp — fsck]. Returns the bad file list.
     *
+    * The store's ARTIFACTS are probed too, with repair semantics per
+    * artifact: a corrupt stats-index file UNCERTIFIES the index
+    * immediately (even without repair — readers must fall back to the
+    * scan path, not throw mid-query; `reindex()`/`compact()` rebuild),
+    * and with repair the bad index files are dropped. A corrupt scheme
+    * log file is REPORTED but never deleted, repair or not — the log is
+    * the only copy of legacy id assignments; dropping rows would
+    * silently re-assign divergent content-addressed ids.
+    *
     * The probe runs DISTRIBUTED: file paths are parallelized and each
     * executor task walks its files — O(#files / cluster-cores)
     * wall-clock, not O(#files) driver round-trips. */
   def fsck(repair: Boolean = false): Seq[String] = {
-    if (!hasData) return Seq.empty
-    val files = listParquet(new Path(dataPath)).map(_.toString)
+    val badData = if (!hasData) Seq.empty else probeParquet(listParquet(new Path(dataPath)))
+    if (repair) badData.foreach(p => fs.delete(new Path(p), false))
+    val badStats =
+      if (!fs.exists(new Path(statsPath))) Seq.empty
+      else probeParquet(listParquet(new Path(statsPath)))
+    if (badStats.nonEmpty) {
+      TsdbStorage.markStatsOutOfSync(spark, statsPath)
+      if (repair) badStats.foreach(p => fs.delete(new Path(p), false))
+    }
+    val badScheme = {
+      recoverSwap(schemePath)
+      if (!fs.exists(new Path(schemePath))) Seq.empty
+      else probeParquet(listParquet(new Path(schemePath)))
+    }
+    badData ++ badStats ++ badScheme
+  }
+
+  /** Distributed full-decompression probe; returns the corrupt paths. */
+  private def probeParquet(paths: Seq[Path]): Seq[String] = {
+    if (paths.isEmpty) return Seq.empty
+    val files = paths.map(_.toString)
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
-    val bad = spark.sparkContext
+    spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism)))
       .mapPartitions { paths =>
         val conf = confBc.value.value
@@ -698,8 +726,6 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
         }
       }
       .collect().toSeq.sorted
-    if (repair) bad.foreach(p => fs.delete(new Path(p), false))
-    bad
   }
 
   private def listParquet(root: Path): Seq[Path] = {

@@ -367,6 +367,41 @@ class EngineSpec extends SparkSpec {
     assert(left === Set((2L, 3.0)))
   }
 
+  test("fsck probes artifacts: corrupt stats file uncertifies the index, scheme is never deleted") {
+    val dir = tmpDir("graft-fsck-artifacts")
+    val engine = new GraftEngine(spark, dir, buckets = 2)
+    engine.addParam("fsck.series")
+    engine.append(Seq(
+      Meas(1L, ts("2024-03-01 10:00:00"), 1.0, 1L, 1),
+      Meas(1L, ts("2024-03-01 11:00:00"), 2.0, 1L, 2)))
+    assert(engine.fsck() === Seq.empty)
+
+    def plantBogus(rel: String): java.io.File = {
+      val f = new java.io.File(s"$dir/$rel/part-corrupt.parquet")
+      java.nio.file.Files.write(f.toPath, "not parquet at all".getBytes)
+      f
+    }
+    // corrupt stats-index file: fsck must report it AND uncertify the
+    // index even WITHOUT repair — stat() then serves from the scan path
+    // instead of throwing mid-query
+    plantBogus("_stats/day=2024-03-01")
+    val bad1 = engine.fsck(repair = false)
+    assert(bad1.exists(_.contains("_stats")) && !bad1.exists(_.contains("_scheme")))
+    assert(!graft.sources.TsdbStorage.statsUsable(spark, s"$dir/_stats"))
+    val st = engine.stat(1L, ts("2024-03-01 00:00:00"), ts("2024-03-02 00:00:00")).head()
+    assert(st.getLong(1) === 2 && st.getDouble(6) === 3.0, "scan fallback answers correctly")
+    // repair drops the bad index file; reindex() rebuilds and recertifies
+    assert(engine.fsck(repair = true).exists(_.contains("_stats")))
+    engine.reindex()
+    assert(graft.sources.TsdbStorage.statsUsable(spark, s"$dir/_stats"))
+
+    // corrupt the scheme log: reported but NEVER deleted, repair or not
+    val schemeFile = plantBogus("_scheme")
+    val bad2 = engine.fsck(repair = true)
+    assert(bad2.exists(_.contains("_scheme")))
+    assert(schemeFile.exists, "the scheme log is the only copy of legacy id assignments")
+  }
+
   test("compactDays merges duplicates and coalesces files for ONLY the chosen days") {
     val dir = tmpDir("graft-compact-days")
     val engine = new GraftEngine(spark, dir, buckets = 2)
