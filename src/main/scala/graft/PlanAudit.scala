@@ -45,11 +45,22 @@ object PlanAudit {
     "vocab_topk" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus total"),
   )
 
+  // GRAFT_EXPLAIN=name1,name2 (or "all"): print the formatted plan of
+  // matching audited queries — how docs/PLANS.md captures its evidence
+  private val explainNames: Set[String] = sys.env.get("GRAFT_EXPLAIN")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+
   private def auditOne(spark: SparkSession, name: String,
                        df: => org.apache.spark.sql.DataFrame,
                        flagged: scala.collection.mutable.ArrayBuffer[String]): Unit = {
     try {
-      val hits = audit(df.queryExecution.executedPlan)
+      val d = df
+      if (explainNames.contains("all") || explainNames.contains(name)) {
+        println(s"==== EXPLAIN $name ====")
+        println(d.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      }
+      val hits = audit(d.queryExecution.executedPlan)
       val (ok, bad) = hits.partition(h => waived.get(name).exists(_._1 == h))
       if (bad.nonEmpty) { flagged += name; println(s"AUDIT FLAG  $name: ${bad.mkString(", ")}") }
       else if (ok.nonEmpty) println(s"AUDIT waive $name: ${ok.mkString(", ")} — ${waived(name)._2}")
