@@ -222,14 +222,17 @@ object SimilarityQueries {
       .select(col("vec_id"), col("clabel"), col("csim"))
 
   /** Nearest-centroid cell per vector (deterministic: rounded sim +
-    * label tiebreak). Shared by the live ivf path and AnnIndex, so
-    * cells persisted at build/append time are exactly the cells the
-    * live path would assign against the same centroids. */
-  private[extensions] def assignCells(vecs: DataFrame, cent: DataFrame): DataFrame = {
-    val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("clabel"))
-    cellSims(vecs, cent).withColumn("rk", row_number().over(byVec))
-      .filter(col("rk") === 1).select(col("vec_id"), col("clabel").as("cell"))
-  }
+    * lowest-label tiebreak). Shared by the live ivf path and AnnIndex,
+    * so cells persisted at build/append time are exactly the cells the
+    * live path would assign against the same centroids. Partial-
+    * aggregating max_by, not a window: per-vector row_number would
+    * shuffle every (vector × cell) sim row into single-vector
+    * partitions; max_by reduces map-side and shuffles one candidate
+    * per (partition × vector) — the current_value lesson. */
+  private[extensions] def assignCells(vecs: DataFrame, cent: DataFrame): DataFrame =
+    cellSims(vecs, cent).groupBy("vec_id")
+      .agg(max_by(col("clabel"), struct(col("csim"), -col("clabel"))).as("cell"))
+      .select(col("vec_id"), col("cell"))
 
   val ivf: QueryDef = QueryDef(
     build = (s, d) => {

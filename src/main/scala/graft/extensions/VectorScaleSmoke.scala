@@ -105,6 +105,26 @@ object VectorScaleSmoke {
     val annSet = ann.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = annSet.intersect(bruteSet).size.toDouble / bruteSet.size
     println(f"[vscale] ANN recall@$K vs brute force: $recall%.2f (random vectors — worst case for LSH)")
+
+    // ---- persisted index: build once, candidates from stored codes —
+    // the production shape where the per-query coding pass is gone
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-vscale-ann").toString
+    val raw = spark.range(rows).select(col("id").as("vec_id"),
+      array(dimCols: _*).as("embedding"),
+      pmod(col("id"), lit(100L)).cast("int").as("label"))
+    time(f"AnnIndex.build ($rows%,d codes + 100-cell centroids + assignment)")(
+      AnnIndex.build(spark, raw, idxDir))
+    val idxCands = time("ANN candidate generation from PERSISTED codes (no coding pass)") {
+      val b = SimilarityQueries.srpBands(AnnIndex.readCodes(spark, idxDir).select("vec_id", "code"))
+      val qb = b.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("query_id"), col("band"), col("bucket"))
+      b.join(qb, Seq("band", "bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select("query_id", "vec_id").dropDuplicates("query_id", "vec_id")
+        .count()
+    }
+    println(s"[vscale] index-served candidates: $idxCands (recompute path: $candCount — must match)")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
     spark.stop()
   }
 }
