@@ -74,6 +74,36 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.usable(spark, dir))
   }
 
+  test("streamed appends maintain the index exactly (AnnIndexStream)") {
+    val dir = tmpDir("graft-ann-stream")
+    AnnIndex.build(spark, raw.filter(col("vec_id") >= 50), dir)
+    // stream the remaining vectors in two micro-batches (file source,
+    // same technique as StreamingDedupSpec)
+    val src = tmpDir("graft-ann-stream-src")
+    def write(cond: org.apache.spark.sql.Column): Unit =
+      raw.filter(cond).coalesce(1).write.mode("append").parquet(src)
+    write(col("vec_id") < 25)
+    val query = graft.streaming.AnnIndexStream.start(
+      spark.readStream.schema(raw.schema).parquet(src),
+      dir, tmpDir("graft-ann-stream-ckpt"))
+    try {
+      query.processAllAvailable()
+      write(col("vec_id") >= 25 && col("vec_id") < 50)
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(AnnIndex.usable(spark, dir))
+    val streamed = AnnIndex.readCodes(spark, dir)
+    assert(streamed.count() === raw.count())
+    // identical to what the batch append path would have produced:
+    // frozen-quantizer cells + corpus-invariant SRP codes
+    val expectedCells = AnnIndex.assign(spark, raw, dir)
+    assert(streamed.select("vec_id", "cell").exceptAll(expectedCells).isEmpty)
+    val dirFull = tmpDir("graft-ann-stream-full")
+    AnnIndex.build(spark, raw, dirFull)
+    assert(streamed.select("vec_id", "code")
+      .exceptAll(AnnIndex.readCodes(spark, dirFull).select("vec_id", "code")).isEmpty)
+  }
+
   test("compact coalesces the codes files without changing contents") {
     val dir = tmpDir("graft-ann-compact")
     AnnIndex.build(spark, raw.filter(col("vec_id") >= 50), dir)
