@@ -95,6 +95,11 @@ object ScaleSmoke {
       engine.statScan(17L, dayTs(days.toLong - statSpan), dayTs(days.toLong)).count())
     val mm = time("minMaxTime from index")(engine.minMaxTime(17L).isDefined)
 
+    // interval read of the short-lived series over the WHOLE span: the
+    // index restricts the scan to its 7 resident days
+    val tiSparse = time("readInterval (full-span window, 7-day-lived series, index-pruned)")(
+      engine.readInterval(QueryInterval(Seq(shortId), 0L, dayTs(0L), dayTs(days.toLong))).count())
+
     // per-id retention of the short-lived series: the stats index must
     // restrict the rewrite to its ~7 resident days, not the whole span
     val erShort = time("per-id eraseOld (7-day-lived series, index-pruned)")(
@@ -129,7 +134,7 @@ object ScaleSmoke {
     val er = time("eraseOld (drop 1/3 of the day partitions)")(
       engine.eraseOld(dayTs(days / 3L)).size)
 
-    println(s"[scale] results: interval=$ti timepoint=$tp current=$cv grid=$rg " +
+    println(s"[scale] results: interval=$ti interval_sparse=$tiSparse timepoint=$tp current=$cv grid=$rg " +
       s"stat=$st statScan=$ss minmax=$mm erase_short_days=$erShort sharded_grid=$sg " +
       s"sharded_stat=$sstat dropped_partitions=$er")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))

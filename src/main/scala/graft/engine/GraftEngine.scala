@@ -212,10 +212,36 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
   }
 
   // ---- O2/O3 interval reads ----------------------------------------
+  /** O2. For explicit id lists with a certified index and no hot rows,
+    * the scan is restricted to the ids' RESIDENT days inside the
+    * interval (index rows whose per-(day,id) [min_time, max_time]
+    * intersects it) — a 300-day read of a series that lived one week
+    * scans 7 partitions, not 300. Catalog-wide reads (ids empty) and
+    * fallback cases take the time-pruned scan. */
   def readInterval(q: QueryInterval): DataFrame =
+    if (q.ids.nonEmpty && hasStats && hotSize == 0L) readIntervalIndexed(q)
+    else readIntervalScan(q)
+
+  /** Scan path: day partitions pruned by the time bounds alone. The
+    * authoritative (and fallback) answer. */
+  def readIntervalScan(q: QueryInterval): DataFrame =
     mergedRange(Some(q.from), Some(q.to))
       .filter(idPred(q.ids) && col("time").between(lit(q.from), lit(q.to)) && flagPred(q.flag))
       .orderBy("id", "time")
+
+  private def readIntervalIndexed(q: QueryInterval): DataFrame = {
+    // flag is NOT consulted here (the index doesn't know flags): the day
+    // set only needs to cover every day holding rows for the ids; the
+    // flag predicate filters rows after the scan, same as the scan path
+    val days = TsdbStorage.readStats(spark, statsPath)
+      .filter(idPred(q.ids)
+        && col("max_time") >= lit(q.from) && col("min_time") <= lit(q.to))
+      .select("day").distinct().collect().map(_.getDate(0)).toSeq
+    if (days.isEmpty) return emptyMeas.orderBy("id", "time")
+    TsdbStorage.mergeFreshest(TsdbStorage.readDays(spark, dataPath, days))
+      .filter(idPred(q.ids) && col("time").between(lit(q.from), lit(q.to)) && flagPred(q.flag))
+      .orderBy("id", "time")
+  }
 
   /** O3 cursor form: per-series iterator over the interval result —
     * the Id2Cursor analog [U: storage/cursors.h]. Streams through the

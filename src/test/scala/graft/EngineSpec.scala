@@ -314,6 +314,38 @@ class EngineSpec extends SparkSpec {
       "cutoff-day partition skipped when the id's min_time there is after the cutoff")
   }
 
+  test("index-served readInterval ≡ scan path: resident-day pruning, flags, rewrites") {
+    val dir = tmpDir("graft-ri-indexed")
+    val engine = new GraftEngine(spark, dir, buckets = 2)
+    engine.append(Seq(
+      Meas(1L, ts("2024-03-01 10:00:00"), 1.0, Flags.CLICK, 1),
+      Meas(1L, ts("2024-03-05 10:00:00"), 2.0, Flags.ERROR, 2),
+      Meas(2L, ts("2024-03-03 10:00:00"), 3.0, Flags.CLICK, 3)))
+    engine.append(Seq( // fresher rewrite of the day-5 key
+      Meas(1L, ts("2024-03-05 10:00:00"), 20.0, Flags.ERROR, 4)))
+
+    def both(q: QueryInterval): (Seq[Seq[Any]], Seq[Seq[Any]]) =
+      (engine.readInterval(q).collect().toSeq.map(_.toSeq),
+        engine.readIntervalScan(q).collect().toSeq.map(_.toSeq))
+
+    // wide interval, one sparse id: indexed ≡ scan, rewrite wins
+    val qWide = QueryInterval(Seq(1L), 0L, ts("2024-03-01 00:00:00"), ts("2024-03-10 00:00:00"))
+    val (iW, sW) = both(qWide)
+    assert(iW === sW && iW.size === 2)
+    assert(iW.last(2) === 20.0, "freshest seq wins across the indexed day scan")
+    // flag filtering applies after the day pruning
+    val (iF, sF) = both(qWide.copy(flag = Flags.ERROR))
+    assert(iF === sF && iF.size === 1)
+    // interval that misses the id's resident days entirely: empty, right schema
+    val qMiss = QueryInterval(Seq(1L), 0L, ts("2024-03-02 00:00:00"), ts("2024-03-04 00:00:00"))
+    val (iM, sM) = both(qMiss)
+    assert(iM === sM && iM.isEmpty)
+    assert(engine.intervalReader(qMiss).toList === Nil, "cursor path survives the empty indexed read")
+    // a staled index falls back to the scan path
+    graft.sources.TsdbStorage.markStatsOutOfSync(spark, s"$dir/_stats")
+    assert(engine.readInterval(qWide).collect().toSeq.map(_.toSeq) === sW)
+  }
+
   test("index-served readTimePoint ≡ scan path: boundary days, NO_DATA, rewrites") {
     val dir = tmpDir("graft-tp-indexed")
     val engine = new GraftEngine(spark, dir, buckets = 2)
