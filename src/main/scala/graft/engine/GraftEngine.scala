@@ -689,79 +689,19 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     * executor task walks its files — O(#files / cluster-cores)
     * wall-clock, not O(#files) driver round-trips. */
   def fsck(repair: Boolean = false): Seq[String] = {
-    val badData = if (!hasData) Seq.empty else probeParquet(listParquet(new Path(dataPath)))
+    val badData = if (!hasData) Seq.empty
+      else TsdbStorage.probeFiles(spark, dataPath)
     if (repair) badData.foreach(p => fs.delete(new Path(p), false))
-    val badStats =
-      if (!fs.exists(new Path(statsPath))) Seq.empty
-      else probeParquet(listParquet(new Path(statsPath)))
+    val badStats = TsdbStorage.probeFiles(spark, statsPath)
     if (badStats.nonEmpty) {
       TsdbStorage.markStatsOutOfSync(spark, statsPath)
       if (repair) badStats.foreach(p => fs.delete(new Path(p), false))
     }
     val badScheme = {
       recoverSwap(schemePath)
-      if (!fs.exists(new Path(schemePath))) Seq.empty
-      else probeParquet(listParquet(new Path(schemePath)))
+      TsdbStorage.probeFiles(spark, schemePath)
     }
     badData ++ badStats ++ badScheme
-  }
-
-  /** Distributed full-decompression probe; returns the corrupt paths. */
-  private def probeParquet(paths: Seq[Path]): Seq[String] = {
-    if (paths.isEmpty) return Seq.empty
-    val files = paths.map(_.toString)
-    val confBc = spark.sparkContext.broadcast(
-      new org.apache.spark.util.SerializableConfiguration(
-        spark.sparkContext.hadoopConfiguration))
-    spark.sparkContext
-      .parallelize(files, math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism)))
-      .mapPartitions { paths =>
-        val conf = confBc.value.value
-        paths.filter { p =>
-          try {
-            val in = org.apache.parquet.hadoop.util.HadoopInputFile
-              .fromPath(new Path(p), conf)
-            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-            try {
-              import scala.jdk.CollectionConverters._
-              val cols = r.getFooter.getFileMetaData.getSchema.getColumns.asScala.toSeq
-              var g = r.readNextRowGroup()
-              while (g != null) {
-                cols.foreach { cd =>
-                  val pr = g.getPageReader(cd)
-                  Option(pr.readDictionaryPage()).foreach(_.getBytes.toByteArray)
-                  var remaining = pr.getTotalValueCount
-                  while (remaining > 0) {
-                    val page = pr.readPage()
-                    remaining -= page.getValueCount
-                    // force payload materialization → decompression runs
-                    page match {
-                      case p1: org.apache.parquet.column.page.DataPageV1 =>
-                        p1.getBytes.toByteArray
-                      case p2: org.apache.parquet.column.page.DataPageV2 =>
-                        p2.getData.toByteArray
-                      case _ => ()
-                    }
-                  }
-                }
-                g = r.readNextRowGroup()
-              }
-              false
-            } finally r.close()
-          } catch { case _: Throwable => true }
-        }
-      }
-      .collect().toSeq.sorted
-  }
-
-  private def listParquet(root: Path): Seq[Path] = {
-    val it = fs.listFiles(root, true)
-    val buf = scala.collection.mutable.ArrayBuffer[Path]()
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) buf += f.getPath
-    }
-    buf.toSeq
   }
 
   // ---- O14 scheme --------------------------------------------------

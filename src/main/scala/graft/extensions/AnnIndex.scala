@@ -99,6 +99,22 @@ object AnnIndex {
     TsdbStorage.markStatsInSync(spark, dir)
   }
 
+  /** Integrity probe (the fsck of this artifact): every codes/centroids
+    * file fully decompressed, distributed. A corrupt file UNCERTIFIES
+    * the index immediately — even without repair — so queries fall back
+    * to recompute instead of throwing mid-query; with repair the bad
+    * files are dropped. Repair either way is `build()` (the index is
+    * derived data — unlike the scheme log, dropping it loses nothing). */
+  def fsck(spark: SparkSession, dir: String, repair: Boolean = false): Seq[String] = {
+    val bad = TsdbStorage.probeFiles(spark, codesPath(dir)) ++
+      TsdbStorage.probeFiles(spark, centroidsPath(dir))
+    if (bad.nonEmpty) {
+      TsdbStorage.markStatsOutOfSync(spark, dir)
+      if (repair) { val f = fs(spark, dir); bad.foreach(p => f.delete(new Path(p), false)) }
+    }
+    bad
+  }
+
   /** Coalesce the append-accumulated codes files (contents unchanged) —
     * the same tmp-swap discipline as the engine's compact paths, with
     * the marker protocol covering the swap. */

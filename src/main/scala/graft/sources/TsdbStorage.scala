@@ -386,6 +386,12 @@ object TsdbStorage {
       .select(col("id"), col("time"), col("m.value").as("value"),
         col("m.flag").as("flag"), col("m.seq").as("seq"))
 
+  /** fsck probe over a parquet artifact dir (data store, index, log):
+    * distributed full-decompression check of every file under `path`;
+    * empty when the dir is absent. */
+  def probeFiles(spark: SparkSession, path: String): Seq[String] =
+    ParquetProbe.probe(spark, ParquetProbe.listParquet(spark, new Path(path)))
+
   /** O12 compact view: the merge-on-read resolution over the whole store. */
   def compacted(spark: SparkSession, path: String): DataFrame =
     mergeFreshest(read(spark, path))

@@ -104,6 +104,22 @@ class AnnIndexSpec extends SparkSpec {
       .exceptAll(AnnIndex.readCodes(spark, dirFull).select("vec_id", "code")).isEmpty)
   }
 
+  test("fsck: a corrupt index file uncertifies; rebuild repairs") {
+    val dir = tmpDir("graft-ann-fsck")
+    AnnIndex.build(spark, raw, dir)
+    assert(AnnIndex.fsck(spark, dir) === Seq.empty)
+    java.nio.file.Files.write(
+      new java.io.File(s"$dir/codes/part-corrupt.parquet").toPath, "not parquet".getBytes)
+    val bad = AnnIndex.fsck(spark, dir)
+    assert(bad.exists(_.contains("part-corrupt")))
+    withIndex(dir)(assert(AnnIndex.resolve(spark) === None,
+      "a corrupt index must never be served"))
+    assert(AnnIndex.fsck(spark, dir, repair = true).nonEmpty)
+    assert(!new java.io.File(s"$dir/codes/part-corrupt.parquet").exists)
+    AnnIndex.build(spark, raw, dir)
+    assert(AnnIndex.usable(spark, dir) && AnnIndex.fsck(spark, dir) === Seq.empty)
+  }
+
   test("compact coalesces the codes files without changing contents") {
     val dir = tmpDir("graft-ann-compact")
     AnnIndex.build(spark, raw.filter(col("vec_id") >= 50), dir)
