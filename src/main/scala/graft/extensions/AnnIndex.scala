@@ -44,6 +44,7 @@ object AnnIndex {
 
   private def codesPath(dir: String) = s"$dir/codes"
   private def centroidsPath(dir: String) = s"$dir/centroids"
+  private def metaPath(dir: String) = s"$dir/_meta"
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -63,6 +64,26 @@ object AnnIndex {
   def readCentroids(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(centroidsPath(dir))
 
+  /** The SRP scheme this index was built with: (planes, bandBits).
+    * Persisted at build so queries band stored codes with the SAME
+    * scheme at any later time; indexes predating the meta file read as
+    * the default (the gated 16/4 configuration). */
+  def readMeta(spark: SparkSession, dir: String): (Int, Int) = {
+    val p = new Path(metaPath(dir))
+    if (!fs(spark, dir).exists(p)) (SimilarityQueries.N_PLANES, SimilarityQueries.BAND_BITS)
+    else {
+      val r = spark.read.parquet(metaPath(dir)).head()
+      (r.getInt(0), r.getInt(1))
+    }
+  }
+
+  /** Band the index's stored codes with ITS OWN persisted scheme. */
+  def bandsFromIndex(spark: SparkSession, dir: String): DataFrame = {
+    val (planes, bandBits) = readMeta(spark, dir)
+    SimilarityQueries.srpBands(
+      readCodes(spark, dir).select("vec_id", "code"), planes, bandBits)
+  }
+
   /** Assign vectors to THIS index's frozen centroids — the production
     * classify-new-vectors path, and what append() persists. `raw` is an
     * embeddings-shaped frame (vec_id, embedding, ...). */
@@ -72,13 +93,26 @@ object AnnIndex {
   /** Build (or rebuild) the index from a full corpus: derive the
     * centroid table, code + assign every vector, certify. A rebuild
     * over a changed corpus is the IVF "retrain" — the only operation
-    * that moves the centroids. */
-  def build(spark: SparkSession, raw: DataFrame, dir: String): Unit = {
+    * that moves the centroids (or the SRP scheme).
+    *
+    * planes/bandBits parameterize the SRP scheme and are PERSISTED with
+    * the index: expected band-bucket occupancy is N / 2^bandBits, and
+    * the band self-join is quadratic in it, so bandBits grows with the
+    * corpus (the default 16/4 is the gated test-scale configuration;
+    * ~10⁹ vectors wants 16+ bits per band — the 4-vs-8-bit trade is
+    * measured in VectorScaleSmoke). */
+  def build(spark: SparkSession, raw: DataFrame, dir: String,
+            planes: Int = SimilarityQueries.N_PLANES,
+            bandBits: Int = SimilarityQueries.BAND_BITS): Unit = {
+    require(planes % bandBits == 0, s"planes ($planes) must be a multiple of bandBits ($bandBits)")
     TsdbStorage.markStatsOutOfSync(spark, dir)
+    import spark.implicits._
+    Seq((planes, bandBits)).toDF("planes", "band_bits")
+      .coalesce(1).write.mode("overwrite").parquet(metaPath(dir))
     val cent = SimilarityQueries.centroidTable(spark, raw).coalesce(1)
     cent.write.mode("overwrite").parquet(centroidsPath(dir))
     val e = SimilarityQueries.prep(spark, raw)
-    SimilarityQueries.srpCoded(e).select("vec_id", "code")
+    SimilarityQueries.srpCoded(e, planes).select("vec_id", "code")
       .join(SimilarityQueries.assignCells(e, readCentroids(spark, dir)), "vec_id")
       .write.mode("overwrite").parquet(codesPath(dir))
     TsdbStorage.markStatsInSync(spark, dir)
@@ -91,9 +125,10 @@ object AnnIndex {
     * Only the new vectors are written; nothing is rewritten. */
   def append(spark: SparkSession, rawNew: DataFrame, dir: String): Unit = {
     require(usable(spark, dir), s"ANN index at $dir is absent or uncertified — build() first")
+    val (planes, _) = readMeta(spark, dir) // code with the index's own scheme
     TsdbStorage.markStatsOutOfSync(spark, dir)
     val e = SimilarityQueries.prep(spark, rawNew)
-    SimilarityQueries.srpCoded(e).select("vec_id", "code")
+    SimilarityQueries.srpCoded(e, planes).select("vec_id", "code")
       .join(SimilarityQueries.assignCells(e, readCentroids(spark, dir)), "vec_id")
       .write.mode("append").parquet(codesPath(dir))
     TsdbStorage.markStatsInSync(spark, dir)
@@ -107,7 +142,8 @@ object AnnIndex {
     * derived data — unlike the scheme log, dropping it loses nothing). */
   def fsck(spark: SparkSession, dir: String, repair: Boolean = false): Seq[String] = {
     val bad = TsdbStorage.probeFiles(spark, codesPath(dir)) ++
-      TsdbStorage.probeFiles(spark, centroidsPath(dir))
+      TsdbStorage.probeFiles(spark, centroidsPath(dir)) ++
+      TsdbStorage.probeFiles(spark, metaPath(dir))
     if (bad.nonEmpty) {
       TsdbStorage.markStatsOutOfSync(spark, dir)
       if (repair) { val f = fs(spark, dir); bad.foreach(p => f.delete(new Path(p), false)) }

@@ -415,11 +415,10 @@ object DedupQueries {
       // Coding/banding is the shared SRP scheme in SimilarityQueries;
       // a certified persisted index (AnnIndex) serves the codes without
       // the per-query coding pass — identical hyperplanes either way.
-      val coded = AnnIndex.resolve(s) match {
-        case Some(dir) => AnnIndex.readCodes(s, dir).select("vec_id", "code")
-        case None      => SimilarityQueries.srpCoded(e)
-      }
-      val bands = SimilarityQueries.srpBands(coded).persist()
+      val bands = (AnnIndex.resolve(s) match {
+        case Some(dir) => AnnIndex.bandsFromIndex(s, dir)
+        case None      => SimilarityQueries.srpBands(SimilarityQueries.srpCoded(e))
+      }).persist()
       bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
             && col("a.vec_id") < col("b.vec_id"))

@@ -87,50 +87,67 @@ object SimilarityQueries {
     * once on the driver (they are constants) and shipped as array
     * literals; the oracle derives the identical values in SQL.
     * Shared with [[DedupQueries.embedCosineLsh]] so both SRP users
-    * bucket with the identical hyperplanes. */
-  private[extensions] lazy val planeSigns: IndexedSeq[Seq[Double]] = {
+    * bucket with the identical hyperplanes. Plane p's signs do not
+    * depend on the total plane count, so a wider scheme extends a
+    * narrower one (codes agree on their shared low bits). */
+  private[extensions] def planeSigns(p: Int): Seq[Double] = {
     val digest = java.security.MessageDigest.getInstance("MD5")
-    (0 until N_PLANES).map { p =>
-      (0 until 64).map { j =>
-        val hex = digest.digest(s"${p}_$j".getBytes("UTF-8"))
-          .take(4).map(b => f"${b & 0xff}%02x").mkString
-        ((java.lang.Long.parseLong(hex, 16) % 2) * 2 - 1).toDouble
-      }
+    (0 until 64).map { j =>
+      val hex = digest.digest(s"${p}_$j".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      ((java.lang.Long.parseLong(hex, 16) % 2) * 2 - 1).toDouble
     }
   }
 
-  /** SRP code per vector, map-side: (vec_id, v, norm) → + 16-bit code.
-    * Shared by sim_ann, dedup_embed_lsh, and VectorScaleSmoke so every
-    * SRP user buckets with the identical scheme. */
-  private[extensions] def srpCoded(e: DataFrame): DataFrame =
-    (0 until N_PLANES).foldLeft(e) { (df, p) =>
+  /** SRP code per vector, map-side: (vec_id, v, norm) → + `planes`-bit
+    * code. Shared by sim_ann, dedup_embed_lsh, AnnIndex, and
+    * VectorScaleSmoke so every SRP user buckets with the identical
+    * scheme. The default (16 planes / 4-bit bands) is the GATED
+    * configuration — the DuckDB oracles derive it bit-for-bit; wider
+    * schemes are the corpus-growth knob (see srpBands). */
+  private[extensions] def srpCoded(e: DataFrame, planes: Int = N_PLANES): DataFrame = {
+    require(planes >= 1 && planes <= 62, s"SRP planes must be in [1, 62], got $planes")
+    (0 until planes).foldLeft(e) { (df, p) =>
       df.withColumn(s"bit_$p",
         (call_function("graft_dot", col("v"), typedlit(planeSigns(p))) > 0D).cast("long"))
     }.withColumn("code",
-      (0 until N_PLANES).map(p => expr(s"shiftleft(bit_$p, $p)")).reduce(_ + _))
+      (0 until planes).map(p => expr(s"shiftleft(bit_$p, $p)")).reduce(_ + _))
       .select(col("vec_id"), col("v"), col("norm"), col("code"))
+  }
 
   /** SLIM (vec_id, band, bucket) rows — the only shape that may enter a
     * band self-join: wide vectors riding the join + pair-dedup measured
-    * 3× slower at 1M vectors (VectorScaleSmoke / docs/PLANS.md). */
-  private[extensions] def srpBands(coded: DataFrame): DataFrame =
+    * 3× slower at 1M vectors (VectorScaleSmoke / docs/PLANS.md).
+    *
+    * Scale knob: expected bucket occupancy is N / 2^bandBits per band —
+    * the self-join cost per bucket is quadratic in it, so bandBits must
+    * GROW with the corpus (4 bits / 16 buckets serves the gated test
+    * scale; ~10⁹ vectors wants 16+ bits). Recall for a pair with sign
+    * agreement s is 1 − (1 − s^bandBits)^bands: more bits per band
+    * prunes harder AND more selectively — VectorScaleSmoke measures the
+    * 4-bit vs 8-bit trade at 1M vectors. */
+  private[extensions] def srpBands(coded: DataFrame, planes: Int = N_PLANES,
+                                   bandBits: Int = BAND_BITS): DataFrame = {
+    require(planes % bandBits == 0, s"planes ($planes) must be a multiple of bandBits ($bandBits)")
     coded.select(col("vec_id"), col("code"),
-        explode(expr(s"sequence(0, ${N_PLANES / BAND_BITS - 1})")).as("band"))
-      .withColumn("bucket", expr(s"shiftright(code, band * $BAND_BITS) & ${(1 << BAND_BITS) - 1}"))
+        explode(expr(s"sequence(0, ${planes / bandBits - 1})")).as("band"))
+      .withColumn("bucket", expr(s"shiftright(code, band * $bandBits) & ${(1 << bandBits) - 1}"))
       .select("vec_id", "band", "bucket")
+  }
 
   val ann: QueryDef = QueryDef(
     build = (s, d) => {
       val e = emb(s, d).persist()
       // codes from the persisted _ann index when one is certified
-      // (AnnIndex.ConfKey → usable dir), recomputed map-side otherwise —
-      // same hyperplanes either way, so results are identical
-      val coded = AnnIndex.resolve(s) match {
-        case Some(dir) => AnnIndex.readCodes(s, dir).select("vec_id", "code")
-        case None      => srpCoded(e)
-      }
-      // candidates on slim rows only; vectors join back once for scoring
-      val bands = srpBands(coded).persist()
+      // (AnnIndex.ConfKey → usable dir), recomputed map-side otherwise.
+      // A default-scheme index yields results identical to recompute; an
+      // index built with a wider scheme buckets by ITS persisted params
+      // (a legitimate, differently-tuned ANN answer).
+      // Candidates on slim rows only; vectors join back once for scoring.
+      val bands = (AnnIndex.resolve(s) match {
+        case Some(dir) => AnnIndex.bandsFromIndex(s, dir)
+        case None      => srpBands(srpCoded(e))
+      }).persist()
       val qb = bands.filter(col("vec_id") < N_QUERIES)
         .select(col("vec_id").as("query_id"), col("band"), col("bucket"))
       val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))

@@ -106,6 +106,38 @@ object VectorScaleSmoke {
     val recall = annSet.intersect(bruteSet).size.toDouble / bruteSet.size
     println(f"[vscale] ANN recall@$K vs brute force: $recall%.2f (random vectors — worst case for LSH)")
 
+    // ---- the corpus-growth knob: 8-bit bands (32 planes × 4 bands).
+    // Bucket occupancy drops 16× vs the gated 4-bit scheme; expected
+    // candidate ratio 1-(255/256)^4 ≈ 1.5 % instead of ≈ 23 %. The
+    // trade is recall on weakly-similar pairs — measured here.
+    val coded8 = time("SRP-code 32 planes (8-bit-band scheme)") {
+      val c = SimilarityQueries.srpCoded(e, planes = 32).persist()
+      c.count(); c
+    }
+    val bands8 = SimilarityQueries.srpBands(coded8, planes = 32, bandBits = 8)
+    val qb8 = bands8.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("query_id"), col("band"), col("bucket"))
+    val cands8 = bands8.join(qb8, Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").dropDuplicates("query_id", "vec_id")
+      .persist()
+    val cand8Count = time("8-bit-band candidate generation")(cands8.count())
+    println(f"[vscale] 8-bit candidate ratio: ${cand8Count.toDouble / (rows * N_QUERIES)}%.4f of all pairs (4-bit: ${candCount.toDouble / (rows * N_QUERIES)}%.3f)")
+    val ann8 = time(s"8-bit-band ANN top-$K (score survivors)") {
+      cands8
+        .join(coded8.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+        .join(broadcast(q), "query_id")
+        .withColumn("neighbor_id", col("vec_id"))
+        .withColumn("cos_sim",
+          call_function("graft_dot", col("v"), col("qv")) / (col("norm") * col("qnorm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select("query_id", "neighbor_id", "cos_sim")
+        .collect()
+    }
+    val ann8Set = ann8.map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(f"[vscale] 8-bit recall@$K vs brute force: ${ann8Set.intersect(bruteSet).size.toDouble / bruteSet.size}%.2f")
+
     // ---- persisted index: build once, candidates from stored codes —
     // the production shape where the per-query coding pass is gone
     val idxDir = java.nio.file.Files.createTempDirectory("graft-vscale-ann").toString
@@ -115,7 +147,7 @@ object VectorScaleSmoke {
     time(f"AnnIndex.build ($rows%,d codes + 100-cell centroids + assignment)")(
       AnnIndex.build(spark, raw, idxDir))
     val idxCands = time("ANN candidate generation from PERSISTED codes (no coding pass)") {
-      val b = SimilarityQueries.srpBands(AnnIndex.readCodes(spark, idxDir).select("vec_id", "code"))
+      val b = AnnIndex.bandsFromIndex(spark, idxDir)
       val qb = b.filter(col("vec_id") < N_QUERIES)
         .select(col("vec_id").as("query_id"), col("band"), col("bucket"))
       b.join(qb, Seq("band", "bucket"))

@@ -104,6 +104,24 @@ class AnnIndexSpec extends SparkSpec {
       .exceptAll(AnnIndex.readCodes(spark, dirFull).select("vec_id", "code")).isEmpty)
   }
 
+  test("wide-scheme index: meta persists, appends code with the index's own scheme") {
+    val dir = tmpDir("graft-ann-wide")
+    val dirFull = tmpDir("graft-ann-wide-full")
+    AnnIndex.build(spark, raw.filter(col("vec_id") >= 50), dir, planes = 32, bandBits = 8)
+    assert(AnnIndex.readMeta(spark, dir) === ((32, 8)))
+    AnnIndex.append(spark, raw.filter(col("vec_id") < 50), dir)
+    AnnIndex.build(spark, raw, dirFull, planes = 32, bandBits = 8)
+    // append must code with the PERSISTED 32-plane scheme — a 16-plane
+    // append would zero the high code bits and diverge from a full build
+    assert(AnnIndex.readCodes(spark, dir).select("vec_id", "code")
+      .exceptAll(AnnIndex.readCodes(spark, dirFull).select("vec_id", "code")).isEmpty)
+    // a served query buckets by the index's own meta (sanity: runs, ranks bounded)
+    withIndex(dir) {
+      val rows = collectAnn("sim_ann")
+      assert(rows.forall(r => r(1).asInstanceOf[Long] <= 10L))
+    }
+  }
+
   test("fsck: a corrupt index file uncertifies; rebuild repairs") {
     val dir = tmpDir("graft-ann-fsck")
     AnnIndex.build(spark, raw, dir)
