@@ -40,6 +40,7 @@ object PlanAudit {
   private val waived: Map[String, (String, String)] = Map(
     "sim_topk"   -> ("broadcast-nested-loop-join", "broadcast side = fixed query set (bounded constant)"),
     "sim_ivf"    -> ("broadcast-nested-loop-join", "broadcast side = label centroids (bounded by #labels)"),
+    "sim_ivf_kmeans" -> ("broadcast-nested-loop-join", "broadcast side = k-means centroids (bounded by k)"),
     "text_tfidf" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus count"),
     "mixture_sample" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus count"),
     "vocab_topk" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus total"),

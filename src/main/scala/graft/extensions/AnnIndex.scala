@@ -6,17 +6,46 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.TsdbStorage
 
+/** What the persisted index knows about itself, from `_meta`:
+  *
+  *  - `planes`/`bandBits` — the SRP scheme its codes were built with
+  *    (queries must band stored codes with the SAME scheme at any later
+  *    time, so the scheme travels with the index, not the session);
+  *  - `corpusRows`/`idMin`/`idMax`/`idSum` — a fingerprint of the corpus
+  *    the codes cover. An index is only served for the corpus it was
+  *    built from: [[AnnIndex.resolveFor]] cross-checks the live dataset
+  *    against this fingerprint and falls back to recompute on mismatch,
+  *    so a conf key pointing at a stale or foreign index can never
+  *    silently drop vectors from candidate sets. `idSum` (an exact
+  *    integer, order-independent) catches same-count/same-range swaps
+  *    that min/max alone would miss.
+  *  - `lastAppId`/`lastBatchId` — the idempotent-writer cursor: the last
+  *    streaming (checkpoint, batchId) whose append committed. foreachBatch
+  *    is at-least-once, so a crash after the index commit but before the
+  *    streaming checkpoint commit replays the micro-batch; the replay is
+  *    recognized (same appId, batchId ≤ cursor) and skipped instead of
+  *    appending duplicate rows into a certified index. Scoped by appId
+  *    (the checkpoint path) so a NEW stream restarting batch numbering
+  *    from 0 is not mistaken for a replay.
+  */
+case class AnnMeta(planes: Int, bandBits: Int, corpusRows: Long,
+                   idMin: Long, idMax: Long, idSum: Long,
+                   lastAppId: String, lastBatchId: Long)
+
 /** Persisted ANN index — the artifact a production 100 TB embedding
   * corpus builds ONCE and serves every query from, instead of
   * recomputing SRP codes and IVF centroids per query.
   *
   * Layout under an index dir:
   *   codes/      parquet (vec_id, code, cell) — one slim row per vector:
-  *               its 16-bit SRP code and its nearest-centroid IVF cell
+  *               its SRP code and its nearest-centroid IVF cell
   *   centroids/  parquet (clabel, cv, cnorm) — the coarse quantizer,
   *               FROZEN at build time (like a trained IVF quantizer:
   *               appended vectors are assigned to existing cells, the
-  *               quantizer is not re-derived per batch)
+  *               quantizer is not re-derived per batch). Derived from
+  *               labels when the corpus has them, deterministic k-means
+  *               ([[SimilarityQueries.kmeansCentroids]]) when it does not.
+  *   _meta/      parquet, one row — see [[AnnMeta]]
   *   _SYNCED     commit marker — the same certify/fallback protocol as
   *               the engine's chunk-stat index (TsdbStorage): every
   *               mutation drops the marker first and restores it only
@@ -25,7 +54,8 @@ import graft.sources.TsdbStorage
   *               back to the always-correct recompute path.
   *
   * Query integration: set `spark.graft.ann.indexDir` to the index dir;
-  * `sim_ann` / `sim_ivf` read codes/centroids from it when CERTIFIED
+  * `sim_ann` / `sim_ivf` / `dedup_embed_lsh` read codes/centroids from
+  * it when CERTIFIED **and fingerprint-matched to their input corpus**
   * and recompute otherwise. Codes and cells are derived with the exact
   * expressions the live path uses (SimilarityQueries.srpCoded /
   * assignCells), so index-served results are identical to recomputed
@@ -35,12 +65,26 @@ import graft.sources.TsdbStorage
   * the 3× wide-row regression measured in VectorScaleSmoke motivated
   * this layout); the centroid table is cells×dims, always
   * broadcastable. An append touches only the appended vectors; no
-  * existing file is rewritten (compact() coalesces the accumulation).
+  * existing file is rewritten (compact() rewrites the accumulation into
+  * size-targeted, vec_id-range-clustered files).
+  *
+  * Writer discipline: build/append/compact are single-writer (the same
+  * contract as the engine's maintenance ops). Each writer entry point
+  * first resolves any crashed compact swap ([[recoverCompact]]) so a
+  * kill between renames self-heals on the next maintenance call instead
+  * of dead-ending until a full rebuild. Readers never mutate: usable()
+  * only inspects the marker, so a query racing a live compact just falls
+  * back to recompute for the duration of the swap.
   */
 object AnnIndex {
 
   /** Session conf key pointing sim_ann/sim_ivf at a persisted index. */
   val ConfKey = "spark.graft.ann.indexDir"
+
+  /** Default compact target: ~4M slim code rows per file (~tens of MB
+    * compressed) — keeps a 10⁹-vector codes table at a few hundred
+    * parallel-readable files instead of one single-task monolith. */
+  val DefaultRowsPerFile = 4L * 1000 * 1000
 
   private def codesPath(dir: String) = s"$dir/codes"
   private def centroidsPath(dir: String) = s"$dir/centroids"
@@ -50,9 +94,23 @@ object AnnIndex {
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** The certified index dir the session points at, if any. None ⇒
-    * callers recompute (conf unset, dir missing, or marker absent). */
+    * callers recompute (conf unset, dir missing, or marker absent).
+    * Marker-only: corpus identity is NOT checked here — query paths use
+    * [[resolveFor]]. */
   def resolve(spark: SparkSession): Option[String] =
     Option(spark.conf.get(ConfKey, null)).filter(usable(spark, _))
+
+  /** The certified index dir IF its fingerprint matches `corpus` (any
+    * frame with the vec_id column the index was built over). An index
+    * that cannot prove corpus identity — legacy meta without a
+    * fingerprint, or a mismatch (stale index, foreign corpus) — is not
+    * served; the caller recomputes, which is always correct. */
+  def resolveFor(spark: SparkSession, corpus: DataFrame): Option[String] =
+    resolve(spark).filter { dir =>
+      val m = readMeta(spark, dir)
+      m.corpusRows >= 0 && fingerprint(corpus) ==
+        ((m.corpusRows, m.idMin, m.idMax, m.idSum))
+    }
 
   /** True iff the index exists AND its last mutation committed. */
   def usable(spark: SparkSession, dir: String): Boolean =
@@ -64,24 +122,57 @@ object AnnIndex {
   def readCentroids(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(centroidsPath(dir))
 
-  /** The SRP scheme this index was built with: (planes, bandBits).
-    * Persisted at build so queries band stored codes with the SAME
-    * scheme at any later time; indexes predating the meta file read as
-    * the default (the gated 16/4 configuration). */
-  def readMeta(spark: SparkSession, dir: String): (Int, Int) = {
+  /** (rows, min vec_id, max vec_id, sum vec_id) of a corpus — the
+    * identity bound into `_meta` at build and rolled forward by append.
+    * One column-pruned agg pass; empty corpus → (0, 0, 0, 0). */
+  private def fingerprint(corpus: DataFrame): (Long, Long, Long, Long) = {
+    val r = corpus.agg(
+      count(col("vec_id")), coalesce(min("vec_id"), lit(0L)),
+      coalesce(max("vec_id"), lit(0L)), coalesce(sum("vec_id"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  /** This index's self-description. Columns are selected BY NAME (a
+    * positional read would silently swap fields under any future schema
+    * evolution — and a swapped planes/bandBits mis-bands every stored
+    * code). Indexes predating `_meta` read as the default gated scheme
+    * with an UNKNOWN fingerprint (corpusRows = -1), which resolveFor
+    * refuses to serve; rebuild to upgrade. */
+  def readMeta(spark: SparkSession, dir: String): AnnMeta = {
     val p = new Path(metaPath(dir))
-    if (!fs(spark, dir).exists(p)) (SimilarityQueries.N_PLANES, SimilarityQueries.BAND_BITS)
+    if (!fs(spark, dir).exists(p))
+      AnnMeta(SimilarityQueries.N_PLANES, SimilarityQueries.BAND_BITS,
+        -1L, 0L, 0L, 0L, "", -1L)
     else {
-      val r = spark.read.parquet(metaPath(dir)).head()
-      (r.getInt(0), r.getInt(1))
+      val df = spark.read.parquet(metaPath(dir))
+      val names = df.columns.toSet
+      def longOr(r: org.apache.spark.sql.Row, name: String, dflt: Long): Long =
+        if (names(name)) r.getLong(r.fieldIndex(name)) else dflt
+      val r = df.head()
+      AnnMeta(
+        r.getInt(r.fieldIndex("planes")),
+        r.getInt(r.fieldIndex("band_bits")),
+        longOr(r, "corpus_rows", -1L),
+        longOr(r, "id_min", 0L), longOr(r, "id_max", 0L), longOr(r, "id_sum", 0L),
+        if (names("last_app_id")) r.getString(r.fieldIndex("last_app_id")) else "",
+        longOr(r, "last_batch_id", -1L))
     }
+  }
+
+  private def writeMeta(spark: SparkSession, dir: String, m: AnnMeta): Unit = {
+    import spark.implicits._
+    Seq((m.planes, m.bandBits, m.corpusRows, m.idMin, m.idMax, m.idSum,
+        m.lastAppId, m.lastBatchId))
+      .toDF("planes", "band_bits", "corpus_rows", "id_min", "id_max", "id_sum",
+        "last_app_id", "last_batch_id")
+      .coalesce(1).write.mode("overwrite").parquet(metaPath(dir))
   }
 
   /** Band the index's stored codes with ITS OWN persisted scheme. */
   def bandsFromIndex(spark: SparkSession, dir: String): DataFrame = {
-    val (planes, bandBits) = readMeta(spark, dir)
+    val m = readMeta(spark, dir)
     SimilarityQueries.srpBands(
-      readCodes(spark, dir).select("vec_id", "code"), planes, bandBits)
+      readCodes(spark, dir).select("vec_id", "code"), m.planes, m.bandBits)
   }
 
   /** Assign vectors to THIS index's frozen centroids — the production
@@ -90,26 +181,42 @@ object AnnIndex {
   def assign(spark: SparkSession, raw: DataFrame, dir: String): DataFrame =
     SimilarityQueries.assignCells(SimilarityQueries.prep(spark, raw), readCentroids(spark, dir))
 
+  /** bandBits for a corpus of `corpusRows` vectors under `planes` SRP
+    * planes: expected band-bucket occupancy is N / 2^bandBits and the
+    * band self-join is quadratic in it, so solve 2^b ≥ N / targetOccupancy,
+    * round UP to a divisor of planes (bands must tile the code), and cap
+    * at planes/2 so at least two bands remain (recall for sign-agreement
+    * s is 1 − (1 − s^b)^bands — one giant band has no OR-redundancy).
+    * 500 vectors / 16 planes → 4 (the gated test scheme); 10⁶ → 8 (the
+    * knob VectorScaleSmoke measured); 10⁹ / 32 planes → 16. */
+  def advisedBandBits(corpusRows: Long, planes: Int, targetOccupancy: Long = 32L): Int = {
+    val want = math.max(1, math.ceil(
+      math.log(math.max(1.0, corpusRows.toDouble / targetOccupancy)) / math.log(2.0)).toInt)
+    val divisors = (1 to planes).filter(planes % _ == 0)
+    val cap = divisors.filter(_ <= math.max(1, planes / 2)).last
+    math.min(divisors.find(_ >= want).getOrElse(cap), cap)
+  }
+
   /** Build (or rebuild) the index from a full corpus: derive the
-    * centroid table, code + assign every vector, certify. A rebuild
-    * over a changed corpus is the IVF "retrain" — the only operation
-    * that moves the centroids (or the SRP scheme).
+    * quantizer (label centroids when the corpus carries labels, else
+    * deterministic k-means), code + assign every vector, fingerprint the
+    * corpus, certify. A rebuild over a changed corpus is the IVF
+    * "retrain" — the only operation that moves the centroids (or the
+    * SRP scheme).
     *
     * planes/bandBits parameterize the SRP scheme and are PERSISTED with
-    * the index: expected band-bucket occupancy is N / 2^bandBits, and
-    * the band self-join is quadratic in it, so bandBits grows with the
-    * corpus (the default 16/4 is the gated test-scale configuration;
-    * ~10⁹ vectors wants 16+ bits per band — the 4-vs-8-bit trade is
-    * measured in VectorScaleSmoke). */
+    * the index. bandBits ≤ 0 (the default) means advise from the corpus
+    * size ([[advisedBandBits]]); an explicit value overrides. */
   def build(spark: SparkSession, raw: DataFrame, dir: String,
             planes: Int = SimilarityQueries.N_PLANES,
-            bandBits: Int = SimilarityQueries.BAND_BITS): Unit = {
-    require(planes % bandBits == 0, s"planes ($planes) must be a multiple of bandBits ($bandBits)")
+            bandBits: Int = 0): Unit = {
+    recoverCompact(spark, dir)
+    val (n, idMin, idMax, idSum) = fingerprint(raw)
+    val bb = if (bandBits > 0) bandBits else advisedBandBits(n, planes)
+    require(planes % bb == 0, s"planes ($planes) must be a multiple of bandBits ($bb)")
     TsdbStorage.markStatsOutOfSync(spark, dir)
-    import spark.implicits._
-    Seq((planes, bandBits)).toDF("planes", "band_bits")
-      .coalesce(1).write.mode("overwrite").parquet(metaPath(dir))
-    val cent = SimilarityQueries.centroidTable(spark, raw).coalesce(1)
+    writeMeta(spark, dir, AnnMeta(planes, bb, n, idMin, idMax, idSum, "", -1L))
+    val cent = SimilarityQueries.quantizer(spark, raw).coalesce(1)
     cent.write.mode("overwrite").parquet(centroidsPath(dir))
     val e = SimilarityQueries.prep(spark, raw)
     SimilarityQueries.srpCoded(e, planes).select("vec_id", "code")
@@ -122,15 +229,37 @@ object AnnIndex {
     * deterministic (fixed hyperplanes), cells are assigned against the
     * FROZEN centroids — both bit-identical to what a build would derive
     * with the same quantizer, so the index stays exact under appends.
-    * Only the new vectors are written; nothing is rewritten. */
-  def append(spark: SparkSession, rawNew: DataFrame, dir: String): Unit = {
+    * Only the new vectors are written; nothing is rewritten, and the
+    * fingerprint rolls forward so resolveFor keeps matching the grown
+    * corpus.
+    *
+    * `txn` is the streaming idempotency cursor (appId = checkpoint path,
+    * batchId): a replayed micro-batch — same appId, batchId not beyond
+    * the persisted cursor — is a no-op, keeping the index exactly-once
+    * under foreachBatch's at-least-once contract. Batch-style callers
+    * omit it (no replay source, no idempotency claim). */
+  def append(spark: SparkSession, rawNew: DataFrame, dir: String,
+             txn: Option[(String, Long)] = None): Unit = {
+    recoverCompact(spark, dir)
     require(usable(spark, dir), s"ANN index at $dir is absent or uncertified — build() first")
-    val (planes, _) = readMeta(spark, dir) // code with the index's own scheme
+    val m = readMeta(spark, dir)
+    val replayed = txn.exists { case (app, bid) => app == m.lastAppId && bid <= m.lastBatchId }
+    if (replayed) return
+    val (n, bMin, bMax, bSum) = fingerprint(rawNew)
+    val planes = m.planes // code with the index's own scheme
     TsdbStorage.markStatsOutOfSync(spark, dir)
     val e = SimilarityQueries.prep(spark, rawNew)
     SimilarityQueries.srpCoded(e, planes).select("vec_id", "code")
       .join(SimilarityQueries.assignCells(e, readCentroids(spark, dir)), "vec_id")
       .write.mode("append").parquet(codesPath(dir))
+    val grown =
+      if (m.corpusRows < 0) m // legacy fingerprintless meta stays unknown
+      else if (m.corpusRows == 0) m.copy(corpusRows = n, idMin = bMin, idMax = bMax, idSum = bSum)
+      else m.copy(corpusRows = m.corpusRows + n,
+        idMin = math.min(m.idMin, bMin), idMax = math.max(m.idMax, bMax),
+        idSum = m.idSum + bSum)
+    writeMeta(spark, dir, txn.fold(grown) { case (app, bid) =>
+      grown.copy(lastAppId = app, lastBatchId = bid) })
     TsdbStorage.markStatsInSync(spark, dir)
   }
 
@@ -141,6 +270,7 @@ object AnnIndex {
     * files are dropped. Repair either way is `build()` (the index is
     * derived data — unlike the scheme log, dropping it loses nothing). */
   def fsck(spark: SparkSession, dir: String, repair: Boolean = false): Seq[String] = {
+    recoverCompact(spark, dir)
     val bad = TsdbStorage.probeFiles(spark, codesPath(dir)) ++
       TsdbStorage.probeFiles(spark, centroidsPath(dir)) ++
       TsdbStorage.probeFiles(spark, metaPath(dir))
@@ -151,11 +281,20 @@ object AnnIndex {
     bad
   }
 
-  /** Coalesce the append-accumulated codes files (contents unchanged) —
-    * the same tmp-swap discipline as the engine's compact paths, with
-    * the marker protocol covering the swap. */
-  def compact(spark: SparkSession, dir: String): Unit = {
+  /** Rewrite the append-accumulated codes files (contents unchanged)
+    * into ~rowsPerFile-sized files RANGE-CLUSTERED on vec_id — the file
+    * count scales with the corpus (never a one-task monolith), readers
+    * keep full parallelism, and parquet min/max footers let id-probing
+    * reads prune whole files. Same tmp-swap discipline as the engine's
+    * compact paths, with the marker protocol covering the swap and
+    * [[recoverCompact]] resolving a crash inside it. */
+  def compact(spark: SparkSession, dir: String,
+              rowsPerFile: Long = DefaultRowsPerFile): Unit = {
+    recoverCompact(spark, dir)
     require(usable(spark, dir), s"ANN index at $dir is absent or uncertified")
+    val m = readMeta(spark, dir)
+    val rows = if (m.corpusRows >= 0) m.corpusRows else readCodes(spark, dir).count()
+    val files = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
     val f = fs(spark, dir)
     val live = new Path(codesPath(dir))
     val tmp = new Path(s"${codesPath(dir)}.compacting")
@@ -163,10 +302,43 @@ object AnnIndex {
     TsdbStorage.markStatsOutOfSync(spark, dir)
     f.delete(tmp, true)
     f.delete(old, true)
-    readCodes(spark, dir).coalesce(1).write.parquet(tmp.toString)
+    readCodes(spark, dir)
+      .repartitionByRange(files, col("vec_id"))
+      .sortWithinPartitions("vec_id")
+      .write.parquet(tmp.toString)
     f.rename(live, old)
     f.rename(tmp, live)
     f.delete(old, true)
     TsdbStorage.markStatsInSync(spark, dir)
+  }
+
+  /** Resolve a compact() that died inside its swap — the analog of the
+    * engine's recoverSwap, run on every WRITER entry (build/append/
+    * compact/fsck; single-writer contract, so no live compact can race
+    * it). `codes.old` / `codes.compacting` exist ONLY during a compact
+    * swap, and compact starts from a certified index with a fully
+    * written tmp before the first rename — so whichever complete copy
+    * survives is certified content and the marker can be restored:
+    *   - old present, live missing  → crash between renames: old IS the
+    *     index; rename it back.
+    *   - old present, live present  → crash after the second rename:
+    *     live is the compacted copy; drop old.
+    *   - only tmp present           → crash before/during the tmp write:
+    *     live was never touched; drop tmp.
+    * Readers (usable/resolve) deliberately do NOT run this: a query
+    * racing a live compact must fall back, not mutate the swap. */
+  private def recoverCompact(spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark, dir)
+    val live = new Path(codesPath(dir))
+    val tmp = new Path(s"${codesPath(dir)}.compacting")
+    val old = new Path(s"${codesPath(dir)}.old")
+    if (f.exists(old)) {
+      if (!f.exists(live)) f.rename(old, live) else f.delete(old, true)
+      f.delete(tmp, true)
+      TsdbStorage.markStatsInSync(spark, dir)
+    } else if (f.exists(tmp)) {
+      f.delete(tmp, true)
+      TsdbStorage.markStatsInSync(spark, dir)
+    }
   }
 }

@@ -413,9 +413,10 @@ object DedupQueries {
       // 64-double vectors never enter the self-join shuffle or the
       // pair-dedup; they are joined back only for the surviving pairs.
       // Coding/banding is the shared SRP scheme in SimilarityQueries;
-      // a certified persisted index (AnnIndex) serves the codes without
-      // the per-query coding pass — identical hyperplanes either way.
-      val bands = (AnnIndex.resolve(s) match {
+      // a certified persisted index (AnnIndex) — fingerprint-matched to
+      // this corpus — serves the codes without the per-query coding
+      // pass; identical hyperplanes either way.
+      val bands = (AnnIndex.resolveFor(s, e) match {
         case Some(dir) => AnnIndex.bandsFromIndex(s, dir)
         case None      => SimilarityQueries.srpBands(SimilarityQueries.srpCoded(e))
       }).persist()

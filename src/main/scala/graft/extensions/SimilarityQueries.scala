@@ -26,6 +26,8 @@ object SimilarityQueries {
   private val N_QUERIES = 10 // query set: vec_id < 10
   private[extensions] val N_PLANES = 16
   private[extensions] val BAND_BITS = 4
+  private[extensions] val KMEANS_K = 10
+  private[extensions] val KMEANS_ITERS = 3
 
   private def emb(s: SparkSession, d: String): DataFrame =
     prep(s, s.read.parquet(s"$d/embeddings.parquet"))
@@ -144,7 +146,7 @@ object SimilarityQueries {
       // index built with a wider scheme buckets by ITS persisted params
       // (a legitimate, differently-tuned ANN answer).
       // Candidates on slim rows only; vectors join back once for scoring.
-      val bands = (AnnIndex.resolve(s) match {
+      val bands = (AnnIndex.resolveFor(s, e) match {
         case Some(dir) => AnnIndex.bandsFromIndex(s, dir)
         case None      => srpBands(srpCoded(e))
       }).persist()
@@ -230,6 +232,108 @@ object SimilarityQueries {
       .withColumn("cnorm", sqrt(call_function("graft_dot", col("cv"), col("cv"))))
   }
 
+  /** The quantizer an [[AnnIndex]] build derives: label centroids when
+    * the corpus carries a label column (the supervised fast path — one
+    * grouped pass), deterministic k-means when it does not (the general
+    * case: a real embedding corpus has no labels). */
+  private[extensions] def quantizer(s: SparkSession, raw: DataFrame): DataFrame =
+    if (raw.columns.contains("label")) centroidTable(s, raw)
+    else kmeansCentroids(s, raw)
+
+  /** (clabel, cv, cnorm) frame from driver-held centroid vectors —
+    * bounded (k rows), used to broadcast the evolving k-means centers. */
+  private def centFrame(s: SparkSession, cent: Seq[(Long, Seq[Double])]): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    import s.implicits._
+    cent.toDF("clabel", "cv")
+      .withColumn("cnorm", sqrt(call_function("graft_dot", col("cv"), col("cv"))))
+  }
+
+  /** Unsupervised IVF coarse quantizer: spherical k-means (Lloyd, cosine
+    * assignment, per-dimension mean update) made fully deterministic so
+    * the DuckDB oracle reproduces it bit-for-bit — no RNG anywhere:
+    *
+    *  - seeding: the k corpus vectors ranked first by md5(vec_id) — a
+    *    reproducible pseudo-random draw (the md5-bucket convention the
+    *    training-prep queries already gate on);
+    *  - a FIXED iteration count (no data-dependent convergence test);
+    *  - assignment = the same rounded-cosine + lowest-label tiebreak as
+    *    [[assignCells]]; centroid update = per-dimension avg rounded to
+    *    6dp (the [[centroidTable]] discipline), so every cross-engine
+    *    comparison happens on rounded values;
+    *  - an emptied cell keeps its previous center (coalesce), never
+    *    respawns.
+    *
+    * Each iteration is one broadcast-assign pass + one grouped mean over
+    * the corpus — k×dims rows collect to the driver per iteration
+    * (bounded metadata, like the engine's day lists), which also keeps
+    * the per-iteration plan flat instead of stacking k joins of lineage.
+    */
+  private[extensions] def kmeansCentroids(s: SparkSession, raw: DataFrame,
+      k: Int = KMEANS_K, iters: Int = KMEANS_ITERS): DataFrame = {
+    val e = prep(s, raw)
+    val seeds = e.select(col("vec_id"), col("v"))
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h", "vec_id").limit(k)
+      .collect() // bounded: k rows (TakeOrdered, no global sort)
+    var cent: Seq[(Long, Seq[Double])] = seeds.toSeq.zipWithIndex.map {
+      case (r, i) => (i.toLong, r.getSeq[Double](r.fieldIndex("v")))
+    }
+    for (_ <- 1 to iters) {
+      val means = assignCells(e, centFrame(s, cent)).join(e, "vec_id")
+        .select(col("cell").as("clabel"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("clabel", "dim").agg(round(avg("x"), 6).as("cx"))
+        .groupBy("clabel")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, cx))), p -> p.cx)").as("cv"))
+        .collect() // bounded: ≤ k rows
+        .map(r => (r.getLong(r.fieldIndex("clabel")), r.getSeq[Double](r.fieldIndex("cv"))))
+        .toMap
+      cent = cent.map { case (l, old) => (l, means.getOrElse(l, old)) }
+    }
+    centFrame(s, cent)
+  }
+
+  /** The k-means CTE chain shared by the kmeans oracles: seeds ranked by
+    * md5(vec_id), then `iters` unrolled Lloyd steps; `c$iters` is the
+    * final (clabel, cv, cnorm) table. Mirrors [[kmeansCentroids]]
+    * step-for-step (same rounding, same tiebreaks, same index-order dot
+    * products). */
+  private def kmeansOracleCtes(k: Int, iters: Int): String = {
+    val head =
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+         |  FROM embeddings
+         |), seeds AS (
+         |  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS clabel, v
+         |  FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $k
+         |), c0 AS (
+         |  SELECT clabel, v AS cv, sqrt(list_dot_product(v, v)) AS cnorm FROM seeds
+         |)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s""", s$i AS (
+         |  SELECT e.vec_id, c.clabel,
+         |         round(list_dot_product(e.v, c.cv) / (e.norm * c.cnorm), 6) AS csim
+         |  FROM e CROSS JOIN c${i - 1} c
+         |), a$i AS (
+         |  SELECT vec_id, clabel AS cell FROM (
+         |    SELECT vec_id, clabel, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, clabel) AS rk
+         |    FROM s$i) WHERE rk = 1
+         |), m$i AS (
+         |  SELECT a.cell AS clabel, g.d AS dim, round(avg(e.v[g.d + 1]), 6) AS cx
+         |  FROM a$i a JOIN e ON a.vec_id = e.vec_id CROSS JOIN generate_series(0, 63) g(d)
+         |  GROUP BY 1, 2
+         |), n$i AS (
+         |  SELECT clabel, list(cx ORDER BY dim) AS cv FROM m$i GROUP BY clabel
+         |), c$i AS (
+         |  SELECT p.clabel, coalesce(n.cv, p.cv) AS cv,
+         |         sqrt(list_dot_product(coalesce(n.cv, p.cv), coalesce(n.cv, p.cv))) AS cnorm
+         |  FROM c${i - 1} p LEFT JOIN n$i n ON p.clabel = n.clabel
+         |)""".stripMargin
+    }.mkString
+    head + steps
+  }
+
   /** Rounded cosine of every vector against every centroid — one
     * map-side pass (broadcast centroid table). */
   private[extensions] def cellSims(vecs: DataFrame, cent: DataFrame): DataFrame =
@@ -251,14 +355,38 @@ object SimilarityQueries {
       .agg(max_by(col("clabel"), struct(col("csim"), -col("clabel"))).as("cell"))
       .select(col("vec_id"), col("cell"))
 
+  /** The IVF probe-and-score tail shared by sim_ivf and sim_ivf_kmeans:
+    * probe the N_PROBE nearest cells per query (|queries| × |cells| —
+    * trivial), score exactly only the vectors assigned to probed cells. */
+  private def ivfTopk(e: DataFrame, cent: DataFrame, assigned: DataFrame): DataFrame = {
+    val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("clabel"))
+    val probes = cellSims(e.filter(col("vec_id") < N_QUERIES), cent)
+      .withColumn("rk", row_number().over(byVec))
+      .filter(col("rk") <= N_PROBE)
+      .select(col("vec_id").as("query_id"), col("clabel").as("cell"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    probes.join(assigned, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm")), "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("norm")), "neighbor_id")
+      .withColumn("cos_sim",
+        round(call_function("graft_dot", col("v"), col("qv")) / (col("norm") * col("qnorm")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+      .orderBy("query_id", "rank")
+  }
+
   val ivf: QueryDef = QueryDef(
     build = (s, d) => {
       val e = emb(s, d)
       // centroids + corpus cell assignment from the persisted _ann index
-      // when certified, derived live otherwise. Probes are always
-      // computed at query time (|queries| × |cells| — trivial) against
+      // when certified AND fingerprint-matched to this corpus, derived
+      // live otherwise. Probes are always computed at query time against
       // whichever centroid table is in play.
-      val (cent, assigned) = AnnIndex.resolve(s) match {
+      val (cent, assigned) = AnnIndex.resolveFor(s, e) match {
         case Some(dir) =>
           (AnnIndex.readCentroids(s, dir),
             AnnIndex.readCodes(s, dir).select(col("vec_id"), col("cell")))
@@ -266,24 +394,7 @@ object SimilarityQueries {
           val c = centroidTable(s, s.read.parquet(s"$d/embeddings.parquet"))
           (c, assignCells(e, c))
       }
-      val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("clabel"))
-      val probes = cellSims(e.filter(col("vec_id") < N_QUERIES), cent)
-        .withColumn("rk", row_number().over(byVec))
-        .filter(col("rk") <= N_PROBE)
-        .select(col("vec_id").as("query_id"), col("clabel").as("cell"))
-      val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
-      probes.join(assigned, "cell")
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"))
-        .dropDuplicates("query_id", "neighbor_id")
-        .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm")), "query_id")
-        .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("norm")), "neighbor_id")
-        .withColumn("cos_sim",
-          round(call_function("graft_dot", col("v"), col("qv")) / (col("norm") * col("qnorm")), 6))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= K)
-        .select("query_id", "rank", "neighbor_id", "cos_sim")
-        .orderBy("query_id", "rank")
+      ivfTopk(e, cent, assigned)
     },
     oracle = Some(
       s"""WITH e AS (
@@ -323,6 +434,57 @@ object SimilarityQueries {
          |SELECT query_id, rank::BIGINT AS rank, neighbor_id, cos_sim
          |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin),
     doc = "X3 IVF-bucketed ANN (deterministic centroid cells, probe-2)")
+
+  // -------------------------------------------------------------------
+  // X3d unsupervised quantizer + IVF over an UNLABELED corpus — the
+  // general case (a real embedding corpus has no labels). Both gated:
+  // the oracle unrolls the same fixed-iteration deterministic k-means.
+  // -------------------------------------------------------------------
+  val kmeansQ: QueryDef = QueryDef(
+    build = (s, d) =>
+      kmeansCentroids(s, s.read.parquet(s"$d/embeddings.parquet").drop("label"))
+        .select(col("clabel"), posexplode(col("cv")).as(Seq("dim", "cx")))
+        .withColumn("dim", col("dim").cast("long"))
+        .orderBy("clabel", "dim"),
+    oracle = Some(
+      s"""${kmeansOracleCtes(KMEANS_K, KMEANS_ITERS)}
+         |SELECT clabel, g.d::BIGINT AS dim, cv[g.d + 1] AS cx
+         |FROM c$KMEANS_ITERS CROSS JOIN generate_series(0, 63) g(d)
+         |ORDER BY clabel, dim""".stripMargin),
+    doc = "X3 unsupervised IVF quantizer: deterministic spherical k-means (md5-ranked seeds, fixed iterations)")
+
+  val ivfKmeans: QueryDef = QueryDef(
+    build = (s, d) => {
+      val e = emb(s, d)
+      val c = kmeansCentroids(s, s.read.parquet(s"$d/embeddings.parquet").drop("label"))
+      ivfTopk(e, c, assignCells(e, c))
+    },
+    oracle = Some(
+      s"""${kmeansOracleCtes(KMEANS_K, KMEANS_ITERS)}, sims AS (
+         |  SELECT e.vec_id, c.clabel,
+         |         round(list_dot_product(e.v, c.cv) / (e.norm * c.cnorm), 6) AS csim
+         |  FROM e CROSS JOIN c$KMEANS_ITERS c
+         |), rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, clabel) AS rk FROM sims
+         |), assigned AS (
+         |  SELECT vec_id, clabel AS cell FROM rk WHERE rk = 1
+         |), probes AS (
+         |  SELECT vec_id AS query_id, clabel AS cell FROM rk WHERE rk <= $N_PROBE AND vec_id < $N_QUERIES
+         |), cand AS (
+         |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN assigned a ON p.cell = a.cell
+         |  WHERE a.vec_id <> p.query_id
+         |), scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         round(list_dot_product(eq.v, en.v) / (eq.norm * en.norm), 6) AS cos_sim
+         |  FROM cand c JOIN e eq ON c.query_id = eq.vec_id JOIN e en ON c.neighbor_id = en.vec_id
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank::BIGINT AS rank, neighbor_id, cos_sim
+         |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin),
+    doc = "X3 IVF ANN over an unlabeled corpus (deterministic k-means cells, probe-2)")
 
   // -------------------------------------------------------------------
   // Embedding int8 quantization audit — the 4× storage-compression step
@@ -370,9 +532,11 @@ object SimilarityQueries {
     doc = "X3 embedding int8 quantization audit (affine codes, reconstruction-error profile)")
 
   val defs: Map[String, QueryDef] = Map(
-    "sim_topk"       -> topk,
-    "sim_ann"        -> ann,
-    "sim_ivf"        -> ivf,
-    "embed_quantize" -> quantize,
+    "sim_topk"         -> topk,
+    "sim_ann"          -> ann,
+    "sim_ivf"          -> ivf,
+    "kmeans_centroids" -> kmeansQ,
+    "sim_ivf_kmeans"   -> ivfKmeans,
+    "embed_quantize"   -> quantize,
   )
 }

@@ -144,8 +144,13 @@ object VectorScaleSmoke {
     val raw = spark.range(rows).select(col("id").as("vec_id"),
       array(dimCols: _*).as("embedding"),
       pmod(col("id"), lit(100L)).cast("int").as("label"))
+    // bandBits pinned to the gated 4-bit scheme so the equality check
+    // below compares against the recompute path; the ADVISOR would pick
+    // 8-bit bands at this corpus size (printed as evidence)
+    println(s"[vscale] advisedBandBits($rows, 16 planes) = " +
+      s"${AnnIndex.advisedBandBits(rows, SimilarityQueries.N_PLANES)} (gated scheme: 4)")
     time(f"AnnIndex.build ($rows%,d codes + 100-cell centroids + assignment)")(
-      AnnIndex.build(spark, raw, idxDir))
+      AnnIndex.build(spark, raw, idxDir, bandBits = SimilarityQueries.BAND_BITS))
     val idxCands = time("ANN candidate generation from PERSISTED codes (no coding pass)") {
       val b = AnnIndex.bandsFromIndex(spark, idxDir)
       val qb = b.filter(col("vec_id") < N_QUERIES)
@@ -156,6 +161,12 @@ object VectorScaleSmoke {
         .count()
     }
     println(s"[vscale] index-served candidates: $idxCands (recompute path: $candCount — must match)")
+    // distributed compact: size-targeted, vec_id-range-clustered files —
+    // never a one-task monolith (rows/250k → multi-file at 1M vectors)
+    time(f"AnnIndex.compact ($rows%,d rows @ 250k rows/file)")(
+      AnnIndex.compact(spark, idxDir, rowsPerFile = 250000L))
+    println(s"[vscale] compacted codes files: " +
+      s"${AnnIndex.readCodes(spark, idxDir).inputFiles.length} (expect ${(rows + 249999) / 250000})")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
     spark.stop()
   }

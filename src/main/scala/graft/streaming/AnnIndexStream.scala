@@ -20,6 +20,15 @@ import graft.extensions.AnnIndex
   * uncertified fails the next micro-batch fast (restart after
   * `AnnIndex.build`) rather than appending onto an unserved index.
   *
+  * foreachBatch is at-least-once (a crash after the index commit but
+  * before the streaming checkpoint commit replays the micro-batch on
+  * restart), so each append carries the (checkpoint, batchId)
+  * transaction id and AnnIndex skips batches at or below its persisted
+  * cursor — the standard idempotent-sink pattern, lifting the loop to
+  * exactly-once. The appId is the checkpoint path: a NEW stream (fresh
+  * checkpoint) restarts batch numbering without being mistaken for a
+  * replay.
+  *
   * Source schema: (vec_id, embedding, ...) — same as the embeddings
   * table.
   */
@@ -28,8 +37,9 @@ object AnnIndexStream {
   def start(source: DataFrame, indexDir: String, checkpoint: String): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) AnnIndex.append(batch.sparkSession, batch, indexDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          AnnIndex.append(batch.sparkSession, batch, indexDir, txn = Some((checkpoint, batchId)))
       }
       .start()
 }
