@@ -52,6 +52,17 @@ object Flags {
   * driver hash-compares the two at sf0.01 — column NAMES must match
   * exactly on both sides, every query must end in a total ORDER BY, and
   * float aggregates must be rounded identically on both sides.
+  *
+  * Cache contract: a build may `persist()` an intermediate its plan
+  * references more than once (shingle tables, SRP bands). Those entries
+  * CANNOT be unpersisted inside the build (the returned plan is lazy and
+  * still needs them), so they are session-scoped memos: Spark's
+  * CacheManager dedups by canonicalized plan, re-building the same query
+  * REUSES its entries instead of adding new ones (CacheHygieneSpec pins
+  * this), and the harnesses (Bench/Verify/PlanAudit) clear the cache
+  * between queries. A long-lived session holds at most one entry per
+  * persist site; `spark.sharedState.cacheManager.clearCache()` releases
+  * them all.
   */
 case class QueryDef(
     build: (SparkSession, String) => DataFrame,

@@ -93,6 +93,8 @@ object DedupQueries {
       // graft_minhash emits all NUM_HASHES minima in a single codegen'd
       // pass over the shingle array (hex-min semantics identical to the
       // oracle's 8 × list_min(list_transform(md5)) chain).
+      // persists here are session-scoped memos (QueryDef cache contract;
+      // CacheHygieneSpec proves re-runs reuse rather than grow them)
       val sh = shingled(s, d).persist()
       val sig = sh.select(col("doc_id"),
         call_function("graft_minhash", col("sh"), lit(NUM_HASHES)).as("mhs"))
@@ -163,7 +165,7 @@ object DedupQueries {
         expr("transform(sh, x -> graft_md5_prefix(x, 8))")).as("simhash"))
     val bands = sig.select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("k"))
       .withColumn("byte", expr("shiftright(simhash, k * 8) & 255"))
-      .persist()
+      .persist() // session-scoped memo (QueryDef cache contract)
     bands.as("a").join(bands.as("b"),
         col("a.k") === col("b.k") && col("a.byte") === col("b.byte")
           && col("a.doc_id") < col("b.doc_id"))
@@ -275,7 +277,7 @@ object DedupQueries {
       val sh = shingled(s, d)
         .select(col("doc_id"), expr("transform(sh, x -> graft_md5_prefix(x, 15))").as("sh"))
         .withColumn("n", size(col("sh")).cast("long"))
-        .persist()
+        .persist() // persists below: session-scoped memos (QueryDef cache contract)
       val post = sh.select(col("doc_id"), explode(col("sh")).as("x"))
       val dfx = post.groupBy("x").agg(count(lit(1)).as("df")).persist()
       val blocked = post.join(dfx.filter(col("df") <= DF_MAX).select("x"), "x").persist()
@@ -408,7 +410,7 @@ object DedupQueries {
       val e = s.read.parquet(s"$d/embeddings.parquet")
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("norm", sqrt(call_function("graft_dot", col("v"), col("v"))))
-        .persist()
+        .persist() // persists here: session-scoped memos (QueryDef cache contract)
       // Candidate generation runs on SLIM (id, band, bucket) rows — the
       // 64-double vectors never enter the self-join shuffle or the
       // pair-dedup; they are joined back only for the surviving pairs.

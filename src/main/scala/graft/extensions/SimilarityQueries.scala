@@ -139,7 +139,7 @@ object SimilarityQueries {
 
   val ann: QueryDef = QueryDef(
     build = (s, d) => {
-      val e = emb(s, d).persist()
+      val e = emb(s, d).persist() // session-scoped memo (QueryDef cache contract)
       // codes from the persisted _ann index when one is certified
       // (AnnIndex.ConfKey → usable dir), recomputed map-side otherwise.
       // A default-scheme index yields results identical to recompute; an

@@ -170,7 +170,8 @@ object TextQueries {
   // -------------------------------------------------------------------
   val tfidf: QueryDef = QueryDef(
     build = (s, d) => {
-      val tok = docs(s, d).select(col("doc_id"), explode(expr(toksExpr)).as("token")).persist()
+      val tok = docs(s, d).select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+        .persist() // session-scoped memo (QueryDef cache contract)
       val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val df = tok.distinct().groupBy("token").agg(count(lit(1)).as("df"))
       val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
