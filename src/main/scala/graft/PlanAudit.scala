@@ -114,7 +114,9 @@ object PlanAudit {
         "facade:statIndexed" -> (() => engine.statIndexed(1L, from, to)),
         "facade:merged" -> (() => engine.merged),
         "facade:sharded.readGrid" -> (() => sharded.readGrid(from, to, 3600L, 7200L)),
-        "facade:sharded.currentValue" -> (() => sharded.currentValue(Seq(1L, 2L), 0L)))
+        "facade:sharded.currentValue" -> (() => sharded.currentValue(Seq(1L, 2L), 0L)),
+        // catalog-default as-of: routed, per-shard universes, plain union
+        "facade:sharded.readTimePoint" -> (() => sharded.readTimePoint(QueryTimePoint(Seq.empty, 0L, to))))
       facadePlans.foreach { case (name, mk) => auditOne(spark, name, mk(), flagged) }
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))

@@ -49,29 +49,27 @@ class ShardedEngine(spark: SparkSession, roots: Seq[String], buckets: Int = 32) 
     relevant.map(_.readInterval(q)).reduce(_ unionByName _).orderBy("id", "time")
   }
 
-  /** Per requested id, exactly one row: a foreign shard answers NO_DATA
-    * for ids it doesn't own, so merge keeps a real measurement when any
-    * shard has one and keeps ONE NO_DATA row (not zero) when none does
-    * — preserving GraftEngine's one-row-per-requested-id contract. */
-  private def mergePointRows(perShard: Seq[DataFrame]): DataFrame =
-    perShard.reduce(_ unionByName _)
-      .groupBy("id")
-      .agg(max_by(struct(col("time"), col("value"), col("flag")),
-        struct(col("flag") =!= graft.core.Meas.NO_DATA, col("time"))).as("m"))
-      .select(col("id"), col("m.time").as("time"), col("m.value").as("value"), col("m.flag").as("flag"))
-      .orderBy("id")
-
-  /** O4 as-of fan-out: routed to owning shards for explicit ids (each
-    * shard's index-served path applies), all shards for the catalog
-    * default — per-shard id universes are pmod-disjoint, the merge
-    * keeps the real-over-NO_DATA contract either way. */
+  /** O4 as-of fan-out, ROUTED BY OWNERSHIP (the readGrid discipline):
+    * an explicit id list is pmod-partitioned so each owning shard is
+    * asked ONLY for its own ids — no shard joins a foreign id, no
+    * NO_DATA rows are derived just to be merged away; the catalog
+    * default lets each shard derive its own resident-id universe
+    * (routed appends make those pmod-disjoint). Either way exactly one
+    * shard answers each id — ownership is total, and the owning shard
+    * itself emits the NO_DATA row for an absent id — so the merge is a
+    * plain union with no aggregation shuffle, and GraftEngine's
+    * one-row-per-requested-id contract is preserved by construction. */
   def readTimePoint(q: QueryTimePoint): DataFrame =
-    mergePointRows(
-      (if (q.ids.isEmpty) shards else q.ids.map(shardOf).distinct).map(_.readTimePoint(q)))
+    (if (q.ids.isEmpty) shards.map(_.readTimePoint(q))
+     else q.ids.distinct.groupBy(shardOf).toSeq
+       .map { case (shard, owned) => shard.readTimePoint(q.copy(ids = owned)) })
+      .reduce(_ unionByName _).orderBy("id")
 
   def currentValue(ids: Seq[Long], flag: Long): DataFrame =
-    mergePointRows(
-      (if (ids.isEmpty) shards else ids.map(shardOf).distinct).map(_.currentValue(ids, flag)))
+    (if (ids.isEmpty) shards.map(_.currentValue(ids, flag))
+     else ids.distinct.groupBy(shardOf).toSeq
+       .map { case (shard, owned) => shard.currentValue(owned, flag) })
+      .reduce(_ unionByName _).orderBy("id")
 
   /** O14 routed scheme: a new name registers on the shard that will own
     * its content-addressed id. A name ALREADY in some shard's log keeps
