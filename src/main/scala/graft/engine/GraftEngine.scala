@@ -480,13 +480,60 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     * name like the reference's `Calculator::apply(..., {functions})`
     * [U: statistic/calculator.h — FunctionFactory::functions]. Unknown
     * names fail fast (the reference's factory silently yields nothing
-    * for them — failing is the safer contract). */
-  def calculator(q: QueryInterval, functions: Seq[String] = GraftEngine.CalculatorFunctions): DataFrame = {
-    val selected = GraftEngine.calculatorAggs(functions)
-    readInterval(q)
-      .groupBy("id")
-      .agg(selected.head, selected.tail: _*)
-      .orderBy("id")
+    * for them — failing is the safer contract).
+    *
+    * Skew route: the algebraic functions partial-aggregate map-side and
+    * cannot overload a reducer, but exact `percentile` buffers a
+    * value→count map per group whose final merge lands a hot series'
+    * whole value multiset on ONE task. When the stats index reports a
+    * queried series above `percentileSkewThreshold` rows, percentile
+    * functions are served by SkewTools.distributedPercentiles (counts +
+    * cumulative rank over slim rows — spillable) — bit-identical
+    * answers (SkewToolsSpec), bounded per-task memory. */
+  def calculator(q: QueryInterval,
+                 functions: Seq[String] = GraftEngine.CalculatorFunctions,
+                 percentileSkewThreshold: Long = GraftEngine.PercentileSkewThreshold): DataFrame = {
+    val pcts = GraftEngine.PercentileFunctions.filter { case (n, _) => functions.contains(n) }
+    if (pcts.isEmpty || maxSeriesRowsInRange(q) <= percentileSkewThreshold) {
+      val selected = GraftEngine.calculatorAggs(functions)
+      readInterval(q)
+        .groupBy("id")
+        .agg(selected.head, selected.tail: _*)
+        .orderBy("id")
+    } else {
+      val rows = readInterval(q)
+      val pctDf = graft.operators.SkewTools
+        .distributedPercentiles(rows, col("id"), col("value"), pcts)
+        .withColumnRenamed("k", "id")
+      val others = functions.filterNot(pcts.map(_._1).toSet)
+      val joined =
+        if (others.isEmpty) pctDf
+        else {
+          val sel = GraftEngine.calculatorAggs(others)
+          rows.groupBy("id").agg(sel.head, sel.tail: _*).join(pctDf, "id")
+        }
+      val outName = (f: String) => if (f == "count") "cnt" else f
+      // requested column order, regardless of which route computed each
+      joined.select(col("id") +: functions.map(f => col(outName(f))): _*).orderBy("id")
+    }
+  }
+
+  /** Skew detector for the calculator: the largest per-series row count
+    * inside the query's day range, answered from the per-(day, id)
+    * stats index — bounded index rows, no data files touched. Flag
+    * filters are ignored (an overcount only routes to the equally-exact
+    * distributed path). 0 when the index cannot answer (absent, stale,
+    * or unflushed hot rows) — the default path then applies. */
+  private def maxSeriesRowsInRange(q: QueryInterval): Long = {
+    if (!(hasStats && hotSize == 0L) || q.from.after(q.to)) return 0L
+    val utc = java.time.ZoneOffset.UTC
+    val fromDay = java.sql.Date.valueOf(q.from.toInstant.atZone(utc).toLocalDate)
+    val toDay = java.sql.Date.valueOf(q.to.toInstant.atZone(utc).toLocalDate)
+    TsdbStorage.readStats(spark, statsPath)
+      .filter(idPred(q.ids) && col("day").between(lit(fromDay), lit(toDay)))
+      .groupBy("id").agg(sum("cnt").as("c"))
+      .agg(coalesce(max("c"), lit(0L)))
+      .head().getLong(0)
   }
 
   // ---- O10 subscribe (delegates to the one subscription definition) --
@@ -787,6 +834,17 @@ object GraftEngine {
   /** O9 function names [U: statistic/calculator.cpp — FunctionFactory]. */
   val CalculatorFunctions: Seq[String] =
     Seq("average", "median", "percentile90", "percentile99", "sigma", "minimum", "maximum", "count")
+
+  /** The O9 functions that buffer per-group state (exact percentile) —
+    * eligible for the distributed hot-series route in `calculator`. */
+  val PercentileFunctions: Seq[(String, Double)] =
+    Seq("median" -> 0.5, "percentile90" -> 0.9, "percentile99" -> 0.99)
+
+  /** Per-series row count past which `calculator` serves percentiles
+    * via the distributed counts+rank path instead of the built-in
+    * buffering aggregate (~8M rows ≈ where a value→count map per merge
+    * task stops being comfortably memory-resident). */
+  val PercentileSkewThreshold: Long = 8L * 1000 * 1000
 
   /** The SINGLE name→aggregate definition of the O9 function set —
     * `calculator` above and the oracle-gated `calculator_subset` query

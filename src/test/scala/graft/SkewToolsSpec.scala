@@ -34,4 +34,34 @@ class SkewToolsSpec extends SparkSpec {
       .select(pmod(hash(col("seq")), lit(8)).as("s")).distinct().count()
     assert(hotSalts > 1)
   }
+
+  test("distributedPercentiles is bit-identical to the buffering percentile aggregate") {
+    val meas = EventsSource.meas(spark, sfDir)
+    val ps = Seq("median" -> 0.5, "percentile90" -> 0.9, "percentile99" -> 0.99)
+    val builtin = meas.groupBy(col("id").as("k"))
+      .agg(expr("percentile(value, 0.5D)").as("median"),
+        expr("percentile(value, 0.9D)").as("percentile90"),
+        expr("percentile(value, 0.99D)").as("percentile99"))
+      .orderBy("k").collect().map(_.toSeq)
+    val routed = SkewTools.distributedPercentiles(meas, col("id"), col("value"), ps)
+      .orderBy("k").collect().map(_.toSeq)
+    assert(routed === builtin, "same ranks, same interpolation, bit-identical doubles")
+  }
+
+  test("calculator serves hot series through the distributed route with identical answers") {
+    val eng = new graft.engine.GraftEngine(spark, tmpDir("graft-skew-calc"), buckets = 4)
+    eng.append(EventsSource.meas(spark, sfDir))
+    val q = graft.engine.QueryInterval(Seq.empty, 0L,
+      java.sql.Timestamp.valueOf("2000-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2100-01-01 00:00:00"))
+    val plain = eng.calculator(q).collect().map(_.toSeq)
+    // threshold 0 forces every series onto the distributed route
+    val routed = eng.calculator(q, percentileSkewThreshold = 0L).collect().map(_.toSeq)
+    assert(routed === plain, "routed calculator must answer exactly like the default path")
+    // subset + reordered functions keep the requested column order
+    val fns = Seq("percentile99", "count", "median")
+    val subPlain = eng.calculator(q, fns).collect().map(_.toSeq)
+    val subRouted = eng.calculator(q, fns, percentileSkewThreshold = 0L).collect().map(_.toSeq)
+    assert(subRouted === subPlain)
+  }
 }
