@@ -198,4 +198,59 @@ class NetworkSpec extends SparkSpec {
       raw2.close()
     } finally server.stop()
   }
+
+  test("concurrent wire appenders: per-subscriber delivery matches commit order, nothing lost") {
+    val engine = new GraftEngine(spark, tmpDir("graft-net-conc"), buckets = 4)
+    val server = new GraftServer(engine).start()
+    try {
+      val pushed = new java.util.concurrent.LinkedBlockingQueue[Meas]()
+      val subClient = new GraftClient("127.0.0.1", server.boundPort)
+      subClient.subscribe(Seq(7L), 0L)(pushed.put)
+
+      // two appender connections racing: listeners fire INSIDE the
+      // engine append lock, so per-subscriber socket order must equal
+      // the commit interleaving — batches atomic, per-appender FIFO
+      val threads = 2; val batches = 10; val rowsPer = 3
+      def seqOf(t: Int, b: Int, r: Int): Long = t * 100000L + b * 10L + r
+      val appenders = (0 until threads).map { t =>
+        new Thread(() => {
+          val c = new GraftClient("127.0.0.1", server.boundPort)
+          for (b <- 0 until batches) {
+            val batch = (0 until rowsPer).map(r =>
+              Meas(7L, ts(f"2024-03-01 ${10 + t}%02d:${b}%02d:${r}%02d"),
+                r.toDouble, Flags.CLICK, seqOf(t, b, r)))
+            assert(c.append(batch) === rowsPer)
+          }
+        }, s"appender-$t")
+      }
+      appenders.foreach(_.start())
+      appenders.foreach(_.join(120000))
+
+      val total = threads * batches * rowsPer
+      val got = Iterator.continually(
+        Option(pushed.poll(20, java.util.concurrent.TimeUnit.SECONDS)))
+        .take(total).flatten.toSeq
+      assert(got.size === total, "every committed row is pushed exactly once")
+      assert(got.map(_.seq).sorted === (for {
+        t <- 0 until threads; b <- 0 until batches; r <- 0 until rowsPer
+      } yield seqOf(t, b, r)).sorted, "no lost, duplicated, or foreign pushes")
+      // per-appender FIFO: each thread's rows arrive in its send order
+      for (t <- 0 until threads) {
+        val mine = got.map(_.seq).filter(_ / 100000L == t)
+        assert(mine === mine.sorted, s"appender $t pushes out of send order")
+      }
+      // batch atomicity: a batch's rows occupy consecutive delivery slots
+      // (the push runs under the engine lock and one out.synchronized)
+      got.map(_.seq).grouped(rowsPer).foreach { g =>
+        assert(g.map(_ / 10L).distinct.size === 1 && g.map(_ % 10L) === (0L until rowsPer.toLong),
+          s"interleaved batch in delivery stream: $g")
+      }
+      assert(pushed.poll(200, java.util.concurrent.TimeUnit.MILLISECONDS) === null)
+      // the committed store agrees with what was pushed
+      val stored = engine.readInterval(QueryInterval(Seq(7L), 0L,
+        ts("2024-03-01 00:00:00"), ts("2024-03-02 00:00:00")))
+        .collect().map(_.getLong(4)).toSeq
+      assert(stored.sorted === got.map(_.seq).sorted)
+    } finally server.stop()
+  }
 }
