@@ -1,0 +1,152 @@
+package graft.network
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.Meas
+import graft.engine.{GraftEngine, QueryInterval}
+
+/** Spark Connect round-trip smoke — turns docs/NETWORK.md's "the remote
+  * surface is Spark Connect" claim into executed evidence:
+  *
+  *  1. this JVM starts a CLASSIC session with the in-distribution
+  *     `SparkConnectPlugin` (gRPC server on a local port), builds a
+  *     graft store, and publishes `readInterval` / `readGrid` results
+  *     as global temp views (canonicalized to strings — timestamps as
+  *     unix micros, so no client-timezone sensitivity);
+  *  2. a SECOND JVM — the actual Spark Connect Scala client from
+  *     /opt/spark/jars/connect-repl, instantiated reflectively so this
+  *     repo needs no compile-time client dependency — connects with
+  *     `builder.remote("sc://…")`, collects both views AND a
+  *     client-built pushdown scan over the store's parquet;
+  *  3. the parent compares the remotely collected rows with the
+  *     in-process results and exits non-zero on any mismatch (or on a
+  *     client failure, printing the exact error — the honest record if
+  *     the environment blocks the protocol).
+  *
+  * Engine-facade calls themselves stay SERVER-side (they need driver
+  * filesystem access for day pruning and the stats index — exactly how
+  * a production deployment fronts the engine: facade plans published
+  * as views/SQL, clients consume them over Connect; docs/NETWORK.md
+  * records this).
+  *
+  * Usage: runMain graft.network.ConnectSmoke [port]
+  */
+object ConnectSmoke {
+
+  private val ClientJar =
+    "/opt/spark/jars/connect-repl/spark-connect-client-jvm_2.13-4.1.2.jar"
+
+  def main(args: Array[String]): Unit = {
+    val port = if (args.nonEmpty) args(0).toInt else 15999
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-connect-smoke")
+      .config("spark.plugins", "org.apache.spark.sql.connect.SparkConnectPlugin")
+      .config("spark.connect.grpc.binding.port", port.toString)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-connect").toString
+    val engine = new GraftEngine(spark, s"$dir/store", buckets = 4)
+    def ts(s: String) = Timestamp.valueOf(s)
+    // registered series so the catalog-driven grid read has a universe;
+    // data appended under the catalog ids plus some unregistered ones
+    val catIds = engine.addParams((0 until 5).map(i => s"conn.series.$i")).values.toSeq.sorted
+    engine.append((0 until 2000).map { i =>
+      val id = if (i % 20 < 5) catIds(i % 20) else i % 20L
+      Meas(id, ts(f"2024-03-${1 + i % 3}%02d ${i % 24}%02d:15:00"),
+        i * 0.25, 1L << (i % 5), i.toLong)
+    })
+
+    val canon = "concat_ws('|', id, unix_micros(time), value, flag, seq) AS row"
+    val interval = engine.readInterval(QueryInterval(Seq(catIds.head, 7L), 0L,
+      ts("2024-03-01 00:00:00"), ts("2024-03-04 00:00:00"))).selectExpr(canon)
+    interval.createOrReplaceGlobalTempView("graft_interval")
+    val grid = engine.readGrid(ts("2024-03-01 00:00:00"), ts("2024-03-02 00:00:00"),
+      stepSeconds = 3600L, maxStalenessSeconds = 7200L)
+      .selectExpr("concat_ws('|', id, unix_micros(grid_ts), value, fill_age_us) AS row")
+    grid.createOrReplaceGlobalTempView("graft_grid")
+    val scanCanon = "concat_ws('|', id, unix_micros(time), value, flag, seq)"
+    val expected = Map(
+      "interval" -> interval.collect().map(_.getString(0)).sorted.toSeq,
+      "grid" -> grid.collect().map(_.getString(0)).sorted.toSeq,
+      "scan" -> spark.read.parquet(s"$dir/store/data").filter("id = 7")
+        .selectExpr(scanCanon).collect().map(_.getString(0)).sorted.toSeq)
+
+    // ---- the remote half: real connect client, separate JVM ----------
+    val classes = new java.io.File(
+      classOf[GraftEngine].getProtectionDomain.getCodeSource.getLocation.toURI).getPath
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
+      "java.base/java.io", "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic", "java.base/sun.nio.ch",
+      "java.base/sun.nio.cs", "java.base/sun.security.action",
+      "java.base/sun.util.calendar").flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq("java") ++ addOpens ++ Seq(
+      "-cp", Seq(classes, s"$ClientJar", "/opt/spark/jars/*").mkString(":"),
+      "graft.network.ConnectSmokeClient", s"sc://localhost:$port", s"$dir/store/data")
+    println(s"[connect] launching client JVM against sc://localhost:$port")
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+    val err = scala.io.Source.fromInputStream(proc.getErrorStream).getLines().toList
+    val exited = proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
+    val code = if (exited) proc.exitValue() else { proc.destroyForcibly(); -1 }
+    if (code != 0) {
+      println(s"[connect] CLIENT FAILED (exit $code) — exact failure follows:")
+      err.takeRight(30).foreach(l => println(s"[connect-err] $l"))
+      spark.stop(); sys.exit(1)
+    }
+
+    val got = out.collect { case l if l.startsWith("[connect-rows] ") =>
+      val rest = l.stripPrefix("[connect-rows] ")
+      val tag = rest.takeWhile(_ != ' ')
+      tag -> rest.drop(tag.length + 1)
+    }.groupBy(_._1).map { case (t, ls) => t -> ls.map(_._2).sorted }
+    var ok = true
+    for ((tag, exp) <- expected) {
+      val same = got.getOrElse(tag, Nil) == exp
+      println(s"[connect] $tag over Spark Connect == in-process: $same " +
+        s"(${got.getOrElse(tag, Nil).size} rows remote, ${exp.size} in-process)")
+      ok &= same
+    }
+    spark.stop()
+    if (!ok) sys.exit(1)
+    println("[connect] PASS: readInterval, readGrid, and a client-built pushdown scan " +
+      "round-trip the Spark Connect protocol with identical rows")
+  }
+}
+
+/** The client half — runs in its OWN JVM with the Spark Connect Scala
+  * client jar on the classpath; the connect SparkSession is built
+  * reflectively (its class is not on the repo's compile classpath) and
+  * then used through the abstract org.apache.spark.sql API it
+  * implements. */
+object ConnectSmokeClient {
+  def main(args: Array[String]): Unit = {
+    val Array(url, scanPath) = args.take(2)
+    val companion = Class.forName("org.apache.spark.sql.connect.SparkSession$")
+    val module = companion.getField("MODULE$").get(null)
+    val builder = companion.getMethod("builder").invoke(module)
+    builder.getClass.getMethod("remote", classOf[String]).invoke(builder, url)
+    val sess = builder.getClass.getMethod("getOrCreate").invoke(builder)
+      .asInstanceOf[SparkSession]
+    def dump(tag: String, rows: Seq[String]): Unit =
+      rows.sorted.foreach(r => println(s"[connect-rows] $tag $r"))
+    dump("interval",
+      sess.sql("SELECT row FROM global_temp.graft_interval").collect().map(_.getString(0)).toSeq)
+    dump("grid",
+      sess.sql("SELECT row FROM global_temp.graft_grid").collect().map(_.getString(0)).toSeq)
+    // a CLIENT-built plan over the store files: filter + projection ship
+    // as an unresolved plan and push down into the server-side scan
+    dump("scan", sess.read.parquet(scanPath).filter("id = 7")
+      .selectExpr("concat_ws('|', id, unix_micros(time), value, flag, seq)")
+      .collect().map(_.getString(0)).toSeq)
+    sess.close()
+  }
+}
