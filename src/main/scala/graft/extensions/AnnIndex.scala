@@ -19,6 +19,12 @@ import graft.sources.TsdbStorage
   *    silently drop vectors from candidate sets. `idSum` (an exact
   *    integer, order-independent) catches same-count/same-range swaps
   *    that min/max alone would miss.
+  *  - `quantizer` — which coarse quantizer build() froze: "label"
+  *    (supervised centroids) or "kmeans" (unsupervised). Quantizer-
+  *    specific consumers (sim_ivf_kmeans) only serve from an index
+  *    whose quantizer matches; sim_ivf/sim_ann serve either (codes and
+  *    bands are quantizer-independent, cells are whatever the index
+  *    froze — documented as the index's tuning).
   *  - `lastAppId`/`lastBatchId` — the idempotent-writer cursor: the last
   *    streaming (checkpoint, batchId) whose append committed. foreachBatch
   *    is at-least-once, so a crash after the index commit but before the
@@ -30,7 +36,7 @@ import graft.sources.TsdbStorage
   */
 case class AnnMeta(planes: Int, bandBits: Int, corpusRows: Long,
                    idMin: Long, idMax: Long, idSum: Long,
-                   lastAppId: String, lastBatchId: Long)
+                   quantizer: String, lastAppId: String, lastBatchId: Long)
 
 /** Persisted ANN index — the artifact a production 100 TB embedding
   * corpus builds ONCE and serves every query from, instead of
@@ -142,19 +148,22 @@ object AnnIndex {
     val p = new Path(metaPath(dir))
     if (!fs(spark, dir).exists(p))
       AnnMeta(SimilarityQueries.N_PLANES, SimilarityQueries.BAND_BITS,
-        -1L, 0L, 0L, 0L, "", -1L)
+        -1L, 0L, 0L, 0L, "label", "", -1L)
     else {
       val df = spark.read.parquet(metaPath(dir))
       val names = df.columns.toSet
       def longOr(r: org.apache.spark.sql.Row, name: String, dflt: Long): Long =
         if (names(name)) r.getLong(r.fieldIndex(name)) else dflt
+      def strOr(r: org.apache.spark.sql.Row, name: String, dflt: String): String =
+        if (names(name)) r.getString(r.fieldIndex(name)) else dflt
       val r = df.head()
       AnnMeta(
         r.getInt(r.fieldIndex("planes")),
         r.getInt(r.fieldIndex("band_bits")),
         longOr(r, "corpus_rows", -1L),
         longOr(r, "id_min", 0L), longOr(r, "id_max", 0L), longOr(r, "id_sum", 0L),
-        if (names("last_app_id")) r.getString(r.fieldIndex("last_app_id")) else "",
+        strOr(r, "quantizer", "label"), // pre-kind metas were label-built
+        strOr(r, "last_app_id", ""),
         longOr(r, "last_batch_id", -1L))
     }
   }
@@ -162,9 +171,9 @@ object AnnIndex {
   private def writeMeta(spark: SparkSession, dir: String, m: AnnMeta): Unit = {
     import spark.implicits._
     Seq((m.planes, m.bandBits, m.corpusRows, m.idMin, m.idMax, m.idSum,
-        m.lastAppId, m.lastBatchId))
+        m.quantizer, m.lastAppId, m.lastBatchId))
       .toDF("planes", "band_bits", "corpus_rows", "id_min", "id_max", "id_sum",
-        "last_app_id", "last_batch_id")
+        "quantizer", "last_app_id", "last_batch_id")
       .coalesce(1).write.mode("overwrite").parquet(metaPath(dir))
   }
 
@@ -214,8 +223,9 @@ object AnnIndex {
     val (n, idMin, idMax, idSum) = fingerprint(raw)
     val bb = if (bandBits > 0) bandBits else advisedBandBits(n, planes)
     require(planes % bb == 0, s"planes ($planes) must be a multiple of bandBits ($bb)")
+    val kind = if (raw.columns.contains("label")) "label" else "kmeans"
     TsdbStorage.markStatsOutOfSync(spark, dir)
-    writeMeta(spark, dir, AnnMeta(planes, bb, n, idMin, idMax, idSum, "", -1L))
+    writeMeta(spark, dir, AnnMeta(planes, bb, n, idMin, idMax, idSum, kind, "", -1L))
     val cent = SimilarityQueries.quantizer(spark, raw).coalesce(1)
     cent.write.mode("overwrite").parquet(centroidsPath(dir))
     val e = SimilarityQueries.prep(spark, raw)

@@ -456,8 +456,21 @@ object SimilarityQueries {
   val ivfKmeans: QueryDef = QueryDef(
     build = (s, d) => {
       val e = emb(s, d)
-      val c = kmeansCentroids(s, s.read.parquet(s"$d/embeddings.parquet").drop("label"))
-      ivfTopk(e, c, assignCells(e, c))
+      // a certified index serves this query only when it FROZE the
+      // k-means quantizer (fingerprint + kind both match) — serving
+      // label cells here would silently answer a different query; the
+      // recompute derivation is deterministic, so index-served ≡
+      // recomputed (AnnIndexSpec pins it)
+      val (cent, assigned) = AnnIndex.resolveFor(s, e)
+        .filter(dir => AnnIndex.readMeta(s, dir).quantizer == "kmeans") match {
+        case Some(dir) =>
+          (AnnIndex.readCentroids(s, dir),
+            AnnIndex.readCodes(s, dir).select(col("vec_id"), col("cell")))
+        case None =>
+          val c = kmeansCentroids(s, s.read.parquet(s"$d/embeddings.parquet").drop("label"))
+          (c, assignCells(e, c))
+      }
+      ivfTopk(e, cent, assigned)
     },
     oracle = Some(
       s"""${kmeansOracleCtes(KMEANS_K, KMEANS_ITERS)}, sims AS (

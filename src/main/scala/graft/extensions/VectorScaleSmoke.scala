@@ -167,6 +167,14 @@ object VectorScaleSmoke {
       AnnIndex.compact(spark, idxDir, rowsPerFile = 250000L))
     println(s"[vscale] compacted codes files: " +
       s"${AnnIndex.readCodes(spark, idxDir).inputFiles.length} (expect ${(rows + 249999) / 250000})")
+    // ---- unsupervised quantizer at scale: the build-ONCE train cost a
+    // label-less corpus pays for its IVF cells (each Lloyd iteration is
+    // one broadcast-assign pass + one grouped mean over the corpus;
+    // per-query serving then reads the frozen index, never retrains)
+    val kmCells = time(f"kmeansCentroids ($rows%,d vectors, k=100, 3 Lloyd iterations)") {
+      SimilarityQueries.kmeansCentroids(spark, raw.drop("label"), k = 100).count()
+    }
+    println(s"[vscale] k-means cells trained: $kmCells")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
     spark.stop()
   }

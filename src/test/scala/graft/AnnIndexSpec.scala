@@ -237,8 +237,25 @@ class AnnIndexSpec extends SparkSpec {
     val dir = tmpDir("graft-ann-unlabeled")
     AnnIndex.build(spark, raw.drop("label"), dir)
     assert(AnnIndex.usable(spark, dir))
+    assert(AnnIndex.readMeta(spark, dir).quantizer === "kmeans")
     assert(AnnIndex.readCentroids(spark, dir).count() === 10L) // KMEANS_K cells
     assert(AnnIndex.readCodes(spark, dir).count() === raw.count(), "every vector coded + celled")
+    // sim_ivf_kmeans serves the frozen k-means quantizer from the index
+    // (the expensive unsupervised train happens at build, not per query)
+    // and is identical to its own recompute derivation
+    val recomputedKm = collectAnn("sim_ivf_kmeans")
+    withIndex(dir) {
+      assert(collectAnn("sim_ivf_kmeans") === recomputedKm,
+        "kmeans-index-served ≡ recomputed")
+    }
+    // a LABEL-built index must NOT serve the kmeans query path
+    val dirLabeled = tmpDir("graft-ann-labeled")
+    AnnIndex.build(spark, raw, dirLabeled)
+    assert(AnnIndex.readMeta(spark, dirLabeled).quantizer === "label")
+    withIndex(dirLabeled) {
+      assert(collectAnn("sim_ivf_kmeans") === recomputedKm,
+        "quantizer-kind mismatch falls back to recompute")
+    }
     // the unsupervised quantizer must match the SUPERVISED one: recall
     // vs exact top-k at least that of the label-centroid IVF path on the
     // same probe budget (measured: both 0.39 at sf0.01, 0.46 vs 0.44 at
