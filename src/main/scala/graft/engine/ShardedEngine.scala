@@ -135,6 +135,50 @@ class ShardedEngine(spark: SparkSession, roots: Seq[String], buckets: Int = 32) 
   def stat(id: Long, from: java.sql.Timestamp, to: java.sql.Timestamp): DataFrame =
     shardOf(id).stat(id, from, to)
 
+  /** O3/O7 cursor + push forms ride the routed interval read (same
+    * merge/ordering as a single engine — readInterval re-orders the
+    * union), streamed through toLocalIterator, never materialized. */
+  def intervalReader(q: QueryInterval): Iterator[graft.core.Meas] = {
+    import spark.implicits._
+    val it = readInterval(q).as[graft.core.Meas].toLocalIterator()
+    new Iterator[graft.core.Meas] { def hasNext = it.hasNext; def next() = it.next() }
+  }
+
+  def foreach(q: QueryInterval)(callback: graft.core.Meas => Unit): Unit =
+    intervalReader(q).foreach(callback)
+
+  /** O9 calculator, routed: ids are pmod-disjoint across shards, so
+    * per-shard calculators (each with its own stats-index skew detector
+    * and hot-percentile route) answer disjoint id sets — the merge is a
+    * plain union, identical to a single engine over the same data. */
+  def calculator(q: QueryInterval,
+                 functions: Seq[String] = GraftEngine.CalculatorFunctions): DataFrame =
+    (if (q.ids.isEmpty) shards.map(_.calculator(q, functions))
+     else q.ids.distinct.groupBy(shardOf).toSeq
+       .map { case (shard, owned) => shard.calculator(q.copy(ids = owned), functions) })
+      .reduce(_ unionByName _).orderBy("id")
+
+  /** O10 subscribe, fanned out: one stream per shard (each tails its
+    * own durable level), all pushing into the same callback query name.
+    * Stop every returned query to unsubscribe. */
+  def subscribe(ids: Seq[Long], flag: Long, queryName: String,
+                checkpoint: String): Seq[org.apache.spark.sql.streaming.StreamingQuery] =
+    shards.zipWithIndex.map { case (shard, i) =>
+      shard.subscribe(ids, flag, s"$queryName-s$i", s"$checkpoint/s$i")
+    }
+
+  /** O1 streaming strategy, routed: each micro-batch splits across the
+    * owning shards exactly like a batch append. */
+  def appendStream(source: DataFrame,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) => append(batch) }
+      .start()
+
+  /** O13 index repair, fanned out. */
+  def reindex(): Unit = shards.foreach(_.reindex())
+
   def compact(): Unit = shards.foreach(_.compact())
   def eraseOld(cutoff: java.sql.Timestamp): Seq[String] = shards.flatMap(_.eraseOld(cutoff))
 

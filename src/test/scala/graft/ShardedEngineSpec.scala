@@ -202,4 +202,46 @@ class ShardedEngineSpec extends SparkSpec {
     assert(grid.head.getLong(0) === 42L && grid.head.getDouble(2) === 7.5,
       "the owning shard serves the legacy series' data at the grid point")
   }
+
+  test("sharded calculator / cursor / streaming parity with a single engine on the same data") {
+    val sharded = new ShardedEngine(spark, Seq(tmpDir("parshard0"), tmpDir("parshard1")), buckets = 2)
+    val single = new graft.engine.GraftEngine(spark, tmpDir("parsingle"), buckets = 2)
+    val ms = (0 until 200).map(i =>
+      Meas(i % 9L, ts(f"2024-03-01 ${10 + i % 8}%02d:${i % 60}%02d:00"), i * 0.5,
+        Flags.CLICK, i.toLong))
+    sharded.append(ms); single.append(ms)
+    val q = QueryInterval(Seq.empty, 0L, ts("2024-03-01 00:00:00"), ts("2024-03-02 00:00:00"))
+
+    // O9: routed per-shard calculators union to the single-engine answer
+    // (ids are disjoint across shards, so even the non-mergeable exact
+    // percentiles agree — each id is computed whole on its owning shard)
+    assert(sharded.calculator(q).collect().map(_.toSeq) ===
+      single.calculator(q).collect().map(_.toSeq))
+    val explicit = q.copy(ids = Seq(1L, 2L, 8L))
+    assert(sharded.calculator(explicit, Seq("median", "count")).collect().map(_.toSeq) ===
+      single.calculator(explicit, Seq("median", "count")).collect().map(_.toSeq))
+
+    // O3/O7: cursor and push forms stream the routed interval read
+    val viaCursor = sharded.intervalReader(q).map(_.seq).toSeq
+    assert(viaCursor === single.readInterval(q).collect().map(_.getLong(4)).toSeq)
+    var pushCount = 0
+    sharded.foreach(q.copy(ids = Seq(3L)))(_ => pushCount += 1)
+    assert(pushCount === single.readInterval(q.copy(ids = Seq(3L))).count())
+
+    // O1 streaming: a routed micro-batch stream lands rows on owning shards
+    val src = tmpDir("parstream-src")
+    import spark.implicits._
+    spark.createDataset(
+      (1000 until 1030).map(i => Meas(i % 9L, ts("2024-03-02 08:00:00"), i.toDouble, 1L, i.toLong)))
+      .toDF().coalesce(1).write.mode("append").parquet(src)
+    val stream = sharded.appendStream(
+      spark.readStream.schema(graft.core.Meas.schema).parquet(src), tmpDir("parstream-ckpt"))
+    try stream.processAllAvailable() finally stream.stop()
+    val q2 = QueryInterval(Seq.empty, 0L, ts("2024-03-02 00:00:00"), ts("2024-03-03 00:00:00"))
+    assert(sharded.readInterval(q2).count() === 9L, "streamed rows merged-on-read per (id,time)")
+    sharded.shards.zipWithIndex.foreach { case (shard, i) =>
+      val ids = shard.readInterval(q2).select("id").collect().map(_.getLong(0))
+      assert(ids.forall(_ % 2 == i), s"streamed rows routed to owning shard $i")
+    }
+  }
 }
