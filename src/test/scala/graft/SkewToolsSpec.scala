@@ -48,6 +48,30 @@ class SkewToolsSpec extends SparkSpec {
     assert(routed === builtin, "same ranks, same interpolation, bit-identical doubles")
   }
 
+  test("property: distributedPercentiles ≡ percentile on arbitrary multisets and edge p values") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // duplicate-heavy values (small integer grid) force rank ties; key 9
+    // gets a single row (the n=1 interpolation edge); p ∈ {0, 1} pin the
+    // rank extremes
+    val gen = Gen.listOfN(300, for {
+      k <- Gen.choose(1L, 8L)
+      v <- Gen.choose(-20, 20).map(_ / 4.0)
+    } yield (k, v))
+    val ps = Seq("p0" -> 0.0, "p37" -> 0.37, "median" -> 0.5, "p99" -> 0.99, "p100" -> 1.0)
+    for (i <- 1 to 3) {
+      val rows = gen(Gen.Parameters.default, Seed(7L + i)).getOrElse(sys.error("gen failed")) :+
+        ((9L, 3.25))
+      val df = spark.createDataFrame(rows).toDF("id", "value")
+      val aggs = ps.map { case (n, p) => expr(s"percentile(value, ${p}D)").as(n) }
+      val expected = df.groupBy(col("id").as("k")).agg(aggs.head, aggs.tail: _*)
+        .orderBy("k").collect().map(_.toSeq)
+      val routed = SkewTools.distributedPercentiles(df, col("id"), col("value"), ps)
+        .orderBy("k").collect().map(_.toSeq)
+      assert(routed === expected, s"case $i diverged")
+    }
+  }
+
   test("calculator serves hot series through the distributed route with identical answers") {
     val eng = new graft.engine.GraftEngine(spark, tmpDir("graft-skew-calc"), buckets = 4)
     eng.append(EventsSource.meas(spark, sfDir))
