@@ -515,6 +515,96 @@ object CoreQueries {
     doc = "per-series rate of change (Δvalue/Δt in micro-units, counter-rate analytics)")
 
   // -------------------------------------------------------------------
+  // Counter-reset-aware rate — the Prometheus-style `increase`/`rate`
+  // semantics a monitoring store serves constantly: a value DROP means
+  // the counter restarted, so the increase since the previous sample is
+  // the current value itself (counting from 0), not a negative delta.
+  // Same plan shape as series_delta: one window per series (single
+  // Exchange + Sort), integer-scaled BIGINT outputs.
+  // -------------------------------------------------------------------
+  val seriesRate: QueryDef = QueryDef(
+    build = (s, d) => {
+      val w = Window.partitionBy("id").orderBy("time", "seq")
+      meas(s, d)
+        .withColumn("us", unix_micros(col("time")))
+        .withColumn("prev_value", lag("value", 1).over(w))
+        .withColumn("prev_us", lag("us", 1).over(w))
+        .filter(col("prev_us").isNotNull && col("us") > col("prev_us"))
+        .withColumn("increase",
+          when(col("value") >= col("prev_value"), col("value") - col("prev_value"))
+            .otherwise(col("value")))
+        .select(col("id"), col("time"), col("seq"),
+          (col("value") < col("prev_value")).cast("long").as("reset"),
+          round(col("increase") * 1000000.0).cast("long").as("increase_micro"),
+          round(col("increase") / ((col("us") - col("prev_us")) / 1000000.0) * 1000000.0)
+            .cast("long").as("rate_micro"))
+        .orderBy("id", "time", "seq")
+    },
+    oracle = Some(
+      s"""${Sql.MEAS_CTE},
+         |l AS (
+         |  SELECT id, time, seq, value, epoch_us(time) AS us,
+         |         lag(value) OVER (PARTITION BY id ORDER BY time, seq) AS prev_value,
+         |         lag(epoch_us(time)) OVER (PARTITION BY id ORDER BY time, seq) AS prev_us
+         |  FROM meas
+         |), inc AS (
+         |  SELECT *, CASE WHEN value >= prev_value THEN value - prev_value ELSE value END AS increase
+         |  FROM l WHERE prev_us IS NOT NULL AND us > prev_us
+         |)
+         |SELECT id, time, seq,
+         |       CAST(value < prev_value AS BIGINT) AS reset,
+         |       CAST(round(increase * 1000000.0) AS BIGINT) AS increase_micro,
+         |       CAST(round(increase / ((us - prev_us) / 1000000.0) * 1000000.0) AS BIGINT) AS rate_micro
+         |FROM inc ORDER BY id, time, seq""".stripMargin),
+    doc = "counter-reset-aware rate (Prometheus increase/rate semantics per series)")
+
+  // -------------------------------------------------------------------
+  // Rolling z-score anomaly flags — the subscription predicate a
+  // monitoring pipeline evaluates continuously: each sample scored
+  // against its own series' trailing 8-sample window. Mean and stddev
+  // are rounded to 6dp FIRST and z is derived from the rounded values,
+  // so both engines compute z on identical inputs (stddev algorithms
+  // differ internally; the rounding is the cross-engine contract). All
+  // same-frame window columns emit in ONE select (single WindowExec).
+  // -------------------------------------------------------------------
+  private val Z_WINDOW = 8
+  val seriesZscore: QueryDef = QueryDef(
+    build = (s, d) => {
+      val ord = Window.partitionBy("id").orderBy("time", "seq")
+      val frame = ord.rowsBetween(-(Z_WINDOW - 1), Window.currentRow)
+      meas(s, d)
+        .select(col("id"), col("time"), col("seq"), col("value"),
+          round(avg("value").over(frame), 6).as("m6"),
+          round(stddev_pop("value").over(frame), 6).as("sd6"),
+          row_number().over(ord).as("rn"))
+        .filter(col("rn") >= Z_WINDOW) // full windows only
+        .withColumn("z_milli",
+          when(col("sd6") === 0.0, lit(0L))
+            .otherwise(round((col("value") - col("m6")) / col("sd6") * 1000.0).cast("long")))
+        .select(col("id"), col("time"), col("seq"), col("m6"), col("sd6"), col("z_milli"),
+          (abs(col("z_milli")) > 3000L).cast("long").as("anomaly"))
+        .orderBy("id", "time", "seq")
+    },
+    oracle = Some(
+      s"""${Sql.MEAS_CTE},
+         |wf AS (
+         |  SELECT id, time, seq, value,
+         |         round(avg(value) OVER w, 6) AS m6,
+         |         round(stddev_pop(value) OVER w, 6) AS sd6,
+         |         row_number() OVER (PARTITION BY id ORDER BY time, seq) AS rn
+         |  FROM meas
+         |  WINDOW w AS (PARTITION BY id ORDER BY time, seq ROWS BETWEEN ${Z_WINDOW - 1} PRECEDING AND CURRENT ROW)
+         |), z AS (
+         |  SELECT *, CASE WHEN sd6 = 0 THEN 0
+         |                 ELSE CAST(round((value - m6) / sd6 * 1000.0) AS BIGINT) END AS z_milli
+         |  FROM wf WHERE rn >= $Z_WINDOW
+         |)
+         |SELECT id, time, seq, m6, sd6, z_milli,
+         |       CAST(abs(z_milli) > 3000 AS BIGINT) AS anomaly
+         |FROM z ORDER BY id, time, seq""".stripMargin),
+    doc = "rolling z-score anomaly flags (trailing 8-sample window per series)")
+
+  // -------------------------------------------------------------------
   // Gap detection per series — intervals between consecutive
   // measurements exceeding a threshold (hole finding; the reference
   // marks holes with _NO_DATA flags, we derive them).
@@ -585,6 +675,8 @@ object CoreQueries {
     "histogram"       -> histogram,
     "topk_per_series" -> topkPerSeries,
     "series_delta"    -> seriesDelta,
+    "series_rate"     -> seriesRate,
+    "series_zscore"   -> seriesZscore,
     "series_gaps"     -> seriesGaps,
     "sketch_stats"    -> sketchStats,
   )
