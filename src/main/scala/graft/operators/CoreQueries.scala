@@ -568,23 +568,32 @@ object CoreQueries {
   // same-frame window columns emit in ONE select (single WindowExec).
   // -------------------------------------------------------------------
   private val Z_WINDOW = 8
+
+  /** The single batch z-score definition — the gated query below and
+    * the streaming detector's equality spec
+    * (StatefulStreams.zscores ≡ this on in-order streams) both use it.
+    * Each sample scores against the w samples STRICTLY BEFORE it: with
+    * the sample inside its own window, |z| is algebraically bounded by
+    * √(w−1) ≈ 2.6 at w=8 and a 3σ gate could never fire. */
+  private[graft] def zscoreBatch(measDf: DataFrame, w: Int = Z_WINDOW): DataFrame = {
+    val ord = Window.partitionBy("id").orderBy("time", "seq")
+    val frame = ord.rowsBetween(-w, -1)
+    measDf
+      .select(col("id"), col("time"), col("seq"), col("value"),
+        round(avg("value").over(frame), 6).as("m6"),
+        round(stddev_pop("value").over(frame), 6).as("sd6"),
+        row_number().over(ord).as("rn"))
+      .filter(col("rn") > w) // full preceding windows only
+      .withColumn("z_milli",
+        when(col("sd6") === 0.0, lit(0L))
+          .otherwise(round((col("value") - col("m6")) / col("sd6") * 1000.0).cast("long")))
+      .select(col("id"), col("time"), col("seq"), col("m6"), col("sd6"), col("z_milli"),
+        (abs(col("z_milli")) > 3000L).cast("long").as("anomaly"))
+      .orderBy("id", "time", "seq")
+  }
+
   val seriesZscore: QueryDef = QueryDef(
-    build = (s, d) => {
-      val ord = Window.partitionBy("id").orderBy("time", "seq")
-      val frame = ord.rowsBetween(-(Z_WINDOW - 1), Window.currentRow)
-      meas(s, d)
-        .select(col("id"), col("time"), col("seq"), col("value"),
-          round(avg("value").over(frame), 6).as("m6"),
-          round(stddev_pop("value").over(frame), 6).as("sd6"),
-          row_number().over(ord).as("rn"))
-        .filter(col("rn") >= Z_WINDOW) // full windows only
-        .withColumn("z_milli",
-          when(col("sd6") === 0.0, lit(0L))
-            .otherwise(round((col("value") - col("m6")) / col("sd6") * 1000.0).cast("long")))
-        .select(col("id"), col("time"), col("seq"), col("m6"), col("sd6"), col("z_milli"),
-          (abs(col("z_milli")) > 3000L).cast("long").as("anomaly"))
-        .orderBy("id", "time", "seq")
-    },
+    build = (s, d) => zscoreBatch(meas(s, d)),
     oracle = Some(
       s"""${Sql.MEAS_CTE},
          |wf AS (
@@ -593,11 +602,11 @@ object CoreQueries {
          |         round(stddev_pop(value) OVER w, 6) AS sd6,
          |         row_number() OVER (PARTITION BY id ORDER BY time, seq) AS rn
          |  FROM meas
-         |  WINDOW w AS (PARTITION BY id ORDER BY time, seq ROWS BETWEEN ${Z_WINDOW - 1} PRECEDING AND CURRENT ROW)
+         |  WINDOW w AS (PARTITION BY id ORDER BY time, seq ROWS BETWEEN $Z_WINDOW PRECEDING AND 1 PRECEDING)
          |), z AS (
          |  SELECT *, CASE WHEN sd6 = 0 THEN 0
          |                 ELSE CAST(round((value - m6) / sd6 * 1000.0) AS BIGINT) END AS z_milli
-         |  FROM wf WHERE rn >= $Z_WINDOW
+         |  FROM wf WHERE rn > $Z_WINDOW
          |)
          |SELECT id, time, seq, m6, sd6, z_milli,
          |       CAST(abs(z_milli) > 3000 AS BIGINT) AS anomaly

@@ -170,4 +170,80 @@ object StatefulStreams {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .start()
+
+  // ---- streaming anomaly detection (flatMapGroupsWithState) ----------
+
+  case class ZScoreState(win: List[Double], lastTime: Long, lastSeq: Long)
+  case class ZScoreOut(id: Long, time: java.sql.Timestamp, seq: Long,
+                       m6: Double, sd6: Double, z_milli: Long, anomaly: Long)
+
+  /** Spark's `round(x, s)` arithmetic, replicated so the streaming path
+    * is bit-identical to the batch window expressions: BigDecimal from
+    * the double's decimal string, HALF_UP. */
+  private def roundHalfUp(x: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(x).setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Streaming analog of the batch `series_zscore` operator
+    * (CoreQueries.zscoreBatch): each in-order sample is scored against
+    * the `w` samples STRICTLY BEFORE it (scoring a sample inside its
+    * own window bounds |z| at √(w−1) — a 3σ gate would never fire);
+    * only full preceding windows emit. State is the window itself — w
+    * doubles per series, constant-size like the other stateful
+    * operators here.
+    *
+    * Exactness contract (StatefulStreamSpec): for in-order streams the
+    * output is BIT-IDENTICAL to the batch operator — the window mean is
+    * computed as Spark's Average does (ordered sum, then one divide),
+    * the deviation as Spark's CentralMomentAgg does (Welford updates in
+    * frame order), and the roundings are Spark's `round` (BigDecimal
+    * HALF_UP). A row older than the series' last processed (time, seq)
+    * is dropped — an already-emitted score cannot be amended in append
+    * mode; the batch query is the backfill path (same contract as
+    * `sessions`/`asofEnrich` above). */
+  def zscores(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
+    import spark.implicits._
+    spark.readStream.schema(Meas.schema).parquet(dir).as[Meas]
+      .groupByKey(_.id)
+      .flatMapGroupsWithState[ZScoreState, ZScoreOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, batch: Iterator[Meas], state: GroupState[ZScoreState]) =>
+          val sorted = batch.toSeq.sortBy(m => (m.time.getTime, m.seq))
+          var st = state.getOption.getOrElse(ZScoreState(Nil, Long.MinValue, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer[ZScoreOut]()
+          sorted.foreach { m =>
+            val t = m.time.getTime
+            if (t > st.lastTime || (t == st.lastTime && m.seq > st.lastSeq)) {
+              if (st.win.size == w) { // score against the PRECEDING window
+                var sum = 0.0
+                st.win.foreach(sum += _) // Average: ordered sum, one divide
+                val mean = sum / w
+                var n = 0.0; var avg = 0.0; var m2 = 0.0
+                st.win.foreach { x => // CentralMomentAgg: Welford in frame order
+                  n += 1; val d = x - avg; avg += d / n; m2 += d * (x - avg)
+                }
+                val m6 = roundHalfUp(mean, 6)
+                val sd6 = roundHalfUp(math.sqrt(m2 / n), 6)
+                val z = if (sd6 == 0.0) 0L
+                        else roundHalfUp((m.value - m6) / sd6 * 1000.0, 0).toLong
+                out += ZScoreOut(id, m.time, m.seq, m6, sd6, z,
+                  if (math.abs(z) > 3000L) 1L else 0L)
+              }
+              st = ZScoreState((st.win :+ m.value).takeRight(w), t, m.seq)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+      .toDF()
+  }
+
+  /** Run the anomaly stream into a queryable in-memory sink. */
+  def startZscores(spark: SparkSession, dir: String, queryName: String,
+                   checkpoint: String, w: Int = 8): StreamingQuery =
+    zscores(spark, dir, w).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

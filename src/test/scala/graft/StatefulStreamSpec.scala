@@ -125,4 +125,34 @@ class StatefulStreamSpec extends SparkSpec {
       "open session extended across batches then closed; the pre-start " +
         "straggler neither inflates n_meas nor reopens the closed session")
   }
+
+  test("streaming z-score is bit-identical to the batch operator on in-order streams") {
+    val dir = tmpDir("graft-z-src")
+    val ckpt = tmpDir("graft-z-ckpt")
+    // 3 series × 20 in-order samples, irregular values (one flat series
+    // exercising the sd=0 guard), split across two micro-batches so the
+    // trailing window spans the batch boundary
+    def m(id: Long, i: Int): Meas = {
+      val v = if (id == 3L) 5.0 else (i * 2654435761L % 97L) / 7.0 + (if (i == 15) 40.0 else 0.0)
+      Meas(id, ts(f"2024-03-01 ${8 + i / 10}%02d:${i % 10 * 5}%02d:00"), v, Flags.CLICK, i.toLong)
+    }
+    val all = for (id <- 1L to 3L; i <- 0 until 20) yield m(id, i)
+    write(dir, all.filter(_.seq < 12))
+    val q = StatefulStreams.startZscores(spark, dir, "state_z", ckpt)
+    q.processAllAvailable()
+    write(dir, all.filter(_.seq >= 12))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.sql("SELECT * FROM state_z").collect()
+      .map(_.toSeq).sortBy(r => (r(0).asInstanceOf[Long], r(2).asInstanceOf[Long]))
+    val batch = graft.operators.CoreQueries.zscoreBatch(spark.createDataset(all).toDF())
+      .collect().map(_.toSeq).sortBy(r => (r(0).asInstanceOf[Long], r(2).asInstanceOf[Long]))
+    assert(streamed.length === 3 * 12, "full preceding windows only: 20 - 8 per series")
+    assert(streamed === batch,
+      "streamed scores (incl. m6/sd6/z at the batch boundary and the flat-series guard) " +
+        "must equal the batch window operator bit-for-bit")
+    // the planted spike is flagged
+    assert(streamed.exists(r => r(6) === 1L), "the i=15 spike crosses |z| > 3")
+  }
 }
