@@ -543,6 +543,15 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
   def subscribe(ids: Seq[Long], flag: Long, queryName: String, checkpoint: String): StreamingQuery =
     Subscribe.start(spark, dataPath, ids, flag, queryName, checkpoint, dayPartitioned = true)
 
+  /** O10 extension: continuous anomaly detection over the append
+    * stream — each flushed sample scored against its series' preceding
+    * w-sample window (StatefulStreams.zscores; streamed scores are
+    * bit-identical to the batch `series_zscore` operator). Same
+    * durable-level tap as subscribe(). */
+  def subscribeAnomalies(queryName: String, checkpoint: String, w: Int = 8): StreamingQuery =
+    graft.streaming.StatefulStreams.startZscores(
+      spark, dataPath, queryName, checkpoint, w, dayPartitioned = true)
+
   // ---- O11/O12/O13 maintenance -------------------------------------
   def eraseOld(cutoff: Timestamp): Seq[String] = {
     // interpret the cutoff in UTC explicitly: day partitions are derived

@@ -200,9 +200,15 @@ object StatefulStreams {
     * is dropped — an already-emitted score cannot be amended in append
     * mode; the batch query is the backfill path (same contract as
     * `sessions`/`asofEnrich` above). */
-  def zscores(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
+  def zscores(spark: SparkSession, dir: String, w: Int = 8,
+              dayPartitioned: Boolean = false): DataFrame = {
     import spark.implicits._
-    spark.readStream.schema(Meas.schema).parquet(dir).as[Meas]
+    val src =
+      if (dayPartitioned)
+        spark.readStream.schema(Meas.schema)
+          .option("basePath", dir).parquet(s"$dir/day=*").drop("day")
+      else spark.readStream.schema(Meas.schema).parquet(dir)
+    src.as[Meas]
       .groupByKey(_.id)
       .flatMapGroupsWithState[ZScoreState, ZScoreOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -239,8 +245,9 @@ object StatefulStreams {
 
   /** Run the anomaly stream into a queryable in-memory sink. */
   def startZscores(spark: SparkSession, dir: String, queryName: String,
-                   checkpoint: String, w: Int = 8): StreamingQuery =
-    zscores(spark, dir, w).writeStream
+                   checkpoint: String, w: Int = 8,
+                   dayPartitioned: Boolean = false): StreamingQuery =
+    zscores(spark, dir, w, dayPartitioned).writeStream
       .format("memory")
       .queryName(queryName)
       .outputMode(OutputMode.Append)

@@ -155,4 +155,21 @@ class StatefulStreamSpec extends SparkSpec {
     // the planted spike is flagged
     assert(streamed.exists(r => r(6) === 1L), "the i=15 spike crosses |z| > 3")
   }
+
+  test("engine facade: subscribeAnomalies scores the durable append stream") {
+    val eng = new graft.engine.GraftEngine(spark, tmpDir("graft-z-eng"), buckets = 2)
+    val ms = (0 until 20).map { i =>
+      Meas(5L, ts(f"2024-03-01 ${8 + i / 10}%02d:${i % 10 * 5}%02d:00"),
+        if (i == 15) 99.0 else (i * 37 % 11).toDouble, Flags.CLICK, i.toLong)
+    }
+    eng.append(ms)
+    val q = eng.subscribeAnomalies("eng_z", tmpDir("graft-z-eng-ckpt"))
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.sql("SELECT * FROM eng_z").collect()
+      .map(_.toSeq).sortBy(_(2).asInstanceOf[Long])
+    val batch = graft.operators.CoreQueries.zscoreBatch(spark.createDataset(ms).toDF())
+      .collect().map(_.toSeq).sortBy(_(2).asInstanceOf[Long])
+    assert(streamed === batch, "facade stream over the clustered store ≡ batch operator")
+    assert(streamed.exists(r => r(6) === 1L), "the spike is flagged through the facade")
+  }
 }
