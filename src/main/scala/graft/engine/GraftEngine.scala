@@ -19,6 +19,12 @@ import graft.streaming.Subscribe
 case class QueryInterval(ids: Seq[Long], flag: Long, from: Timestamp, to: Timestamp)
 case class QueryTimePoint(ids: Seq[Long], flag: Long, timePoint: Timestamp)
 
+/** What one [[GraftEngine.maintain]] pass did: corrupt files found (and
+  * dropped when repairing), fragmented days compacted, whether the stat
+  * index needed a rebuild. */
+case class MaintenanceReport(corrupt: Seq[String], compactedDays: Seq[java.sql.Date],
+                             reindexed: Boolean)
+
 /** The embedded-engine facade — the reference's `Engine` API surface
   * [U: engines/engine.h — class Engine; interfaces/imeasstorage.h],
   * re-expressed over the clustered parquet store. A dariadb user's
@@ -707,6 +713,22 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
       .filter(d => fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet")) > maxFiles)
       .map(d => java.sql.Date.valueOf(d.getPath.getName.stripPrefix("day=")))
       .sortBy(_.toString)
+  }
+
+  /** The nightly-maintenance entrypoint — one call chains the repair
+    * and debt-payment ops a production deployment crons, in dependency
+    * order: integrity probe (dropping corrupt files when `repair`) →
+    * targeted compaction of append-fragmented days → stat-index rebuild
+    * IF anything above (or a prior crash) left it uncertified. After a
+    * clean maintain(), every index-served read path is armed again.
+    * Idempotent: a second run reports nothing to do. */
+  def maintain(maxFilesPerDay: Int = 2 * buckets, repair: Boolean = true): MaintenanceReport = {
+    val corrupt = fsck(repair)
+    val frag = fragmentedDays(maxFilesPerDay)
+    if (frag.nonEmpty) compactDays(frag)
+    val reindexNeeded = hasData && !TsdbStorage.statsUsable(spark, statsPath)
+    if (reindexNeeded) reindex()
+    MaintenanceReport(corrupt, frag, reindexNeeded)
   }
 
   /** Rewrite the append-only scheme log as its dedup view in one file

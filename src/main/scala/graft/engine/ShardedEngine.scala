@@ -197,4 +197,12 @@ class ShardedEngine(spark: SparkSession, roots: Seq[String], buckets: Int = 32) 
     shards.flatMap(_.fragmentedDays(maxFiles)).distinct.sortBy(_.toString)
 
   def fsck(repair: Boolean = false): Seq[String] = shards.flatMap(_.fsck(repair))
+
+  /** Nightly maintenance, fanned out; one merged report. */
+  def maintain(maxFilesPerDay: Int = 2 * buckets, repair: Boolean = true): MaintenanceReport = {
+    val reports = shards.map(_.maintain(maxFilesPerDay, repair))
+    MaintenanceReport(reports.flatMap(_.corrupt),
+      reports.flatMap(_.compactedDays).distinct.sortBy(_.toString),
+      reports.exists(_.reindexed))
+  }
 }

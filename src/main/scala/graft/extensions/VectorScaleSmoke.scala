@@ -167,6 +167,46 @@ object VectorScaleSmoke {
       AnnIndex.compact(spark, idxDir, rowsPerFile = 250000L))
     println(s"[vscale] compacted codes files: " +
       s"${AnnIndex.readCodes(spark, idxDir).inputFiles.length} (expect ${(rows + 249999) / 250000})")
+    // ---- IVF probe sweep from the persisted index: recall vs nprobe —
+    // the serving-time knob (more probed cells = more exact scoring =
+    // higher recall; candidate volume ∝ nprobe/cells of the corpus)
+    locally {
+      val cent = AnnIndex.readCentroids(spark, idxDir)
+      val assigned = AnnIndex.readCodes(spark, idxDir).select(col("vec_id"), col("cell"))
+      val qv = e.filter(col("vec_id") < N_QUERIES)
+      val probeSims = qv.crossJoin(broadcast(cent))
+        .withColumn("csim",
+          call_function("graft_dot", col("v"), col("cv")) / (col("norm") * col("cnorm")))
+        .select(col("vec_id").as("query_id"), col("clabel").as("cell"), col("csim"))
+        .persist()
+      probeSims.count()
+      for (nprobe <- Seq(1, 2, 4, 8)) {
+        val byQ = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell"))
+        val probes = probeSims.withColumn("rk", row_number().over(byQ))
+          .filter(col("rk") <= nprobe).select("query_id", "cell")
+        val (cands, ivfSet) = time(s"IVF probe-$nprobe top-$K (index cells)") {
+          val c = probes.join(assigned, "cell")
+            .filter(col("vec_id") =!= col("query_id"))
+            .select("query_id", "vec_id").dropDuplicates("query_id", "vec_id")
+            .persist()
+          val n = c.count()
+          val top = c.join(coded.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+            .join(broadcast(q), "query_id")
+            .withColumn("neighbor_id", col("vec_id"))
+            .withColumn("cos_sim",
+              call_function("graft_dot", col("v"), col("qv")) / (col("norm") * col("qnorm")))
+            .withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= K)
+            .select("query_id", "neighbor_id")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          c.unpersist()
+          (n, top)
+        }
+        println(f"[vscale] IVF probe-$nprobe: recall@$K ${ivfSet.intersect(bruteSet).size.toDouble / bruteSet.size}%.2f, " +
+          f"candidate ratio ${cands.toDouble / (rows * N_QUERIES)}%.4f")
+      }
+      probeSims.unpersist()
+    }
     // ---- unsupervised quantizer at scale: the build-ONCE train cost a
     // label-less corpus pays for its IVF cells (each Lloyd iteration is
     // one broadcast-assign pass + one grouped mean over the corpus;

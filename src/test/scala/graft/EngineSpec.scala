@@ -512,4 +512,38 @@ class EngineSpec extends SparkSpec {
     q.stop()
     assert(engine.merged.count() === 100)
   }
+
+  test("maintain(): one call repairs corruption, compacts fragmented days, recertifies the index") {
+    val dir = tmpDir("graft-maintain")
+    val engine = new GraftEngine(spark, dir, buckets = 2)
+    // fragment one day with many small appends
+    for (i <- 0 until 6)
+      engine.append(Seq(Meas(1L, ts(f"2024-03-01 10:0$i:00"), i.toDouble, 1L, i.toLong)))
+    engine.append(Seq(Meas(1L, ts("2024-03-02 10:00:00"), 9.0, 1L, 10L)))
+    val before = engine.merged.collect().map(_.toSeq).toSet
+    // plant a corrupt file AND uncertify the stats index (crash analog)
+    val day = new java.io.File(s"$dir/data/day=2024-03-01")
+    java.nio.file.Files.write(
+      new java.io.File(day, "part-corrupt.parquet").toPath, "not parquet".getBytes)
+    graft.sources.TsdbStorage.markStatsOutOfSync(spark, s"$dir/_stats")
+
+    val report = engine.maintain(maxFilesPerDay = 3)
+    assert(report.corrupt.exists(_.contains("part-corrupt")), "probe found the planted file")
+    assert(report.compactedDays === Seq(java.sql.Date.valueOf("2024-03-01")),
+      "only the fragmented day was compacted")
+    assert(report.reindexed, "the uncertified index was rebuilt")
+    assert(engine.merged.collect().map(_.toSeq).toSet === before, "data unchanged")
+    assert(graft.sources.TsdbStorage.statsUsable(spark, s"$dir/_stats"),
+      "index-served paths armed again")
+    assert(new java.io.File(s"$dir/data/day=2024-03-01").listFiles()
+      .count(_.getName.endsWith(".parquet")) <= 3, "fragmentation paid down")
+    // idempotent: a clean store reports nothing to do
+    val again = engine.maintain(maxFilesPerDay = 3)
+    assert(again === graft.engine.MaintenanceReport(Seq.empty, Seq.empty, false))
+    // sharded fan-out merges per-shard reports
+    val sh = new graft.engine.ShardedEngine(spark, Seq(tmpDir("mt-s0"), tmpDir("mt-s1")), buckets = 2)
+    sh.append(Seq(Meas(1L, ts("2024-03-01 10:00:00"), 1.0, 1L, 1L),
+      Meas(2L, ts("2024-03-01 10:00:00"), 2.0, 1L, 2L)))
+    assert(sh.maintain() === graft.engine.MaintenanceReport(Seq.empty, Seq.empty, false))
+  }
 }
