@@ -769,7 +769,14 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
   def fsck(repair: Boolean = false): Seq[String] = {
     val badData = if (!hasData) Seq.empty
       else TsdbStorage.probeFiles(spark, dataPath)
-    if (repair) badData.foreach(p => fs.delete(new Path(p), false))
+    if (repair && badData.nonEmpty) {
+      // dropping data files CHANGES the merged store — the per-(day,id)
+      // stats must not keep serving counts that include the dropped
+      // rows. Uncertify; reads fall back to the scan path until
+      // reindex()/maintain() rebuilds from the surviving files.
+      TsdbStorage.markStatsOutOfSync(spark, statsPath)
+      badData.foreach(p => fs.delete(new Path(p), false))
+    }
     val badStats = TsdbStorage.probeFiles(spark, statsPath)
     if (badStats.nonEmpty) {
       TsdbStorage.markStatsOutOfSync(spark, statsPath)

@@ -136,6 +136,25 @@ class EngineSpec extends SparkSpec {
     assert(!corrupt.exists, "repair must delete the corrupt file")
     assert(engine.fsck() === Seq.empty)
     assert(engine.merged.count() === 1)
+
+    // repairing a REAL data file changes the merged store — the stats
+    // index must be uncertified (else index-served stats keep counting
+    // the dropped rows) and a reindex rebuilds from the survivors
+    val dir2 = tmpDir("graft-fsck-real")
+    val engine2 = new GraftEngine(spark, dir2, buckets = 1)
+    engine2.append(Seq(
+      Meas(1L, ts("2024-03-01 10:00:00"), 1.0, 1L, 1),
+      Meas(1L, ts("2024-03-02 10:00:00"), 2.0, 1L, 2)))
+    new java.io.File(s"$dir2/data/day=2024-03-01").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => java.nio.file.Files.write(f.toPath, "ruined".getBytes))
+    assert(engine2.fsck(repair = true).nonEmpty)
+    assert(!graft.sources.TsdbStorage.statsUsable(spark, s"$dir2/_stats"),
+      "content-changing repair must uncertify the index")
+    engine2.reindex()
+    val st = engine2.stat(1L, ts("2024-03-01 00:00:00"), ts("2024-03-03 00:00:00")).head()
+    assert(st.getLong(1) === 1L && st.getDouble(6) === 2.0,
+      "rebuilt index reflects only the surviving rows (cnt=1, sum=2.0)")
   }
 
   test("readGrid: staleness-bounded forward fill, catalog-driven grid, out-of-horizon days pruned") {
