@@ -58,12 +58,19 @@ import graft.engine.{GraftEngine, QueryInterval, QueryTimePoint}
   * foreachBatch commit — is evaluated against each subscription filter
   * (same id-set + shared-bit flag semantics as every other read —
   * [[graft.core.Flags.matches]]) and matching measurements are pushed
-  * to the subscriber's connection, in commit order (the observer fires
-  * inside the engine's append lock). The engine-side continuous-query
-  * surface (O10, Structured Streaming) remains
-  * [[graft.streaming.Subscribe]]; the socket path is the last-hop push
-  * transport, exactly the split the reference has between
-  * `SubscribeLogic` in the server and the storage engine underneath.
+  * to the subscriber's connection, in commit order: the observer fires
+  * inside the engine's append lock and ENQUEUES onto a per-subscriber
+  * bounded FIFO; a dedicated writer thread per subscriber drains it to
+  * the socket. The lock thus serializes only the (cheap) enqueue —
+  * ingest never blocks on a subscriber's socket. A consumer that lags
+  * `pushQueueCap` append batches behind, or whose socket has died, is
+  * EVICTED (connection closed) rather than allowed to stall appends —
+  * the slow-consumer policy every production push transport needs.
+  * The engine-side continuous-query surface (O10, Structured
+  * Streaming) remains [[graft.streaming.Subscribe]]; the socket path
+  * is the last-hop push transport, exactly the split the reference has
+  * between `SubscribeLogic` in the server and the storage engine
+  * underneath.
   *
   * Reads stream through `toLocalIterator` — a large interval result
   * flows executor → driver → socket in chunks; it is never
@@ -76,7 +83,8 @@ import graft.engine.{GraftEngine, QueryInterval, QueryTimePoint}
   * bind a routable address must front it with network-level access
   * control.
   */
-class GraftServer(engine: GraftEngine, port: Int = 0, bindAddress: Option[String] = None) {
+class GraftServer(engine: GraftEngine, port: Int = 0, bindAddress: Option[String] = None,
+                  pushQueueCap: Int = 1024) {
 
   private val server = new ServerSocket(port, 50,
     bindAddress.map(java.net.InetAddress.getByName)
@@ -85,9 +93,40 @@ class GraftServer(engine: GraftEngine, port: Int = 0, bindAddress: Option[String
   /** Ephemeral-port support for tests: the port actually bound. */
   def boundPort: Int = server.getLocalPort
 
-  private case class Subscriber(ids: Set[Long], flag: Long, out: PrintWriter)
+  /** One registered subscription: the filter, the connection, and the
+    * bounded push queue its writer thread drains. Poison pill = Nil
+    * (real enqueued batches are always non-empty). */
+  private final class Subscriber(val ids: Set[Long], val flag: Long,
+                                 val out: PrintWriter, val sock: Socket) {
+    val queue = new java.util.concurrent.LinkedBlockingQueue[Seq[Meas]](pushQueueCap)
+    /** Enqueue a batch; false = queue full (caller evicts). */
+    def push(hit: Seq[Meas]): Boolean = queue.offer(hit)
+    /** Stop the writer (idempotent): clear pending, then poison. */
+    def shutdown(): Unit = { queue.clear(); queue.offer(Nil) }
+    val writer = new Thread(() => {
+      var batch = queue.take()
+      while (batch.nonEmpty) {
+        out.synchronized {
+          batch.foreach(m => out.println("MEAS " + Wire.fmtMeas(m)))
+          out.flush()
+        }
+        // PrintWriter swallows IO errors; checkError() surfaces a dead
+        // socket so the orphan evicts itself instead of draining pushes
+        // into the void forever
+        if (out.checkError()) {
+          subscribers.remove(this)
+          try sock.close() catch { case _: Throwable => () }
+          batch = Nil
+        } else batch = queue.take()
+      }
+    }, s"graft-push-${sock.getPort}")
+    writer.setDaemon(true)
+  }
   private val subscribers =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Subscriber]()
+
+  /** Live subscription count (ops metric; eviction makes it drop). */
+  def subscriberCount: Int = subscribers.size
 
   @volatile private var running = false
 
@@ -108,6 +147,7 @@ class GraftServer(engine: GraftEngine, port: Int = 0, bindAddress: Option[String
   def stop(): Unit = {
     running = false
     engine.removeAppendListener(pushListener)
+    subscribers.forEach(_.shutdown())
     try server.close() catch { case _: Throwable => () }
   }
 
@@ -210,12 +250,12 @@ class GraftServer(engine: GraftEngine, port: Int = 0, bindAddress: Option[String
               reply(s"END $n")
             case "SUBSCRIBE" =>
               // re-subscribing REPLACES this connection's filter: the
-              // previous registration must be removed or it would be
-              // pushed to forever (PrintWriter swallows IO errors, so a
-              // leaked subscriber is never detected by failing writes)
-              sub.foreach(subscribers.remove)
-              val s = Subscriber(Wire.parseIds(parts(1)).toSet, parts(2).toLong, out)
+              // previous registration must be removed (and its writer
+              // stopped) or it would be pushed to forever
+              sub.foreach { old => subscribers.remove(old); old.shutdown() }
+              val s = new Subscriber(Wire.parseIds(parts(1)).toSet, parts(2).toLong, out, sock)
               subscribers.add(s)
+              s.writer.start()
               sub = Some(s)
               reply("SUBSCRIBED")
             case "PING" => reply("PONG")
@@ -229,7 +269,7 @@ class GraftServer(engine: GraftEngine, port: Int = 0, bindAddress: Option[String
       }
     } catch { case _: Throwable => () }
     finally {
-      sub.foreach(subscribers.remove)
+      sub.foreach { s => subscribers.remove(s); s.shutdown() }
       try sock.close() catch { case _: Throwable => () }
     }
   }
@@ -241,14 +281,24 @@ class GraftServer(engine: GraftEngine, port: Int = 0, bindAddress: Option[String
     reply(s"END $n")
   }
 
+  /** Runs inside the engine's append lock: filter + non-blocking
+    * enqueue only — never a socket write, so a slow or hung subscriber
+    * cannot stall ingest. Per-subscriber FIFO + single writer thread
+    * preserve the commit-order delivery contract (NetworkSpec's
+    * concurrent-appender case). A full queue means the consumer is
+    * `pushQueueCap` append batches behind: evict it (close the socket)
+    * — the reference's server drops slow clients the same way, and a
+    * disconnected consumer can re-subscribe and backfill via
+    * READ_INTERVAL. */
   private def pushToSubscribers(ms: Seq[Meas]): Unit = {
     subscribers.forEach { s =>
       val hit = ms.filter(m =>
         (s.ids.isEmpty || s.ids.contains(m.id)) &&
           (s.flag == 0L || (m.flag & s.flag) != 0L))
-      if (hit.nonEmpty) s.out.synchronized {
-        hit.foreach(m => s.out.println("MEAS " + Wire.fmtMeas(m)))
-        s.out.flush()
+      if (hit.nonEmpty && !s.push(hit)) {
+        subscribers.remove(s)
+        s.shutdown()
+        try s.sock.close() catch { case _: Throwable => () }
       }
     }
   }

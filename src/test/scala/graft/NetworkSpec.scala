@@ -199,6 +199,38 @@ class NetworkSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("slow-consumer eviction: a lagging subscriber is dropped, ingest never stalls") {
+    val engine = new GraftEngine(spark, tmpDir("graft-net-slow"), buckets = 2)
+    val server = new GraftServer(engine, pushQueueCap = 1).start()
+    try {
+      // a subscriber that NEVER reads: once the OS socket buffers fill,
+      // its writer thread wedges mid-batch and the cap-1 queue overflows
+      val raw = new java.net.Socket()
+      raw.setReceiveBufferSize(4096) // before connect: tiny client window
+      raw.connect(new java.net.InetSocketAddress("127.0.0.1", server.boundPort))
+      val rawOut = new java.io.PrintWriter(raw.getOutputStream)
+      val rawIn = new java.io.BufferedReader(new java.io.InputStreamReader(raw.getInputStream))
+      rawOut.println("SUBSCRIBE 7 0"); rawOut.flush()
+      assert(rawIn.readLine() === "SUBSCRIBED")
+      assert(server.subscriberCount === 1)
+      // each append enqueues ONE ~1.2MB batch of MEAS lines — far beyond
+      // the combined socket buffers; appends must complete regardless
+      for (b <- 0 until 6)
+        engine.append((0 until 20000).map(i =>
+          Meas(7L, ts(f"2024-03-01 ${10 + b}%02d:00:00"), i.toDouble, 1L, b * 100000L + i)))
+      val deadline = System.currentTimeMillis() + 20000
+      while (server.subscriberCount > 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(server.subscriberCount === 0,
+        "a consumer lagging pushQueueCap append batches must be evicted")
+      // ingest unharmed (6 batches × 20k same-(id,time) rows dedup to
+      // one freshest row per batch), server healthy for other clients
+      assert(engine.merged.count() === 6L)
+      val c = new GraftClient("127.0.0.1", server.boundPort)
+      assert(c.ping())
+    } finally server.stop()
+  }
+
   test("concurrent wire appenders: per-subscriber delivery matches commit order, nothing lost") {
     val engine = new GraftEngine(spark, tmpDir("graft-net-conc"), buckets = 4)
     val server = new GraftServer(engine).start()
