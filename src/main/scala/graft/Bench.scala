@@ -49,6 +49,14 @@ object Bench {
       spark.conf.set(graft.extensions.AnnIndex.ConfKey, dir)
       dir
     }
+    // SPARK_GRAFT_TEXT_INDEX=build: same deal for the text-signature
+    // index — dedup_minhash/simhash/clusters band stored signatures
+    val textDir = sys.env.get("SPARK_GRAFT_TEXT_INDEX").map { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-text-bench").toString
+      graft.extensions.TextIndex.build(spark, spark.read.parquet(s"$sfDir/documents.parquet"), dir)
+      spark.conf.set(graft.extensions.TextIndex.ConfKey, dir)
+      dir
+    }
 
     // iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those queries
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -105,7 +113,7 @@ object Bench {
         s""""queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"errors":$errJson,"sf":"$sfDir"}""")
     // exit 0 even with errors: the driver records stdout's JSON line as
     // the artifact — the non-empty "errors" map IS the failure signal
-    annDir.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    (annDir ++ textDir).foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
     spark.stop()
   }
 }

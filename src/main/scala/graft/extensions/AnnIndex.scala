@@ -305,50 +305,20 @@ object AnnIndex {
     val m = readMeta(spark, dir)
     val rows = if (m.corpusRows >= 0) m.corpusRows else readCodes(spark, dir).count()
     val files = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
-    val f = fs(spark, dir)
-    val live = new Path(codesPath(dir))
-    val tmp = new Path(s"${codesPath(dir)}.compacting")
-    val old = new Path(s"${codesPath(dir)}.old")
-    TsdbStorage.markStatsOutOfSync(spark, dir)
-    f.delete(tmp, true)
-    f.delete(old, true)
-    readCodes(spark, dir)
-      .repartitionByRange(files, col("vec_id"))
-      .sortWithinPartitions("vec_id")
-      .write.parquet(tmp.toString)
-    f.rename(live, old)
-    f.rename(tmp, live)
-    f.delete(old, true)
-    TsdbStorage.markStatsInSync(spark, dir)
-  }
-
-  /** Resolve a compact() that died inside its swap — the analog of the
-    * engine's recoverSwap, run on every WRITER entry (build/append/
-    * compact/fsck; single-writer contract, so no live compact can race
-    * it). `codes.old` / `codes.compacting` exist ONLY during a compact
-    * swap, and compact starts from a certified index with a fully
-    * written tmp before the first rename — so whichever complete copy
-    * survives is certified content and the marker can be restored:
-    *   - old present, live missing  → crash between renames: old IS the
-    *     index; rename it back.
-    *   - old present, live present  → crash after the second rename:
-    *     live is the compacted copy; drop old.
-    *   - only tmp present           → crash before/during the tmp write:
-    *     live was never touched; drop tmp.
-    * Readers (usable/resolve) deliberately do NOT run this: a query
-    * racing a live compact must fall back, not mutate the swap. */
-  private def recoverCompact(spark: SparkSession, dir: String): Unit = {
-    val f = fs(spark, dir)
-    val live = new Path(codesPath(dir))
-    val tmp = new Path(s"${codesPath(dir)}.compacting")
-    val old = new Path(s"${codesPath(dir)}.old")
-    if (f.exists(old)) {
-      if (!f.exists(live)) f.rename(old, live) else f.delete(old, true)
-      f.delete(tmp, true)
-      TsdbStorage.markStatsInSync(spark, dir)
-    } else if (f.exists(tmp)) {
-      f.delete(tmp, true)
-      TsdbStorage.markStatsInSync(spark, dir)
+    ArtifactSwap.rewrite(spark, dir, "codes") { tmp =>
+      readCodes(spark, dir)
+        .repartitionByRange(files, col("vec_id"))
+        .sortWithinPartitions("vec_id")
+        .write.parquet(tmp)
     }
   }
+
+  /** Resolve a compact() that died inside its swap — the shared
+    * [[ArtifactSwap]] discipline, run on every WRITER entry
+    * (build/append/compact/fsck; single-writer contract, so no live
+    * compact can race it). Readers (usable/resolve) deliberately do NOT
+    * run this: a query racing a live compact must fall back, not mutate
+    * the swap. */
+  private def recoverCompact(spark: SparkSession, dir: String): Unit =
+    ArtifactSwap.recover(spark, dir, "codes")
 }

@@ -43,10 +43,29 @@ object DedupQueries {
   private def docs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/documents.parquet")
 
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+  /** Frame-based shingling — shared by the queries and TextIndex.build
+    * so persisted signatures derive from the identical expressions. */
+  private[extensions] def shingleDocs(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(col("doc_id"), col("text"), expr(toksExpr).as("toks"))
       .select(col("doc_id"), expr(shinglesFromToks).as("sh"))
+
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    shingleDocs(docs(s, d))
+
+  /** Both text signatures in ONE map-side pass over the shingles —
+    * exactly what [[TextIndex]] persists and the live paths derive:
+    * the 8-hash MinHash signature (banding for dedup_minhash) and the
+    * 32-bit SimHash (banding + Hamming verification for dedup_simhash
+    * and the cluster resolution). */
+  private[extensions] def signatures(s: SparkSession, docsDf: DataFrame,
+      numHashes: Int = NUM_HASHES): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    shingleDocs(docsDf).select(col("doc_id"),
+      call_function("graft_minhash", col("sh"), lit(numHashes)).as("mhs"),
+      call_function("graft_simhash",
+        expr("transform(sh, x -> graft_md5_prefix(x, 8))")).as("simhash"))
+  }
 
   // -------------------------------------------------------------------
   // X1 exact dedup: content-hash groupBy. The input is the corpus
@@ -80,7 +99,7 @@ object DedupQueries {
   // The minhash signature is computed with higher-order array functions
   // (map-side, no explode); only band buckets shuffle.
   // -------------------------------------------------------------------
-  private val NUM_HASHES = 8
+  private[extensions] val NUM_HASHES = 8
   private val BAND_ROWS = 2
   private val JACCARD_MIN = 0.8
 
@@ -96,8 +115,17 @@ object DedupQueries {
       // persists here are session-scoped memos (QueryDef cache contract;
       // CacheHygieneSpec proves re-runs reuse rather than grow them)
       val sh = shingled(s, d).persist()
-      val sig = sh.select(col("doc_id"),
-        call_function("graft_minhash", col("sh"), lit(NUM_HASHES)).as("mhs"))
+      // signatures from the persisted text index when one is certified
+      // AND fingerprint-matched (TextIndex) — the corpus-wide md5 pass
+      // happens at ingest, not per query; identical expressions either
+      // way, so index-served results equal recomputed ones. Shingles
+      // are still read for exact-Jaccard verification of the (few)
+      // banding survivors.
+      val sig = TextIndex.resolveFor(s, docs(s, d)) match {
+        case Some(dir) => TextIndex.readSigs(s, dir).select("doc_id", "mhs")
+        case None => sh.select(col("doc_id"),
+          call_function("graft_minhash", col("sh"), lit(NUM_HASHES)).as("mhs"))
+      }
       val bands = sig.select(col("doc_id"),
           posexplode(array((0 until NUM_HASHES / BAND_ROWS).map(b =>
             md5(concat(col("mhs").getItem(2 * b), col("mhs").getItem(2 * b + 1)))): _*)))
@@ -160,9 +188,15 @@ object DedupQueries {
     // whole signature is map-side: per-doc md5 hashes (native
     // expression — stock md5+conv costs ~27µs/row) folded by a
     // single-pass majority-vote loop. Zero shuffle before banding.
-    val sig = shingled(s, d).select(col("doc_id"),
-      call_function("graft_simhash",
-        expr("transform(sh, x -> graft_md5_prefix(x, 8))")).as("simhash"))
+    // A certified, fingerprint-matched TextIndex serves the stored
+    // signatures instead (identical derivation ⇒ identical pairs);
+    // dedup_clusters rides this too.
+    val sig = TextIndex.resolveFor(s, docs(s, d)) match {
+      case Some(dir) => TextIndex.readSigs(s, dir).select("doc_id", "simhash")
+      case None => shingled(s, d).select(col("doc_id"),
+        call_function("graft_simhash",
+          expr("transform(sh, x -> graft_md5_prefix(x, 8))")).as("simhash"))
+    }
     val bands = sig.select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("k"))
       .withColumn("byte", expr("shiftright(simhash, k * 8) & 255"))
       .persist() // session-scoped memo (QueryDef cache contract)

@@ -1,0 +1,174 @@
+package graft.extensions
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.TsdbStorage
+
+/** What the persisted text-signature index knows about itself — the
+  * [[AnnMeta]] analog: the MinHash width its signatures were computed
+  * with (serving a differently-sized signature would mis-band every
+  * query), the corpus fingerprint (count + doc_id min/max/sum) binding
+  * it to the documents it covers, and the idempotent-writer cursor for
+  * streaming maintenance. */
+case class TextMeta(numHashes: Int, corpusRows: Long, idMin: Long, idMax: Long,
+                    idSum: Long, lastAppId: String, lastBatchId: Long)
+
+/** Persisted text-signature index — the [[AnnIndex]] of the dedup
+  * family. A 100 TB document corpus computes its MinHash/SimHash
+  * signatures ONCE at ingest (the md5 passes over every shingle are
+  * the dominant cost of dedup_minhash/dedup_simhash), then every
+  * near-dup query bands the STORED signatures.
+  *
+  * Layout under an index dir:
+  *   sigs/    parquet (doc_id, mhs: array<string>[numHashes],
+  *            simhash: long) — one slim row per document
+  *   _meta/   one row — see [[TextMeta]]
+  *   _SYNCED  commit marker — same certify/fallback protocol as the
+  *            engine's stats index and AnnIndex: queries serve a
+  *            certified, fingerprint-matched index and recompute
+  *            otherwise.
+  *
+  * Query integration: set `spark.graft.text.indexDir`;
+  * `dedup_minhash` / `dedup_simhash` / `dedup_clusters` read signatures
+  * from it when certified AND fingerprint-matched. Signatures are
+  * per-document deterministic (the [[DedupQueries.signatures]]
+  * expressions — no corpus-dependent state), so index-served results
+  * are identical to recomputed ones and appends extend the index
+  * exactly (TextIndexSpec pins both). Exact-Jaccard verification of
+  * banding survivors still reads the shingles of the (few) surviving
+  * docs — the index removes the corpus-wide signature derivation, the
+  * part that grows with the corpus.
+  */
+object TextIndex {
+
+  /** Session conf key pointing the dedup queries at a persisted index. */
+  val ConfKey = "spark.graft.text.indexDir"
+
+  private def sigsPath(dir: String) = s"$dir/sigs"
+  private def metaPath(dir: String) = s"$dir/_meta"
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def usable(spark: SparkSession, dir: String): Boolean =
+    TsdbStorage.statsUsable(spark, dir)
+
+  /** Marker-only resolution (conf set + certified). Query paths use
+    * [[resolveFor]], which also proves corpus identity + scheme. */
+  def resolve(spark: SparkSession): Option[String] =
+    Option(spark.conf.get(ConfKey, null)).filter(usable(spark, _))
+
+  /** The certified index dir IF its fingerprint matches `corpus` (a
+    * documents-shaped frame) and its MinHash width matches the one the
+    * caller bands with. Anything else — stale index, foreign corpus,
+    * different signature scheme — is not served; recompute is always
+    * correct. */
+  def resolveFor(spark: SparkSession, corpus: DataFrame,
+                 numHashes: Int = DedupQueries.NUM_HASHES): Option[String] =
+    resolve(spark).filter { dir =>
+      val m = readMeta(spark, dir)
+      m.numHashes == numHashes && m.corpusRows >= 0 &&
+        fingerprint(corpus) == ((m.corpusRows, m.idMin, m.idMax, m.idSum))
+    }
+
+  def readSigs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(sigsPath(dir))
+
+  private def fingerprint(corpus: DataFrame): (Long, Long, Long, Long) = {
+    val r = corpus.agg(
+      count(col("doc_id")), coalesce(min("doc_id"), lit(0L)),
+      coalesce(max("doc_id"), lit(0L)), coalesce(sum("doc_id"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  /** Columns selected BY NAME (the AnnIndex lesson: positional reads
+    * silently swap fields under schema evolution). */
+  def readMeta(spark: SparkSession, dir: String): TextMeta = {
+    val r = spark.read.parquet(metaPath(dir)).head()
+    TextMeta(
+      r.getInt(r.fieldIndex("num_hashes")),
+      r.getLong(r.fieldIndex("corpus_rows")),
+      r.getLong(r.fieldIndex("id_min")), r.getLong(r.fieldIndex("id_max")),
+      r.getLong(r.fieldIndex("id_sum")),
+      r.getString(r.fieldIndex("last_app_id")),
+      r.getLong(r.fieldIndex("last_batch_id")))
+  }
+
+  private def writeMeta(spark: SparkSession, dir: String, m: TextMeta): Unit = {
+    import spark.implicits._
+    Seq((m.numHashes, m.corpusRows, m.idMin, m.idMax, m.idSum, m.lastAppId, m.lastBatchId))
+      .toDF("num_hashes", "corpus_rows", "id_min", "id_max", "id_sum",
+        "last_app_id", "last_batch_id")
+      .coalesce(1).write.mode("overwrite").parquet(metaPath(dir))
+  }
+
+  /** Build (or rebuild) from a full corpus: derive both signatures per
+    * document, fingerprint, certify. */
+  def build(spark: SparkSession, docs: DataFrame, dir: String,
+            numHashes: Int = DedupQueries.NUM_HASHES): Unit = {
+    ArtifactSwap.recover(spark, dir, "sigs")
+    val (n, idMin, idMax, idSum) = fingerprint(docs)
+    TsdbStorage.markStatsOutOfSync(spark, dir)
+    writeMeta(spark, dir, TextMeta(numHashes, n, idMin, idMax, idSum, "", -1L))
+    DedupQueries.signatures(spark, docs, numHashes)
+      .write.mode("overwrite").parquet(sigsPath(dir))
+    TsdbStorage.markStatsInSync(spark, dir)
+  }
+
+  /** Incrementally index appended documents: signatures are
+    * per-document deterministic, so appended rows are bit-identical to
+    * what a full rebuild would derive; the fingerprint rolls forward.
+    * `txn` = (appId, batchId) streaming idempotency cursor, exactly the
+    * AnnIndex contract (a replayed micro-batch is a no-op). */
+  def append(spark: SparkSession, newDocs: DataFrame, dir: String,
+             txn: Option[(String, Long)] = None): Unit = {
+    ArtifactSwap.recover(spark, dir, "sigs")
+    require(usable(spark, dir), s"text index at $dir is absent or uncertified — build() first")
+    val m = readMeta(spark, dir)
+    if (txn.exists { case (app, bid) => app == m.lastAppId && bid <= m.lastBatchId }) return
+    val (n, bMin, bMax, bSum) = fingerprint(newDocs)
+    TsdbStorage.markStatsOutOfSync(spark, dir)
+    DedupQueries.signatures(spark, newDocs, m.numHashes)
+      .write.mode("append").parquet(sigsPath(dir))
+    val grown =
+      if (m.corpusRows == 0) m.copy(corpusRows = n, idMin = bMin, idMax = bMax, idSum = bSum)
+      else m.copy(corpusRows = m.corpusRows + n,
+        idMin = math.min(m.idMin, bMin), idMax = math.max(m.idMax, bMax),
+        idSum = m.idSum + bSum)
+    writeMeta(spark, dir, txn.fold(grown) { case (app, bid) =>
+      grown.copy(lastAppId = app, lastBatchId = bid) })
+    TsdbStorage.markStatsInSync(spark, dir)
+  }
+
+  /** Integrity probe: any corrupt file uncertifies (queries fall back);
+    * repair drops the bad files — full repair is build() (derived data). */
+  def fsck(spark: SparkSession, dir: String, repair: Boolean = false): Seq[String] = {
+    ArtifactSwap.recover(spark, dir, "sigs")
+    val bad = TsdbStorage.probeFiles(spark, sigsPath(dir)) ++
+      TsdbStorage.probeFiles(spark, metaPath(dir))
+    if (bad.nonEmpty) {
+      TsdbStorage.markStatsOutOfSync(spark, dir)
+      if (repair) { val f = fs(spark, dir); bad.foreach(p => f.delete(new Path(p), false)) }
+    }
+    bad
+  }
+
+  /** Rewrite append-accumulated sigs into size-targeted files,
+    * doc_id-range-clustered — same shape as AnnIndex.compact, same
+    * shared swap discipline. */
+  def compact(spark: SparkSession, dir: String,
+              rowsPerFile: Long = AnnIndex.DefaultRowsPerFile): Unit = {
+    ArtifactSwap.recover(spark, dir, "sigs")
+    require(usable(spark, dir), s"text index at $dir is absent or uncertified")
+    val m = readMeta(spark, dir)
+    val files = math.max(1L, (m.corpusRows + rowsPerFile - 1) / rowsPerFile).toInt
+    ArtifactSwap.rewrite(spark, dir, "sigs") { tmp =>
+      readSigs(spark, dir)
+        .repartitionByRange(files, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.parquet(tmp)
+    }
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.extensions.TextIndex
+
+/** The persisted text-signature index: index-served dedup queries must
+  * be IDENTICAL to the recompute path, appends must extend the index
+  * exactly, and a stale/foreign/mis-schemed index must never serve.
+  */
+class TextIndexSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  private def collect(name: String): Seq[Seq[Any]] =
+    SparkEntry.queries(name)(spark, sfDir).collect().toSeq.map(_.toSeq)
+
+  private def withIndex[T](dir: String)(body: => T): T = {
+    spark.conf.set(TextIndex.ConfKey, dir)
+    try body finally spark.conf.unset(TextIndex.ConfKey)
+  }
+
+  test("index-served dedup_minhash / dedup_simhash / dedup_clusters equal the recompute path") {
+    val dir = tmpDir("graft-textidx")
+    val recomputed = Seq("dedup_minhash", "dedup_simhash", "dedup_clusters").map(n => n -> collect(n))
+    TextIndex.build(spark, docs, dir)
+    assert(TextIndex.usable(spark, dir))
+    withIndex(dir) {
+      assert(TextIndex.resolveFor(spark, docs) === Some(dir))
+      recomputed.foreach { case (n, expected) =>
+        assert(collect(n) === expected, s"$n index-served must equal recompute")
+      }
+    }
+  }
+
+  test("stale, foreign-scheme, or uncertified indexes are never served") {
+    val dir = tmpDir("graft-textidx-stale")
+    TextIndex.build(spark, docs.filter(col("doc_id") >= 10), dir) // subset = stale
+    val recomputed = collect("dedup_minhash")
+    withIndex(dir) {
+      assert(TextIndex.resolveFor(spark, docs) === None, "fingerprint mismatch")
+      assert(collect("dedup_minhash") === recomputed, "falls back to recompute")
+    }
+    // growing the index to cover the corpus restores serving
+    TextIndex.append(spark, docs.filter(col("doc_id") < 10), dir)
+    withIndex(dir)(assert(TextIndex.resolveFor(spark, docs) === Some(dir)))
+    // a different MinHash width must not band 8-hash queries
+    val dirNarrow = tmpDir("graft-textidx-narrow")
+    TextIndex.build(spark, docs, dirNarrow, numHashes = 4)
+    withIndex(dirNarrow)(assert(TextIndex.resolveFor(spark, docs) === None,
+      "signature-scheme mismatch must refuse to serve"))
+    // uncertified (simulated crash) → not served
+    graft.sources.TsdbStorage.markStatsOutOfSync(spark, dir)
+    withIndex(dir)(assert(TextIndex.resolveFor(spark, docs) === None))
+  }
+
+  test("appends extend the index exactly; replayed (appId, batchId) is a no-op") {
+    val dir = tmpDir("graft-textidx-append")
+    val dirFull = tmpDir("graft-textidx-full")
+    TextIndex.build(spark, docs.filter(col("doc_id") >= 50), dir)
+    val batch = docs.filter(col("doc_id") < 50)
+    TextIndex.append(spark, batch, dir, txn = Some(("ckpt", 0L)))
+    val n = TextIndex.readSigs(spark, dir).count()
+    assert(n === docs.count(), "one sigs row per document")
+    TextIndex.append(spark, batch, dir, txn = Some(("ckpt", 0L))) // replay
+    assert(TextIndex.readSigs(spark, dir).count() === n, "replay must not duplicate")
+    // signatures are per-document deterministic: appended ≡ full build
+    TextIndex.build(spark, docs, dirFull)
+    assert(TextIndex.readSigs(spark, dir)
+      .exceptAll(TextIndex.readSigs(spark, dirFull)).isEmpty,
+      "appended signatures must match a from-scratch build bit-for-bit")
+  }
+
+  test("streamed maintenance (TextIndexStream) keeps the index exact") {
+    val dir = tmpDir("graft-textidx-stream")
+    TextIndex.build(spark, docs.filter(col("doc_id") >= 50), dir)
+    val src = tmpDir("graft-textidx-stream-src")
+    def write(cond: org.apache.spark.sql.Column): Unit =
+      docs.filter(cond).coalesce(1).write.mode("append").parquet(src)
+    write(col("doc_id") < 25)
+    val q = graft.streaming.TextIndexStream.start(
+      spark.readStream.schema(docs.schema).parquet(src),
+      dir, tmpDir("graft-textidx-stream-ckpt"))
+    try {
+      q.processAllAvailable()
+      write(col("doc_id") >= 25 && col("doc_id") < 50)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(TextIndex.usable(spark, dir))
+    assert(TextIndex.readSigs(spark, dir).count() === docs.count())
+    withIndex(dir)(assert(TextIndex.resolveFor(spark, docs) === Some(dir)))
+  }
+
+  test("fsck uncertifies on corruption; compact rewrites without changing contents") {
+    val dir = tmpDir("graft-textidx-fsck")
+    TextIndex.build(spark, docs, dir)
+    assert(TextIndex.fsck(spark, dir) === Seq.empty)
+    java.nio.file.Files.write(
+      new java.io.File(s"$dir/sigs/part-corrupt.parquet").toPath, "junk".getBytes)
+    assert(TextIndex.fsck(spark, dir).nonEmpty)
+    withIndex(dir)(assert(TextIndex.resolveFor(spark, docs) === None))
+    assert(TextIndex.fsck(spark, dir, repair = true).nonEmpty)
+    TextIndex.build(spark, docs, dir)
+    val before = TextIndex.readSigs(spark, dir).collect().map(_.toSeq).toSet
+    TextIndex.compact(spark, dir, rowsPerFile = 100)
+    assert(TextIndex.usable(spark, dir))
+    val after = TextIndex.readSigs(spark, dir)
+    assert(after.collect().map(_.toSeq).toSet === before)
+    assert(after.inputFiles.length === 5, "500 docs at 100 rows/file → 5 range files")
+  }
+}
