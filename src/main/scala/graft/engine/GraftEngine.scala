@@ -25,6 +25,25 @@ case class QueryTimePoint(ids: Seq[Long], flag: Long, timePoint: Timestamp)
 case class MaintenanceReport(corrupt: Seq[String], compactedDays: Seq[java.sql.Date],
                              reindexed: Boolean)
 
+/** The facade surface remote fronts program against — implemented by
+  * the single-store [[GraftEngine]] AND the [[ShardedEngine]] router,
+  * mirroring the reference's storage polymorphism (its network server
+  * fronts `Engine` and `ShardEngine` through the same interface
+  * [U: interfaces/imeasstorage.h]). `GraftServer` serves either. */
+trait EngineApi {
+  def append(ms: Seq[Meas]): Unit
+  def readInterval(q: QueryInterval): DataFrame
+  def intervalReader(q: QueryInterval): Iterator[Meas]
+  def readTimePoint(q: QueryTimePoint): DataFrame
+  def currentValue(ids: Seq[Long], flag: Long): DataFrame
+  def readGrid(from: Timestamp, to: Timestamp, stepSeconds: Long,
+               maxStalenessSeconds: Long): DataFrame
+  /** Register an append observer firing with every committed batch, in
+    * commit order for any single series (the push-subscribe hook). */
+  def onAppend(listener: Seq[Meas] => Unit): Unit
+  def removeAppendListener(listener: Seq[Meas] => Unit): Unit
+}
+
 /** The embedded-engine facade — the reference's `Engine` API surface
   * [U: engines/engine.h — class Engine; interfaces/imeasstorage.h],
   * re-expressed over the clustered parquet store. A dariadb user's
@@ -40,7 +59,7 @@ case class MaintenanceReport(corrupt: Seq[String], compactedDays: Seq[java.sql.D
   * resolution ([U: engines/engine.cpp — compact]).
   */
 class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
-                  hotCapacity: Long = 0L) {
+                  hotCapacity: Long = 0L) extends EngineApi {
   import spark.implicits._
 
   private val schemePath = s"$path/_scheme"
@@ -355,7 +374,11 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     * its grid points with null value — the _NO_DATA analog. One shuffle
     * (on id), one sort, one window pass (TemporalQueries.fillCore). */
   def readGrid(from: Timestamp, to: Timestamp, stepSeconds: Long,
-               maxStalenessSeconds: Long, gridIds: Option[DataFrame] = None): DataFrame = {
+               maxStalenessSeconds: Long): DataFrame =
+    readGrid(from, to, stepSeconds, maxStalenessSeconds, None)
+
+  def readGrid(from: Timestamp, to: Timestamp, stepSeconds: Long,
+               maxStalenessSeconds: Long, gridIds: Option[DataFrame]): DataFrame = {
     require(!to.before(from), "readGrid: inverted interval")
     require(stepSeconds > 0, "readGrid: step must be positive")
     // upper bound keeps the ms/µs arithmetic below overflow — a horizon

@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   * the one real use case: stores with different lifecycles/locations
   * (e.g. hot vs cold roots) behind one query surface.
   */
-class ShardedEngine(spark: SparkSession, roots: Seq[String], buckets: Int = 32) {
+class ShardedEngine(spark: SparkSession, roots: Seq[String], buckets: Int = 32)
+    extends EngineApi {
   require(roots.nonEmpty, "at least one shard root")
 
   val shards: Seq[GraftEngine] = roots.map(new GraftEngine(spark, _, buckets))
@@ -178,6 +179,18 @@ class ShardedEngine(spark: SparkSession, roots: Seq[String], buckets: Int = 32) 
 
   /** O13 index repair, fanned out. */
   def reindex(): Unit = shards.foreach(_.reindex())
+
+  /** Append observers, registered on EVERY shard: a routed append fires
+    * the listener on the owning shard with exactly the rows that landed
+    * there, inside that shard's append lock — per-series delivery still
+    * matches commit order (a series lives on one shard). This is what
+    * lets [[graft.network.GraftServer]] front a sharded store with the
+    * same push-subscribe semantics as a single engine. */
+  def onAppend(listener: Seq[graft.core.Meas] => Unit): Unit =
+    shards.foreach(_.onAppend(listener))
+
+  def removeAppendListener(listener: Seq[graft.core.Meas] => Unit): Unit =
+    shards.foreach(_.removeAppendListener(listener))
 
   def compact(): Unit = shards.foreach(_.compact())
   def eraseOld(cutoff: java.sql.Timestamp): Seq[String] = shards.flatMap(_.eraseOld(cutoff))

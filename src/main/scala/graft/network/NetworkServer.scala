@@ -83,7 +83,7 @@ import graft.engine.{GraftEngine, QueryInterval, QueryTimePoint}
   * bind a routable address must front it with network-level access
   * control.
   */
-class GraftServer(engine: GraftEngine, port: Int = 0, bindAddress: Option[String] = None,
+class GraftServer(engine: graft.engine.EngineApi, port: Int = 0, bindAddress: Option[String] = None,
                   pushQueueCap: Int = 1024) {
 
   private val server = new ServerSocket(port, 50,

@@ -199,6 +199,44 @@ class NetworkSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("the wire server fronts a ShardedEngine: routed appends, reads, push-subscribe") {
+    val eng = new graft.engine.ShardedEngine(
+      spark, Seq(tmpDir("nshard0"), tmpDir("nshard1")), buckets = 2)
+    val server = new GraftServer(eng).start()
+    try {
+      val pushed = new java.util.concurrent.LinkedBlockingQueue[Meas]()
+      val subClient = new GraftClient("127.0.0.1", server.boundPort)
+      subClient.subscribe(Seq(3L), 0L)(pushed.put)
+      val client = new GraftClient("127.0.0.1", server.boundPort)
+      val batch = Seq(
+        Meas(2L, ts("2024-03-01 10:00:00"), 2.0, Flags.CLICK, 1),
+        Meas(3L, ts("2024-03-01 10:00:00"), 3.0, Flags.ERROR, 2),
+        Meas(4L, ts("2024-03-01 10:00:00"), 4.0, Flags.CLICK, 3),
+        Meas(3L, ts("2024-03-01 11:00:00"), 3.5, Flags.CLICK, 4))
+      assert(client.append(batch) === 4)
+      // the wire append routed by ownership: each shard holds only its ids
+      eng.shards.zipWithIndex.foreach { case (shard, i) =>
+        val ids = shard.merged.select("id").collect().map(_.getLong(0))
+        assert(ids.nonEmpty && ids.forall(_ % 2 == i), s"shard $i got ${ids.toSeq}")
+      }
+      // wire reads ≡ the in-process sharded engine
+      val q = QueryInterval(Seq(2L, 3L, 4L), 0L,
+        ts("2024-03-01 00:00:00"), ts("2024-03-02 00:00:00"))
+      val wire = client.readInterval(q)
+      val local = eng.readInterval(q).collect().map(r =>
+        Meas(r.getLong(0), r.getTimestamp(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(wire === local && wire.size === 4)
+      val cur = client.currentValue(Seq(3L), 0L)
+      assert(cur.head._3 === Some(3.5))
+      // push-subscribe across the sharded store: id-3 rows in commit order
+      val got = Iterator.continually(
+        Option(pushed.poll(10, java.util.concurrent.TimeUnit.SECONDS)))
+        .take(2).flatten.toSeq
+      assert(got.map(_.seq) === Seq(2L, 4L), "owning shard pushes in commit order")
+      assert(pushed.poll(200, java.util.concurrent.TimeUnit.MILLISECONDS) === null)
+    } finally server.stop()
+  }
+
   test("slow-consumer eviction: a lagging subscriber is dropped, ingest never stalls") {
     val engine = new GraftEngine(spark, tmpDir("graft-net-slow"), buckets = 2)
     val server = new GraftServer(engine, pushQueueCap = 1).start()
