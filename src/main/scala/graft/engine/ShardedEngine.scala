@@ -14,11 +14,19 @@ import org.apache.spark.sql.functions._
   * the one real use case: stores with different lifecycles/locations
   * (e.g. hot vs cold roots) behind one query surface.
   */
-class ShardedEngine(spark: SparkSession, roots: Seq[String], buckets: Int = 32)
+class ShardedEngine(spark: SparkSession, roots: Seq[String], buckets: Int = 32,
+                    hotCapacity: Long = 0L)
     extends EngineApi {
   require(roots.nonEmpty, "at least one shard root")
 
-  val shards: Seq[GraftEngine] = roots.map(new GraftEngine(spark, _, buckets))
+  val shards: Seq[GraftEngine] = roots.map(new GraftEngine(spark, _, buckets, hotCapacity))
+
+  /** §3.1 MEMORY strategy, sharded: each shard runs its own hot level
+    * (capacity applies PER SHARD — the aggregate memory budget is
+    * hotCapacity × shards, matching the reference's per-store
+    * memstorage limits). */
+  def flush(): Unit = shards.foreach(_.flush())
+  def hotSize: Long = shards.map(_.hotSize).sum
 
   private def shardOf(id: Long): GraftEngine =
     shards(((id % shards.size) + shards.size).toInt % shards.size)

@@ -203,6 +203,21 @@ class ShardedEngineSpec extends SparkSpec {
       "the owning shard serves the legacy series' data at the grid point")
   }
 
+  test("sharded MEMORY strategy: per-shard hot levels, reads merge them, flush drains") {
+    val eng = new ShardedEngine(spark, Seq(tmpDir("hotshard0"), tmpDir("hotshard1")),
+      buckets = 2, hotCapacity = 1000L)
+    val ms = (0 until 20).map(i =>
+      Meas(i % 4L, ts(f"2024-03-01 10:${i % 60}%02d:00"), i.toDouble, Flags.CLICK, i.toLong))
+    eng.append(ms)
+    assert(eng.hotSize === 20L, "rows held in the per-shard hot levels")
+    assert(eng.shards.forall(_.hotSize > 0L), "both shards hold their routed rows")
+    val q = QueryInterval(Seq.empty, 0L, ts("2024-03-01 00:00:00"), ts("2024-03-02 00:00:00"))
+    assert(eng.readInterval(q).count() === 20L, "reads see unflushed hot rows")
+    eng.flush()
+    assert(eng.hotSize === 0L)
+    assert(eng.readInterval(q).count() === 20L, "flush drains to the durable stores")
+  }
+
   test("sharded calculator / cursor / streaming parity with a single engine on the same data") {
     val sharded = new ShardedEngine(spark, Seq(tmpDir("parshard0"), tmpDir("parshard1")), buckets = 2)
     val single = new graft.engine.GraftEngine(spark, tmpDir("parsingle"), buckets = 2)
