@@ -171,6 +171,59 @@ object StatefulStreams {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  // ---- streaming funnel (flatMapGroupsWithState) ----------------------
+
+  case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String, event_id: Long)
+  case class FunnelState(firstClick: java.sql.Timestamp, done: Boolean)
+  case class FunnelOut(user_id: Long, first_click: java.sql.Timestamp,
+                       first_purchase: java.sql.Timestamp, delay_us: Long)
+
+  /** Streaming analog of the batch `events_funnel`: per user, the FIRST
+    * qualifying purchase within `horizonUs` of their first click emits
+    * exactly one conversion row, the moment it arrives — the actionable
+    * live event. State is (first click, converted?) per user —
+    * constant-size, like every operator here.
+    *
+    * Contract vs batch (documented, deliberate): the batch query is the
+    * REPORT (one row per clicking user, converted or not — "never
+    * converted" needs a bounded corpus); the stream emits conversions
+    * only, incrementally. For in-order streams the emitted conversions
+    * are exactly the batch query's converted=1 rows
+    * (StatefulStreamSpec); within a micro-batch rows are event-time
+    * ordered, across batches a click arriving after the user's first
+    * click was fixed cannot retroactively move the window
+    * (processing-order semantics, the asofEnrich contract). */
+  def funnel(events: org.apache.spark.sql.Dataset[FunnelEvent], horizonUs: Long): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[FunnelOut]()
+          var st = state.getOption
+          sorted.foreach { e =>
+            e.event_type match {
+              case "click" if st.isEmpty =>
+                st = Some(FunnelState(e.ts, done = false))
+              case "purchase" => st match {
+                case Some(s) if !s.done && !e.ts.before(s.firstClick) &&
+                    (e.ts.getTime - s.firstClick.getTime) * 1000L <= horizonUs =>
+                  out += FunnelOut(uid, s.firstClick, e.ts,
+                    (e.ts.getTime - s.firstClick.getTime) * 1000L)
+                  st = Some(s.copy(done = true))
+                case _ => ()
+              }
+              case _ => ()
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+      .toDF()
+  }
+
   // ---- streaming anomaly detection (flatMapGroupsWithState) ----------
 
   case class ZScoreState(win: List[Double], lastTime: Long, lastSeq: Long)

@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions._
+
 import graft.core.{Flags, Meas}
 import graft.streaming.StatefulStreams
 
@@ -154,6 +156,64 @@ class StatefulStreamSpec extends SparkSpec {
         "must equal the batch window operator bit-for-bit")
     // the planted spike is flagged
     assert(streamed.exists(r => r(6) === 1L), "the i=15 spike crosses |z| > 3")
+  }
+
+  test("streaming funnel emits exactly the batch query's conversions, incrementally") {
+    import graft.streaming.StatefulStreams.FunnelEvent
+    val dir = tmpDir("graft-funnel-src")
+    val ckpt = tmpDir("graft-funnel-ckpt")
+    val horizonUs = 24L * 3600 * 1000000
+    def ev(uid: Long, t: String, kind: String, id: Long) = FunnelEvent(uid, ts(t), kind, id)
+    // u1: converts in one batch; u2: click in batch 1, purchase in batch 2
+    // (window crosses the boundary); u3: purchase outside the horizon;
+    // u4: purchase with no click; u5: TWO in-window purchases (only the
+    // first emits); u6: purchase BEFORE its click (not qualifying)
+    val batch1 = Seq(
+      ev(1L, "2024-03-01 10:00:00", "click", 1), ev(1L, "2024-03-01 12:00:00", "purchase", 2),
+      ev(2L, "2024-03-01 09:00:00", "click", 3),
+      ev(3L, "2024-03-01 08:00:00", "click", 4),
+      ev(4L, "2024-03-01 10:30:00", "purchase", 5),
+      ev(5L, "2024-03-01 11:00:00", "click", 6),
+      ev(6L, "2024-03-01 07:00:00", "purchase", 7), ev(6L, "2024-03-01 07:30:00", "click", 8))
+    val batch2 = Seq(
+      ev(2L, "2024-03-02 08:59:00", "purchase", 9), // 23h59m later: in window
+      ev(3L, "2024-03-02 08:30:00", "purchase", 10), // 24h30m later: outside
+      ev(5L, "2024-03-01 11:05:00", "purchase", 11),
+      ev(5L, "2024-03-01 11:10:00", "purchase", 12)) // second purchase: no emit
+    def write(b: Seq[FunnelEvent]): Unit =
+      spark.createDataset(b).toDF().coalesce(1).write.mode("append").parquet(dir)
+    write(batch1)
+    val src = spark.readStream.schema(spark.createDataset(batch1).toDF().schema)
+      .parquet(dir).as[FunnelEvent]
+    val q = graft.streaming.StatefulStreams.funnel(src, horizonUs).writeStream
+      .format("memory").queryName("state_funnel").outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      write(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT * FROM state_funnel").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .sortBy(_._1)
+    // the batch report's converted=1 rows over the same data
+    val all = spark.createDataset(batch1 ++ batch2)
+    val clicks = all.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min("ts").as("first_click"))
+    val qualifies = col("ts") >= col("first_click") &&
+      unix_micros(col("ts")) - unix_micros(col("first_click")) <= lit(horizonUs)
+    val batchConv = clicks.join(all.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts")), Seq("user_id"), "left")
+      .groupBy("user_id", "first_click")
+      .agg(min(when(qualifies, col("ts"))).as("first_purchase"))
+      .filter(col("first_purchase").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        (r.getTimestamp(2).getTime - r.getTimestamp(1).getTime) * 1000L))
+      .sortBy(_._1)
+    assert(streamed === batchConv,
+      "streamed conversions (incl. the cross-batch window) ≡ batch converted rows")
+    assert(streamed.map(_._1).toSet === Set(1L, 2L, 5L),
+      "outside-horizon, clickless, and pre-click purchases never convert")
   }
 
   test("engine facade: subscribeAnomalies scores the durable append stream") {
