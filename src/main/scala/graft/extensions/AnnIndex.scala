@@ -11,14 +11,19 @@ import graft.sources.TsdbStorage
   *  - `planes`/`bandBits` — the SRP scheme its codes were built with
   *    (queries must band stored codes with the SAME scheme at any later
   *    time, so the scheme travels with the index, not the session);
-  *  - `corpusRows`/`idMin`/`idMax`/`idSum` — a fingerprint of the corpus
-  *    the codes cover. An index is only served for the corpus it was
-  *    built from: [[AnnIndex.resolveFor]] cross-checks the live dataset
-  *    against this fingerprint and falls back to recompute on mismatch,
-  *    so a conf key pointing at a stale or foreign index can never
-  *    silently drop vectors from candidate sets. `idSum` (an exact
-  *    integer, order-independent) catches same-count/same-range swaps
-  *    that min/max alone would miss.
+  *  - `corpusRows`/`idMin`/`idMax`/`idSum`/`contentXor` — a fingerprint
+  *    of the corpus the codes cover. An index is only served for the
+  *    corpus it was built from: [[AnnIndex.resolveFor]] cross-checks the
+  *    live dataset against this fingerprint and falls back to recompute
+  *    on mismatch, so a conf key pointing at a stale or foreign index
+  *    can never silently drop vectors from candidate sets. `idSum` (an
+  *    exact integer, order-independent) catches same-count/same-range id
+  *    swaps; `contentXor` (xor of xxhash64(vec_id, vector) over the
+  *    corpus — order-independent, overflow-free, rolls forward under
+  *    append) catches a corpus RE-EMBEDDED in place with unchanged ids,
+  *    which the id stats alone cannot see. The check costs one xxhash64
+  *    agg pass over the vectors — cheap next to the exact-scoring join
+  *    every index-served query already runs over the same corpus.
   *  - `quantizer` — which coarse quantizer build() froze: "label"
   *    (supervised centroids) or "kmeans" (unsupervised). Quantizer-
   *    specific consumers (sim_ivf_kmeans) only serve from an index
@@ -35,7 +40,7 @@ import graft.sources.TsdbStorage
   *    from 0 is not mistaken for a replay.
   */
 case class AnnMeta(planes: Int, bandBits: Int, corpusRows: Long,
-                   idMin: Long, idMax: Long, idSum: Long,
+                   idMin: Long, idMax: Long, idSum: Long, contentXor: Long,
                    quantizer: String, lastAppId: String, lastBatchId: Long)
 
 /** Persisted ANN index — the artifact a production 100 TB embedding
@@ -99,6 +104,13 @@ object AnnIndex {
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The enforced single-writer lease (see [[graft.sources.WriterLock]]):
+    * each writer entry (build/append/compact/fsck) is its own lease
+    * term — a second maintainer on the same index dir fails fast instead
+    * of interleaving marker transitions. Readers never touch the lock. */
+  private def locked[T](spark: SparkSession, dir: String)(body: => T): T =
+    graft.sources.WriterLock.withLock(spark, dir, graft.sources.WriterLock.newOwner())(body)
+
   /** The certified index dir the session points at, if any. None ⇒
     * callers recompute (conf unset, dir missing, or marker absent).
     * Marker-only: corpus identity is NOT checked here — query paths use
@@ -115,7 +127,7 @@ object AnnIndex {
     resolve(spark).filter { dir =>
       val m = readMeta(spark, dir)
       m.corpusRows >= 0 && fingerprint(corpus) ==
-        ((m.corpusRows, m.idMin, m.idMax, m.idSum))
+        ((m.corpusRows, m.idMin, m.idMax, m.idSum, m.contentXor))
     }
 
   /** True iff the index exists AND its last mutation committed. */
@@ -128,27 +140,43 @@ object AnnIndex {
   def readCentroids(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(centroidsPath(dir))
 
-  /** (rows, min vec_id, max vec_id, sum vec_id) of a corpus — the
-    * identity bound into `_meta` at build and rolled forward by append.
-    * One column-pruned agg pass; empty corpus → (0, 0, 0, 0). */
-  private def fingerprint(corpus: DataFrame): (Long, Long, Long, Long) = {
+  /** The vector content in its canonical (double-array) form, whichever
+    * shape the frame is in: prepped frames carry it as `v`, raw
+    * embeddings frames derive it with the exact `prep` cast — so build
+    * (raw) and resolveFor (prepped) hash identical values. */
+  private def contentExpr(corpus: DataFrame) =
+    if (corpus.columns.contains("v")) col("v")
+    else expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+
+  /** (rows, min/max/sum vec_id, content xor) of a corpus — the identity
+    * bound into `_meta` at build and rolled forward by append. The xor
+    * of per-row xxhash64(vec_id, vector) is order-independent and
+    * cannot overflow (the reason it is not a sum — ANSI mode would
+    * throw on a wrapped Long), and folding vec_id into the hash keeps
+    * two genuinely identical rows from cancelling each other only when
+    * they are true (id, content) duplicates. One agg pass; empty corpus
+    * → (0, 0, 0, 0, 0). */
+  private def fingerprint(corpus: DataFrame): (Long, Long, Long, Long, Long) = {
     val r = corpus.agg(
       count(col("vec_id")), coalesce(min("vec_id"), lit(0L)),
-      coalesce(max("vec_id"), lit(0L)), coalesce(sum("vec_id"), lit(0L))).head()
-    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      coalesce(max("vec_id"), lit(0L)), coalesce(sum("vec_id"), lit(0L)),
+      coalesce(bit_xor(xxhash64(col("vec_id"), contentExpr(corpus))), lit(0L))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
   }
 
   /** This index's self-description. Columns are selected BY NAME (a
     * positional read would silently swap fields under any future schema
     * evolution — and a swapped planes/bandBits mis-bands every stored
-    * code). Indexes predating `_meta` read as the default gated scheme
-    * with an UNKNOWN fingerprint (corpusRows = -1), which resolveFor
-    * refuses to serve; rebuild to upgrade. */
+    * code). Indexes predating `_meta` — or predating any fingerprint
+    * field, including `content_xor` (an xor has no -1 sentinel, so its
+    * absence demotes the whole fingerprint) — read with an UNKNOWN
+    * fingerprint (corpusRows = -1), which resolveFor refuses to serve;
+    * rebuild to upgrade. */
   def readMeta(spark: SparkSession, dir: String): AnnMeta = {
     val p = new Path(metaPath(dir))
     if (!fs(spark, dir).exists(p))
       AnnMeta(SimilarityQueries.N_PLANES, SimilarityQueries.BAND_BITS,
-        -1L, 0L, 0L, 0L, "label", "", -1L)
+        -1L, 0L, 0L, 0L, 0L, "label", "", -1L)
     else {
       val df = spark.read.parquet(metaPath(dir))
       val names = df.columns.toSet
@@ -160,8 +188,9 @@ object AnnIndex {
       AnnMeta(
         r.getInt(r.fieldIndex("planes")),
         r.getInt(r.fieldIndex("band_bits")),
-        longOr(r, "corpus_rows", -1L),
+        if (names("content_xor")) longOr(r, "corpus_rows", -1L) else -1L,
         longOr(r, "id_min", 0L), longOr(r, "id_max", 0L), longOr(r, "id_sum", 0L),
+        longOr(r, "content_xor", 0L),
         strOr(r, "quantizer", "label"), // pre-kind metas were label-built
         strOr(r, "last_app_id", ""),
         longOr(r, "last_batch_id", -1L))
@@ -171,9 +200,9 @@ object AnnIndex {
   private def writeMeta(spark: SparkSession, dir: String, m: AnnMeta): Unit = {
     import spark.implicits._
     Seq((m.planes, m.bandBits, m.corpusRows, m.idMin, m.idMax, m.idSum,
-        m.quantizer, m.lastAppId, m.lastBatchId))
+        m.contentXor, m.quantizer, m.lastAppId, m.lastBatchId))
       .toDF("planes", "band_bits", "corpus_rows", "id_min", "id_max", "id_sum",
-        "quantizer", "last_app_id", "last_batch_id")
+        "content_xor", "quantizer", "last_app_id", "last_batch_id")
       .coalesce(1).write.mode("overwrite").parquet(metaPath(dir))
   }
 
@@ -218,14 +247,14 @@ object AnnIndex {
     * size ([[advisedBandBits]]); an explicit value overrides. */
   def build(spark: SparkSession, raw: DataFrame, dir: String,
             planes: Int = SimilarityQueries.N_PLANES,
-            bandBits: Int = 0): Unit = {
+            bandBits: Int = 0): Unit = locked(spark, dir) {
     recoverCompact(spark, dir)
-    val (n, idMin, idMax, idSum) = fingerprint(raw)
+    val (n, idMin, idMax, idSum, cxor) = fingerprint(raw)
     val bb = if (bandBits > 0) bandBits else advisedBandBits(n, planes)
     require(planes % bb == 0, s"planes ($planes) must be a multiple of bandBits ($bb)")
     val kind = if (raw.columns.contains("label")) "label" else "kmeans"
     TsdbStorage.markStatsOutOfSync(spark, dir)
-    writeMeta(spark, dir, AnnMeta(planes, bb, n, idMin, idMax, idSum, kind, "", -1L))
+    writeMeta(spark, dir, AnnMeta(planes, bb, n, idMin, idMax, idSum, cxor, kind, "", -1L))
     val cent = SimilarityQueries.quantizer(spark, raw).coalesce(1)
     cent.write.mode("overwrite").parquet(centroidsPath(dir))
     val e = SimilarityQueries.prep(spark, raw)
@@ -249,13 +278,13 @@ object AnnIndex {
     * under foreachBatch's at-least-once contract. Batch-style callers
     * omit it (no replay source, no idempotency claim). */
   def append(spark: SparkSession, rawNew: DataFrame, dir: String,
-             txn: Option[(String, Long)] = None): Unit = {
+             txn: Option[(String, Long)] = None): Unit = locked(spark, dir) {
     recoverCompact(spark, dir)
     require(usable(spark, dir), s"ANN index at $dir is absent or uncertified — build() first")
     val m = readMeta(spark, dir)
     val replayed = txn.exists { case (app, bid) => app == m.lastAppId && bid <= m.lastBatchId }
     if (replayed) return
-    val (n, bMin, bMax, bSum) = fingerprint(rawNew)
+    val (n, bMin, bMax, bSum, bXor) = fingerprint(rawNew)
     val planes = m.planes // code with the index's own scheme
     TsdbStorage.markStatsOutOfSync(spark, dir)
     val e = SimilarityQueries.prep(spark, rawNew)
@@ -264,10 +293,11 @@ object AnnIndex {
       .write.mode("append").parquet(codesPath(dir))
     val grown =
       if (m.corpusRows < 0) m // legacy fingerprintless meta stays unknown
-      else if (m.corpusRows == 0) m.copy(corpusRows = n, idMin = bMin, idMax = bMax, idSum = bSum)
+      else if (m.corpusRows == 0)
+        m.copy(corpusRows = n, idMin = bMin, idMax = bMax, idSum = bSum, contentXor = bXor)
       else m.copy(corpusRows = m.corpusRows + n,
         idMin = math.min(m.idMin, bMin), idMax = math.max(m.idMax, bMax),
-        idSum = m.idSum + bSum)
+        idSum = m.idSum + bSum, contentXor = m.contentXor ^ bXor)
     writeMeta(spark, dir, txn.fold(grown) { case (app, bid) =>
       grown.copy(lastAppId = app, lastBatchId = bid) })
     TsdbStorage.markStatsInSync(spark, dir)
@@ -279,7 +309,7 @@ object AnnIndex {
     * to recompute instead of throwing mid-query; with repair the bad
     * files are dropped. Repair either way is `build()` (the index is
     * derived data — unlike the scheme log, dropping it loses nothing). */
-  def fsck(spark: SparkSession, dir: String, repair: Boolean = false): Seq[String] = {
+  def fsck(spark: SparkSession, dir: String, repair: Boolean = false): Seq[String] = locked(spark, dir) {
     recoverCompact(spark, dir)
     val bad = TsdbStorage.probeFiles(spark, codesPath(dir)) ++
       TsdbStorage.probeFiles(spark, centroidsPath(dir)) ++
@@ -299,7 +329,7 @@ object AnnIndex {
     * compact paths, with the marker protocol covering the swap and
     * [[recoverCompact]] resolving a crash inside it. */
   def compact(spark: SparkSession, dir: String,
-              rowsPerFile: Long = DefaultRowsPerFile): Unit = {
+              rowsPerFile: Long = DefaultRowsPerFile): Unit = locked(spark, dir) {
     recoverCompact(spark, dir)
     require(usable(spark, dir), s"ANN index at $dir is absent or uncertified")
     val m = readMeta(spark, dir)

@@ -9,11 +9,13 @@ import graft.sources.TsdbStorage
 /** What the persisted text-signature index knows about itself — the
   * [[AnnMeta]] analog: the MinHash width its signatures were computed
   * with (serving a differently-sized signature would mis-band every
-  * query), the corpus fingerprint (count + doc_id min/max/sum) binding
-  * it to the documents it covers, and the idempotent-writer cursor for
+  * query), the corpus fingerprint (count + doc_id min/max/sum + an
+  * order-independent xor of xxhash64(doc_id, text) — the content term
+  * catches a corpus re-texted in place with unchanged ids) binding it
+  * to the documents it covers, and the idempotent-writer cursor for
   * streaming maintenance. */
 case class TextMeta(numHashes: Int, corpusRows: Long, idMin: Long, idMax: Long,
-                    idSum: Long, lastAppId: String, lastBatchId: Long)
+                    idSum: Long, contentXor: Long, lastAppId: String, lastBatchId: Long)
 
 /** Persisted text-signature index — the [[AnnIndex]] of the dedup
   * family. A 100 TB document corpus computes its MinHash/SimHash
@@ -55,6 +57,11 @@ object TextIndex {
   def usable(spark: SparkSession, dir: String): Boolean =
     TsdbStorage.statsUsable(spark, dir)
 
+  /** Enforced single-writer lease per writer entry — the AnnIndex
+    * contract (see [[graft.sources.WriterLock]]). */
+  private def locked[T](spark: SparkSession, dir: String)(body: => T): T =
+    graft.sources.WriterLock.withLock(spark, dir, graft.sources.WriterLock.newOwner())(body)
+
   /** Marker-only resolution (conf set + certified). Query paths use
     * [[resolveFor]], which also proves corpus identity + scheme. */
   def resolve(spark: SparkSession): Option[String] =
@@ -70,48 +77,60 @@ object TextIndex {
     resolve(spark).filter { dir =>
       val m = readMeta(spark, dir)
       m.numHashes == numHashes && m.corpusRows >= 0 &&
-        fingerprint(corpus) == ((m.corpusRows, m.idMin, m.idMax, m.idSum))
+        fingerprint(corpus) == ((m.corpusRows, m.idMin, m.idMax, m.idSum, m.contentXor))
     }
 
   def readSigs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(sigsPath(dir))
 
-  private def fingerprint(corpus: DataFrame): (Long, Long, Long, Long) = {
+  /** Content term = xor of xxhash64(doc_id, text): order-independent,
+    * overflow-free (the reason it is not a sum), rolls forward under
+    * append, and costs one cheap hash pass — tiny next to the md5
+    * signature derivation the index exists to amortize. */
+  private def fingerprint(corpus: DataFrame): (Long, Long, Long, Long, Long) = {
     val r = corpus.agg(
       count(col("doc_id")), coalesce(min("doc_id"), lit(0L)),
-      coalesce(max("doc_id"), lit(0L)), coalesce(sum("doc_id"), lit(0L))).head()
-    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      coalesce(max("doc_id"), lit(0L)), coalesce(sum("doc_id"), lit(0L)),
+      coalesce(bit_xor(xxhash64(col("doc_id"), col("text"))), lit(0L))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
   }
 
   /** Columns selected BY NAME (the AnnIndex lesson: positional reads
-    * silently swap fields under schema evolution). */
+    * silently swap fields under schema evolution). A meta predating
+    * `content_xor` reads as an UNKNOWN fingerprint (corpusRows = -1 —
+    * an xor has no sentinel value), which resolveFor refuses to serve;
+    * rebuild to upgrade. */
   def readMeta(spark: SparkSession, dir: String): TextMeta = {
-    val r = spark.read.parquet(metaPath(dir)).head()
+    val df = spark.read.parquet(metaPath(dir))
+    val names = df.columns.toSet
+    val r = df.head()
     TextMeta(
       r.getInt(r.fieldIndex("num_hashes")),
-      r.getLong(r.fieldIndex("corpus_rows")),
+      if (names("content_xor")) r.getLong(r.fieldIndex("corpus_rows")) else -1L,
       r.getLong(r.fieldIndex("id_min")), r.getLong(r.fieldIndex("id_max")),
       r.getLong(r.fieldIndex("id_sum")),
+      if (names("content_xor")) r.getLong(r.fieldIndex("content_xor")) else 0L,
       r.getString(r.fieldIndex("last_app_id")),
       r.getLong(r.fieldIndex("last_batch_id")))
   }
 
   private def writeMeta(spark: SparkSession, dir: String, m: TextMeta): Unit = {
     import spark.implicits._
-    Seq((m.numHashes, m.corpusRows, m.idMin, m.idMax, m.idSum, m.lastAppId, m.lastBatchId))
+    Seq((m.numHashes, m.corpusRows, m.idMin, m.idMax, m.idSum, m.contentXor,
+        m.lastAppId, m.lastBatchId))
       .toDF("num_hashes", "corpus_rows", "id_min", "id_max", "id_sum",
-        "last_app_id", "last_batch_id")
+        "content_xor", "last_app_id", "last_batch_id")
       .coalesce(1).write.mode("overwrite").parquet(metaPath(dir))
   }
 
   /** Build (or rebuild) from a full corpus: derive both signatures per
     * document, fingerprint, certify. */
   def build(spark: SparkSession, docs: DataFrame, dir: String,
-            numHashes: Int = DedupQueries.NUM_HASHES): Unit = {
+            numHashes: Int = DedupQueries.NUM_HASHES): Unit = locked(spark, dir) {
     ArtifactSwap.recover(spark, dir, "sigs")
-    val (n, idMin, idMax, idSum) = fingerprint(docs)
+    val (n, idMin, idMax, idSum, cxor) = fingerprint(docs)
     TsdbStorage.markStatsOutOfSync(spark, dir)
-    writeMeta(spark, dir, TextMeta(numHashes, n, idMin, idMax, idSum, "", -1L))
+    writeMeta(spark, dir, TextMeta(numHashes, n, idMin, idMax, idSum, cxor, "", -1L))
     DedupQueries.signatures(spark, docs, numHashes)
       .write.mode("overwrite").parquet(sigsPath(dir))
     TsdbStorage.markStatsInSync(spark, dir)
@@ -123,20 +142,22 @@ object TextIndex {
     * `txn` = (appId, batchId) streaming idempotency cursor, exactly the
     * AnnIndex contract (a replayed micro-batch is a no-op). */
   def append(spark: SparkSession, newDocs: DataFrame, dir: String,
-             txn: Option[(String, Long)] = None): Unit = {
+             txn: Option[(String, Long)] = None): Unit = locked(spark, dir) {
     ArtifactSwap.recover(spark, dir, "sigs")
     require(usable(spark, dir), s"text index at $dir is absent or uncertified — build() first")
     val m = readMeta(spark, dir)
     if (txn.exists { case (app, bid) => app == m.lastAppId && bid <= m.lastBatchId }) return
-    val (n, bMin, bMax, bSum) = fingerprint(newDocs)
+    val (n, bMin, bMax, bSum, bXor) = fingerprint(newDocs)
     TsdbStorage.markStatsOutOfSync(spark, dir)
     DedupQueries.signatures(spark, newDocs, m.numHashes)
       .write.mode("append").parquet(sigsPath(dir))
     val grown =
-      if (m.corpusRows == 0) m.copy(corpusRows = n, idMin = bMin, idMax = bMax, idSum = bSum)
+      if (m.corpusRows < 0) m // legacy fingerprintless meta stays unknown
+      else if (m.corpusRows == 0)
+        m.copy(corpusRows = n, idMin = bMin, idMax = bMax, idSum = bSum, contentXor = bXor)
       else m.copy(corpusRows = m.corpusRows + n,
         idMin = math.min(m.idMin, bMin), idMax = math.max(m.idMax, bMax),
-        idSum = m.idSum + bSum)
+        idSum = m.idSum + bSum, contentXor = m.contentXor ^ bXor)
     writeMeta(spark, dir, txn.fold(grown) { case (app, bid) =>
       grown.copy(lastAppId = app, lastBatchId = bid) })
     TsdbStorage.markStatsInSync(spark, dir)
@@ -144,7 +165,7 @@ object TextIndex {
 
   /** Integrity probe: any corrupt file uncertifies (queries fall back);
     * repair drops the bad files — full repair is build() (derived data). */
-  def fsck(spark: SparkSession, dir: String, repair: Boolean = false): Seq[String] = {
+  def fsck(spark: SparkSession, dir: String, repair: Boolean = false): Seq[String] = locked(spark, dir) {
     ArtifactSwap.recover(spark, dir, "sigs")
     val bad = TsdbStorage.probeFiles(spark, sigsPath(dir)) ++
       TsdbStorage.probeFiles(spark, metaPath(dir))
@@ -159,7 +180,7 @@ object TextIndex {
     * doc_id-range-clustered — same shape as AnnIndex.compact, same
     * shared swap discipline. */
   def compact(spark: SparkSession, dir: String,
-              rowsPerFile: Long = AnnIndex.DefaultRowsPerFile): Unit = {
+              rowsPerFile: Long = AnnIndex.DefaultRowsPerFile): Unit = locked(spark, dir) {
     ArtifactSwap.recover(spark, dir, "sigs")
     require(usable(spark, dir), s"text index at $dir is absent or uncertified")
     val m = readMeta(spark, dir)

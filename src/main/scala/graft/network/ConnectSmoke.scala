@@ -93,8 +93,19 @@ object ConnectSmoke {
       "graft.network.ConnectSmokeClient", s"sc://localhost:$port", s"$dir/store/data")
     println(s"[connect] launching client JVM against sc://localhost:$port")
     val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+    // stdout and stderr MUST drain concurrently: a child that fills the OS
+    // stderr pipe (Spark logging) while the parent blocks on stdout EOF
+    // deadlocks both JVMs, and the waitFor timeout below never fires
+    // because it is only reached after EOF.
+    val errBuf = new java.util.concurrent.atomic.AtomicReference[List[String]](Nil)
+    val errDrain = new Thread(() =>
+      errBuf.set(scala.io.Source.fromInputStream(proc.getErrorStream).getLines().toList),
+      "connect-smoke-stderr")
+    errDrain.setDaemon(true)
+    errDrain.start()
     val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
-    val err = scala.io.Source.fromInputStream(proc.getErrorStream).getLines().toList
+    errDrain.join(30000)
+    val err = errBuf.get()
     val exited = proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
     val code = if (exited) proc.exitValue() else { proc.destroyForcibly(); -1 }
     if (code != 0) {

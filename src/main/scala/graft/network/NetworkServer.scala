@@ -94,31 +94,44 @@ class GraftServer(engine: graft.engine.EngineApi, port: Int = 0, bindAddress: Op
   def boundPort: Int = server.getLocalPort
 
   /** One registered subscription: the filter, the connection, and the
-    * bounded push queue its writer thread drains. Poison pill = Nil
-    * (real enqueued batches are always non-empty). */
+    * bounded push queue its writer thread drains. Termination is a
+    * `stopped` flag + interrupt, NOT a poison pill: the old
+    * `queue.clear(); queue.offer(Nil)` idiom could lose the poison when
+    * a concurrent producer refilled the bounded queue between the two
+    * calls, parking the writer on `take()` forever (a leaked thread per
+    * evicted subscriber). */
   private final class Subscriber(val ids: Set[Long], val flag: Long,
                                  val out: PrintWriter, val sock: Socket) {
     val queue = new java.util.concurrent.LinkedBlockingQueue[Seq[Meas]](pushQueueCap)
-    /** Enqueue a batch; false = queue full (caller evicts). */
-    def push(hit: Seq[Meas]): Boolean = queue.offer(hit)
-    /** Stop the writer (idempotent): clear pending, then poison. */
-    def shutdown(): Unit = { queue.clear(); queue.offer(Nil) }
+    @volatile private var stopped = false
+    /** Enqueue a batch; false = queue full (caller evicts). A stopped
+      * subscriber accepts nothing — producers racing shutdown cannot
+      * keep the queue (or the writer) alive. */
+    def push(hit: Seq[Meas]): Boolean = !stopped && queue.offer(hit)
+    /** Stop the writer (idempotent): raise the flag, then interrupt —
+      * a writer parked on `take()` wakes immediately; one mid-write
+      * sees the flag before its next `take()`. */
+    def shutdown(): Unit = { stopped = true; queue.clear(); writer.interrupt() }
     val writer = new Thread(() => {
-      var batch = queue.take()
-      while (batch.nonEmpty) {
-        out.synchronized {
-          batch.foreach(m => out.println("MEAS " + Wire.fmtMeas(m)))
-          out.flush()
+      try {
+        while (!stopped) {
+          val batch = queue.take()
+          if (!stopped && batch.nonEmpty) {
+            out.synchronized {
+              batch.foreach(m => out.println("MEAS " + Wire.fmtMeas(m)))
+              out.flush()
+            }
+            // PrintWriter swallows IO errors; checkError() surfaces a
+            // dead socket so the orphan evicts itself instead of
+            // draining pushes into the void forever
+            if (out.checkError()) {
+              subscribers.remove(Subscriber.this)
+              stopped = true
+              try sock.close() catch { case _: Throwable => () }
+            }
+          }
         }
-        // PrintWriter swallows IO errors; checkError() surfaces a dead
-        // socket so the orphan evicts itself instead of draining pushes
-        // into the void forever
-        if (out.checkError()) {
-          subscribers.remove(this)
-          try sock.close() catch { case _: Throwable => () }
-          batch = Nil
-        } else batch = queue.take()
-      }
+      } catch { case _: InterruptedException => () } // shutdown() — exit
     }, s"graft-push-${sock.getPort}")
     writer.setDaemon(true)
   }

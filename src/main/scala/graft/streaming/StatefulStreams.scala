@@ -200,7 +200,13 @@ object StatefulStreams {
       .flatMapGroupsWithState[FunnelState, FunnelOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // clicks sort BEFORE other events at an equal timestamp: the
+          // batch query counts a purchase with ts == first_click (its
+          // predicate is ts >= first_click), so a same-instant purchase
+          // must see the click's state already set — ordering purely by
+          // event_id would drop it whenever the purchase's id is lower
+          val sorted = batch.toSeq.sortBy(e =>
+            (e.ts.getTime, e.event_type != "click", e.event_id))
           val out = scala.collection.mutable.ArrayBuffer[FunnelOut]()
           var st = state.getOption
           sorted.foreach { e =>

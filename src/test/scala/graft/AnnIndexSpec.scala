@@ -179,6 +179,14 @@ class AnnIndexSpec extends SparkSpec {
       assert(AnnIndex.resolveFor(spark, raw) === Some(dir))
       assert(collectAnn("sim_ann") === recomputed, "served ≡ recomputed once grown")
     }
+    // content identity: a corpus RE-EMBEDDED in place keeps every id —
+    // count/min/max/sum all agree — so only the content term can catch it
+    val mutated = raw.withColumn("embedding",
+      expr("transform(embedding, x -> CAST(x + 1.0f AS FLOAT))"))
+    withIndex(dir) {
+      assert(AnnIndex.resolveFor(spark, mutated) === None,
+        "re-embedded corpus with unchanged ids must not be served")
+    }
   }
 
   test("streamed replay: an already-applied (appId, batchId) append is a no-op") {

@@ -269,6 +269,59 @@ class NetworkSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("eviction storm leaks no writer threads (shutdown flag beats the lost-poison race)") {
+    def pushThreads(): Set[Thread] = {
+      import scala.jdk.CollectionConverters._
+      Thread.getAllStackTraces.keySet.asScala
+        .filter(t => t.isAlive && t.getName.startsWith("graft-push-")).toSet
+    }
+    val baseline = pushThreads()
+    val engine = new GraftEngine(spark, tmpDir("graft-net-storm"), buckets = 2)
+    // cap-1 queues: producers refill a cleared queue instantly, the exact
+    // window where the old clear+poison shutdown lost its pill and parked
+    // the writer on take() forever
+    val server = new GraftServer(engine, pushQueueCap = 1).start()
+    try {
+      val socks = (0 until 8).map { _ =>
+        val raw = new java.net.Socket()
+        raw.setReceiveBufferSize(4096)
+        raw.connect(new java.net.InetSocketAddress("127.0.0.1", server.boundPort))
+        val o = new java.io.PrintWriter(raw.getOutputStream)
+        val i = new java.io.BufferedReader(new java.io.InputStreamReader(raw.getInputStream))
+        o.println("SUBSCRIBE 7 0"); o.flush()
+        assert(i.readLine() === "SUBSCRIBED")
+        raw
+      }
+      assert(server.subscriberCount === 8)
+      // concurrent appenders keep every queue under producer pressure
+      // while evictions fire (none of the 8 consumers ever reads)
+      val appenders = (0 until 3).map { t =>
+        new Thread(() => {
+          for (b <- 0 until 8)
+            engine.append((0 until 20000).map(i =>
+              Meas(7L, ts(f"2024-03-01 ${10 + t}%02d:0$b:00"), i.toDouble, 1L,
+                t * 1000000L + b * 100000L + i)))
+        }, s"storm-appender-$t")
+      }
+      appenders.foreach(_.start())
+      appenders.foreach(_.join(120000))
+      val deadline = System.currentTimeMillis() + 20000
+      while (server.subscriberCount > 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(server.subscriberCount === 0, "all lagging consumers evicted")
+      // the writers must all terminate — the old idiom leaked one parked
+      // thread per evicted subscriber under exactly this producer pressure
+      val threadDeadline = System.currentTimeMillis() + 20000
+      while (pushThreads().diff(baseline).nonEmpty && System.currentTimeMillis() < threadDeadline)
+        Thread.sleep(100)
+      assert(pushThreads().diff(baseline).isEmpty,
+        s"leaked push writers: ${pushThreads().diff(baseline).map(_.getName)}")
+      socks.foreach(s => try s.close() catch { case _: Throwable => () })
+      val c = new GraftClient("127.0.0.1", server.boundPort)
+      assert(c.ping(), "server healthy after the storm")
+    } finally server.stop()
+  }
+
   test("concurrent wire appenders: per-subscriber delivery matches commit order, nothing lost") {
     val engine = new GraftEngine(spark, tmpDir("graft-net-conc"), buckets = 4)
     val server = new GraftServer(engine).start()

@@ -174,7 +174,11 @@ class StatefulStreamSpec extends SparkSpec {
       ev(3L, "2024-03-01 08:00:00", "click", 4),
       ev(4L, "2024-03-01 10:30:00", "purchase", 5),
       ev(5L, "2024-03-01 11:00:00", "click", 6),
-      ev(6L, "2024-03-01 07:00:00", "purchase", 7), ev(6L, "2024-03-01 07:30:00", "click", 8))
+      ev(6L, "2024-03-01 07:00:00", "purchase", 7), ev(6L, "2024-03-01 07:30:00", "click", 8),
+      // u7: purchase at the SAME instant as the click, with a LOWER
+      // event_id — the batch predicate (ts >= first_click) counts it, so
+      // the stream's intra-batch sort must process the click first
+      ev(7L, "2024-03-01 09:30:00", "purchase", 13), ev(7L, "2024-03-01 09:30:00", "click", 14))
     val batch2 = Seq(
       ev(2L, "2024-03-02 08:59:00", "purchase", 9), // 23h59m later: in window
       ev(3L, "2024-03-02 08:30:00", "purchase", 10), // 24h30m later: outside
@@ -212,8 +216,10 @@ class StatefulStreamSpec extends SparkSpec {
       .sortBy(_._1)
     assert(streamed === batchConv,
       "streamed conversions (incl. the cross-batch window) ≡ batch converted rows")
-    assert(streamed.map(_._1).toSet === Set(1L, 2L, 5L),
-      "outside-horizon, clickless, and pre-click purchases never convert")
+    assert(streamed.map(_._1).toSet === Set(1L, 2L, 5L, 7L),
+      "outside-horizon, clickless, and pre-click purchases never convert; " +
+        "the same-instant purchase (u7) does")
+    assert(streamed.find(_._1 == 7L).get._4 === 0L, "zero-delay conversion at the tie")
   }
 
   test("engine facade: subscribeAnomalies scores the durable append stream") {

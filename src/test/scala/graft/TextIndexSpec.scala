@@ -44,6 +44,11 @@ class TextIndexSpec extends SparkSpec {
     // growing the index to cover the corpus restores serving
     TextIndex.append(spark, docs.filter(col("doc_id") < 10), dir)
     withIndex(dir)(assert(TextIndex.resolveFor(spark, docs) === Some(dir)))
+    // content identity: a corpus RE-TEXTED in place keeps every doc_id
+    // (count/min/max/sum all agree) — only the content term can catch it
+    val mutated = docs.withColumn("text", concat(col("text"), lit(" edited")))
+    withIndex(dir)(assert(TextIndex.resolveFor(spark, mutated) === None,
+      "re-texted corpus with unchanged ids must not be served"))
     // a different MinHash width must not band 8-hash queries
     val dirNarrow = tmpDir("graft-textidx-narrow")
     TextIndex.build(spark, docs, dirNarrow, numHashes = 4)
