@@ -66,6 +66,22 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
   private val dataPath = s"$path/data"
   private val statsPath = s"$path/_stats"
 
+  // ---- single-writer lease -----------------------------------------
+  // Every maintenance writer (compact/compactDays/eraseOld/reindex/
+  // fsck/maintain) brackets its marker transitions with the store-level
+  // `_LOCK` lease: a second engine instance maintaining the same path
+  // fails fast (WriterLock.ConcurrentWriterException) instead of
+  // interleaving markStatsOutOfSync/markStatsInSync and re-certifying a
+  // half-mutated index. One owner token per engine instance; maintain()
+  // re-enters the lease its sub-ops acquire. Appends stay lease-free —
+  // they are serialized per instance by the append lock, and the hot
+  // ingest path must not pay two FS round-trips per batch; concurrent
+  // ingest from multiple engines remains (documented) merge-safe since
+  // appends only add day files and refresh only touched days.
+  private val writerId = graft.sources.WriterLock.newOwner()
+  private def locked[T](body: => T): T =
+    graft.sources.WriterLock.withLock(spark, path, writerId)(body)
+
   // ---- MEMORY-strategy hot level -----------------------------------
   // The reference's Strategy::MEMORY keeps appends in an in-process
   // memstorage level and drops them to pages when the memory limit is
@@ -435,7 +451,7 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
   /** Rebuild the chunk-stat index from scratch — the explicit repair
     * path for an index left uncertified by a crash (or for a store that
     * predates the index). Cheaper than compact(): no data rewrite. */
-  def reindex(): Unit = {
+  def reindex(): Unit = locked {
     if (!hasData) return
     TsdbStorage.markStatsOutOfSync(spark, statsPath)
     fs.delete(new Path(statsPath), true)
@@ -582,7 +598,7 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
       spark, dataPath, queryName, checkpoint, w, dayPartitioned = true)
 
   // ---- O11/O12/O13 maintenance -------------------------------------
-  def eraseOld(cutoff: Timestamp): Seq[String] = {
+  def eraseOld(cutoff: Timestamp): Seq[String] = locked {
     // interpret the cutoff in UTC explicitly: day partitions are derived
     // under the session TZ (pinned UTC), while Timestamp.toLocalDateTime
     // uses the JVM default TZ — on a non-UTC JVM that off-by-hours day
@@ -615,7 +631,7 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     * of a year-old store rewrites ~7 days, not 365. Falls back to the
     * full pre-cutoff day list when the index is unusable; cost is then
     * proportional to the days the cutoff spans, never the store. */
-  def eraseOld(cutoff: Timestamp, ids: Seq[Long]): Seq[String] = {
+  def eraseOld(cutoff: Timestamp, ids: Seq[Long]): Seq[String] = locked {
     require(ids.nonEmpty, "per-id eraseOld needs at least one id")
     flush()
     if (!hasData) return Seq.empty
@@ -667,7 +683,7 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     * moved aside before the swap so no failure point leaves the store
     * path empty — a crash leaves either the old or the new snapshot
     * recoverable. */
-  def compact(): Unit = {
+  def compact(): Unit = locked {
     flush()
     // repack the scheme log first (independent of data presence):
     // per-call appends accumulate one tiny file each; compact() is
@@ -703,7 +719,7 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     * rewrite. The stats index rows for these days are value-invariant
     * (they already reflect the merged view) but are refreshed anyway so
     * index files track data files one-to-one. */
-  def compactDays(days: Seq[java.sql.Date]): Unit = {
+  def compactDays(days: Seq[java.sql.Date]): Unit = locked {
     flush()
     if (!hasData || days.isEmpty) return
     // no-op for days this store doesn't host (a sharded router passes
@@ -745,7 +761,7 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     * IF anything above (or a prior crash) left it uncertified. After a
     * clean maintain(), every index-served read path is armed again.
     * Idempotent: a second run reports nothing to do. */
-  def maintain(maxFilesPerDay: Int = 2 * buckets, repair: Boolean = true): MaintenanceReport = {
+  def maintain(maxFilesPerDay: Int = 2 * buckets, repair: Boolean = true): MaintenanceReport = locked {
     val corrupt = fsck(repair)
     val frag = fragmentedDays(maxFilesPerDay)
     if (frag.nonEmpty) compactDays(frag)
@@ -789,7 +805,9 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     * The probe runs DISTRIBUTED: file paths are parallelized and each
     * executor task walks its files — O(#files / cluster-cores)
     * wall-clock, not O(#files) driver round-trips. */
-  def fsck(repair: Boolean = false): Seq[String] = {
+  def fsck(repair: Boolean = false): Seq[String] = locked {
+    // a writer even without `repair`: the probe may uncertify the stats
+    // index and runs the swap-recovery preamble (both mutations)
     val badData = if (!hasData) Seq.empty
       else TsdbStorage.probeFiles(spark, dataPath)
     if (repair && badData.nonEmpty) {

@@ -1,0 +1,169 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Enforced single-writer lease for a store or artifact directory.
+  *
+  * The `_SYNCED` certify/fallback protocol (TsdbStorage, AnnIndex,
+  * TextIndex) assumes ONE writer: two maintainers interleaving
+  * `markStatsOutOfSync`/`markStatsInSync` transitions could re-certify a
+  * half-mutated index. This lease turns that documented contract into an
+  * enforced one: every maintenance/artifact writer entry acquires
+  * `_LOCK` under the directory it mutates, and a second writer FAILS
+  * FAST with [[ConcurrentWriterException]] instead of silently
+  * interleaving. Readers never touch the lock — a query racing a
+  * maintenance op keeps its existing certify-or-fallback behavior.
+  *
+  * Mechanics:
+  *  - acquisition is `fs.create(_LOCK, overwrite = false)` — atomic on
+  *    HDFS-semantics filesystems; the file body records the owner
+  *    (host:pid:uuid) for diagnostics;
+  *  - a daemon heartbeat refreshes the lock's mtime every `staleMs / 4`
+  *    while held, so a LIVE owner is distinguishable from a crashed one
+  *    by mtime age alone;
+  *  - a lock whose mtime is older than `staleMs` (conf
+  *    `spark.graft.lock.staleMs`, default 10 min) is STALE — the crashed
+  *    owner's lease. A new writer deletes it and retries the atomic
+  *    create once (losing that race to another taker is safe: exactly
+  *    one create(false) wins);
+  *  - re-entrant PER OWNER TOKEN: `maintain()` wraps compact/reindex/
+  *    fsck which each acquire the same lock — same owner just deepens a
+  *    JVM-local counter. A DIFFERENT owner in the same JVM (a second
+  *    engine instance on the same path — the exact scenario the contract
+  *    exists for) is rejected without an FS round-trip.
+  *
+  * The lease brackets the whole writer operation, enclosing every
+  * marker transition, so the `_SYNCED` protocol's single-writer
+  * assumption holds by construction. Crash recovery needs no new
+  * machinery: the heartbeat dies with the process, the lease goes stale,
+  * and the next writer takes over — the marker protocol already handles
+  * the half-done mutation the crash left behind.
+  */
+object WriterLock {
+
+  val FileName = "_LOCK"
+  val ConfStaleMs = "spark.graft.lock.staleMs"
+  val DefaultStaleMs: Long = 10L * 60 * 1000
+
+  /** A second writer contended a held lease — the caller must NOT
+    * proceed (retry later, or find and stop the other maintainer). */
+  final class ConcurrentWriterException(msg: String) extends IllegalStateException(msg)
+
+  private final class Held(val owner: String) {
+    var depth = 1
+    @volatile var stopped = false
+    var heartbeat: Thread = _
+  }
+  // keyed by the lock file's canonical URI — one entry per held lease
+  private val held = new java.util.concurrent.ConcurrentHashMap[String, Held]()
+
+  /** A process-unique owner token (host:pid:uuid). One per engine
+    * instance / artifact-writer call — the reentrancy scope. */
+  def newOwner(): String = {
+    val host = try java.net.InetAddress.getLocalHost.getHostName catch { case _: Throwable => "?" }
+    s"$host:${ProcessHandle.current().pid()}:${java.util.UUID.randomUUID()}"
+  }
+
+  private def staleMs(spark: SparkSession): Long =
+    spark.conf.get(ConfStaleMs, DefaultStaleMs.toString).toLong
+
+  /** Run `body` holding the writer lease for `dir`. Re-entrant for the
+    * same `owner`; any other live holder → [[ConcurrentWriterException]].
+    * The lease file is removed on exit (kept on crash — it goes stale
+    * and the next writer takes over). */
+  def withLock[T](spark: SparkSession, dir: String, owner: String)(body: => T): T = {
+    val lockPath = new Path(dir, FileName)
+    val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = Path.getPathWithoutSchemeAndAuthority(
+      fs.makeQualified(lockPath)).toString
+    val stale = staleMs(spark)
+
+    // in-JVM decision under the map lock: re-enter or reject without FS I/O
+    val entered = held.synchronized {
+      held.get(key) match {
+        case null => false
+        case h if h.owner == owner => h.depth += 1; true
+        case h => throw new ConcurrentWriterException(
+          s"$dir is write-locked by ${h.owner} (this JVM); second writer rejected")
+      }
+    }
+    if (!entered) {
+      acquireFile(fs, lockPath, owner, stale, dir)
+      val h = new Held(owner)
+      h.heartbeat = new Thread(() => {
+        while (!h.stopped) {
+          try Thread.sleep(math.max(1000L, stale / 4))
+          catch { case _: InterruptedException => () }
+          if (!h.stopped)
+            try fs.setTimes(lockPath, System.currentTimeMillis(), -1)
+            catch { case _: Throwable => () } // lost lease file: next acquire resolves it
+        }
+      }, s"graft-lock-heartbeat-${lockPath.getName}@${dir.takeRight(32)}")
+      h.heartbeat.setDaemon(true)
+      h.heartbeat.start()
+      held.synchronized {
+        // the map lock was dropped during the FS acquire; same-JVM racers
+        // for the same key serialized on create(false), so this put only
+        // races a releasing owner — putIfAbsent keeps it honest
+        if (held.putIfAbsent(key, h) != null) {
+          h.stopped = true; h.heartbeat.interrupt()
+          try fs.delete(lockPath, false) catch { case _: Throwable => () }
+          throw new ConcurrentWriterException(
+            s"$dir lease raced another in-JVM writer; second writer rejected")
+        }
+      }
+    }
+    try body
+    finally held.synchronized {
+      val h = held.get(key)
+      if (h != null && h.owner == owner) {
+        h.depth -= 1
+        if (h.depth == 0) {
+          h.stopped = true
+          h.heartbeat.interrupt()
+          held.remove(key)
+          try fs.delete(lockPath, false) catch { case _: Throwable => () }
+        }
+      }
+    }
+  }
+
+  /** Atomic create-if-absent with one stale-takeover retry. */
+  private def acquireFile(fs: org.apache.hadoop.fs.FileSystem, lockPath: Path,
+                          owner: String, stale: Long, dir: String): Unit = {
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(lockPath, false)
+        out.write(owner.getBytes(StandardCharsets.UTF_8)); out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (tryCreate()) return
+    val (age, holder) =
+      try {
+        val st = fs.getFileStatus(lockPath)
+        val body = {
+          val in = fs.open(lockPath)
+          try {
+            val buf = new Array[Byte](256)
+            val n = math.max(0, in.read(buf))
+            new String(buf, 0, n, StandardCharsets.UTF_8)
+          } finally in.close()
+        }
+        (System.currentTimeMillis() - st.getModificationTime, body)
+      } catch { case _: java.io.IOException => (Long.MaxValue, "(gone)") } // holder released between create and stat
+    if (age > stale) {
+      // crashed owner: heartbeat stopped > staleMs ago. Delete + retry
+      // the atomic create ONCE — losing to a concurrent taker is safe.
+      try fs.delete(lockPath, false) catch { case _: Throwable => () }
+      if (tryCreate()) return
+      throw new ConcurrentWriterException(
+        s"$dir stale lease takeover raced another writer; second writer rejected")
+    }
+    throw new ConcurrentWriterException(
+      s"$dir is write-locked by $holder (heartbeat ${age / 1000}s ago); " +
+        s"second writer rejected — stale takeover after ${stale / 1000}s")
+  }
+}
