@@ -118,6 +118,22 @@ object ScaleSmoke {
     val sstat = time("sharded stat routed to owning shard")(
       sharded.stat(17L, dayTs(0L), dayTs(days.toLong)).count())
 
+    // sharded maintenance fan-out: per-shard ops are independent, so the
+    // concurrent fan-out should cost ~the slowest shard. compact() is the
+    // comparison op (always rewrites — maintain() is idempotent, so a
+    // second timed run would have no work). Serial first: any page-cache
+    // warm-up favors the parallel run it's being compared against least.
+    val maintEng = new ShardedEngine(spark, (0 until 4).map(i => s"$dir/m$i"), buckets = 8)
+    time(f"sharded-maintenance ingest ($shardRows%,d rows, 4 shards)")(
+      maintEng.append(mkMeas(shardRows)))
+    spark.conf.set("spark.graft.shard.maintenanceParallelism", "1")
+    val tSerial = { val t0 = System.nanoTime(); maintEng.compact(); (System.nanoTime() - t0) / 1e9 }
+    spark.conf.set("spark.graft.shard.maintenanceParallelism", "8")
+    val tPar = { val t0 = System.nanoTime(); maintEng.compact(); (System.nanoTime() - t0) / 1e9 }
+    spark.conf.unset("spark.graft.shard.maintenanceParallelism")
+    println(f"[scale] sharded compact 4 shards: serial $tSerial%.2f s, concurrent $tPar%.2f s " +
+      f"(${tSerial / tPar}%.2fx — wall-clock ~ slowest shard, not sum)")
+
     // ---- throughput vs the reference's claimed "millions of values/sec"
     // (BASELINE.md rows 4-5, (L)-caveat): measure all three regimes.
     // MEMORY-level append = the reference's MEMORY strategy analog;

@@ -219,12 +219,64 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
 
   /** O1, streaming strategy: continuous ingest from a Meas stream into
     * the clustered layout — the reference's WAL→Dropper→page pipeline
-    * as a microbatch sink [U: storage/dropper.cpp]. */
+    * as a microbatch sink [U: storage/dropper.cpp]. Exactly-once under
+    * foreachBatch's at-least-once replay via [[appendOnce]] (the
+    * checkpoint path is the cursor's appId scope). */
   def appendStream(source: DataFrame, checkpoint: String): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) => append(batch) }
+      .foreachBatch { (batch: DataFrame, bid: Long) => appendOnce(batch, checkpoint, bid) }
       .start()
+
+  // (appId, batchId) idempotency cursor for the engine's OWN streaming
+  // append — the same contract the artifact streams got (AnnIndex/
+  // TextIndex `txn`): foreachBatch is at-least-once, and before this
+  // cursor a crash between the engine commit and the streaming
+  // checkpoint commit re-appended the whole micro-batch on restart.
+  // Correctness was masked (mergeFreshest collapses duplicate (id,time)
+  // keys) but storage and the stats refresh paid for the duplicates
+  // until compact(). The cursor is a tiny root-level file (NOT under
+  // _stats — reindex()/compact() rebuild that directory from scratch
+  // and must not reset stream progress), overwritten after each applied
+  // batch; scoped by appId so a NEW stream restarting batch numbering
+  // at 0 is not mistaken for a replay.
+  private def cursorFile = new Path(s"$path/_stream_cursor")
+
+  private def readCursor(): (String, Long) =
+    if (!fs.exists(cursorFile)) ("", -1L)
+    else {
+      val in = fs.open(cursorFile)
+      try {
+        val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        (lines.headOption.getOrElse(""),
+          lines.lift(1).flatMap(_.toLongOption).getOrElse(-1L))
+      } finally in.close()
+    }
+
+  private def writeCursor(app: String, bid: Long): Unit = {
+    val out = fs.create(cursorFile, true)
+    try out.write(s"$app\n$bid".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Append a streamed micro-batch at most once: a replayed (appId,
+    * batchId) — one at or behind the persisted cursor — is a no-op (no
+    * parquet written, no stats refresh, no listener notification).
+    *
+    * The cursor engages only in DURABLE mode (hotCapacity == 0): under
+    * the MEMORY strategy an applied-but-unflushed batch dies with the
+    * process, and a durable cursor would then tell the replay to skip
+    * it — converting at-least-once into data LOSS. The hot level keeps
+    * replay-re-append semantics instead (duplicates masked by
+    * mergeFreshest, paid until compact) — the same single-process
+    * caveat the level itself documents. */
+  def appendOnce(batch: DataFrame, appId: String, batchId: Long): Unit = synchronized {
+    if (hotCapacity <= 0L) {
+      val (lastApp, lastBid) = readCursor()
+      if (appId == lastApp && batchId <= lastBid) return // replay: already applied
+      notifyAppended(appendCore(batch))
+      writeCursor(appId, batchId)
+    } else notifyAppended(appendCore(batch))
+  }
 
   /** Merge-on-read view: freshest row per (id, time), across the
     * durable store AND the MEMORY hot level. */

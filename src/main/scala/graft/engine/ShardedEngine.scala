@@ -185,8 +185,36 @@ class ShardedEngine(spark: SparkSession, roots: Seq[String], buckets: Int = 32,
       .foreachBatch { (batch: DataFrame, _: Long) => append(batch) }
       .start()
 
-  /** O13 index repair, fanned out. */
-  def reindex(): Unit = shards.foreach(_.reindex())
+  /** Run `f` over every shard CONCURRENTLY (bounded pool) and return the
+    * results in shard order. Shard maintenance is embarrassingly
+    * parallel — each shard owns its own directory tree, lease, and
+    * marker protocol, and Spark accepts jobs from multiple threads — so
+    * a 32-shard nightly maintain costs ~the slowest shard, not the sum.
+    * Pool width: `spark.graft.shard.maintenanceParallelism` (default 8,
+    * capped at the shard count) — wide enough to hide per-shard
+    * stragglers, narrow enough that the concurrent Spark jobs don't
+    * thrash the scheduler. A shard failure propagates (unwrapped) after
+    * the pool drains — no shard's maintenance is silently skipped. */
+  private def inParallel[T](f: GraftEngine => T): Seq[T] = {
+    val par = math.max(1, math.min(shards.size,
+      spark.conf.get("spark.graft.shard.maintenanceParallelism", "8").toInt))
+    if (par <= 1 || shards.size == 1) shards.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par, (r: Runnable) => {
+        val t = new Thread(r, "graft-shard-maint"); t.setDaemon(true); t
+      })
+      try {
+        val futures = shards.map(s =>
+          pool.submit(new java.util.concurrent.Callable[T] { def call(): T = f(s) }))
+        futures.map(fu =>
+          try fu.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+      } finally pool.shutdownNow()
+    }
+  }
+
+  /** O13 index repair, fanned out concurrently. */
+  def reindex(): Unit = { inParallel(_.reindex()); () }
 
   /** Append observers, registered on EVERY shard: a routed append fires
     * the listener on the owning shard with exactly the rows that landed
@@ -200,8 +228,9 @@ class ShardedEngine(spark: SparkSession, roots: Seq[String], buckets: Int = 32,
   def removeAppendListener(listener: Seq[graft.core.Meas] => Unit): Unit =
     shards.foreach(_.removeAppendListener(listener))
 
-  def compact(): Unit = shards.foreach(_.compact())
-  def eraseOld(cutoff: java.sql.Timestamp): Seq[String] = shards.flatMap(_.eraseOld(cutoff))
+  def compact(): Unit = { inParallel(_.compact()); () }
+  def eraseOld(cutoff: java.sql.Timestamp): Seq[String] =
+    inParallel(_.eraseOld(cutoff)).flatten
 
   /** O11 per-id retention, routed: each id's rewrite runs ONLY on its
     * owning shard (where its data lives), with the per-shard stats
@@ -210,18 +239,20 @@ class ShardedEngine(spark: SparkSession, roots: Seq[String], buckets: Int = 32,
     ids.distinct.groupBy(shardOf).toSeq
       .flatMap { case (shard, shardIds) => shard.eraseOld(cutoff, shardIds) }
 
-  /** O12 incremental compaction, fanned out: every shard compacts the
-    * days it hosts from the list (foreign days no-op per shard). */
-  def compactDays(days: Seq[java.sql.Date]): Unit = shards.foreach(_.compactDays(days))
+  /** O12 incremental compaction, fanned out concurrently: every shard
+    * compacts the days it hosts from the list (foreign days no-op per
+    * shard). */
+  def compactDays(days: Seq[java.sql.Date]): Unit = { inParallel(_.compactDays(days)); () }
 
   def fragmentedDays(maxFiles: Int): Seq[java.sql.Date] =
     shards.flatMap(_.fragmentedDays(maxFiles)).distinct.sortBy(_.toString)
 
-  def fsck(repair: Boolean = false): Seq[String] = shards.flatMap(_.fsck(repair))
+  def fsck(repair: Boolean = false): Seq[String] = inParallel(_.fsck(repair)).flatten
 
-  /** Nightly maintenance, fanned out; one merged report. */
+  /** Nightly maintenance, fanned out concurrently; one merged report
+    * (wall-clock ≈ slowest shard — ScaleSmoke measures the speedup). */
   def maintain(maxFilesPerDay: Int = 2 * buckets, repair: Boolean = true): MaintenanceReport = {
-    val reports = shards.map(_.maintain(maxFilesPerDay, repair))
+    val reports = inParallel(_.maintain(maxFilesPerDay, repair))
     MaintenanceReport(reports.flatMap(_.corrupt),
       reports.flatMap(_.compactedDays).distinct.sortBy(_.toString),
       reports.exists(_.reindexed))

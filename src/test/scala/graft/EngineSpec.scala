@@ -532,6 +532,51 @@ class EngineSpec extends SparkSpec {
     assert(engine.merged.count() === 100)
   }
 
+  test("appendStream replay: an already-applied (appId, batchId) re-writes nothing") {
+    import spark.implicits._
+    val dir = tmpDir("graft-ingest-replay")
+    val engine = new GraftEngine(spark, dir, buckets = 2)
+    def dataFiles(): Seq[String] = {
+      val root = new java.io.File(s"$dir/data")
+      if (!root.exists) Seq.empty
+      else root.listFiles.filter(_.isDirectory).flatMap(_.listFiles)
+        .map(f => s"${f.getName}:${f.length}").toSeq.sorted
+    }
+    def statFiles(): Seq[String] = {
+      val root = new java.io.File(s"$dir/_stats")
+      if (!root.exists) Seq.empty
+      else root.listFiles.filter(_.isDirectory).flatMap(_.listFiles)
+        .map(f => s"${f.getParentFile.getName}/${f.getName}:${f.length}").toSeq.sorted
+    }
+    val batch0 = spark.createDataset(Seq(
+      Meas(1L, ts("2024-03-01 10:00:00"), 1.0, Flags.CLICK, 1),
+      Meas(2L, ts("2024-03-01 11:00:00"), 2.0, Flags.CLICK, 2))).toDF()
+    engine.appendOnce(batch0, "ckpt-A", 0L)
+    val files = dataFiles(); val stats = statFiles()
+    val rows = engine.merged.collect().map(_.toSeq).toSet
+    // foreachBatch replay after a crash-restart: same appId, same batchId
+    engine.appendOnce(batch0, "ckpt-A", 0L)
+    assert(dataFiles() === files, "a replayed micro-batch must not write parquet")
+    assert(statFiles() === stats, "…nor refresh the stats index")
+    assert(engine.merged.collect().map(_.toSeq).toSet === rows)
+    // the NEXT batch applies normally
+    engine.appendOnce(spark.createDataset(Seq(
+      Meas(3L, ts("2024-03-01 12:00:00"), 3.0, Flags.CLICK, 3))).toDF(), "ckpt-A", 1L)
+    assert(engine.merged.count() === 3L)
+    // a DIFFERENT stream legitimately restarting batch numbering at 0
+    engine.appendOnce(spark.createDataset(Seq(
+      Meas(4L, ts("2024-03-01 13:00:00"), 4.0, Flags.CLICK, 4))).toDF(), "ckpt-B", 0L)
+    assert(engine.merged.count() === 4L, "a fresh appId is not a replay")
+    // the real streaming path drives the same cursor
+    val src = tmpDir("graft-ingest-replay-src")
+    spark.createDataset(Seq(Meas(5L, ts("2024-03-01 14:00:00"), 5.0, Flags.CLICK, 5)))
+      .toDF().write.mode("append").parquet(src)
+    val q = engine.appendStream(
+      spark.readStream.schema(Meas.schema).parquet(src), tmpDir("graft-ingest-replay-ckpt"))
+    try q.processAllAvailable() finally q.stop()
+    assert(engine.merged.count() === 5L)
+  }
+
   test("maintain(): one call repairs corruption, compacts fragmented days, recertifies the index") {
     val dir = tmpDir("graft-maintain")
     val engine = new GraftEngine(spark, dir, buckets = 2)
