@@ -19,11 +19,20 @@ import graft.streaming.Subscribe
 case class QueryInterval(ids: Seq[Long], flag: Long, from: Timestamp, to: Timestamp)
 case class QueryTimePoint(ids: Seq[Long], flag: Long, timePoint: Timestamp)
 
+/** What one [[GraftEngine.maintain]] pass did to ONE artifact index
+  * (AnnIndex / TextIndex): corrupt files found (and dropped when
+  * repairing), whether the uncertified index was rebuilt from its
+  * corpus, whether append-fragmentation was compacted away. */
+case class ArtifactReport(dir: String, corrupt: Seq[String],
+                          rebuilt: Boolean, compacted: Boolean)
+
 /** What one [[GraftEngine.maintain]] pass did: corrupt files found (and
   * dropped when repairing), fragmented days compacted, whether the stat
-  * index needed a rebuild. */
+  * index needed a rebuild — plus a per-artifact report for each index
+  * handed to the call. */
 case class MaintenanceReport(corrupt: Seq[String], compactedDays: Seq[java.sql.Date],
-                             reindexed: Boolean)
+                             reindexed: Boolean,
+                             artifacts: Seq[ArtifactReport] = Seq.empty)
 
 /** The facade surface remote fronts program against — implemented by
   * the single-store [[GraftEngine]] AND the [[ShardedEngine]] router,
@@ -812,14 +821,63 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     * targeted compaction of append-fragmented days → stat-index rebuild
     * IF anything above (or a prior crash) left it uncertified. After a
     * clean maintain(), every index-served read path is armed again.
-    * Idempotent: a second run reports nothing to do. */
-  def maintain(maxFilesPerDay: Int = 2 * buckets, repair: Boolean = true): MaintenanceReport = locked {
+    * Idempotent: a second run reports nothing to do.
+    *
+    * The store's ARTIFACT indexes cron through the same call: pass
+    * `annIndex`/`textIndex` as (indexDir, corpus) and each gets the
+    * same probe → repair → debt-payment cycle — fsck (corrupt files
+    * dropped + index uncertified), REBUILD from the corpus when left
+    * uncertified (artifact repair IS rebuild: the index is derived
+    * data), and a size-targeted compact when append-accumulated. The
+    * corpus travels with the dir because recertification cannot be
+    * conjured from the index's own (possibly damaged) files. Artifact
+    * dirs hold their own `_LOCK` leases (separate dirs, separate
+    * writers), taken sequentially inside the store's lease. */
+  def maintain(maxFilesPerDay: Int = 2 * buckets, repair: Boolean = true,
+               annIndex: Option[(String, DataFrame)] = None,
+               textIndex: Option[(String, DataFrame)] = None): MaintenanceReport = locked {
     val corrupt = fsck(repair)
     val frag = fragmentedDays(maxFilesPerDay)
     if (frag.nonEmpty) compactDays(frag)
     val reindexNeeded = hasData && !TsdbStorage.statsUsable(spark, statsPath)
     if (reindexNeeded) reindex()
-    MaintenanceReport(corrupt, frag, reindexNeeded)
+    val artifactReports =
+      annIndex.map { case (dir, corpus) =>
+        maintainArtifact(dir,
+          r => graft.extensions.AnnIndex.fsck(spark, dir, r),
+          graft.extensions.AnnIndex.usable(spark, dir),
+          () => graft.extensions.AnnIndex.build(spark, corpus, dir),
+          () => graft.extensions.AnnIndex.fragmented(spark, dir),
+          () => graft.extensions.AnnIndex.compact(spark, dir), repair)
+      }.toSeq ++
+      textIndex.map { case (dir, corpus) =>
+        maintainArtifact(dir,
+          r => graft.extensions.TextIndex.fsck(spark, dir, r),
+          graft.extensions.TextIndex.usable(spark, dir),
+          () => graft.extensions.TextIndex.build(spark, corpus, dir),
+          () => graft.extensions.TextIndex.fragmented(spark, dir),
+          () => graft.extensions.TextIndex.compact(spark, dir), repair)
+      }.toSeq
+    MaintenanceReport(corrupt, frag, reindexNeeded, artifactReports)
+  }
+
+  /** One artifact's probe → rebuild-if-uncertified → compact-if-
+    * fragmented cycle. `existedUsable` is sampled BEFORE fsck so a
+    * never-built dir (nothing to rebuild from scratch here — the user
+    * never asked for an index) is distinguished from one a crash or the
+    * probe just uncertified. */
+  private def maintainArtifact(dir: String, fsckF: Boolean => Seq[String],
+                               existedUsable: Boolean, rebuild: () => Unit,
+                               fragged: () => Boolean, compactF: () => Unit,
+                               repair: Boolean): ArtifactReport = {
+    val existed = existedUsable || // uncertified remains of a real index: rebuildable
+      new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration).exists(new Path(dir))
+    val bad = fsckF(repair)
+    val needRebuild = existed && !TsdbStorage.statsUsable(spark, dir)
+    if (needRebuild && repair) rebuild()
+    val doCompact = fragged()
+    if (doCompact) compactF()
+    ArtifactReport(dir, bad, needRebuild && repair, doCompact)
   }
 
   /** Rewrite the append-only scheme log as its dedup view in one file

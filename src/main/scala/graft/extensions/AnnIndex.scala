@@ -155,8 +155,9 @@ object AnnIndex {
     * throw on a wrapped Long), and folding vec_id into the hash keeps
     * two genuinely identical rows from cancelling each other only when
     * they are true (id, content) duplicates. One agg pass; empty corpus
-    * → (0, 0, 0, 0, 0). */
-  private def fingerprint(corpus: DataFrame): (Long, Long, Long, Long, Long) = {
+    * → (0, 0, 0, 0, 0). Shared with [[SimilarityQueries.kmeansCentroids]]
+    * as the memo key for the trained quantizer. */
+  private[extensions] def fingerprint(corpus: DataFrame): (Long, Long, Long, Long, Long) = {
     val r = corpus.agg(
       count(col("vec_id")), coalesce(min("vec_id"), lit(0L)),
       coalesce(max("vec_id"), lit(0L)), coalesce(sum("vec_id"), lit(0L)),
@@ -341,6 +342,20 @@ object AnnIndex {
         .sortWithinPartitions("vec_id")
         .write.parquet(tmp)
     }
+  }
+
+  /** Append-accumulation signature (the engine's fragmentedDays analog):
+    * more codes files than 2× the size-targeted count compact() would
+    * write. Directory-listing metadata only. */
+  def fragmented(spark: SparkSession, dir: String,
+                 rowsPerFile: Long = DefaultRowsPerFile): Boolean = {
+    val p = new Path(codesPath(dir))
+    val f = fs(spark, dir)
+    if (!f.exists(p) || !usable(spark, dir)) return false
+    val m = readMeta(spark, dir)
+    val rows = if (m.corpusRows >= 0) m.corpusRows else readCodes(spark, dir).count()
+    val target = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile)
+    f.listStatus(p).count(_.getPath.getName.endsWith(".parquet")) > 2 * target
   }
 
   /** Resolve a compact() that died inside its swap — the shared

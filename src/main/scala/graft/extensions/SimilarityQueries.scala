@@ -268,9 +268,33 @@ object SimilarityQueries {
     * the corpus — k×dims rows collect to the driver per iteration
     * (bounded metadata, like the engine's day lists), which also keeps
     * the per-iteration plan flat instead of stacking k joins of lineage.
-    */
-  private[extensions] def kmeansCentroids(s: SparkSession, raw: DataFrame,
+    *
+    * MEMOIZED per (session, corpus fingerprint, k, iters): the training
+    * is ~2·iters corpus passes, and a session running kmeans_centroids
+    * and sim_ivf_kmeans back-to-back would otherwise train the same
+    * quantizer twice. The probe is one agg pass (the AnnIndex corpus
+    * fingerprint, content hash included — a mutated corpus can never be
+    * served a stale quantizer); the cached value is k×dims driver-held
+    * doubles. Bounded: the memo clears past 8 corpora (the CacheHygiene
+    * discipline). The certified-AnnIndex path still skips even the
+    * first train. */
+  private val kmeansMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
+
+  private[graft] def kmeansCentroids(s: SparkSession, raw: DataFrame,
       k: Int = KMEANS_K, iters: Int = KMEANS_ITERS): DataFrame = {
+    val key = s"${System.identityHashCode(s)}:${AnnIndex.fingerprint(raw)}:$k:$iters"
+    if (kmeansMemo.size > 8) kmeansMemo.clear()
+    centFrame(s, kmeansMemo.computeIfAbsent(key, _ => trainKmeans(s, raw, k, iters)))
+  }
+
+  /** Training invocations — the memo's observable (spec-pinned). */
+  private[graft] val kmeansTrainCount = new java.util.concurrent.atomic.AtomicLong()
+
+  /** The actual Lloyd loop (see [[kmeansCentroids]] for the scheme). */
+  private def trainKmeans(s: SparkSession, raw: DataFrame,
+      k: Int, iters: Int): Seq[(Long, Seq[Double])] = {
+    kmeansTrainCount.incrementAndGet()
     val e = prep(s, raw)
     val seeds = e.select(col("vec_id"), col("v"))
       .withColumn("h", md5(col("vec_id").cast("string")))
@@ -290,7 +314,7 @@ object SimilarityQueries {
         .toMap
       cent = cent.map { case (l, old) => (l, means.getOrElse(l, old)) }
     }
-    centFrame(s, cent)
+    cent
   }
 
   /** The k-means CTE chain shared by the kmeans oracles: seeds ranked by

@@ -176,6 +176,19 @@ object TextIndex {
     bad
   }
 
+  /** Append-accumulation signature — the [[AnnIndex.fragmented]] analog
+    * over the sigs table. */
+  def fragmented(spark: SparkSession, dir: String,
+                 rowsPerFile: Long = AnnIndex.DefaultRowsPerFile): Boolean = {
+    val p = new Path(sigsPath(dir))
+    val f = fs(spark, dir)
+    if (!f.exists(p) || !usable(spark, dir)) return false
+    val m = readMeta(spark, dir)
+    val rows = if (m.corpusRows >= 0) m.corpusRows else readSigs(spark, dir).count()
+    val target = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile)
+    f.listStatus(p).count(_.getPath.getName.endsWith(".parquet")) > 2 * target
+  }
+
   /** Rewrite append-accumulated sigs into size-targeted files,
     * doc_id-range-clustered — same shape as AnnIndex.compact, same
     * shared swap discipline. */

@@ -76,15 +76,21 @@ import graft.engine.{GraftEngine, QueryInterval, QueryTimePoint}
   * flows executor → driver → socket in chunks; it is never
   * materialized whole on the server.
   *
-  * Trust model: the protocol has NO authentication — any connected
-  * client can read, mutate, and subscribe (the reference's server is
-  * the same). The server therefore binds the LOOPBACK interface unless
-  * an explicit `bindAddress` opts into wider exposure; deployments that
-  * bind a routable address must front it with network-level access
-  * control.
+  * Trust model: by default the protocol has NO authentication — any
+  * connected client can read, mutate, and subscribe (the reference's
+  * server is the same), so the server binds the LOOPBACK interface
+  * unless an explicit `bindAddress` opts into wider exposure. A
+  * deployment that binds a routable address should ALSO pass `secret`:
+  * every connection must then open with `HELLO <secret>` (compared
+  * constant-time) before ANY command — a wrong or missing secret closes
+  * the connection without executing or answering anything. The secret
+  * is enforced whenever configured (loopback included — configuring it
+  * means wanting it), and is an access FLOOR, not transport security:
+  * the line protocol is plaintext; a hostile-network deployment still
+  * needs TLS/network-level controls in front.
   */
 class GraftServer(engine: graft.engine.EngineApi, port: Int = 0, bindAddress: Option[String] = None,
-                  pushQueueCap: Int = 1024) {
+                  pushQueueCap: Int = 1024, secret: Option[String] = None) {
 
   private val server = new ServerSocket(port, 50,
     bindAddress.map(java.net.InetAddress.getByName)
@@ -184,12 +190,27 @@ class GraftServer(engine: graft.engine.EngineApi, port: Int = 0, bindAddress: Op
       }
     }
 
+  /** Constant-time equality — a naive String == short-circuits at the
+    * first differing byte and leaks prefix length through timing. */
+  private def secretMatches(line: String): Boolean = secret.exists { s =>
+    java.security.MessageDigest.isEqual(
+      line.getBytes("UTF-8"), s"HELLO $s".getBytes("UTF-8"))
+  }
+
   private def handle(sock: Socket): Unit = {
     val in = new BufferedReader(new InputStreamReader(sock.getInputStream, "UTF-8"))
     val out = new PrintWriter(new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8"))
     var sub: Option[Subscriber] = None
     def reply(s: String): Unit = out.synchronized { out.println(s); out.flush() }
     try {
+      if (secret.isDefined) {
+        // auth gate: the FIRST line must be the HELLO — anything else
+        // (including a valid command) closes the connection unanswered,
+        // so an unauthenticated peer can neither execute nor probe
+        val first = in.readLine()
+        if (first == null || !secretMatches(first)) { sock.close(); return }
+        reply("OK")
+      }
       var line = in.readLine()
       while (line != null) {
         try {
@@ -329,12 +350,20 @@ object GraftServer {
   * connection into push mode (mirror of the reference client's
   * callback-driven subscribe).
   */
-class GraftClient(host: String, port: Int) extends AutoCloseable {
+class GraftClient(host: String, port: Int, secret: Option[String] = None) extends AutoCloseable {
   private val sock = new Socket(host, port)
   private val in = new BufferedReader(new InputStreamReader(sock.getInputStream, "UTF-8"))
   private val out = new PrintWriter(new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8"))
 
   @volatile private var subscribed = false
+
+  // auth handshake first when the deployment requires one: HELLO → OK
+  secret.foreach { s =>
+    out.println(s"HELLO $s"); out.flush()
+    val resp = in.readLine()
+    if (resp != "OK") throw new java.io.IOException(
+      "server rejected the shared secret (connection closed before any command)")
+  }
 
   private def send(line: String): Unit = { out.println(line); out.flush() }
   private def expect(prefix: String): String = {

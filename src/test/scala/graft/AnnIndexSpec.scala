@@ -228,6 +228,26 @@ class AnnIndexSpec extends SparkSpec {
     assert(!fs.exists(new Path(s"$dir/codes.compacting")))
   }
 
+  test("kmeans quantizer memo: one session trains a given corpus once") {
+    val unlabeled = raw.drop("label")
+    val first = SparkEntry.queries("kmeans_centroids")(spark, sfDir).collect().toSeq.map(_.toSeq)
+    val trainedAfterFirst = SimilarityQueries.kmeansTrainCount.get()
+    // the second derivation — same corpus, same session — must serve the
+    // memo (kmeans_centroids + sim_ivf_kmeans back-to-back train ONCE)
+    val second = SparkEntry.queries("kmeans_centroids")(spark, sfDir).collect().toSeq.map(_.toSeq)
+    collectAnn("sim_ivf_kmeans")
+    assert(SimilarityQueries.kmeansTrainCount.get() === trainedAfterFirst,
+      "re-deriving the quantizer for an unchanged corpus must not retrain")
+    assert(second === first, "memo-served centroids are the trained ones")
+    // a CHANGED corpus (content mutated in place, ids unchanged) retrains
+    // — the fingerprint's content term keys the memo
+    graft.extensions.SimilarityQueries.kmeansCentroids(spark,
+      unlabeled.withColumn("embedding",
+        expr("transform(embedding, x -> CAST(x + 1.0f AS FLOAT))"))).collect()
+    assert(SimilarityQueries.kmeansTrainCount.get() === trainedAfterFirst + 1,
+      "a mutated corpus must never be served a stale quantizer")
+  }
+
   test("bandBits advisor scales the scheme with the corpus; build persists it") {
     assert(AnnIndex.advisedBandBits(500L, 16) === 4, "gated test scale keeps the 16/4 scheme")
     assert(AnnIndex.advisedBandBits(1000000L, 16) === 8, "1M vectors → 8-bit bands (planes/2 cap)")

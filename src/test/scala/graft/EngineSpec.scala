@@ -610,4 +610,44 @@ class EngineSpec extends SparkSpec {
       Meas(2L, ts("2024-03-01 10:00:00"), 2.0, 1L, 2L)))
     assert(sh.maintain() === graft.engine.MaintenanceReport(Seq.empty, Seq.empty, false))
   }
+
+  test("maintain() crons the artifact indexes: corrupt → uncertified → rebuilt, fragmentation compacted") {
+    import graft.extensions.{AnnIndex, TextIndex}
+    val engine = new GraftEngine(spark, tmpDir("graft-maintain-art"), buckets = 2)
+    engine.append(Seq(Meas(1L, ts("2024-03-01 10:00:00"), 1.0, 1L, 1L)))
+    val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val annDir = tmpDir("graft-maintain-ann")
+    val textDir = tmpDir("graft-maintain-text")
+    AnnIndex.build(spark, raw, annDir)
+    TextIndex.build(spark, docs, textDir)
+    val servedBefore = {
+      spark.conf.set(AnnIndex.ConfKey, annDir)
+      try SparkEntry.queries("sim_ann")(spark, sfDir).collect().toSeq.map(_.toSeq)
+      finally spark.conf.unset(AnnIndex.ConfKey)
+    }
+    // corrupt one codes file — fsck must uncertify, maintain must rebuild
+    java.nio.file.Files.write(
+      new java.io.File(s"$annDir/codes/part-corrupt.parquet").toPath, "junk".getBytes)
+
+    val report = engine.maintain(
+      annIndex = Some((annDir, raw)), textIndex = Some((textDir, docs)))
+    assert(report.artifacts.map(_.dir) === Seq(annDir, textDir))
+    val annR = report.artifacts.head
+    assert(annR.corrupt.exists(_.contains("part-corrupt")), "probe found the planted file")
+    assert(annR.rebuilt, "the uncertified index was rebuilt from its corpus")
+    assert(AnnIndex.usable(spark, annDir), "…and re-certified in the same call")
+    assert(AnnIndex.readCodes(spark, annDir).count() === raw.count())
+    // the repaired index serves identical results
+    spark.conf.set(AnnIndex.ConfKey, annDir)
+    try assert(SparkEntry.queries("sim_ann")(spark, sfDir).collect().toSeq.map(_.toSeq)
+      === servedBefore)
+    finally spark.conf.unset(AnnIndex.ConfKey)
+    assert(TextIndex.usable(spark, textDir))
+    // idempotent: the second pass finds nothing to probe, rebuild, or compact
+    val again = engine.maintain(
+      annIndex = Some((annDir, raw)), textIndex = Some((textDir, docs)))
+    assert(again.artifacts.forall(a => a.corrupt.isEmpty && !a.rebuilt && !a.compacted),
+      s"second maintain must be a no-op, got ${again.artifacts}")
+  }
 }

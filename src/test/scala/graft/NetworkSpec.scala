@@ -269,6 +269,45 @@ class NetworkSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("shared-secret HELLO gates every command; wrong/missing secret closes unanswered") {
+    val engine = new GraftEngine(spark, tmpDir("graft-net-auth"), buckets = 2)
+    engine.append(Seq(Meas(1L, ts("2024-03-01 10:00:00"), 1.0, Flags.CLICK, 1)))
+    val server = new GraftServer(engine, secret = Some("s3cret")).start()
+    try {
+      def rawConn(): (java.net.Socket, java.io.PrintWriter, java.io.BufferedReader) = {
+        val s = new java.net.Socket("127.0.0.1", server.boundPort)
+        (s, new java.io.PrintWriter(s.getOutputStream),
+          new java.io.BufferedReader(new java.io.InputStreamReader(s.getInputStream)))
+      }
+      // no HELLO, straight to a command: closed without ANY reply
+      val (s1, o1, i1) = rawConn()
+      o1.println("CURRENT_VALUE 1 0"); o1.flush()
+      assert(i1.readLine() === null, "unauthenticated command gets silence + close")
+      s1.close()
+      // wrong secret: same silence
+      val (s2, o2, i2) = rawConn()
+      o2.println("HELLO wrong"); o2.flush()
+      assert(i2.readLine() === null, "wrong secret gets silence + close")
+      s2.close()
+      // the client helper with a missing secret fails its first request
+      intercept[java.io.IOException] {
+        val c = new GraftClient("127.0.0.1", server.boundPort)
+        c.ping()
+      }
+      // right secret: full protocol as usual, push-subscribe included
+      val c = new GraftClient("127.0.0.1", server.boundPort, secret = Some("s3cret"))
+      assert(c.ping())
+      val cur = c.currentValue(Seq(1L), 0L)
+      assert(cur.head._3 === Some(1.0))
+      val pushed = new java.util.concurrent.LinkedBlockingQueue[Meas]()
+      val subC = new GraftClient("127.0.0.1", server.boundPort, secret = Some("s3cret"))
+      subC.subscribe(Seq(1L), 0L)(pushed.put)
+      engine.append(Seq(Meas(1L, ts("2024-03-01 11:00:00"), 2.0, Flags.CLICK, 2)))
+      assert(pushed.poll(10, java.util.concurrent.TimeUnit.SECONDS) !== null)
+      c.close(); subC.close()
+    } finally server.stop()
+  }
+
   test("eviction storm leaks no writer threads (shutdown flag beats the lost-poison race)") {
     def pushThreads(): Set[Thread] = {
       import scala.jdk.CollectionConverters._
