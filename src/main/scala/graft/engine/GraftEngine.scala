@@ -91,6 +91,17 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
   private def locked[T](body: => T): T =
     graft.sources.WriterLock.withLock(spark, path, writerId)(body)
 
+  /** Opt-in lease for the APPEND path (`spark.graft.lock.appends`):
+    * default off — appends are serialized per instance by the monitor,
+    * and the hot path must not pay lease round-trips per batch — but a
+    * deployment genuinely running multiple writer engines on one path
+    * can turn every ingest into a fail-fast lease term too. Reentrant
+    * with the maintenance lease (same owner token), so maintain() and
+    * an append from another thread of the SAME engine never deadlock. */
+  private def maybeLeased[T](body: => T): T =
+    if (spark.conf.get("spark.graft.lock.appends", "false").toBoolean) locked(body)
+    else body
+
   // ---- MEMORY-strategy hot level -----------------------------------
   // The reference's Strategy::MEMORY keeps appends in an in-process
   // memstorage level and drops them to pages when the memory limit is
@@ -113,7 +124,7 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
   /** Drop the MEMORY level to the durable store — the memstorage→page
     * "drop" [U: storage/memstorage/memstorage.cpp — drop_by_limit]. */
   def flush(): Unit = synchronized {
-    if (hotChunks.nonEmpty) {
+    if (hotChunks.nonEmpty) maybeLeased {
       val batch = hotChunks.reduce(_ unionByName _)
       TsdbStorage.append(batch, dataPath, buckets, Some(statsPath))
       // no explicit unpersist: a concurrent reader may still hold a plan
@@ -200,11 +211,13 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     * in-memory level instead and is dropped to parquet when the level
     * exceeds hotCapacity rows — reads see it immediately either way. */
   def append(meas: DataFrame): Unit = synchronized {
-    notifyAppended(appendCore(meas))
+    maybeLeased(notifyAppended(appendCore(meas)))
   }
   def append(ms: Seq[Meas]): Unit = synchronized {
-    appendCore(spark.createDataset(ms).toDF())
-    notifyAppended(ms)
+    maybeLeased {
+      appendCore(spark.createDataset(ms).toDF())
+      notifyAppended(ms)
+    }
   }
 
   /** Level commit; returns the frame listeners should replay (the
@@ -279,12 +292,13 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     * mergeFreshest, paid until compact) — the same single-process
     * caveat the level itself documents. */
   def appendOnce(batch: DataFrame, appId: String, batchId: Long): Unit = synchronized {
-    if (hotCapacity <= 0L) {
+    if (hotCapacity <= 0L) maybeLeased {
       val (lastApp, lastBid) = readCursor()
-      if (appId == lastApp && batchId <= lastBid) return // replay: already applied
-      notifyAppended(appendCore(batch))
-      writeCursor(appId, batchId)
-    } else notifyAppended(appendCore(batch))
+      if (appId != lastApp || batchId > lastBid) { // else replay: already applied
+        notifyAppended(appendCore(batch))
+        writeCursor(appId, batchId)
+      }
+    } else maybeLeased(notifyAppended(appendCore(batch)))
   }
 
   /** Merge-on-read view: freshest row per (id, time), across the

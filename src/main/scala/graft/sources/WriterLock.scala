@@ -125,11 +125,33 @@ object WriterLock {
           h.stopped = true
           h.heartbeat.interrupt()
           held.remove(key)
-          try fs.delete(lockPath, false) catch { case _: Throwable => () }
+          // split-brain guard: if this writer stalled past staleMs (GC
+          // pause, VM freeze) another writer may have taken the lease
+          // over — deleting unconditionally would free THAT writer's
+          // lock under it. Delete only a file still recording this
+          // owner; a takeover leaves the usurper's lease intact (and
+          // the stall is loudly reported — both writers ran, and the
+          // marker protocol is what bounds the damage).
+          try {
+            if (readOwner(fs, lockPath) == owner) fs.delete(lockPath, false)
+            else System.err.println(s"[graft-lock] $dir lease was taken over " +
+              s"mid-operation (writer stalled past the stale window); " +
+              "left the new owner's lease in place")
+          } catch { case _: Throwable => () }
         }
       }
     }
   }
+
+  private def readOwner(fs: org.apache.hadoop.fs.FileSystem, lockPath: Path): String =
+    try {
+      val in = fs.open(lockPath)
+      try {
+        val buf = new Array[Byte](256)
+        val n = math.max(0, in.read(buf))
+        new String(buf, 0, n, StandardCharsets.UTF_8)
+      } finally in.close()
+    } catch { case _: java.io.IOException => "" }
 
   /** Atomic create-if-absent with one stale-takeover retry. */
   private def acquireFile(fs: org.apache.hadoop.fs.FileSystem, lockPath: Path,
@@ -144,15 +166,7 @@ object WriterLock {
     val (age, holder) =
       try {
         val st = fs.getFileStatus(lockPath)
-        val body = {
-          val in = fs.open(lockPath)
-          try {
-            val buf = new Array[Byte](256)
-            val n = math.max(0, in.read(buf))
-            new String(buf, 0, n, StandardCharsets.UTF_8)
-          } finally in.close()
-        }
-        (System.currentTimeMillis() - st.getModificationTime, body)
+        (System.currentTimeMillis() - st.getModificationTime, readOwner(fs, lockPath))
       } catch { case _: java.io.IOException => (Long.MaxValue, "(gone)") } // holder released between create and stat
     if (age > stale) {
       // crashed owner: heartbeat stopped > staleMs ago. Delete + retry

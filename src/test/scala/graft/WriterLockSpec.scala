@@ -81,6 +81,26 @@ class WriterLockSpec extends SparkSpec {
     assert(!fsFor(dir).exists(new Path(dir, WriterLock.FileName)))
   }
 
+  test("opt-in append lease: multi-engine ingest can be made fail-fast too") {
+    val dir = tmpDir("graft-lock-append")
+    val eng = seed(dir)
+    def row(i: Int) = Seq(Meas(9L, ts(f"2024-03-03 10:00:$i%02d"), i.toDouble, Flags.CLICK, 200L + i))
+    // DEFAULT: appends take no lease — ingest proceeds under a held
+    // lease (the hot path does not pay FS round-trips per batch)
+    WriterLock.withLock(spark, dir, "maintainer-A")(eng.append(row(1)))
+    assert(eng.merged.count() === 101L)
+    // opted in: an append contends the lease like any other writer
+    spark.conf.set("spark.graft.lock.appends", "true")
+    try {
+      WriterLock.withLock(spark, dir, "maintainer-A") {
+        intercept[WriterLock.ConcurrentWriterException](eng.append(row(2)))
+      }
+      eng.append(row(2)) // lease released → the append takes its own
+      assert(eng.merged.count() === 102L)
+    } finally spark.conf.unset("spark.graft.lock.appends")
+    assert(!fsFor(dir).exists(new Path(dir, WriterLock.FileName)))
+  }
+
   test("artifact writers hold the same contract (AnnIndex, TextIndex)") {
     val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
