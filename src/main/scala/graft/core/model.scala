@@ -28,6 +28,17 @@ object Meas {
   /** Flag value marking "no measurement at/ before this time point" in
     * as-of reads [U: libdariadb/meas.h — Flags::_NO_DATA]. */
   val NO_DATA: Long = 4294967295L
+
+  /** Sentinel timestamps for "after any real time" (currentValue's
+    * as-of-now point) and "before any real time" (streaming state
+    * initializers). NOT Long.MaxValue/MinValue millis: java.sql.Timestamp
+    * math (getTime ± nanos adjustments, µs conversions ×1000) overflows
+    * at the extremes, so both back off by 2^12 — year ≈ ±73,000, far
+    * outside any measurable data, with ~4,000× headroom under every
+    * ×1000 unit conversion in the codebase. Use THESE, never re-derive
+    * the shift inline (MaxValue vs MinValue is an easy sign typo). */
+  val TIME_MAX: java.sql.Timestamp = new java.sql.Timestamp(Long.MaxValue >> 12)
+  val TIME_MIN: java.sql.Timestamp = new java.sql.Timestamp(Long.MinValue >> 12)
 }
 
 /** Flag-match semantics [U: libdariadb/meas.h — Meas::inFlag]:

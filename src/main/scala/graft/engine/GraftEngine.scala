@@ -451,7 +451,7 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
   }
 
   def currentValue(ids: Seq[Long], flag: Long): DataFrame =
-    readTimePoint(QueryTimePoint(ids, flag, new Timestamp(Long.MaxValue >> 12)))
+    readTimePoint(QueryTimePoint(ids, flag, Meas.TIME_MAX))
 
   /** Grid read — the dashboard/feature-snapshot shape: every catalog
     * series sampled on a fixed step over [from, to], forward-filled
@@ -860,6 +860,7 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
         maintainArtifact(dir,
           r => graft.extensions.AnnIndex.fsck(spark, dir, r),
           graft.extensions.AnnIndex.usable(spark, dir),
+          () => graft.extensions.AnnIndex.verify(spark, dir, corpus),
           () => graft.extensions.AnnIndex.build(spark, corpus, dir),
           () => graft.extensions.AnnIndex.fragmented(spark, dir),
           () => graft.extensions.AnnIndex.compact(spark, dir), repair)
@@ -868,6 +869,7 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
         maintainArtifact(dir,
           r => graft.extensions.TextIndex.fsck(spark, dir, r),
           graft.extensions.TextIndex.usable(spark, dir),
+          () => graft.extensions.TextIndex.verify(spark, dir, corpus),
           () => graft.extensions.TextIndex.build(spark, corpus, dir),
           () => graft.extensions.TextIndex.fragmented(spark, dir),
           () => graft.extensions.TextIndex.compact(spark, dir), repair)
@@ -875,18 +877,24 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     MaintenanceReport(corrupt, frag, reindexNeeded, artifactReports)
   }
 
-  /** One artifact's probe → rebuild-if-uncertified → compact-if-
-    * fragmented cycle. `existedUsable` is sampled BEFORE fsck so a
-    * never-built dir (nothing to rebuild from scratch here — the user
-    * never asked for an index) is distinguished from one a crash or the
-    * probe just uncertified. */
+  /** One artifact's probe → verify → rebuild-if-uncertified →
+    * compact-if-fragmented cycle. `existedUsable` is sampled BEFORE fsck
+    * so a never-built dir (nothing to rebuild from scratch here — the
+    * user never asked for an index) is distinguished from one a crash or
+    * the probe just uncertified. `verifyF` is the full-fingerprint audit
+    * (content term always included): it uncertifies an index that no
+    * longer matches its corpus — a corpus grown or mutated without the
+    * index keeping up is caught HERE even when the per-query content
+    * check is opted out (ContentCheckKey). */
   private def maintainArtifact(dir: String, fsckF: Boolean => Seq[String],
-                               existedUsable: Boolean, rebuild: () => Unit,
+                               existedUsable: Boolean, verifyF: () => Boolean,
+                               rebuild: () => Unit,
                                fragged: () => Boolean, compactF: () => Unit,
                                repair: Boolean): ArtifactReport = {
     val existed = existedUsable || // uncertified remains of a real index: rebuildable
       new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration).exists(new Path(dir))
     val bad = fsckF(repair)
+    if (TsdbStorage.statsUsable(spark, dir)) verifyF() // uncertifies on mismatch
     val needRebuild = existed && !TsdbStorage.statsUsable(spark, dir)
     if (needRebuild && repair) rebuild()
     val doCompact = fragged()

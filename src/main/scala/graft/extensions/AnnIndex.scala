@@ -92,6 +92,24 @@ object AnnIndex {
   /** Session conf key pointing sim_ann/sim_ivf at a persisted index. */
   val ConfKey = "spark.graft.ann.indexDir"
 
+  /** Whether resolveFor's per-query fingerprint check includes the
+    * CONTENT term (default true). The content hash is one xxhash64 agg
+    * over the vectors/text — trivially cheap at test scale, but it is an
+    * O(corpus) column scan PER QUERY, the exact growth-with-corpus cost
+    * the index exists to amortize: at 100 TB the index-served dedup path
+    * reads stored signatures + survivor shingles only, and a full
+    * content scan per query would dwarf both. A deployment whose corpus
+    * is append-only (the common case — in-place mutation impossible by
+    * construction) sets this false to keep the per-query check at the
+    * column-pruned id stats; [[verify]] (and through it `maintain()`)
+    * still checks content regardless, so a mutated corpus is caught at
+    * maintenance time even when opted out. Shared by AnnIndex and
+    * TextIndex. */
+  val ContentCheckKey = "spark.graft.index.contentCheck"
+
+  private[extensions] def contentCheck(spark: SparkSession): Boolean =
+    spark.conf.get(ContentCheckKey, "true").toBoolean
+
   /** Default compact target: ~4M slim code rows per file (~tens of MB
     * compressed) — keeps a 10⁹-vector codes table at a few hundred
     * parallel-readable files instead of one single-task monolith. */
@@ -124,11 +142,38 @@ object AnnIndex {
     * fingerprint, or a mismatch (stale index, foreign corpus) — is not
     * served; the caller recomputes, which is always correct. */
   def resolveFor(spark: SparkSession, corpus: DataFrame): Option[String] =
-    resolve(spark).filter { dir =>
-      val m = readMeta(spark, dir)
-      m.corpusRows >= 0 && fingerprint(corpus) ==
-        ((m.corpusRows, m.idMin, m.idMax, m.idSum, m.contentXor))
+    resolve(spark).filter(dir => fingerprintMatches(spark, readMeta(spark, dir), corpus))
+
+  private def fingerprintMatches(spark: SparkSession, m: AnnMeta,
+                                 corpus: DataFrame): Boolean =
+    m.corpusRows >= 0 && {
+      if (contentCheck(spark))
+        fingerprint(corpus) == ((m.corpusRows, m.idMin, m.idMax, m.idSum, m.contentXor))
+      else // column-pruned id stats only (see ContentCheckKey)
+        idStats(corpus) == ((m.corpusRows, m.idMin, m.idMax, m.idSum))
     }
+
+  /** Full-fingerprint audit (content term ALWAYS included, whatever
+    * ContentCheckKey says): true iff the certified index matches the
+    * corpus bit-for-bit at the fingerprint level. A mismatch UNCERTIFIES
+    * the index — the maintenance-time backstop for deployments that
+    * opted the per-query content check out. */
+  def verify(spark: SparkSession, dir: String, corpus: DataFrame): Boolean = {
+    if (!usable(spark, dir)) return false
+    val m = readMeta(spark, dir)
+    val ok = m.corpusRows >= 0 &&
+      fingerprint(corpus) == ((m.corpusRows, m.idMin, m.idMax, m.idSum, m.contentXor))
+    if (!ok) TsdbStorage.markStatsOutOfSync(spark, dir)
+    ok
+  }
+
+  /** The cheap (column-pruned) half of the fingerprint. */
+  private def idStats(corpus: DataFrame): (Long, Long, Long, Long) = {
+    val r = corpus.agg(
+      count(col("vec_id")), coalesce(min("vec_id"), lit(0L)),
+      coalesce(max("vec_id"), lit(0L)), coalesce(sum("vec_id"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
 
   /** True iff the index exists AND its last mutation committed. */
   def usable(spark: SparkSession, dir: String): Boolean =

@@ -76,9 +76,35 @@ object TextIndex {
                  numHashes: Int = DedupQueries.NUM_HASHES): Option[String] =
     resolve(spark).filter { dir =>
       val m = readMeta(spark, dir)
-      m.numHashes == numHashes && m.corpusRows >= 0 &&
-        fingerprint(corpus) == ((m.corpusRows, m.idMin, m.idMax, m.idSum, m.contentXor))
+      m.numHashes == numHashes && fingerprintMatches(spark, m, corpus)
     }
+
+  private def fingerprintMatches(spark: SparkSession, m: TextMeta,
+                                 corpus: DataFrame): Boolean =
+    m.corpusRows >= 0 && {
+      if (AnnIndex.contentCheck(spark)) // shared ContentCheckKey contract
+        fingerprint(corpus) == ((m.corpusRows, m.idMin, m.idMax, m.idSum, m.contentXor))
+      else
+        idStats(corpus) == ((m.corpusRows, m.idMin, m.idMax, m.idSum))
+    }
+
+  /** Full-fingerprint audit, content term always included — uncertifies
+    * on mismatch (the [[AnnIndex.verify]] contract). */
+  def verify(spark: SparkSession, dir: String, corpus: DataFrame): Boolean = {
+    if (!usable(spark, dir)) return false
+    val m = readMeta(spark, dir)
+    val ok = m.corpusRows >= 0 &&
+      fingerprint(corpus) == ((m.corpusRows, m.idMin, m.idMax, m.idSum, m.contentXor))
+    if (!ok) TsdbStorage.markStatsOutOfSync(spark, dir)
+    ok
+  }
+
+  private def idStats(corpus: DataFrame): (Long, Long, Long, Long) = {
+    val r = corpus.agg(
+      count(col("doc_id")), coalesce(min("doc_id"), lit(0L)),
+      coalesce(max("doc_id"), lit(0L)), coalesce(sum("doc_id"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
 
   def readSigs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(sigsPath(dir))

@@ -32,7 +32,8 @@ object StatefulStreams {
       .groupByKey(_.id)
       .mapGroupsWithState[SeriesState, CurrentUpdate](GroupStateTimeout.NoTimeout) {
         (id: Long, batch: Iterator[Meas], state: GroupState[SeriesState]) =>
-          var st = state.getOption.getOrElse(SeriesState(new java.sql.Timestamp(Long.MinValue >> 12), 0.0, 0L, Long.MinValue, 0L))
+          var st = state.getOption.getOrElse(
+            SeriesState(Meas.TIME_MIN, 0.0, 0L, Long.MinValue, 0L))
           batch.foreach { m =>
             val fresher = st.count == 0L || newer(m.time, m.seq, st.time, st.seq)
             st = SeriesState(

@@ -187,6 +187,23 @@ class AnnIndexSpec extends SparkSpec {
       assert(AnnIndex.resolveFor(spark, mutated) === None,
         "re-embedded corpus with unchanged ids must not be served")
     }
+    // opted-out per-query content check (append-only deployments, where
+    // the O(corpus) content scan per query is the cost the index exists
+    // to remove): id stats still gate; the content term defers to the
+    // verify()/maintain() audit, which ALWAYS includes it
+    spark.conf.set(AnnIndex.ContentCheckKey, "false")
+    try {
+      withIndex(dir) {
+        assert(AnnIndex.resolveFor(spark, mutated) === Some(dir),
+          "opt-out serves on id stats alone (the documented trade)")
+        assert(AnnIndex.resolveFor(spark, raw.filter(col("vec_id") >= 10)) === None,
+          "id-stats staleness still refuses under opt-out")
+      }
+      assert(!AnnIndex.verify(spark, dir, mutated), "the audit catches the mutation")
+      assert(!AnnIndex.usable(spark, dir), "…and uncertifies the index")
+      AnnIndex.build(spark, raw, dir)
+      assert(AnnIndex.verify(spark, dir, raw), "a rebuilt index passes its audit")
+    } finally spark.conf.unset(AnnIndex.ContentCheckKey)
   }
 
   test("streamed replay: an already-applied (appId, batchId) append is a no-op") {

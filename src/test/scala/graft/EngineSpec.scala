@@ -649,5 +649,18 @@ class EngineSpec extends SparkSpec {
       annIndex = Some((annDir, raw)), textIndex = Some((textDir, docs)))
     assert(again.artifacts.forall(a => a.corrupt.isEmpty && !a.rebuilt && !a.compacted),
       s"second maintain must be a no-op, got ${again.artifacts}")
+    // a corpus mutated in place (ids unchanged): the maintenance-time
+    // fingerprint audit uncertifies, and maintain rebuilds against the
+    // corpus it was handed — the backstop for deployments that opt the
+    // per-query content check out
+    val mutated = raw.withColumn("embedding",
+      expr("transform(embedding, x -> CAST(x + 1.0f AS FLOAT))"))
+    val r3 = engine.maintain(annIndex = Some((annDir, mutated)))
+    assert(r3.artifacts.head.rebuilt, "fingerprint audit caught the in-place mutation")
+    assert(AnnIndex.usable(spark, annDir))
+    spark.conf.set(AnnIndex.ConfKey, annDir)
+    try assert(AnnIndex.resolveFor(spark, mutated) === Some(annDir),
+      "the rebuilt index serves the corpus it was rebuilt from")
+    finally spark.conf.unset(AnnIndex.ConfKey)
   }
 }
