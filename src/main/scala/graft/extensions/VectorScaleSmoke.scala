@@ -161,6 +161,21 @@ object VectorScaleSmoke {
         .count()
     }
     println(s"[vscale] index-served candidates: $idxCands (recompute path: $candCount — must match)")
+    // fingerprint gate cost at this corpus size: the per-query resolveFor
+    // check with the content term (full embedding-column hash scan) vs
+    // the column-pruned id-stats opt-out (ContentCheckKey=false) — the
+    // measured basis for the conf's default-on / opt-out-at-scale design
+    spark.conf.set(AnnIndex.ConfKey, idxDir)
+    try {
+      val tOn = { val t0 = System.nanoTime()
+        require(AnnIndex.resolveFor(spark, raw).isDefined); (System.nanoTime() - t0) / 1e9 }
+      spark.conf.set(AnnIndex.ContentCheckKey, "false")
+      val tOff = { val t0 = System.nanoTime()
+        require(AnnIndex.resolveFor(spark, raw).isDefined); (System.nanoTime() - t0) / 1e9 }
+      println(f"[vscale] resolveFor fingerprint gate: content check $tOn%.2f s " +
+        f"vs id-stats only $tOff%.2f s per query (${tOn / tOff}%.1fx — why " +
+        "append-only corpora opt out; verify()/maintain() still audits content)")
+    } finally { spark.conf.unset(AnnIndex.ConfKey); spark.conf.unset(AnnIndex.ContentCheckKey) }
     // distributed compact: size-targeted, vec_id-range-clustered files —
     // never a one-task monolith (rows/250k → multi-file at 1M vectors)
     time(f"AnnIndex.compact ($rows%,d rows @ 250k rows/file)")(
