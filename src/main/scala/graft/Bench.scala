@@ -83,13 +83,19 @@ object Bench {
       dir
     }
     // SPARK_GRAFT_TEXT_INDEX=build: same deal for the text-signature
-    // index — dedup_minhash/simhash/clusters band stored signatures
+    // index — dedup_minhash/simhash/clusters/ngram serve stored
+    // signatures and hashed shingles
     val textDir = sys.env.get("SPARK_GRAFT_TEXT_INDEX").map { _ =>
       val dir = java.nio.file.Files.createTempDirectory("graft-text-bench").toString
       graft.extensions.TextIndex.build(spark, spark.read.parquet(s"$sfDir/documents.parquet"), dir)
       spark.conf.set(graft.extensions.TextIndex.ConfKey, dir)
       dir
     }
+    // SPARK_GRAFT_CONTENT_CHECK=false: bench the append-only deployment
+    // shape — resolveFor gates on column-pruned id stats instead of the
+    // full content-hash scan (see AnnIndex.ContentCheckKey)
+    sys.env.get("SPARK_GRAFT_CONTENT_CHECK").foreach(v =>
+      spark.conf.set(graft.extensions.AnnIndex.ContentCheckKey, v))
 
     // iteration aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those queries
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -53,18 +53,22 @@ object DedupQueries {
   private def shingled(s: SparkSession, d: String): DataFrame =
     shingleDocs(docs(s, d))
 
-  /** Both text signatures in ONE map-side pass over the shingles —
+  /** All three text signatures in ONE map-side pass over the shingles —
     * exactly what [[TextIndex]] persists and the live paths derive:
-    * the 8-hash MinHash signature (banding for dedup_minhash) and the
+    * the 8-hash MinHash signature (banding for dedup_minhash), the
     * 32-bit SimHash (banding + Hamming verification for dedup_simhash
-    * and the cluster resolution). */
+    * and the cluster resolution), and the 60-bit hashed shingle array
+    * `shn` (dedup_ngram's ENTIRE working set — blocking, df counts, and
+    * exact-intersection verification all run on these ints, so an
+    * index-served ngram query never touches the text column at all). */
   private[extensions] def signatures(s: SparkSession, docsDf: DataFrame,
       numHashes: Int = NUM_HASHES): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     shingleDocs(docsDf).select(col("doc_id"),
       call_function("graft_minhash", col("sh"), lit(numHashes)).as("mhs"),
       call_function("graft_simhash",
-        expr("transform(sh, x -> graft_md5_prefix(x, 8))")).as("simhash"))
+        expr("transform(sh, x -> graft_md5_prefix(x, 8))")).as("simhash"),
+      expr("transform(sh, x -> graft_md5_prefix(x, 15))").as("shn"))
   }
 
   // -------------------------------------------------------------------
@@ -308,9 +312,17 @@ object DedupQueries {
       // blocking join produces for free) + |freq_A ∩ freq_B| (per-doc
       // frequent-shingle arrays are bounded by the global frequent set,
       // which is tiny by definition). No large arrays ever shuffle.
-      val sh = shingled(s, d)
-        .select(col("doc_id"), expr("transform(sh, x -> graft_md5_prefix(x, 15))").as("sh"))
-        .withColumn("n", size(col("sh")).cast("long"))
+      // A certified, fingerprint-matched TextIndex serves the stored
+      // hashed-shingle arrays (`shn`) — every downstream step (blocking,
+      // df, verification) runs on these ints, so the index-served query
+      // skips the text scan + tokenize + md5 pass ENTIRELY (indexes
+      // predating the column fall back; rebuild to upgrade).
+      val sh = (TextIndex.resolveFor(s, docs(s, d)) match {
+        case Some(dir) if TextIndex.readSigs(s, dir).columns.contains("shn") =>
+          TextIndex.readSigs(s, dir).select(col("doc_id"), col("shn").as("sh"))
+        case _ => shingled(s, d)
+          .select(col("doc_id"), expr("transform(sh, x -> graft_md5_prefix(x, 15))").as("sh"))
+      }).withColumn("n", size(col("sh")).cast("long"))
         .persist() // persists below: session-scoped memos (QueryDef cache contract)
       val post = sh.select(col("doc_id"), explode(col("sh")).as("x"))
       val dfx = post.groupBy("x").agg(count(lit(1)).as("df")).persist()

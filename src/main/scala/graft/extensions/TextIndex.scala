@@ -25,7 +25,11 @@ case class TextMeta(numHashes: Int, corpusRows: Long, idMin: Long, idMax: Long,
   *
   * Layout under an index dir:
   *   sigs/    parquet (doc_id, mhs: array<string>[numHashes],
-  *            simhash: long) — one slim row per document
+  *            simhash: long, shn: array<long>) — one row per document.
+  *            `shn` (the 60-bit hashed shingle array) is dedup_ngram's
+  *            whole working set; it is column-pruned away by the
+  *            minhash/simhash readers, so storing it costs those paths
+  *            nothing
   *   _meta/   one row — see [[TextMeta]]
   *   _SYNCED  commit marker — same certify/fallback protocol as the
   *            engine's stats index and AnnIndex: queries serve a
