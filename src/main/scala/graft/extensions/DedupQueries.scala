@@ -557,6 +557,145 @@ object DedupQueries {
          |ORDER BY n_occ DESC, chunk_hash LIMIT $CHUNK_TOP""".stripMargin),
     doc = "X1 chunk-level dedup: top duplicated 5-token windows across the corpus (line-dedup analog)")
 
+  // -------------------------------------------------------------------
+  // X1 span-level dedup (the "substring dedup" pass from the training-
+  // data dedup literature — e.g. Lee et al. 2021, "Deduplicating
+  // Training Data Makes Language Models Better" — at word granularity):
+  // every OVERLAPPING SPAN_K-token window is hashed; windows that recur
+  // in ≥2 documents mark their start positions; per document, marked
+  // positions whose coverage overlaps or touches merge into MAXIMAL
+  // duplicated spans (gaps-and-islands: a new island starts when the
+  // next duplicated window begins more than SPAN_K tokens after the
+  // previous one, i.e. their token coverage no longer connects).
+  //
+  // Scale shape: one map-side window explosion (rows ≈ corpus tokens —
+  // the same fan-out every substring-dedup pipeline pays), ONE grouped
+  // shuffle on the 128-bit window hash for the cross-doc count, one
+  // equi-join of windows against the duplicated-hash set (sort-merge;
+  // the dup set is corpus-sized in the worst case, so no broadcast
+  // assumption), then per-doc windows over (doc_id, p) — lag and the
+  // running sum share one partitioning + sort. No O(n²) step anywhere:
+  // candidate work is linear in corpus tokens + duplicated windows.
+  // -------------------------------------------------------------------
+  private val SPAN_K = 8
+
+  /** Shared CTE prefix: duplicated-window start positions per document
+    * (doc_id, p), deduplicated — exactly what both span queries island
+    * or aggregate over. */
+  private val spanDwSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, $toksSql AS ts FROM documents WHERE len($toksSql) >= $SPAN_K
+       |), w AS (
+       |  SELECT t.doc_id, i.p,
+       |         md5(array_to_string(t.ts[i.p + 1 : i.p + $SPAN_K], ' ')) AS h
+       |  FROM t, LATERAL unnest(range(0, len(t.ts) - $SPAN_K + 1)) AS i(p)
+       |), dup AS (
+       |  SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+       |), dw AS (
+       |  SELECT w.doc_id, w.p FROM w JOIN dup USING (h)
+       |)""".stripMargin
+
+  /** Duplicated-window start positions (doc_id, p) — the Spark side of
+    * [[spanDwSql]]. */
+  private def spanDupWindows(s: SparkSession, d: String): DataFrame = {
+    val wins = docs(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .filter(size(col("toks")) >= SPAN_K)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), (size(col("toks")) - SPAN_K).cast("long"))).as("p"))
+      .select(col("doc_id"), col("p"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("p") + 1).cast("int"), lit(SPAN_K)))).as("h"))
+    val dup = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    wins.join(dup, "h").select(col("doc_id"), col("p"))
+  }
+
+  /** Maximal spans per document: (doc_id, span_start, span_end,
+    * span_tokens, n_windows), one row per island. */
+  private def spanIslands(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    spanDupWindows(s, d)
+      // lag then the running sum: two frames, one shared partitioning +
+      // sort (the sum depends on brk, so they cannot share a select)
+      .select(col("doc_id"), col("p"),
+        when(col("p") - lag(col("p"), 1).over(w) > SPAN_K, 1).otherwise(0).as("brk"))
+      .select(col("doc_id"), col("p"),
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("island"))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + lit(SPAN_K - 1)).as("span_end"),
+        (max(col("p")) - min(col("p")) + lit(SPAN_K)).as("span_tokens"),
+        count(lit(1)).as("n_windows"))
+  }
+
+  val spans: QueryDef = QueryDef(
+    build = (s, d) => spanIslands(s, d)
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_tokens"), col("n_windows"))
+      .orderBy("doc_id", "span_start"),
+    oracle = Some(
+      s"""$spanDwSql, m AS (
+         |  SELECT doc_id, p,
+         |         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > $SPAN_K
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM dw
+         |), isl AS (
+         |  SELECT doc_id, p,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM m
+         |)
+         |SELECT doc_id, min(p) AS span_start, max(p) + ${SPAN_K - 1} AS span_end,
+         |       max(p) - min(p) + $SPAN_K AS span_tokens, count(*)::BIGINT AS n_windows
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin),
+    doc = s"X1 substring dedup: maximal cross-doc duplicated token spans ($SPAN_K-token rolling windows, islands merge)")
+
+  val spanFrac: QueryDef = QueryDef(
+    build = (s, d) => {
+      val perDoc = spanIslands(s, d)
+        .groupBy("doc_id")
+        .agg(sum(col("span_tokens")).as("dup_tokens"))
+      docs(s, d)
+        .select(col("doc_id"), size(expr(toksExpr)).cast("long").as("n_toks"))
+        .join(perDoc, Seq("doc_id"), "left")
+        // ppm in pure integer arithmetic: long div is truncation in both
+        // engines, identical for the non-negative operands here (never
+        // emit rounded DOUBLE quotients in a hash-gated query)
+        .select(col("doc_id"), col("n_toks"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          expr("coalesce(dup_tokens, 0L) * 1000000 div greatest(n_toks, 1)").as("dup_ppm"))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""$spanDwSql, m AS (
+         |  SELECT doc_id, p,
+         |         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > $SPAN_K
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM dw
+         |), isl AS (
+         |  SELECT doc_id, p,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM m
+         |), sp AS (
+         |  SELECT doc_id, max(p) - min(p) + $SPAN_K AS span_tokens
+         |  FROM isl GROUP BY doc_id, island
+         |), pd AS (
+         |  SELECT doc_id, sum(span_tokens)::BIGINT AS dup_tokens FROM sp GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, len($toksSql)::BIGINT AS n_toks,
+         |       coalesce(pd.dup_tokens, 0)::BIGINT AS dup_tokens,
+         |       (coalesce(pd.dup_tokens, 0) * 1000000 // greatest(len($toksSql), 1))::BIGINT AS dup_ppm
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |ORDER BY d.doc_id""".stripMargin),
+    doc = "X1 per-doc duplicated-token fraction (ppm) — the substring-dedup filter decision")
+
   val defs: Map[String, QueryDef] = Map(
     "dedup_exact"     -> exact,
     "dedup_minhash"   -> minhash,
@@ -566,5 +705,7 @@ object DedupQueries {
     "dedup_embed_lsh" -> embedCosineLsh,
     "dedup_clusters"  -> clusters,
     "dedup_chunks"    -> chunkDedup,
+    "dedup_spans"     -> spans,
+    "dedup_span_frac" -> spanFrac,
   )
 }
