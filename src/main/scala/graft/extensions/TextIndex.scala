@@ -86,8 +86,12 @@ object TextIndex {
   private def fingerprintMatches(spark: SparkSession, m: TextMeta,
                                  corpus: DataFrame): Boolean =
     m.corpusRows >= 0 && {
-      if (AnnIndex.contentCheck(spark)) // shared ContentCheckKey contract
-        fingerprint(corpus) == ((m.corpusRows, m.idMin, m.idMax, m.idSum, m.contentXor))
+      if (AnnIndex.contentCheck(spark)) // shared ContentCheckKey contract,
+        // shared proof memo (see AnnIndex.contentProven: one content
+        // scan per session per index fingerprint, not one per query)
+        AnnIndex.contentProven(spark, "text",
+          (m.corpusRows, m.idMin, m.idMax, m.idSum, m.contentXor),
+          corpus, idStats(corpus), fingerprint(corpus))
       else
         idStats(corpus) == ((m.corpusRows, m.idMin, m.idMax, m.idSum))
     }
