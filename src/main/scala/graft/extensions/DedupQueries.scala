@@ -696,6 +696,86 @@ object DedupQueries {
          |ORDER BY d.doc_id""".stripMargin),
     doc = "X1 per-doc duplicated-token fraction (ppm) — the substring-dedup filter decision")
 
+  /** The transform the span pass exists to feed (the "remove all but
+    * one copy of every duplicated substring" policy): a token is
+    * scrubbed iff some duplicated window covers it AND that window's
+    * content first appeared in an EARLIER doc (min doc_id per window
+    * hash) — so the corpus keeps exactly one copy of each duplicated
+    * region, in its first document. The covered-position fan-out is
+    * K × duplicated windows only (bounded by the duplicated-content
+    * ratio, not the corpus); the rebuild is one per-doc groupBy with an
+    * in-group sort — no window function, no global sort. */
+  val scrub: QueryDef = QueryDef(
+    build = (s, d) => {
+      val k = SPAN_K
+      val toks = docs(s, d).select(col("doc_id"), expr(toksExpr).as("toks"))
+      val wins = toks.filter(size(col("toks")) >= k)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L), (size(col("toks")) - k).cast("long"))).as("p"))
+        .select(col("doc_id"), col("p"),
+          md5(concat_ws(" ",
+            slice(col("toks"), (col("p") + 1).cast("int"), lit(k)))).as("h"))
+      val dupFirst = wins.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"), min("doc_id").as("first_doc"))
+        .filter(col("nd") >= 2)
+        .select("h", "first_doc")
+      val covered = wins.join(dupFirst, "h")
+        .filter(col("doc_id") > col("first_doc"))
+        .select(col("doc_id"),
+          explode(sequence(col("p"), col("p") + lit(k - 1))).as("pos"))
+        .distinct()
+      val postoks = toks
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+      val rebuilt = postoks
+        .join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+              x => x.getField("tok"))).as("clean_text"))
+      docs(s, d)
+        .select(col("doc_id"), size(expr(toksExpr)).cast("long").as("n_toks"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"),
+          (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS ts FROM documents
+         |), w AS (
+         |  SELECT t.doc_id, i.p,
+         |         md5(array_to_string(t.ts[i.p + 1 : i.p + $SPAN_K], ' ')) AS h
+         |  FROM t, LATERAL unnest(range(0, len(t.ts) - $SPAN_K + 1)) AS i(p)
+         |  WHERE len(t.ts) >= $SPAN_K
+         |), dup AS (
+         |  SELECT h, min(doc_id) AS first_doc
+         |  FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+         |), cov AS (
+         |  SELECT DISTINCT w.doc_id, w.p + g.i AS pos
+         |  FROM w JOIN dup USING (h) CROSS JOIN generate_series(0, ${SPAN_K - 1}) g(i)
+         |  WHERE w.doc_id > dup.first_doc
+         |), tok AS (
+         |  SELECT t.doc_id, i.p, t.ts[i.p + 1] AS tok
+         |  FROM t, LATERAL unnest(range(0, len(t.ts))) AS i(p)
+         |), kept AS (
+         |  SELECT tk.doc_id, tk.p, tk.tok
+         |  FROM tok tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.p = cov.pos
+         |  WHERE cov.pos IS NULL
+         |), agg AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |         string_agg(tok, ' ' ORDER BY p) AS clean_text
+         |  FROM kept GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, len($toksSql)::BIGINT AS n_toks,
+         |       (len($toksSql) - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
+         |       coalesce(a.clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin),
+    doc = "X1 substring-dedup scrub: remove every duplicated window copy except its corpus-first occurrence")
+
   val defs: Map[String, QueryDef] = Map(
     "dedup_exact"     -> exact,
     "dedup_minhash"   -> minhash,
@@ -707,5 +787,6 @@ object DedupQueries {
     "dedup_chunks"    -> chunkDedup,
     "dedup_spans"     -> spans,
     "dedup_span_frac" -> spanFrac,
+    "dedup_scrub"     -> scrub,
   )
 }

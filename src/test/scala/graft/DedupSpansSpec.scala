@@ -63,6 +63,21 @@ class DedupSpansSpec extends SparkSpec {
     assert(!sp.contains(4L))
   }
 
+  test("scrub keeps the corpus-first occurrence and excises later copies") {
+    val rows = SparkEntry.queries("dedup_scrub")(spark, corpusDir).collect().toSeq
+      .map { case Row(d: Long, n: Long, r: Long, t: String) => d -> ((n, r, t)) }.toMap
+    // doc 0 is runA's first occurrence → untouched
+    assert(rows(0L) === ((30L, 0L, (fill("x", 5) ++ runA ++ fill("y", 5)).mkString(" "))))
+    // doc 1's runA copy is scrubbed (first_doc = 0)
+    assert(rows(1L) === ((31L, 20L, fill("z", 11).mkString(" "))))
+    // doc 2 loses runA (first in doc 0) but KEEPS runB (doc 2 is its first)
+    assert(rows(2L) === ((37L, 20L, (fill("g", 9) ++ runB).mkString(" "))))
+    // doc 3's runB copy is scrubbed (first_doc = 2)
+    assert(rows(3L) === ((20L, 8L, (fill("w", 6) ++ fill("v", 6)).mkString(" "))))
+    // doc 4 has no duplicated content
+    assert(rows(4L) === ((30L, 0L, fill("q", 30).mkString(" "))))
+  }
+
   test("dup_ppm is exact integer arithmetic over the merged spans") {
     val frac = SparkEntry.queries("dedup_span_frac")(spark, corpusDir).collect().toSeq
       .map { case Row(d: Long, n: Long, t: Long, p: Long) => d -> ((n, t, p)) }.toMap
