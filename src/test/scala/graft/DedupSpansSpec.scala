@@ -78,6 +78,67 @@ class DedupSpansSpec extends SparkSpec {
     assert(rows(4L) === ((30L, 0L, fill("q", 30).mkString(" "))))
   }
 
+  test("property: spans and scrub match a naive reference on random collision-rich corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val K = 8
+    // 3-token vocab makes 8-windows collide constantly (3^8 = 6561
+    // contents vs ~2000 windows per corpus) → overlapping spans,
+    // touching spans, multi-island docs, and full-doc duplicates all
+    // arise naturally; ~1/5 docs is an exact copy of its predecessor
+    val docGen = Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")))
+    val corpusGen = Gen.listOfN(60, Gen.zip(docGen, Gen.choose(0, 4)))
+
+    def naive(corpus: Map[Long, Vector[String]]): (Seq[(Long, Long, Long, Long, Long)], Map[Long, (Long, Long, String)]) = {
+      val wins = for {
+        (d, ts) <- corpus.toSeq; p <- 0 to ts.length - K
+      } yield (d, p.toLong, ts.slice(p, p + K).mkString(" "))
+      val byContent = wins.groupBy(_._3)
+      val dup = byContent.filter(_._2.map(_._1).distinct.size >= 2)
+      val firstDoc = dup.map { case (c, ws) => c -> ws.map(_._1).min }
+      val spans = wins.filter(w => dup.contains(w._3)).groupBy(_._1).toSeq.flatMap {
+        case (d, ws) =>
+          val ps = ws.map(_._2).distinct.sorted
+          ps.foldLeft(Vector.empty[Vector[Long]]) { (acc, p) =>
+            if (acc.nonEmpty && p - acc.last.last <= K) acc.init :+ (acc.last :+ p)
+            else acc :+ Vector(p)
+          }.map(run => (d, run.head, run.last + K - 1, run.last - run.head + K, run.size.toLong))
+      }.sortBy(s => (s._1, s._2))
+      val scrub = corpus.map { case (d, ts) =>
+        val covered = wins.collect {
+          case (`d`, p, c) if dup.contains(c) && firstDoc(c) < d =>
+            (p until p + K).toSet
+        }.foldLeft(Set.empty[Long])(_ ++ _)
+        val kept = ts.zipWithIndex.collect { case (t, i) if !covered(i.toLong) => t }
+        d -> ((ts.length.toLong, (ts.length - kept.length).toLong, kept.mkString(" ")))
+      }
+      (spans, scrub)
+    }
+
+    (1 to 3).foreach { seed =>
+      val raw = corpusGen(Gen.Parameters.default, Seed(41L + seed))
+        .getOrElse(sys.error("gen failed"))
+      val corpus: Map[Long, Vector[String]] = raw.zipWithIndex.foldLeft(Map.empty[Long, Vector[String]]) {
+        case (acc, ((toks, dupFlag), i)) =>
+          val ts = if (dupFlag == 0 && i > 0) acc(i - 1L) else toks.toVector
+          acc + (i.toLong -> ts)
+      }
+      val dir = tmpDir(s"graft-spans-prop-$seed")
+      spark.createDataFrame(corpus.toSeq.map { case (d, ts) =>
+        (d, ts.mkString(" "), "en", "src0", ts.mkString(" ").length.toLong)
+      }).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+
+      val (expSpans, expScrub) = naive(corpus)
+      val gotSpans = SparkEntry.queries("dedup_spans")(spark, dir).collect().toSeq
+        .map { case Row(d: Long, s: Long, e: Long, t: Long, n: Long) => (d, s, e, t, n) }
+      assert(gotSpans === expSpans, s"seed $seed: spans diverge from the reference")
+      val gotScrub = SparkEntry.queries("dedup_scrub")(spark, dir).collect().toSeq
+        .map { case Row(d: Long, n: Long, r: Long, t: String) => d -> ((n, r, t)) }.toMap
+      assert(gotScrub === expScrub, s"seed $seed: scrub diverges from the reference")
+    }
+  }
+
   test("dup_ppm is exact integer arithmetic over the merged spans") {
     val frac = SparkEntry.queries("dedup_span_frac")(spark, corpusDir).collect().toSeq
       .map { case Row(d: Long, n: Long, t: Long, p: Long) => d -> ((n, t, p)) }.toMap
