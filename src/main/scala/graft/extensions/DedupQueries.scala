@@ -596,9 +596,13 @@ object DedupQueries {
        |)""".stripMargin
 
   /** Duplicated-window start positions (doc_id, p) — the Spark side of
-    * [[spanDwSql]]. */
-  private def spanDupWindows(s: SparkSession, d: String): DataFrame = {
-    val wins = docs(s, d)
+    * [[spanDwSql]]. The hashed windows feed BOTH the dup-set
+    * aggregation and the mark join; persisting the slim (doc, p, h)
+    * rows runs the heavy pass (text scan + tokenize + per-window md5)
+    * once instead of twice — the substring-dedup working set every
+    * pipeline materializes (session-scoped; QueryDef cache contract). */
+  private def spanWindows(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
       .select(col("doc_id"), expr(toksExpr).as("toks"))
       .filter(size(col("toks")) >= SPAN_K)
       .select(col("doc_id"), col("toks"),
@@ -606,6 +610,10 @@ object DedupQueries {
       .select(col("doc_id"), col("p"),
         md5(concat_ws(" ",
           slice(col("toks"), (col("p") + 1).cast("int"), lit(SPAN_K)))).as("h"))
+      .persist()
+
+  private def spanDupWindows(s: SparkSession, d: String): DataFrame = {
+    val wins = spanWindows(s, d)
     val dup = wins.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
@@ -709,12 +717,7 @@ object DedupQueries {
     build = (s, d) => {
       val k = SPAN_K
       val toks = docs(s, d).select(col("doc_id"), expr(toksExpr).as("toks"))
-      val wins = toks.filter(size(col("toks")) >= k)
-        .select(col("doc_id"), col("toks"),
-          explode(sequence(lit(0L), (size(col("toks")) - k).cast("long"))).as("p"))
-        .select(col("doc_id"), col("p"),
-          md5(concat_ws(" ",
-            slice(col("toks"), (col("p") + 1).cast("int"), lit(k)))).as("h"))
+      val wins = spanWindows(s, d)
       val dupFirst = wins.groupBy("h")
         .agg(countDistinct(col("doc_id")).as("nd"), min("doc_id").as("first_doc"))
         .filter(col("nd") >= 2)
