@@ -601,16 +601,24 @@ object DedupQueries {
     * rows runs the heavy pass (text scan + tokenize + per-window md5)
     * once instead of twice — the substring-dedup working set every
     * pipeline materializes (session-scoped; QueryDef cache contract). */
-  private def spanWindows(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
-      .select(col("doc_id"), expr(toksExpr).as("toks"))
+  /** The hashed-window derivation on ANY docs-shaped frame — shared
+    * with [[graft.streaming.StreamingSpans]] so the streaming marks are
+    * the batch expressions bit-for-bit. `carry` threads extra columns
+    * (the stream's event time) through the explosion. */
+  private[graft] def spanWindowRows(docsDf: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    docsDf
+      .select(col("doc_id") +: expr(toksExpr).as("toks") +: carry.map(col): _*)
       .filter(size(col("toks")) >= SPAN_K)
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0L), (size(col("toks")) - SPAN_K).cast("long"))).as("p"))
-      .select(col("doc_id"), col("p"),
+      .select(col("doc_id") +: col("toks") +:
+        explode(sequence(lit(0L), (size(col("toks")) - SPAN_K).cast("long"))).as("p") +:
+        carry.map(col): _*)
+      .select(col("doc_id") +: col("p") +:
         md5(concat_ws(" ",
-          slice(col("toks"), (col("p") + 1).cast("int"), lit(SPAN_K)))).as("h"))
-      .persist()
+          slice(col("toks"), (col("p") + 1).cast("int"), lit(SPAN_K)))).as("h") +:
+        carry.map(col): _*)
+
+  private def spanWindows(s: SparkSession, d: String): DataFrame =
+    spanWindowRows(docs(s, d)).persist()
 
   private def spanDupWindows(s: SparkSession, d: String): DataFrame = {
     val wins = spanWindows(s, d)
