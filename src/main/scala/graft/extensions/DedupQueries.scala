@@ -595,12 +595,6 @@ object DedupQueries {
        |  SELECT w.doc_id, w.p FROM w JOIN dup USING (h)
        |)""".stripMargin
 
-  /** Duplicated-window start positions (doc_id, p) — the Spark side of
-    * [[spanDwSql]]. The hashed windows feed BOTH the dup-set
-    * aggregation and the mark join; persisting the slim (doc, p, h)
-    * rows runs the heavy pass (text scan + tokenize + per-window md5)
-    * once instead of twice — the substring-dedup working set every
-    * pipeline materializes (session-scoped; QueryDef cache contract). */
   /** The hashed-window derivation on ANY docs-shaped frame — shared
     * with [[graft.streaming.StreamingSpans]] so the streaming marks are
     * the batch expressions bit-for-bit. `carry` threads extra columns
@@ -617,9 +611,16 @@ object DedupQueries {
           slice(col("toks"), (col("p") + 1).cast("int"), lit(SPAN_K)))).as("h") +:
         carry.map(col): _*)
 
+  /** The windows feed BOTH the dup-set aggregation and the mark join;
+    * persisting the slim (doc, p, h) rows runs the heavy pass (text
+    * scan + tokenize + per-window md5) once instead of twice — the
+    * substring-dedup working set every pipeline materializes
+    * (session-scoped; QueryDef cache contract). */
   private def spanWindows(s: SparkSession, d: String): DataFrame =
     spanWindowRows(docs(s, d)).persist()
 
+  /** Duplicated-window start positions (doc_id, p) — the Spark side of
+    * [[spanDwSql]]. */
   private def spanDupWindows(s: SparkSession, d: String): DataFrame = {
     val wins = spanWindows(s, d)
     val dup = wins.groupBy("h")
