@@ -50,6 +50,39 @@ object Bench {
       finally src.close()
     } catch { case _: Throwable => Map.empty }
 
+  @volatile private var blackhole = 0L
+
+  /** Calibrated single-core probe: wall-clock of a fixed LCG loop
+    * (~0.1 s nominal). The guest-visible env fields can all agree while
+    * the HOST throttles or steals cycles (observed 2026-08-13: a
+    * uniform ~27 % slowdown across every query, median per-query ratio
+    * 1.27, with identical MemAvailable/Cached/java_procs and ~0 %
+    * /proc/stat steal at idle) — this number is the direct "how fast
+    * was a core" record that lets a reader attribute a total-drift to
+    * machine speed instead of a plan change. Compare totals ONLY after
+    * normalizing by the probe ratio. */
+  private def cpuProbeMs(): Double = {
+    def run(): Long = {
+      var x = 0x9E3779B97F4A7C15L; var i = 0
+      while (i < 100000000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+      x
+    }
+    blackhole = run() // JIT warm-up pass
+    val t0 = System.nanoTime()
+    blackhole = run()
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  /** Cumulative hypervisor-steal ticks from /proc/stat (field 8), -1
+    * off-Linux: nonzero growth during the suite = the host visibly
+    * taking cycles (a zero can still hide frequency throttling — the
+    * cpu probe above catches that case). */
+  private def stealTicks(): Long =
+    try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines().next().trim.split("\\s+")
+      l(8).toLong
+    } catch { case _: Throwable => -1L }
+
   /** Live JVMs on the box (concurrent sbt/test JVMs compete for cores
     * and page cache; -1 when /proc is unavailable). */
   private def javaProcs(): Int =
@@ -113,6 +146,8 @@ object Bench {
     // shared inputs end to end BEFORE any timing starts. Errors are
     // swallowed here — the per-query warm-up below records them.
     val memBefore = meminfo()
+    val probeBefore = cpuProbeMs()
+    val stealBefore = stealTicks()
     val tPre = System.nanoTime()
     names.foreach { name =>
       try runOnce(SparkEntry.queries(name)(spark, sfDir))
@@ -164,6 +199,9 @@ object Bench {
     val envJson = {
       def kb(m: Map[String, Long], k: String): Long = m.getOrElse(k, -1L)
       s"""{"prewarm_sec":${fmt(prewarmSec)},"java_procs":${javaProcs()},""" +
+        s""""cpu_probe_ms_before":${fmt(probeBefore)},""" +
+        s""""cpu_probe_ms_after":${fmt(cpuProbeMs())},""" +
+        s""""steal_ticks_delta":${stealTicks() - stealBefore},""" +
         s""""mem_available_kb_before":${kb(memBefore, "MemAvailable")},""" +
         s""""cached_kb_before":${kb(memBefore, "Cached")},""" +
         s""""mem_available_kb_after":${kb(memAfter, "MemAvailable")},""" +

@@ -69,4 +69,41 @@ class StreamingSpansSpec extends SparkSpec {
         "sanity: the corpus plants real duplication and doc 0 is never marked")
     } finally q.stop()
   }
+
+  test("state is watermark-bounded: a cross-horizon copy counts as first again") {
+    val src = tmpDir("graft-sspans-evict-src")
+    val ckpt = tmpDir("graft-sspans-evict-ckpt")
+    val run = (0 until 10).map(i => s"e$i")
+    def write(d: Long, toks: Seq[String], tsSec: Long): Unit =
+      spark.createDataFrame(Seq((d, toks.mkString(" "), new java.sql.Timestamp(tsSec * 1000L))))
+        .toDF("doc_id", "text", "ingest_ts")
+        .coalesce(1).write.mode("append").parquet(src)
+
+    write(0L, fill("m", 3) ++ run, 1L)
+    val q = StreamingSpans.start(spark, src, "sspans_evict_sink", ckpt, watermark = "1 second")
+    try {
+      q.processAllAvailable()
+      // in-horizon copy marks…
+      write(1L, run ++ fill("n", 3), 2L)
+      q.processAllAvailable()
+      assert(spark.table("sspans_evict_sink").count() === 3, // 10-token run → 3 windows
+        "an in-horizon copy marks its interior windows")
+      // …then far-future unrelated docs advance the watermark past the
+      // run hashes' timeout AND give Spark a batch in which those
+      // groups have no data (the timeout path only fires for dataless
+      // groups: batch N's watermark derives from batch N−1's max event
+      // time, and a group with new rows is invoked with its state
+      // intact instead). After eviction, a late copy finds no state and
+      // counts as first — bounded state; cross-horizon dedup is the
+      // batch pass's job
+      write(2L, fill("o", 12), 100000L)
+      q.processAllAvailable()
+      write(3L, fill("p", 12), 100001L) // watermark now 99999s → evict
+      q.processAllAvailable()
+      write(4L, fill("r", 2) ++ run, 100002L)
+      q.processAllAvailable()
+      assert(spark.table("sspans_evict_sink").count() === 3,
+        "a copy arriving after the horizon does not mark (state evicted)")
+    } finally q.stop()
+  }
 }
