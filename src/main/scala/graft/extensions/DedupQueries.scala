@@ -53,22 +53,32 @@ object DedupQueries {
   private def shingled(s: SparkSession, d: String): DataFrame =
     shingleDocs(docs(s, d))
 
-  /** All three text signatures in ONE map-side pass over the shingles —
+  /** All text signatures in ONE map-side pass over the tokens —
     * exactly what [[TextIndex]] persists and the live paths derive:
     * the 8-hash MinHash signature (banding for dedup_minhash), the
     * 32-bit SimHash (banding + Hamming verification for dedup_simhash
-    * and the cluster resolution), and the 60-bit hashed shingle array
+    * and the cluster resolution), the 60-bit hashed shingle array
     * `shn` (dedup_ngram's ENTIRE working set — blocking, df counts, and
     * exact-intersection verification all run on these ints, so an
-    * index-served ngram query never touches the text column at all). */
+    * index-served ngram query never touches the text column at all),
+    * the rolling-window hash array `swh` (the span family's working
+    * set — `swh[p]` is the 60-bit hash of the SPAN_K-token window at
+    * position p, so index-served substring dedup posexplodes stored
+    * longs instead of re-tokenizing + re-hashing the corpus), and the
+    * token count `ntk` (dedup_span_frac's denominator). */
   private[extensions] def signatures(s: SparkSession, docsDf: DataFrame,
       numHashes: Int = NUM_HASHES): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    shingleDocs(docsDf).select(col("doc_id"),
-      call_function("graft_minhash", col("sh"), lit(numHashes)).as("mhs"),
-      call_function("graft_simhash",
-        expr("transform(sh, x -> graft_md5_prefix(x, 8))")).as("simhash"),
-      expr("transform(sh, x -> graft_md5_prefix(x, 15))").as("shn"))
+    docsDf
+      .select(col("doc_id"), col("text"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"), col("toks"), expr(shinglesFromToks).as("sh"))
+      .select(col("doc_id"),
+        call_function("graft_minhash", col("sh"), lit(numHashes)).as("mhs"),
+        call_function("graft_simhash",
+          expr("transform(sh, x -> graft_md5_prefix(x, 8))")).as("simhash"),
+        expr("transform(sh, x -> graft_md5_prefix(x, 15))").as("shn"),
+        expr(spanHashesFromToks).as("swh"),
+        size(col("toks")).cast("long").as("ntk"))
   }
 
   // -------------------------------------------------------------------
@@ -187,17 +197,24 @@ object DedupQueries {
   /** SimHash near-dup pairs (doc_a, doc_b, hamming), hamming ≤
     * HAMMING_MAX — shared by the dedup_simhash query and the cluster
     * resolution in [[clusters]]. */
-  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+  private def simhashPairs(s: SparkSession, d: String): DataFrame =
+    simhashPairsFor(s, docs(s, d))
+
+  /** SimHash near-dup pairs over ANY documents-shaped frame — shared
+    * with [[PipelineQueries]] (whose near-dup stage runs on the
+    * pipeline's survivors, not the raw corpus). */
+  private[extensions] def simhashPairsFor(s: SparkSession, corpus: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     // whole signature is map-side: per-doc md5 hashes (native
     // expression — stock md5+conv costs ~27µs/row) folded by a
     // single-pass majority-vote loop. Zero shuffle before banding.
     // A certified, fingerprint-matched TextIndex serves the stored
     // signatures instead (identical derivation ⇒ identical pairs);
-    // dedup_clusters rides this too.
-    val sig = TextIndex.resolveFor(s, docs(s, d)) match {
+    // dedup_clusters rides this too. A SUBSET corpus (the pipeline's
+    // survivors) fails the fingerprint and recomputes — always correct.
+    val sig = TextIndex.resolveFor(s, corpus) match {
       case Some(dir) => TextIndex.readSigs(s, dir).select("doc_id", "simhash")
-      case None => shingled(s, d).select(col("doc_id"),
+      case None => shingleDocs(corpus).select(col("doc_id"),
         call_function("graft_simhash",
           expr("transform(sh, x -> graft_md5_prefix(x, 8))")).as("simhash"))
     }
@@ -215,11 +232,12 @@ object DedupQueries {
       .select("doc_a", "doc_b", "hamming")
   }
 
-  /** SQL prefix producing the identical pair set as [[simhashPairs]];
-    * terminal CTE is `pairs(doc_a, doc_b, hamming)`. */
-  private val simhashPairsSql: String =
-    s"""WITH RECURSIVE s AS (
-       |  SELECT doc_id, $shinglesSql AS sh FROM documents
+  /** CTE chain producing the identical pair set as [[simhashPairsFor]]
+    * over source relation `src`; terminal CTE is `pairs(doc_a, doc_b,
+    * hamming)` — embeddable in composed oracles ([[PipelineQueries]]). */
+  private[extensions] def simhashPairsCtes(src: String): String =
+    s"""s AS (
+       |  SELECT doc_id, $shinglesSql AS sh FROM $src
        |), hashes AS (
        |  SELECT doc_id, ('0x' || substring(md5(u.x), 1, 8))::BIGINT AS h
        |  FROM s, unnest(s.sh) AS u(x)
@@ -242,6 +260,8 @@ object DedupQueries {
        |  SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
        |  FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $HAMMING_MAX
        |)""".stripMargin
+
+  private val simhashPairsSql: String = "WITH RECURSIVE " + simhashPairsCtes("documents")
 
   val simhash: QueryDef = QueryDef(
     build = (s, d) => simhashPairs(s, d).orderBy("doc_a", "doc_b"),
@@ -579,6 +599,20 @@ object DedupQueries {
   // -------------------------------------------------------------------
   private val SPAN_K = 8
 
+  /** Per-doc rolling-window hash array (what [[TextIndex]] persists as
+    * `swh`): element p = the 60-bit md5-prefix hash of the SPAN_K-token
+    * window starting at p — [[spanWindowRows]]' `h` column as an array,
+    * so `posexplode(swh)` reproduces the live derivation bit-for-bit.
+    * 60-bit longs instead of md5 strings for the same reason as `shn`:
+    * a quarter the bytes shuffled/stored, and the string-based DuckDB
+    * oracle independently validates the rewrite (outputs are positions
+    * and counts, identical absent a 60-bit collision — odds ~n²/2⁶¹). */
+  private val spanHashesFromToks =
+    s"""CASE WHEN size(toks) >= $SPAN_K
+       | THEN transform(sequence(0, size(toks) - $SPAN_K),
+       |   p -> graft_md5_prefix(concat_ws(' ', slice(toks, CAST(p AS INT) + 1, $SPAN_K)), 15))
+       | ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin.replaceAll("\n", " ")
+
   /** Shared CTE prefix: duplicated-window start positions per document
     * (doc_id, p), deduplicated — exactly what both span queries island
     * or aggregate over. */
@@ -599,7 +633,8 @@ object DedupQueries {
     * with [[graft.streaming.StreamingSpans]] so the streaming marks are
     * the batch expressions bit-for-bit. `carry` threads extra columns
     * (the stream's event time) through the explosion. */
-  private[graft] def spanWindowRows(docsDf: DataFrame, carry: Seq[String] = Nil): DataFrame =
+  private[graft] def spanWindowRows(docsDf: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    graft.functions.VectorFunctions.register(docsDf.sparkSession)
     docsDf
       .select(col("doc_id") +: expr(toksExpr).as("toks") +: carry.map(col): _*)
       .filter(size(col("toks")) >= SPAN_K)
@@ -607,17 +642,40 @@ object DedupQueries {
         explode(sequence(lit(0L), (size(col("toks")) - SPAN_K).cast("long"))).as("p") +:
         carry.map(col): _*)
       .select(col("doc_id") +: col("p") +:
-        md5(concat_ws(" ",
-          slice(col("toks"), (col("p") + 1).cast("int"), lit(SPAN_K)))).as("h") +:
+        call_function("graft_md5_prefix", concat_ws(" ",
+          slice(col("toks"), (col("p") + 1).cast("int"), lit(SPAN_K))), lit(15)).as("h") +:
         carry.map(col): _*)
+  }
 
   /** The windows feed BOTH the dup-set aggregation and the mark join;
     * persisting the slim (doc, p, h) rows runs the heavy pass (text
-    * scan + tokenize + per-window md5) once instead of twice — the
+    * scan + tokenize + per-window hash) once instead of twice — the
     * substring-dedup working set every pipeline materializes
-    * (session-scoped; QueryDef cache contract). */
+    * (session-scoped; QueryDef cache contract). A certified,
+    * fingerprint-matched [[TextIndex]] serves the stored `swh` arrays
+    * instead: posexplode of per-doc longs, no text scan, no tokenize,
+    * no per-window md5 — the whole pass that grows with corpus tokens
+    * happens once at ingest (indexes predating the column fall back;
+    * rebuild to upgrade). */
   private def spanWindows(s: SparkSession, d: String): DataFrame =
-    spanWindowRows(docs(s, d)).persist()
+    (TextIndex.resolveFor(s, docs(s, d)) match {
+      case Some(dir) if TextIndex.readSigs(s, dir).columns.contains("swh") =>
+        TextIndex.readSigs(s, dir)
+          .select(col("doc_id"), posexplode(col("swh")).as(Seq("p", "h")))
+          .select(col("doc_id"), col("p").cast("long").as("p"), col("h"))
+      case _ => spanWindowRows(docs(s, d))
+    }).persist()
+
+  /** Per-doc token counts — `ntk` from a certified index (column-pruned
+    * read) or a text-scan fallback; dedup_span_frac / dedup_scrub's
+    * denominator. */
+  private def docTokenCounts(s: SparkSession, d: String): DataFrame =
+    TextIndex.resolveFor(s, docs(s, d)) match {
+      case Some(dir) if TextIndex.readSigs(s, dir).columns.contains("ntk") =>
+        TextIndex.readSigs(s, dir).select(col("doc_id"), col("ntk").as("n_toks"))
+      case _ =>
+        docs(s, d).select(col("doc_id"), size(expr(toksExpr)).cast("long").as("n_toks"))
+    }
 
   /** Duplicated-window start positions (doc_id, p) — the Spark side of
     * [[spanDwSql]]. */
@@ -678,8 +736,7 @@ object DedupQueries {
       val perDoc = spanIslands(s, d)
         .groupBy("doc_id")
         .agg(sum(col("span_tokens")).as("dup_tokens"))
-      docs(s, d)
-        .select(col("doc_id"), size(expr(toksExpr)).cast("long").as("n_toks"))
+      docTokenCounts(s, d)
         .join(perDoc, Seq("doc_id"), "left")
         // ppm in pure integer arithmetic: long div is truncation in both
         // engines, identical for the non-negative operands here (never
@@ -746,8 +803,7 @@ object DedupQueries {
           concat_ws(" ",
             transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
               x => x.getField("tok"))).as("clean_text"))
-      docs(s, d)
-        .select(col("doc_id"), size(expr(toksExpr)).cast("long").as("n_toks"))
+      docTokenCounts(s, d)
         .join(rebuilt, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_toks"),
           (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),

@@ -94,6 +94,33 @@ object SpanScaleSmoke {
       s"scrub must remove RUN tokens per non-first carrier, got ${removed.getLong(0)}")
     assert(removed.getLong(1) == expectedCarriers - 1)
 
+    // build-once serving: the TextIndex stores the rolling-window hash
+    // arrays (swh) + token counts — the span family then never touches
+    // the text column (no scan, no tokenize, no per-window md5; the
+    // part of each query that grows with corpus tokens moves to ingest)
+    val idx = s"$dir/_textidx"
+    time("TextIndex.build (all signatures incl. swh rolling-window hashes)") {
+      TextIndex.build(spark, spark.read.parquet(s"$dir/documents.parquet"), idx)
+    }
+    spark.conf.set(TextIndex.ConfKey, idx)
+    try {
+      val spansIdx = time("dedup_spans INDEX-SERVED") {
+        graft.SparkEntry.queries("dedup_spans")(spark, dir).count()
+      }
+      assert(spansIdx == spans, s"served spans must equal recompute: $spansIdx vs $spans")
+      val fracIdx = time("dedup_span_frac INDEX-SERVED") {
+        graft.SparkEntry.queries("dedup_span_frac")(spark, dir)
+          .filter(col("dup_ppm") > 0).count()
+      }
+      assert(fracIdx == frac, s"served frac must equal recompute: $fracIdx vs $frac")
+      val removedIdx = time("dedup_scrub INDEX-SERVED (marking from swh; text read only for rebuild)") {
+        graft.SparkEntry.queries("dedup_scrub")(spark, dir)
+          .agg(sum("n_removed"), count(when(col("n_removed") > 0, 1))).head()
+      }
+      assert(removedIdx.getLong(0) == removed.getLong(0)
+        && removedIdx.getLong(1) == removed.getLong(1), "served scrub must equal recompute")
+    } finally spark.conf.unset(TextIndex.ConfKey)
+
     println(s"[sscale] PASS: $spans spans, ${removed.getLong(0)} tokens scrubbed " +
       s"across ${removed.getLong(1)} docs; windows ≈ ${nDocs * (TOKENS_PER_DOC - 7)}")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))

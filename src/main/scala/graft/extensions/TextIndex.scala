@@ -25,11 +25,17 @@ case class TextMeta(numHashes: Int, corpusRows: Long, idMin: Long, idMax: Long,
   *
   * Layout under an index dir:
   *   sigs/    parquet (doc_id, mhs: array<string>[numHashes],
-  *            simhash: long, shn: array<long>) — one row per document.
-  *            `shn` (the 60-bit hashed shingle array) is dedup_ngram's
-  *            whole working set; it is column-pruned away by the
-  *            minhash/simhash readers, so storing it costs those paths
-  *            nothing
+  *            simhash: long, shn: array<long>, swh: array<long>,
+  *            ntk: long) — one row per document. `shn` (the 60-bit
+  *            hashed shingle array) is dedup_ngram's whole working set;
+  *            `swh` (the rolling SPAN_K-window hash array, element p =
+  *            window at token p) + `ntk` (token count) are the span
+  *            family's (dedup_spans/span_frac/scrub run on stored longs
+  *            instead of re-tokenizing + re-hashing the corpus — the
+  *            substring-dedup analog of a suffix-array artifact, sized
+  *            ~8 bytes per corpus token). Parquet is columnar: each
+  *            reader prunes to the columns it serves, so storing the
+  *            arrays costs the other paths nothing
   *   _meta/   one row — see [[TextMeta]]
   *   _SYNCED  commit marker — same certify/fallback protocol as the
   *            engine's stats index and AnnIndex: queries serve a

@@ -13,7 +13,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Design for an unbounded feed (the StreamingDedup contract): state is
   * one tiny record per window hash (the first doc that carried it),
-  * keyed by the same md5 the batch operator computes
+  * keyed by the same 60-bit window hash the batch operator computes
   * ([[graft.extensions.DedupQueries.spanWindowRows]] — shared
   * expressions, so streaming marks ≡ batch marks bit-for-bit for
   * in-order streams, StreamingSpansSpec). An event-time timeout evicts
@@ -24,14 +24,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingSpans {
 
-  /** One hashed window from the stream. */
-  case class SpanWin(doc_id: Long, p: Long, h: String, ingest_ts: java.sql.Timestamp)
+  /** One hashed window from the stream (`h` = the 60-bit md5-prefix
+    * window hash, [[graft.extensions.DedupQueries.spanWindowRows]]). */
+  case class SpanWin(doc_id: Long, p: Long, h: Long, ingest_ts: java.sql.Timestamp)
 
   /** Per-hash state: the first document that carried this content. */
   case class WinState(firstDoc: Long)
 
   /** A window in a LATER copy of duplicated content — a scrub target. */
-  case class Marked(doc_id: Long, p: Long, h: String)
+  case class Marked(doc_id: Long, p: Long, h: Long)
 
   /** Marked-window stream over a parquet document feed
     * ([[StreamingDedup.schema]]: doc_id, text, ingest_ts). */
@@ -46,7 +47,7 @@ object StreamingSpans {
       .groupByKey(_.h)
       .flatMapGroupsWithState[WinState, Marked](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (h: String, batch: Iterator[SpanWin], state: GroupState[WinState]) =>
+        (h: Long, batch: Iterator[SpanWin], state: GroupState[WinState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             // doc order within the batch = keep-first within the batch

@@ -20,9 +20,10 @@ class TextIndexSpec extends SparkSpec {
     try body finally spark.conf.unset(TextIndex.ConfKey)
   }
 
-  test("index-served dedup_minhash / dedup_simhash / dedup_clusters / dedup_ngram equal the recompute path") {
+  test("index-served dedup_minhash / dedup_simhash / dedup_clusters / dedup_ngram and the span family equal the recompute path") {
     val dir = tmpDir("graft-textidx")
-    val recomputed = Seq("dedup_minhash", "dedup_simhash", "dedup_clusters", "dedup_ngram")
+    val recomputed = Seq("dedup_minhash", "dedup_simhash", "dedup_clusters", "dedup_ngram",
+        "dedup_spans", "dedup_span_frac", "dedup_scrub")
       .map(n => n -> collect(n))
     TextIndex.build(spark, docs, dir)
     assert(TextIndex.usable(spark, dir))
