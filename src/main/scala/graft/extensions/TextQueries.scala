@@ -376,39 +376,51 @@ object TextQueries {
   private val TOKLEN_PM_LO = 2000L     // mean token length per-mille (chars ×1000)
   private val TOKLEN_PM_HI = 15000L
 
+  /** Quality metrics + reject-reason string on ANY documents-shaped
+    * frame — shared with [[PipelineQueries]] so the pipeline's quality
+    * stage IS the quality_gate operator, not a re-implementation. */
+  private[extensions] def withQualityMetrics(df: DataFrame): DataFrame =
+    df.withColumn("toks", expr(toksExpr))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("distinct_pm", expr("CAST(size(array_distinct(toks)) AS BIGINT) * 1000 div n_tokens"))
+      .withColumn("toklen_pm", expr("CAST(length(concat_ws('', toks)) AS BIGINT) * 1000 div n_tokens"))
+      .withColumn("reasons", concat(
+        when(col("n_tokens") < MIN_TOKENS, lit("short;")).otherwise(lit("")),
+        when(col("distinct_pm") < MIN_DISTINCT_PM, lit("repetitive;")).otherwise(lit("")),
+        when(col("toklen_pm") < TOKLEN_PM_LO || col("toklen_pm") > TOKLEN_PM_HI,
+          lit("tok_len;")).otherwise(lit(""))))
+
+  /** SQL mirror of [[withQualityMetrics]] as a CTE chain (`qt`/`qm`/
+    * `qr`; terminal `qr(doc_id, n_tokens, distinct_pm, toklen_pm,
+    * reasons)`) over source relation `src` — embeddable in composed
+    * oracles. */
+  private[extensions] def qualitySqlCtes(src: String): String =
+    s"""qt AS (
+       |  SELECT doc_id, $toksSql AS toks FROM $src
+       |), qm AS (
+       |  SELECT doc_id,
+       |         len(toks)::BIGINT AS n_tokens,
+       |         len(list_distinct(toks))::BIGINT * 1000 // len(toks) AS distinct_pm,
+       |         length(array_to_string(toks, ''))::BIGINT * 1000 // len(toks) AS toklen_pm
+       |  FROM qt
+       |), qr AS (
+       |  SELECT *,
+       |         (CASE WHEN n_tokens < $MIN_TOKENS THEN 'short;' ELSE '' END ||
+       |          CASE WHEN distinct_pm < $MIN_DISTINCT_PM THEN 'repetitive;' ELSE '' END ||
+       |          CASE WHEN toklen_pm < $TOKLEN_PM_LO OR toklen_pm > $TOKLEN_PM_HI THEN 'tok_len;' ELSE '' END) AS reasons
+       |  FROM qm
+       |)""".stripMargin
+
   val qualityGate: QueryDef = QueryDef(
     build = (s, d) =>
-      docs(s, d)
-        .withColumn("toks", expr(toksExpr))
-        .withColumn("n_tokens", size(col("toks")).cast("long"))
-        .withColumn("distinct_pm", expr("CAST(size(array_distinct(toks)) AS BIGINT) * 1000 div n_tokens"))
-        .withColumn("toklen_pm", expr("CAST(length(concat_ws('', toks)) AS BIGINT) * 1000 div n_tokens"))
-        .withColumn("reasons", concat(
-          when(col("n_tokens") < MIN_TOKENS, lit("short;")).otherwise(lit("")),
-          when(col("distinct_pm") < MIN_DISTINCT_PM, lit("repetitive;")).otherwise(lit("")),
-          when(col("toklen_pm") < TOKLEN_PM_LO || col("toklen_pm") > TOKLEN_PM_HI,
-            lit("tok_len;")).otherwise(lit(""))))
+      withQualityMetrics(docs(s, d))
         .select(col("doc_id"), col("n_tokens"), col("distinct_pm"), col("toklen_pm"),
           (col("reasons") === "").as("keep"), col("reasons"))
         .orderBy("doc_id"),
     oracle = Some(
-      s"""WITH t AS (
-         |  SELECT doc_id, $toksSql AS toks FROM documents
-         |), m AS (
-         |  SELECT doc_id,
-         |         len(toks)::BIGINT AS n_tokens,
-         |         len(list_distinct(toks))::BIGINT * 1000 // len(toks) AS distinct_pm,
-         |         length(array_to_string(toks, ''))::BIGINT * 1000 // len(toks) AS toklen_pm
-         |  FROM t
-         |), r AS (
-         |  SELECT *,
-         |         (CASE WHEN n_tokens < $MIN_TOKENS THEN 'short;' ELSE '' END ||
-         |          CASE WHEN distinct_pm < $MIN_DISTINCT_PM THEN 'repetitive;' ELSE '' END ||
-         |          CASE WHEN toklen_pm < $TOKLEN_PM_LO OR toklen_pm > $TOKLEN_PM_HI THEN 'tok_len;' ELSE '' END) AS reasons
-         |  FROM m
-         |)
+      s"""WITH ${qualitySqlCtes("documents")}
          |SELECT doc_id, n_tokens, distinct_pm, toklen_pm, reasons = '' AS keep, reasons
-         |FROM r ORDER BY doc_id""".stripMargin),
+         |FROM qr ORDER BY doc_id""".stripMargin),
     doc = "X4 composite quality gate (keep/drop with reject-reason audit trail)")
 
   // -------------------------------------------------------------------
