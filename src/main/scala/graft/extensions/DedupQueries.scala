@@ -53,6 +53,20 @@ object DedupQueries {
   private def shingled(s: SparkSession, d: String): DataFrame =
     shingleDocs(docs(s, d))
 
+  /** Map-side `simhash` column over any documents-shaped frame — the
+    * identical per-document derivation [[simhashPairsFor]] and
+    * [[signatures]] use, shared with the streaming admission path
+    * ([[graft.streaming.StreamingClean]]) so an online simhash equals
+    * the indexed one bit-for-bit. */
+  private[graft] def withSimhash(df: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    df.withColumn("toks", expr(toksExpr))
+      .withColumn("sh", expr(shinglesFromToks))
+      .withColumn("simhash", call_function("graft_simhash",
+        expr("transform(sh, x -> graft_md5_prefix(x, 8))")))
+      .drop("toks", "sh")
+  }
+
   /** All text signatures in ONE map-side pass over the tokens —
     * exactly what [[TextIndex]] persists and the live paths derive:
     * the 8-hash MinHash signature (banding for dedup_minhash), the
@@ -192,7 +206,7 @@ object DedupQueries {
   // X2b SimHash: 32-bit signature over shingles (md5-derived bits),
   // banded into 4 bytes for candidate generation, Hamming-verified.
   // -------------------------------------------------------------------
-  private val HAMMING_MAX = 6
+  private[graft] val HAMMING_MAX = 6
 
   /** SimHash near-dup pairs (doc_a, doc_b, hamming), hamming ≤
     * HAMMING_MAX — shared by the dedup_simhash query and the cluster

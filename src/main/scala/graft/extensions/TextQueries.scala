@@ -379,7 +379,7 @@ object TextQueries {
   /** Quality metrics + reject-reason string on ANY documents-shaped
     * frame — shared with [[PipelineQueries]] so the pipeline's quality
     * stage IS the quality_gate operator, not a re-implementation. */
-  private[extensions] def withQualityMetrics(df: DataFrame): DataFrame =
+  private[graft] def withQualityMetrics(df: DataFrame): DataFrame =
     df.withColumn("toks", expr(toksExpr))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("distinct_pm", expr("CAST(size(array_distinct(toks)) AS BIGINT) * 1000 div n_tokens"))

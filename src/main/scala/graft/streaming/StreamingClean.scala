@@ -1,0 +1,201 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+
+import graft.extensions.{DedupQueries, TextIndex, TextQueries}
+
+/** Online corpus admission control — the streaming form of the
+  * `corpus_clean` pipeline ([[graft.extensions.PipelineQueries]]): as
+  * documents stream in, each one gets a verdict THE MOMENT IT ARRIVES —
+  * `lang` / `quality` / `exact_dup` / `near_dup` / `kept` — with the
+  * same stage precedence and the same per-stage derivations as the
+  * batch pipeline. This is the ingest-time filter a training-data
+  * pipeline actually wants: decide whether a crawled document enters
+  * the corpus BEFORE paying to store and reprocess it.
+  *
+  * Stage semantics (batch-pipeline precedence, survivors-only):
+  *   - `lang` / `quality` — stateless map-side projections (the shared
+  *     [[TextQueries.withQualityMetrics]] expressions). A document
+  *     dropped here never reaches the dedup stages — it does not
+  *     reserve its content hash (PipelineSpec's precedence contract).
+  *   - `exact_dup` — first occurrence of a content hash within the
+  *     watermark horizon passes, later copies are dropped. State is one
+  *     record per hash, evicted by event-time timeout: bounded by the
+  *     horizon's distinct documents, not the corpus
+  *     ([[StreamingDedup]]'s contract; cross-horizon duplicates are the
+  *     batch pass's job).
+  *   - `near_dup` — the incoming document's SimHash (the shared
+  *     [[DedupQueries.withSimhash]] derivation, bit-identical to what
+  *     [[TextIndex]] persists) is banded against the CERTIFIED text
+  *     index of the existing corpus in a stream-static join: 4 bands
+  *     × 8 bits, Hamming-verified survivors mark the document as a
+  *     near-duplicate of something already owned. The static side is a
+  *     bounded banding join exactly like the batch query — never a
+  *     broadcast of the corpus, never driver state — so the reference
+  *     index can be 100 TB-scale.
+  *
+  * Plumbing note (why one stateful operator suffices): the marker leg
+  * (banding join) and the data leg are both stateless derivations of
+  * the SAME source micro-batch, so a document's data row and its
+  * near-dup marker rows always land in the same
+  * `flatMapGroupsWithState` invocation — the verdict is emitted
+  * immediately, no second stateful reduction, no cross-batch marker
+  * state. The group key is the content hash, which gives the exact-dup
+  * state for free and still sees every marker (markers carry their
+  * document's hash).
+  *
+  * For in-order streams the emitted verdicts equal
+  * [[batchVerdicts]] — the batch backfill form over a bounded,
+  * ingest-stamped corpus — row for row (StreamingCleanSpec).
+  */
+object StreamingClean {
+
+  /** Ingest schema: a labeled document plus its ingest event time. */
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("ingest_ts", TimestampType)))
+
+  private[graft] val KEEP_LANG = "en"
+
+  /** One row through the stateful stage: a document (is_marker=false,
+    * pre = its stateless verdict or "") or a near-dup marker
+    * (is_marker=true) produced by the banding join. */
+  case class CleanRow(doc_id: Long, content_hash: String, pre: String,
+                      is_marker: Boolean, ingest_ts: java.sql.Timestamp)
+
+  /** Per-content-hash state: the hash has been admitted to the exact
+    * stage within the horizon (by a lang/quality SURVIVOR — dropped
+    * documents do not reserve their hash). */
+  case class HashState(firstDoc: Long)
+
+  /** The admission decision, emitted as the document arrives. */
+  case class Verdict(doc_id: Long, verdict: String, kept: Boolean)
+
+  /** Stateless stage columns: `pre` = first failing map-side stage
+    * ("" if the document reaches the dedup stages), plus the content
+    * hash. Shared by the stream and the batch backfill. */
+  private def withPreVerdict(df: DataFrame, keepLang: String): DataFrame =
+    TextQueries.withQualityMetrics(df)
+      .withColumn("pre",
+        when(col("lang") =!= keepLang, "lang")
+          .when(col("reasons") =!= "", "quality")
+          .otherwise(""))
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .select("doc_id", "text", "lang", "ingest_ts", "pre", "content_hash")
+
+  /** Near-dup marker rows for lang/quality survivors: band the
+    * document's simhash against the index signatures (static side),
+    * Hamming-verify survivors — the [[DedupQueries.simhashPairsFor]]
+    * banding scheme with the persisted index as the right side. */
+  private def markerLeg(spark: SparkSession, surv: DataFrame, indexDir: String): DataFrame = {
+    val sig = DedupQueries.withSimhash(surv)
+      .select(col("doc_id"), col("content_hash"), col("ingest_ts"), col("simhash"))
+      .withColumn("k", explode(expr("sequence(0, 3)")))
+      .withColumn("byte", expr("shiftright(simhash, k * 8) & 255"))
+    val ref = TextIndex.readSigs(spark, indexDir)
+      .select(col("simhash").as("ref_sh"))
+      .withColumn("k", explode(expr("sequence(0, 3)")))
+      .withColumn("byte", expr("shiftright(ref_sh, k * 8) & 255"))
+    sig.join(ref, Seq("k", "byte"))
+      .filter(bit_count(expr("simhash ^ ref_sh")) <= DedupQueries.HAMMING_MAX)
+      .select(col("doc_id"), col("content_hash"), lit("").as("pre"),
+        lit(true).as("is_marker"), col("ingest_ts"))
+  }
+
+  /** The verdict stream over a parquet document feed. `indexDir` must
+    * hold a CERTIFIED [[TextIndex]] of the existing corpus (the
+    * `_SYNCED` gate is checked at plan time; an uncertified index is a
+    * hard error here rather than a silent recompute — a stream has no
+    * bounded corpus to recompute against). */
+  def verdicts(spark: SparkSession, dir: String, indexDir: String,
+               watermark: String = "1 hour",
+               keepLang: String = KEEP_LANG): DataFrame = {
+    import spark.implicits._
+    require(TextIndex.usable(spark, indexDir),
+      s"text index at $indexDir is absent or uncertified — build() it from the owned corpus first")
+    val src = spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ingest_ts", watermark)
+    val pre = withPreVerdict(src, keepLang)
+    val data = pre.select(col("doc_id"), col("content_hash"), col("pre"),
+      lit(false).as("is_marker"), col("ingest_ts"))
+    val markers = markerLeg(spark, pre.filter(col("pre") === ""), indexDir)
+    data.unionByName(markers)
+      .as[CleanRow]
+      .groupByKey(_.content_hash)
+      .flatMapGroupsWithState[HashState, Verdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, batch: Iterator[CleanRow], state: GroupState[HashState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rows = batch.toSeq
+            val marked = rows.filter(_.is_marker).map(_.doc_id).toSet
+            // arrival order within the batch (in-order streams: event
+            // time, doc_id tie-break — the StatefulStreams convention)
+            val docs = rows.filterNot(_.is_marker)
+              .sortBy(r => (r.ingest_ts.getTime, r.doc_id))
+            var seen = state.getOption
+            val out = docs.map { r =>
+              val v =
+                if (r.pre.nonEmpty) r.pre // dropped map-side: no hash reserved
+                else if (seen.isDefined) "exact_dup"
+                else {
+                  seen = Some(HashState(r.doc_id))
+                  if (marked(r.doc_id)) "near_dup" else "kept"
+                }
+              Verdict(r.doc_id, v, v == "kept")
+            }
+            seen.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(rows.map(_.ingest_ts.getTime).max, watermark)
+            }
+            out.iterator
+          }
+      }
+      .toDF()
+  }
+
+  /** Batch backfill form: the same verdicts over a bounded,
+    * ingest-stamped corpus (doc_id, text, lang, ingest_ts) — keep-first
+    * is arrival order, near-dups are resolved against the same index.
+    * The streaming operator equals this row-for-row on in-order streams
+    * (StreamingCleanSpec); operationally this is the nightly
+    * re-admission pass that also catches cross-horizon duplicates the
+    * watermark-bounded stream state lets through. */
+  def batchVerdicts(spark: SparkSession, docs: DataFrame, indexDir: String,
+                    keepLang: String = KEEP_LANG): DataFrame = {
+    require(TextIndex.usable(spark, indexDir),
+      s"text index at $indexDir is absent or uncertified — build() it from the owned corpus first")
+    val pre = withPreVerdict(docs, keepLang)
+    val surv = pre.filter(col("pre") === "")
+    val firsts = surv.withColumn("rk",
+        row_number().over(Window.partitionBy("content_hash")
+          .orderBy(col("ingest_ts"), col("doc_id"))))
+    val nearIds = markerLeg(spark, surv, indexDir)
+      .select("doc_id").distinct().withColumn("near", lit(true))
+    pre.join(firsts.select("doc_id", "rk"), Seq("doc_id"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("pre") =!= "", col("pre"))
+          .when(col("rk") > 1, "exact_dup")
+          .when(coalesce(col("near"), lit(false)), "near_dup")
+          .otherwise("kept").as("verdict"))
+      .withColumn("kept", col("verdict") === "kept")
+  }
+
+  /** Run the admission stream into a queryable in-memory sink. */
+  def start(spark: SparkSession, dir: String, indexDir: String, queryName: String,
+            checkpoint: String, watermark: String = "1 hour",
+            keepLang: String = KEEP_LANG): StreamingQuery =
+    verdicts(spark, dir, indexDir, watermark, keepLang).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .start()
+}

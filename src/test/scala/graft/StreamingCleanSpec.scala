@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.extensions.TextIndex
+import graft.streaming.StreamingClean
+
+/** Online corpus admission: the verdict stream must equal the batch
+  * backfill form row-for-row on in-order streams — across micro-batch
+  * boundaries — and the hand-derived verdicts pin every stage path
+  * independently of the shared derivations.
+  */
+class StreamingCleanSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** 40 distinct ~4-char tokens: passes every quality gate. */
+  private def goodText(tag: String): String =
+    (0 until 40).map(i => s"${tag}t$i").mkString(" ")
+
+  private val baseCorpus: Seq[(Long, String)] =
+    (0L until 20L).map(d => d -> goodText(s"b$d"))
+
+  // near-variant of base doc 1: one interior token replaced out of 40 —
+  // 37 of 40 3-gram shingles survive, so the simhash lands within
+  // Hamming range of the indexed one (deterministic md5 derivation:
+  // this either always passes or never does)
+  private val nearVariant: String = {
+    val toks = goodText("b1").split(" ")
+    (toks.take(20) ++ Seq("changed") ++ toks.drop(21)).mkString(" ")
+  }
+
+  // the streamed tranche: every verdict path carries at least one doc
+  private val tranche: Seq[(Long, String, String, Long)] = Seq(
+    (100L, goodText("n100"), "en", 1L),   // novel                → kept
+    (101L, goodText("n101"), "de", 2L),   // wrong language       → lang
+    (102L, "tiny doc", "en", 3L),         // < 30 tokens          → quality
+    (103L, goodText("b0"), "en", 4L),     // exact copy of owned  → near_dup (hamming 0)
+    (104L, nearVariant, "en", 5L),        // near copy of owned   → near_dup
+    (105L, goodText("n100"), "en", 6L),   // repeat of 100        → exact_dup
+    (106L, goodText("n101"), "en", 7L),   // 101's text, right lang → kept (lang drop reserved no hash)
+    (107L, "tiny doc", "en", 8L),         // repeat of the quality drop → quality (not exact_dup)
+  )
+
+  private val expected: Map[Long, String] = Map(
+    100L -> "kept", 101L -> "lang", 102L -> "quality", 103L -> "near_dup",
+    104L -> "near_dup", 105L -> "exact_dup", 106L -> "kept", 107L -> "quality")
+
+  private def buildIndex(): String = {
+    val dir = tmpDir("graft-sclean-idx")
+    TextIndex.build(spark, baseCorpus.toDF("doc_id", "text"), dir)
+    dir
+  }
+
+  private def writeTranche(src: String, ids: Set[Long]): Unit =
+    tranche.filter(t => ids(t._1))
+      .map { case (d, text, lang, ts) => (d, text, lang, new java.sql.Timestamp(ts * 1000L)) }
+      .toDF("doc_id", "text", "lang", "ingest_ts")
+      .coalesce(1).write.mode("append").parquet(src)
+
+  test("stream verdicts ≡ batch backfill ≡ hand-derived, across micro-batches") {
+    val idx = buildIndex()
+    val src = tmpDir("graft-sclean-src")
+    val ckpt = tmpDir("graft-sclean-ckpt")
+    // batch 1 ends before the repeat docs: 105 must hit CARRIED state
+    writeTranche(src, Set(100L, 101L, 102L, 103L))
+    val q = StreamingClean.start(spark, src, idx, "sclean_sink", ckpt)
+    try {
+      q.processAllAvailable()
+      writeTranche(src, Set(104L, 105L, 106L, 107L))
+      q.processAllAvailable()
+      val got = spark.table("sclean_sink")
+        .select("doc_id", "verdict").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === expected, "every stage path, hand-derived")
+      val batch = StreamingClean.batchVerdicts(spark,
+          tranche.map { case (d, t, l, ts) => (d, t, l, new java.sql.Timestamp(ts * 1000L)) }
+            .toDF("doc_id", "text", "lang", "ingest_ts"), idx)
+        .select("doc_id", "verdict").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(batch === got, "batch backfill form agrees row-for-row")
+      assert(spark.table("sclean_sink").filter(col("kept")).count() === 2L)
+    } finally q.stop()
+  }
+
+  test("exact-dup state is watermark-bounded: a cross-horizon repeat is admitted again") {
+    val idx = buildIndex()
+    val src = tmpDir("graft-sclean-evict-src")
+    val ckpt = tmpDir("graft-sclean-evict-ckpt")
+    def write(d: Long, tsSec: Long, text: String = goodText("ev")): Unit =
+      Seq((d, text, "en", new java.sql.Timestamp(tsSec * 1000L)))
+        .toDF("doc_id", "text", "lang", "ingest_ts")
+        .coalesce(1).write.mode("append").parquet(src)
+    write(0L, 1L)
+    val q = StreamingClean.start(spark, src, idx, "sclean_evict_sink", ckpt,
+      watermark = "1 second")
+    try {
+      q.processAllAvailable()
+      write(1L, 2L) // in-horizon repeat → exact_dup
+      q.processAllAvailable()
+      // far-future docs advance the watermark past the hash's timeout,
+      // then a dataless batch for that group fires the eviction (the
+      // StreamingSpans timing contract)
+      write(2L, 100000L, goodText("fa"))
+      q.processAllAvailable()
+      write(3L, 100001L, goodText("fb"))
+      q.processAllAvailable()
+      write(4L, 100002L) // same text as doc 0, far past the horizon
+      q.processAllAvailable()
+      val got = spark.table("sclean_evict_sink")
+        .select("doc_id", "verdict").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got(0L) === "kept" && got(1L) === "exact_dup",
+        "in-horizon repeat dropped")
+      assert(got(4L) === "kept",
+        "cross-horizon repeat re-admitted (bounded state; batch pass owns the rest)")
+    } finally q.stop()
+  }
+
+  test("an absent or uncertified index is a hard error, not a silent pass-through") {
+    val err = intercept[IllegalArgumentException] {
+      StreamingClean.verdicts(spark, tmpDir("graft-sclean-nosrc"),
+        tmpDir("graft-sclean-noidx"))
+    }
+    assert(err.getMessage.contains("uncertified"))
+  }
+}
