@@ -271,7 +271,7 @@ object MinHashSig {
   * hook (`GraftExtensions`) covers spark.sql.extensions deployments.
   */
 object VectorFunctions {
-  private def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private[functions] def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
     "graft_md5_prefix" -> (exprs =>
       Md5Prefix64(exprs(0), exprs(1).eval(null).asInstanceOf[Number].intValue())),
@@ -292,13 +292,19 @@ object VectorFunctions {
   }
 }
 
-/** spark.sql.extensions entry point: injects graft functions into every
-  * session built with this extension (cluster deployment path).
+/** spark.sql.extensions entry point: injects ALL graft functions into
+  * every session built with this extension (cluster deployment path —
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` makes
+  * the whole SQL surface available with no code on the driver). Injects
+  * the same builder list [[VectorFunctions.register]] installs
+  * per-session, so the two paths can never drift.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    ext.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
-        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-        (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    VectorFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new ExpressionInfo(classOf[DotProduct].getName, name),
+          builder))
+    }
 }

@@ -67,4 +67,31 @@ class FunctionsSpec extends SparkSpec {
     assert(fast.join(ref.withColumnRenamed("sig", "ref_sig"), "doc_id")
       .filter(col("sig") =!= col("ref_sig")).count() === 0L)
   }
+
+  test("GraftExtensions injects the full SQL surface (spark.sql.extensions path)") {
+    // a session built via withExtensions on the shared context — the
+    // cluster deployment path, no VectorFunctions.register call. The
+    // shared spec session must step aside for getOrCreate to actually
+    // BUILD one (an existing default session ignores new extensions);
+    // restored in the finally
+    import org.apache.spark.sql.SparkSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s2 = try SparkSession.builder()
+        .master("local[4]").appName("graft-ext-test")
+        .withExtensions(new graft.functions.GraftExtensions())
+        .getOrCreate()
+      finally { SparkSession.setDefaultSession(spark); SparkSession.setActiveSession(spark) }
+    for (fn <- Seq("graft_dot", "graft_md5_prefix", "graft_simhash", "graft_minhash"))
+      assert(s2.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(fn)), s"$fn missing")
+    val r = s2.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       graft_md5_prefix('abc', 8) AS h,
+        |       graft_simhash(array(1L, 2L, 3L)) AS sh,
+        |       graft_minhash(array('a', 'b'), 2) AS mh""".stripMargin).head()
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getLong(1) === java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("abc").substring(0, 8), 16))
+    assert(r.getSeq[String](3).size === 2)
+  }
 }
