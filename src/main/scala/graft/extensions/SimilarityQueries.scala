@@ -568,12 +568,162 @@ object SimilarityQueries {
          |FROM q ORDER BY vec_id""".stripMargin),
     doc = "X3 embedding int8 quantization audit (affine codes, reconstruction-error profile)")
 
+  // -------------------------------------------------------------------
+  // X3e ANN evaluation harness: recall@K of BOTH approximate paths
+  // (SRP-LSH banding, IVF probe-2) against the brute-force truth, plus
+  // the candidate-set size that recall was bought with — the
+  // serving-time quality/cost curve as a first-class query. This is the
+  // measurement a 100 TB deployment runs after every index build or
+  // band/probe retune: recall says whether the ANN answer is still the
+  // right answer, n_cand says what fraction of the corpus each query
+  // still touches. Truth is always recomputed (it IS the definition);
+  // candidate generation rides the certified AnnIndex when one is in
+  // play, exactly like the serving paths it evaluates.
+  // -------------------------------------------------------------------
+  private val RECALL_SCALE = 1000000 / K // recall_ppm = hits × this
+
+  val recall: QueryDef = QueryDef(
+    build = (s, d) => {
+      val e = emb(s, d).persist() // session-scoped memo (QueryDef cache contract)
+      // ground truth: brute-force top-K per query (the sim_topk derivation)
+      val q = e.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+      val truth = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos_sim", round(
+          call_function("graft_dot", col("v"), col("qv")) / (col("norm") * col("qnorm")), 6))
+        .withColumn("neighbor_id", col("vec_id"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select("query_id", "neighbor_id")
+        .persist()
+      // SRP candidate set — the sim_ann generation, index-served when certified
+      val bands = AnnIndex.resolveFor(s, e) match {
+        case Some(dir) => AnnIndex.bandsFromIndex(s, dir)
+        case None      => srpBands(srpCoded(e))
+      }
+      val qb = bands.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("query_id"), col("band"), col("bucket"))
+      val srpCand = bands.join(qb, Seq("band", "bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        .dropDuplicates("query_id", "neighbor_id")
+      // IVF candidate set — the sim_ivf generation (label quantizer)
+      val (cent, assigned) = AnnIndex.resolveFor(s, e) match {
+        case Some(dir) =>
+          (AnnIndex.readCentroids(s, dir),
+            AnnIndex.readCodes(s, dir).select(col("vec_id"), col("cell")))
+        case None =>
+          val c = centroidTable(s, s.read.parquet(s"$d/embeddings.parquet"))
+          (c, assignCells(e, c))
+      }
+      val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("clabel"))
+      val probes = cellSims(e.filter(col("vec_id") < N_QUERIES), cent)
+        .withColumn("rk", row_number().over(byVec))
+        .filter(col("rk") <= N_PROBE)
+        .select(col("vec_id").as("query_id"), col("clabel").as("cell"))
+      val ivfCand = probes.join(assigned, "cell")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        .dropDuplicates("query_id", "neighbor_id")
+      // per method: candidate volume + truth hits → recall_ppm
+      def eval(cand: DataFrame, method: String): DataFrame = {
+        val n = cand.groupBy("query_id").agg(count(lit(1)).as("n_cand"))
+        val h = truth.join(cand, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        truth.select("query_id").distinct()
+          .join(n, Seq("query_id"), "left")
+          .join(h, Seq("query_id"), "left")
+          .select(col("query_id"), lit(method).as("method"),
+            coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+            coalesce(col("hits"), lit(0L)).as("hits"))
+      }
+      eval(srpCand, "srp").unionByName(eval(ivfCand, "ivf"))
+        .withColumn("recall_ppm", col("hits") * RECALL_SCALE)
+        .orderBy("query_id", "method")
+    },
+    oracle = Some(
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+         |  FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e WHERE vec_id < $N_QUERIES
+         |), brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY round(list_dot_product(e.v, q.qv) / (e.norm * q.qnorm), 6) DESC, e.vec_id) AS rank
+         |    FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+         |  WHERE rank <= $K
+         |), planes AS (
+         |  SELECT p.p, j.j,
+         |         ((('0x' || substring(md5(p.p::VARCHAR || '_' || j.j::VARCHAR), 1, 8))::BIGINT % 2) * 2 - 1)::DOUBLE AS sgn
+         |  FROM generate_series(0, ${N_PLANES - 1}) p(p) CROSS JOIN generate_series(0, 63) j(j)
+         |), pv AS (
+         |  SELECT p, list(sgn ORDER BY j) AS sv FROM planes GROUP BY p
+         |), coded AS (
+         |  SELECT vec_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS code
+         |  FROM (SELECT e.vec_id, pv.p, list_dot_product(e.v, pv.sv) AS s FROM e CROSS JOIN pv)
+         |  GROUP BY vec_id
+         |), bands AS (
+         |  SELECT c.vec_id, g.band, (c.code >> (g.band * $BAND_BITS)) & ${(1 << BAND_BITS) - 1} AS bucket
+         |  FROM coded c CROSS JOIN generate_series(0, ${N_PLANES / BAND_BITS - 1}) g(band)
+         |), srp_cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM bands q JOIN bands b ON q.band = b.band AND q.bucket = b.bucket
+         |  WHERE q.vec_id < $N_QUERIES AND b.vec_id <> q.vec_id
+         |), cd AS (
+         |  SELECT label::BIGINT AS clabel, g.i AS dim, round(avg(embedding[g.i]::DOUBLE), 6) AS cx
+         |  FROM embeddings CROSS JOIN generate_series(1, 64) g(i)
+         |  GROUP BY clabel, dim
+         |), cn AS (
+         |  SELECT clabel, cv, sqrt(list_dot_product(cv, cv)) AS cnorm
+         |  FROM (SELECT clabel, list(cx ORDER BY dim) AS cv FROM cd GROUP BY clabel)
+         |), rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, clabel) AS rk FROM (
+         |    SELECT e.vec_id, c.clabel,
+         |           round(list_dot_product(e.v, c.cv) / (e.norm * c.cnorm), 6) AS csim
+         |    FROM e CROSS JOIN cn c)
+         |), ivf_cand AS (
+         |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+         |  FROM (SELECT vec_id AS query_id, clabel AS cell FROM rk WHERE rk <= $N_PROBE AND vec_id < $N_QUERIES) p
+         |  JOIN (SELECT vec_id, clabel AS cell FROM rk WHERE rk = 1) a ON p.cell = a.cell
+         |  WHERE a.vec_id <> p.query_id
+         |), spine AS (
+         |  SELECT DISTINCT query_id FROM brute
+         |), srp_eval AS (
+         |  SELECT s.query_id, 'srp' AS method,
+         |         coalesce(n.n_cand, 0)::BIGINT AS n_cand, coalesce(h.hits, 0)::BIGINT AS hits
+         |  FROM spine s
+         |  LEFT JOIN (SELECT query_id, count(*)::BIGINT AS n_cand FROM srp_cand GROUP BY query_id) n
+         |    ON s.query_id = n.query_id
+         |  LEFT JOIN (SELECT t.query_id, count(*)::BIGINT AS hits FROM brute t
+         |             JOIN srp_cand c ON t.query_id = c.query_id AND t.neighbor_id = c.neighbor_id
+         |             GROUP BY t.query_id) h ON s.query_id = h.query_id
+         |), ivf_eval AS (
+         |  SELECT s.query_id, 'ivf' AS method,
+         |         coalesce(n.n_cand, 0)::BIGINT AS n_cand, coalesce(h.hits, 0)::BIGINT AS hits
+         |  FROM spine s
+         |  LEFT JOIN (SELECT query_id, count(*)::BIGINT AS n_cand FROM ivf_cand GROUP BY query_id) n
+         |    ON s.query_id = n.query_id
+         |  LEFT JOIN (SELECT t.query_id, count(*)::BIGINT AS hits FROM brute t
+         |             JOIN ivf_cand c ON t.query_id = c.query_id AND t.neighbor_id = c.neighbor_id
+         |             GROUP BY t.query_id) h ON s.query_id = h.query_id
+         |)
+         |SELECT query_id, method, n_cand, hits, hits * $RECALL_SCALE AS recall_ppm
+         |FROM (SELECT * FROM srp_eval UNION ALL SELECT * FROM ivf_eval)
+         |ORDER BY query_id, method""".stripMargin),
+    doc = "X3 ANN evaluation harness: recall@K + candidate volume of the SRP and IVF paths vs brute-force truth")
+
   val defs: Map[String, QueryDef] = Map(
     "sim_topk"         -> topk,
     "sim_ann"          -> ann,
     "sim_ivf"          -> ivf,
     "kmeans_centroids" -> kmeansQ,
     "sim_ivf_kmeans"   -> ivfKmeans,
+    "sim_recall"       -> recall,
     "embed_quantize"   -> quantize,
   )
 }

@@ -26,6 +26,7 @@ class AnnIndexSpec extends SparkSpec {
     val recomputedAnn = collectAnn("sim_ann")
     val recomputedIvf = collectAnn("sim_ivf")
     val recomputedLsh = collectAnn("dedup_embed_lsh")
+    val recomputedRec = collectAnn("sim_recall")
     AnnIndex.build(spark, raw, dir)
     assert(AnnIndex.usable(spark, dir))
     withIndex(dir) {
@@ -33,6 +34,8 @@ class AnnIndexSpec extends SparkSpec {
       assert(collectAnn("sim_ann") === recomputedAnn)
       assert(collectAnn("sim_ivf") === recomputedIvf)
       assert(collectAnn("dedup_embed_lsh") === recomputedLsh)
+      assert(collectAnn("sim_recall") === recomputedRec,
+        "the eval harness measures the index-served paths it evaluates")
     }
   }
 
