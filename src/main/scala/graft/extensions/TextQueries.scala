@@ -467,6 +467,60 @@ object TextQueries {
          |FROM top CROSS JOIN tot ORDER BY rank""".stripMargin),
     doc = "X4 vocabulary induction (top-K tokens + cumulative coverage)")
 
+  // -------------------------------------------------------------------
+  // PII detection + redaction: emails and URLs found, masked, and
+  // counted per document — the scrub pass a training corpus runs before
+  // anything else ships. Map-only scan (regex match + replace per row,
+  // no shuffle except the output sort), so it composes into the ingest
+  // path at any scale. Patterns are written WITHOUT shorthand classes
+  // (the Java-regex/RE2 divergence gotcha) so Spark and DuckDB match
+  // identical spans; redaction equality is gated via the sha256 of the
+  // redacted text. The synthetic corpus carries no PII, so a
+  // deterministic tranche (docs ≡ 0 mod 7 get a contact line built from
+  // doc_id) makes both redaction paths carry rows at every SF.
+  // -------------------------------------------------------------------
+  private val EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  private val URL_RE = "https?://[A-Za-z0-9./_-]+"
+
+  val redact: QueryDef = QueryDef(
+    build = (s, d) => {
+      val planted = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or https://example.org/p/"), col("doc_id").cast("string")))
+          .otherwise(col("text")).as("text"))
+      planted
+        .withColumn("n_emails",
+          size(regexp_extract_all(col("text"), lit(EMAIL_RE), lit(0))).cast("long"))
+        .withColumn("n_urls",
+          size(regexp_extract_all(col("text"), lit(URL_RE), lit(0))).cast("long"))
+        .withColumn("clean",
+          regexp_replace(regexp_replace(col("text"), lit(EMAIL_RE), lit("<EMAIL>")),
+            lit(URL_RE), lit("<URL>")))
+        .select(col("doc_id"), col("n_emails"), col("n_urls"),
+          sha2(col("clean"), 256).as("redacted_hash"),
+          length(col("clean")).cast("long").as("redacted_len"))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 7 = 0
+         |              THEN text || ' contact user' || doc_id || '@example.com or https://example.org/p/' || doc_id
+         |              ELSE text END AS text
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id,
+         |         len(regexp_extract_all(text, '$EMAIL_RE'))::BIGINT AS n_emails,
+         |         len(regexp_extract_all(text, '$URL_RE'))::BIGINT AS n_urls,
+         |         regexp_replace(regexp_replace(text, '$EMAIL_RE', '<EMAIL>', 'g'), '$URL_RE', '<URL>', 'g') AS clean
+         |  FROM planted
+         |)
+         |SELECT doc_id, n_emails, n_urls, sha256(clean) AS redacted_hash,
+         |       length(clean)::BIGINT AS redacted_len
+         |FROM r ORDER BY doc_id""".stripMargin),
+    doc = "X4 PII detection + redaction (emails/URLs masked, counts + redacted-content hash)")
+
   val defs: Map[String, QueryDef] = Map(
     "quality_gate"     -> qualityGate,
     "vocab_topk"       -> vocabTopK,
@@ -478,5 +532,6 @@ object TextQueries {
     "text_quality"     -> textQuality,
     "text_fingerprint" -> fingerprint,
     "text_tfidf"       -> tfidf,
+    "text_redact"      -> redact,
   )
 }
