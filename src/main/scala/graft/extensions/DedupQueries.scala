@@ -611,7 +611,7 @@ object DedupQueries {
   // running sum share one partitioning + sort. No O(n²) step anywhere:
   // candidate work is linear in corpus tokens + duplicated windows.
   // -------------------------------------------------------------------
-  private val SPAN_K = 8
+  private[extensions] val SPAN_K = 8
 
   /** Per-doc rolling-window hash array (what [[TextIndex]] persists as
     * `swh`): element p = the 60-bit md5-prefix hash of the SPAN_K-token
@@ -671,7 +671,7 @@ object DedupQueries {
     * no per-window md5 — the whole pass that grows with corpus tokens
     * happens once at ingest (indexes predating the column fall back;
     * rebuild to upgrade). */
-  private def spanWindows(s: SparkSession, d: String): DataFrame =
+  private[extensions] def spanWindows(s: SparkSession, d: String): DataFrame =
     (TextIndex.resolveFor(s, docs(s, d)) match {
       case Some(dir) if TextIndex.readSigs(s, dir).columns.contains("swh") =>
         TextIndex.readSigs(s, dir)

@@ -182,6 +182,122 @@ object TrainingQueries {
     doc = "training: benchmark decontamination (train/eval 4-gram overlap gate)")
 
   // -------------------------------------------------------------------
+  // Span-level decontamination: the window-granular form of the gate
+  // above — a train document is contaminated where an 8-token rolling
+  // window's content also appears in the eval slice, and the verdict
+  // carries HOW MUCH of the document is contaminated (the
+  // gaps-and-islands union of matched windows, the dedup_span_frac
+  // discipline), not just that some shingle overlaps. This is the
+  // evidence an excision policy needs: a doc 2% contaminated gets the
+  // span scrubbed, a doc 60% contaminated gets dropped. Windows reuse
+  // the span family's derivation (and its TextIndex-served working set
+  // when one is certified); the candidate join is a grouped shuffle on
+  // the window hash — never doc pairs.
+  // -------------------------------------------------------------------
+  private def spanK = DedupQueries.SPAN_K
+  // planted tranche: eval docs < PLANT re-keyed as TRAIN ids (OFFSET %
+  // 25 = 1, so planted ids never land in the eval slice) — the corpus
+  // has little natural train/eval window overlap, and a gate over a
+  // barely-taken branch proves nothing (the corpus_clean precedent).
+  // Planted windows/token-counts are derived by RE-KEYING the already-
+  // computed corpus rows — zero extra text passes, and the TextIndex-
+  // served working set still covers the corpus-sized derivation.
+  private val DECON_PLANT = 50L
+  private val DECON_OFFSET = 3000001L
+
+  val decontaminateSpans: QueryDef = QueryDef(
+    build = (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val winsBase = DedupQueries.spanWindows(s, d)
+      val wins = winsBase.unionByName(
+        winsBase.filter(col("doc_id") % 25 === 0 && col("doc_id") < DECON_PLANT)
+          .withColumn("doc_id", col("doc_id") + DECON_OFFSET))
+      val ev = wins.filter(col("doc_id") % 25 === 0)
+        .select(col("h"), col("doc_id").as("eval_id"))
+        .dropDuplicates("h", "eval_id")
+      val hits = wins.filter(col("doc_id") % 25 =!= 0)
+        .join(ev, "h") // (train doc_id, p, h, eval_id)
+      val perDoc = hits.groupBy("doc_id")
+        .agg(countDistinct(col("h")).as("shared_windows"),
+          countDistinct(col("eval_id")).as("eval_docs"))
+      val w = Window.partitionBy("doc_id").orderBy("p")
+      val contTokens = hits.select(col("doc_id"), col("p")).dropDuplicates("doc_id", "p")
+        .select(col("doc_id"), col("p"),
+          when(col("p") - lag(col("p"), 1).over(w) > spanK, 1).otherwise(0).as("brk"))
+        .select(col("doc_id"), col("p"),
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("island"))
+        .groupBy(col("doc_id"), col("island"))
+        .agg((max(col("p")) - min(col("p")) + lit(spanK)).as("span_tokens"))
+        .groupBy("doc_id")
+        .agg(sum(col("span_tokens")).as("cont_tokens"))
+      val nBase = docs(s, d)
+        .select(col("doc_id"),
+          size(expr("filter(split(text, ' '), t -> t != '')")).cast("long").as("n_toks"))
+      val nToks = nBase.unionByName(
+        nBase.filter(col("doc_id") % 25 === 0 && col("doc_id") < DECON_PLANT)
+          .withColumn("doc_id", col("doc_id") + DECON_OFFSET))
+      perDoc.join(contTokens, "doc_id").join(nToks, "doc_id")
+        .select(col("doc_id"), col("shared_windows"), col("eval_docs"),
+          col("cont_tokens"), col("n_toks"),
+          expr("cont_tokens * 1000000 div greatest(n_toks, 1)").as("cont_ppm"))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM documents
+         |), w0 AS (
+         |  SELECT t.doc_id, i.p,
+         |         md5(array_to_string(t.ts[i.p + 1 : i.p + ${DedupQueries.SPAN_K}], ' ')) AS h
+         |  FROM t, LATERAL unnest(range(0, len(t.ts) - ${DedupQueries.SPAN_K} + 1)) AS i(p)
+         |  WHERE len(t.ts) >= ${DedupQueries.SPAN_K}
+         |), w AS (
+         |  SELECT * FROM w0
+         |  UNION ALL
+         |  SELECT doc_id + $DECON_OFFSET, p, h FROM w0
+         |  WHERE doc_id % 25 = 0 AND doc_id < $DECON_PLANT
+         |), ev AS (
+         |  SELECT DISTINCT h, doc_id AS eval_id FROM w WHERE doc_id % 25 = 0
+         |), hits AS (
+         |  SELECT w.doc_id, w.p, w.h, ev.eval_id
+         |  FROM w JOIN ev USING (h) WHERE w.doc_id % 25 <> 0
+         |), per_doc AS (
+         |  SELECT doc_id, count(DISTINCT h)::BIGINT AS shared_windows,
+         |         count(DISTINCT eval_id)::BIGINT AS eval_docs
+         |  FROM hits GROUP BY doc_id
+         |), pos AS (
+         |  SELECT DISTINCT doc_id, p FROM hits
+         |), m AS (
+         |  SELECT doc_id, p,
+         |         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > ${DedupQueries.SPAN_K}
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM pos
+         |), isl AS (
+         |  SELECT doc_id, p,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM m
+         |), ct AS (
+         |  SELECT doc_id, sum(span_tokens)::BIGINT AS cont_tokens FROM (
+         |    SELECT doc_id, max(p) - min(p) + ${DedupQueries.SPAN_K} AS span_tokens
+         |    FROM isl GROUP BY doc_id, island)
+         |  GROUP BY doc_id
+         |), nt0 AS (
+         |  SELECT doc_id, len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT AS n_toks
+         |  FROM documents
+         |), nt AS (
+         |  SELECT * FROM nt0
+         |  UNION ALL
+         |  SELECT doc_id + $DECON_OFFSET, n_toks FROM nt0
+         |  WHERE doc_id % 25 = 0 AND doc_id < $DECON_PLANT
+         |)
+         |SELECT p.doc_id, p.shared_windows, p.eval_docs, ct.cont_tokens, nt.n_toks,
+         |       (ct.cont_tokens * 1000000 // greatest(nt.n_toks, 1))::BIGINT AS cont_ppm
+         |FROM per_doc p JOIN ct ON p.doc_id = ct.doc_id JOIN nt ON p.doc_id = nt.doc_id
+         |ORDER BY p.doc_id""".stripMargin),
+    doc = "training: span-level decontamination (8-token window overlap vs eval slice, contaminated-token accounting)")
+
+  // -------------------------------------------------------------------
   // Sequence packing: assign documents to fixed token-budget training
   // batches. Deterministic in-order packing (bin = start-offset div
   // budget over the running token total), the streaming-friendly
@@ -275,6 +391,7 @@ object TrainingQueries {
     "sample_stratified" -> sampleStratified,
     "text_clean"        -> textClean,
     "decontaminate"     -> decontaminate,
+    "decontaminate_spans" -> decontaminateSpans,
     "pack_batches"      -> packBatches,
   )
 }

@@ -98,10 +98,16 @@ object StreamingClean {
       .select(col("doc_id"), col("content_hash"), col("ingest_ts"), col("simhash"))
       .withColumn("k", explode(expr("sequence(0, 3)")))
       .withColumn("byte", expr("shiftright(simhash, k * 8) & 255"))
+    // the static side is read ONCE and cached for the stream's
+    // lifetime: a stream-static join re-evaluates the static plan
+    // every micro-batch, and at 10⁹ owned documents re-banding the
+    // sigs table per batch would dominate the admission cost. The
+    // cached shape is slim (band key + one long per banded row)
     val ref = TextIndex.readSigs(spark, indexDir)
       .select(col("simhash").as("ref_sh"))
       .withColumn("k", explode(expr("sequence(0, 3)")))
       .withColumn("byte", expr("shiftright(ref_sh, k * 8) & 255"))
+      .persist()
     sig.join(ref, Seq("k", "byte"))
       .filter(bit_count(expr("simhash ^ ref_sh")) <= DedupQueries.HAMMING_MAX)
       .select(col("doc_id"), col("content_hash"), lit("").as("pre"),
