@@ -53,19 +53,35 @@ object DedupQueries {
   private def shingled(s: SparkSession, d: String): DataFrame =
     shingleDocs(docs(s, d))
 
-  /** Map-side `simhash` column over any documents-shaped frame — the
-    * identical per-document derivation [[simhashPairsFor]] and
-    * [[signatures]] use, shared with the streaming admission path
-    * ([[graft.streaming.StreamingClean]]) so an online simhash equals
-    * the indexed one bit-for-bit. */
-  private[graft] def withSimhash(df: DataFrame): DataFrame = {
+  /** Map-side MinHash signature column (`mhs`) over any
+    * documents-shaped frame — the identical per-document derivation
+    * [[signatures]] persists, shared with the streaming admission path
+    * ([[graft.streaming.StreamingClean]]) so an online signature equals
+    * the indexed one bit-for-bit.
+    *
+    * Why the admission path bands MINHASH and not simhash: a simhash
+    * band match is a HASH-PROXIMITY event, and proximity false
+    * positives grow with the reference corpus — against 10⁵ unrelated
+    * documents a 32-bit simhash finds a Hamming-≤6 partner for
+    * essentially every probe (measured in CleanScaleSmoke's first
+    * draft: 100% of novel docs flagged). A minhash band match requires
+    * two md5-min values to agree exactly, which for unrelated documents
+    * is a collision in the shingle space — candidates arise from
+    * genuine Jaccard similarity only, at ANY corpus size. */
+  private[graft] def withMinhash(df: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
     df.withColumn("toks", expr(toksExpr))
       .withColumn("sh", expr(shinglesFromToks))
-      .withColumn("simhash", call_function("graft_simhash",
-        expr("transform(sh, x -> graft_md5_prefix(x, 8))")))
+      .withColumn("mhs", call_function("graft_minhash", col("sh"), lit(NUM_HASHES)))
       .drop("toks", "sh")
   }
+
+  /** The LSH band-bucket array over an `mhs` column — one md5 bucket
+    * per band of BAND_ROWS adjacent signature components; shared by
+    * dedup_minhash and the admission path so both band identically. */
+  private[graft] def minhashBandArray: org.apache.spark.sql.Column =
+    array((0 until NUM_HASHES / BAND_ROWS).map(b =>
+      md5(concat(col("mhs").getItem(2 * b), col("mhs").getItem(2 * b + 1)))): _*)
 
   /** All text signatures in ONE map-side pass over the tokens —
     * exactly what [[TextIndex]] persists and the live paths derive:
@@ -154,9 +170,7 @@ object DedupQueries {
         case None => sh.select(col("doc_id"),
           call_function("graft_minhash", col("sh"), lit(NUM_HASHES)).as("mhs"))
       }
-      val bands = sig.select(col("doc_id"),
-          posexplode(array((0 until NUM_HASHES / BAND_ROWS).map(b =>
-            md5(concat(col("mhs").getItem(2 * b), col("mhs").getItem(2 * b + 1)))): _*)))
+      val bands = sig.select(col("doc_id"), posexplode(minhashBandArray))
         .toDF("doc_id", "band", "bucket")
         .persist()
       val cand = bands.as("a").join(bands.as("b"),

@@ -1,0 +1,149 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.extensions.TextIndex
+
+/** Admission-stream scale smoke — StreamingClean against a 100k-doc
+  * owned corpus: build the TextIndex once, then stream planted
+  * tranches through the verdict operator and measure per-micro-batch
+  * admission latency THROUGH THE PRODUCTION PATH (stream-static
+  * banding join + stateful exact-dup), asserting every planted
+  * verdict lands where it should.
+  *
+  * What the numbers demonstrate:
+  *   - batch 2+ should cost less than batch 1: the banded static
+  *     reference side is cached for the stream's lifetime, so
+  *     steady-state admission pays only the incoming batch's work
+  *     (signature derivation + slim joins), not a per-batch re-band
+  *     of the owned corpus — the property that keeps the operator
+  *     viable when the owned corpus is 10⁹ documents;
+  *   - admission cost scales with the BATCH: the banding join probes
+  *     4 bucket cells per incoming doc against the cached reference.
+  *
+  * Tranche layout per batch (fractions by row position): 25% exact
+  * copies of owned docs (→ near_dup, all 8 signature components equal
+  * — the always-caught floor), 25% one-token-changed copies (J≈0.98 →
+  * near_dup via minhash banding + ≥6-of-8 signature agreement —
+  * deterministic, asserted ≥ 90%), 10%
+  * wrong-lang, 10% short text (→ quality), 30% novel (→ kept).
+  * Batches hit DISJOINT owned ranges (a batch-2 copy of a batch-1
+  * target would correctly score exact_dup instead — precedence, not
+  * a bug — so the smoke keeps the stages separable). Batch 3
+  * re-sends batch 2's novel segment under new ids → exact_dup via
+  * carried state.
+  *
+  * Usage: runMain graft.streaming.CleanScaleSmoke [ownedDocs] [batchDocs]
+  */
+object CleanScaleSmoke {
+  private val TOKENS = 120
+
+  def main(args: Array[String]): Unit = {
+    val nOwned = if (args.length > 0) args(0).toLong else 100000L
+    val nBatch = if (args.length > 1) args(1).toLong else 20000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed(name: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[cscale] $name: $sec%.2f s")
+      sec
+    }
+
+    // deterministic doc text from a source-id column (lambda var `j`
+    // deliberately distinct from any outer column name)
+    def toksOf(srcCol: String) = expr(
+      s"""concat_ws(' ', transform(sequence(0, ${TOKENS - 1}), j ->
+         |  concat('t', pmod(($srcCol) * 2654435761 + j * 40503, 1000000000000))))""".stripMargin)
+    // the same doc with token 0 replaced — the near-dup plant
+    def nearOf(srcCol: String) = concat(lit("zz0 "), expr(
+      s"""concat_ws(' ', transform(sequence(1, ${TOKENS - 1}), j ->
+         |  concat('t', pmod(($srcCol) * 2654435761 + j * 40503, 1000000000000))))""".stripMargin))
+
+    val ownedDir = java.nio.file.Files.createTempDirectory("graft-cscale-owned").toString
+    timed(f"materialize owned corpus ($nOwned%,d docs)") {
+      spark.range(nOwned).select(col("id").as("doc_id"), toksOf("id").as("text"))
+        .write.parquet(s"$ownedDir/docs.parquet")
+    }
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-cscale-idx").toString
+    timed("TextIndex.build over the owned corpus (once at ingest)") {
+      TextIndex.build(spark, spark.read.parquet(s"$ownedDir/docs.parquet"), idxDir)
+    }
+
+    // batch b covers owned range [(b-1)·nBatch, …) so stages stay
+    // separable across batches (see scaladoc); novel ids live in
+    // compact per-(batch, segment) ranges above the owned id space
+    // (keeping the hash multiply far from Long overflow)
+    def tranche(batchNo: Long) = {
+      val n = nBatch
+      val langBase = nOwned + (2 * batchNo) * n
+      val novelBase = nOwned + (2 * batchNo + 1) * n
+      spark.range(n)
+        .select((col("id") + 5000000L * batchNo).as("doc_id"), col("id").as("i"),
+          expr(s"pmod(id + ${(batchNo - 1) * nBatch}, $nOwned)").as("src"))
+        .select(col("doc_id"),
+          when(col("i") < n / 4, toksOf("src"))
+            .when(col("i") < n / 2, nearOf("src"))
+            .when(col("i") < n * 6 / 10, toksOf(s"i + $langBase"))
+            .when(col("i") < n * 7 / 10, lit("tiny doc"))
+            .otherwise(toksOf(s"i + $novelBase")).as("text"),
+          when(col("i") >= n / 2 && col("i") < n * 6 / 10, "de").otherwise("en").as("lang"),
+          timestamp_seconds(lit(batchNo * 1000L) + col("i") / lit(100000.0)).as("ingest_ts"))
+    }
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-cscale-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cscale-ckpt").toString
+    def feed(batchNo: Long): Unit =
+      tranche(batchNo).coalesce(8).write.mode("append").parquet(srcDir)
+
+    feed(1L)
+    val q = StreamingClean.start(spark, srcDir, idxDir, "cscale_sink", ckpt)
+    try {
+      timed(f"batch 1 admission ($nBatch%,d docs; bands + caches the reference side)") {
+        q.processAllAvailable()
+      }
+      feed(2L)
+      val b2 = timed(f"batch 2 admission ($nBatch%,d docs; cached reference)") {
+        q.processAllAvailable()
+      }
+      // batch 3: batch 2's novel texts under new ids → exact_dup
+      tranche(2L)
+        .filter(col("i") >= nBatch * 7 / 10)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"), col("lang"),
+          timestamp_seconds(lit(3000L)).as("ingest_ts"))
+        .coalesce(8).write.mode("append").parquet(srcDir)
+      timed("batch 3 admission (replayed novel segment → exact_dup via carried state)") {
+        q.processAllAvailable()
+      }
+      val v = spark.table("cscale_sink").groupBy("verdict").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      println(s"[cscale] verdicts: $v")
+      val exactFloor = nBatch / 4 * 2        // Hamming-0 copies always flag
+      val nearPlant = nBatch / 4 * 2         // one-token variants
+      assert(v("near_dup") >= exactFloor + nearPlant * 9 / 10 &&
+        v("near_dup") <= exactFloor + nearPlant,
+        s"owned copies flag near_dup (exact floor + ≥90% of one-token variants): ${v("near_dup")}")
+      assert(v("lang") == nBatch / 10 * 2, s"lang drops: ${v.get("lang")}")
+      assert(v("quality") == nBatch / 10 * 2, s"quality drops: ${v.get("quality")}")
+      assert(v("exact_dup") == nBatch * 3 / 10,
+        s"batch 3's replayed novel segment → exact_dup: ${v.get("exact_dup")}")
+      assert(v("kept") >= nBatch * 3 / 10 * 2,
+        s"novel docs admitted: ${v.get("kept")}")
+      println(f"[cscale] PASS: ${v.values.sum}%,d verdicts; batch-2 steady state " +
+        f"${(nBatch / b2).toLong}%,d docs/s against a $nOwned%,d-doc owned corpus")
+    } finally q.stop()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ownedDir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(srcDir))
+    spark.stop()
+  }
+}

@@ -28,15 +28,22 @@ import graft.extensions.{DedupQueries, TextIndex, TextQueries}
   *     horizon's distinct documents, not the corpus
   *     ([[StreamingDedup]]'s contract; cross-horizon duplicates are the
   *     batch pass's job).
-  *   - `near_dup` — the incoming document's SimHash (the shared
-  *     [[DedupQueries.withSimhash]] derivation, bit-identical to what
-  *     [[TextIndex]] persists) is banded against the CERTIFIED text
-  *     index of the existing corpus in a stream-static join: 4 bands
-  *     × 8 bits, Hamming-verified survivors mark the document as a
-  *     near-duplicate of something already owned. The static side is a
-  *     bounded banding join exactly like the batch query — never a
-  *     broadcast of the corpus, never driver state — so the reference
-  *     index can be 100 TB-scale.
+  *   - `near_dup` — the incoming document's MinHash signature (the
+  *     shared [[DedupQueries.withMinhash]] derivation, bit-identical
+  *     to what [[TextIndex]] persists) is LSH-banded against the
+  *     CERTIFIED text index of the existing corpus in a stream-static
+  *     join; banding survivors are verified by signature agreement
+  *     (≥ [[MIN_SIG_MATCH]] of the 8 components equal). Minhash, NOT
+  *     simhash, deliberately: a simhash band match is a hash-proximity
+  *     event whose false-positive count grows with the reference
+  *     corpus — at 10⁵ owned docs a 32-bit simhash finds a Hamming-≤6
+  *     partner for essentially every probe (CleanScaleSmoke measured
+  *     100% of novel docs flagging) — while a minhash band match
+  *     requires md5-min values to agree exactly, so candidates arise
+  *     from genuine Jaccard similarity at ANY corpus size. The static
+  *     side is a bounded banding join — never a broadcast of the
+  *     corpus, never driver state — so the reference index can be
+  *     100 TB-scale.
   *
   * Plumbing note (why one stateful operator suffices): the marker leg
   * (banding join) and the data leg are both stateless derivations of
@@ -89,27 +96,40 @@ object StreamingClean {
       .withColumn("content_hash", sha2(col("text"), 256))
       .select("doc_id", "text", "lang", "ingest_ts", "pre", "content_hash")
 
-  /** Near-dup marker rows for lang/quality survivors: band the
-    * document's simhash against the index signatures (static side),
-    * Hamming-verify survivors — the [[DedupQueries.simhashPairsFor]]
-    * banding scheme with the persisted index as the right side. */
+  /** Banding survivors must agree on this many of the 8 signature
+    * components to flag. Each component is an md5-min over the
+    * document's shingles, so for unrelated documents a single
+    * agreement is already a shingle-space collision — the
+    * false-positive rate is corpus-size-independent. At the J=0.8
+    * near-dup boundary the expected agreement is 6.4 of 8. */
+  private[graft] val MIN_SIG_MATCH = 6
+
+  /** Near-dup marker rows for lang/quality survivors: LSH-band the
+    * document's minhash signature against the index signatures (static
+    * side), verify banding survivors by signature agreement — the
+    * dedup_minhash banding scheme with the persisted index as the
+    * right side. */
   private def markerLeg(spark: SparkSession, surv: DataFrame, indexDir: String): DataFrame = {
-    val sig = DedupQueries.withSimhash(surv)
-      .select(col("doc_id"), col("content_hash"), col("ingest_ts"), col("simhash"))
-      .withColumn("k", explode(expr("sequence(0, 3)")))
-      .withColumn("byte", expr("shiftright(simhash, k * 8) & 255"))
+    val sig = DedupQueries.withMinhash(surv)
+      .select(col("doc_id"), col("content_hash"), col("ingest_ts"), col("mhs"))
+    val bands = sig.select(col("doc_id"), col("content_hash"), col("ingest_ts"), col("mhs"),
+      posexplode(DedupQueries.minhashBandArray).as(Seq("band", "bucket")))
     // the static side is read ONCE and cached for the stream's
     // lifetime: a stream-static join re-evaluates the static plan
     // every micro-batch, and at 10⁹ owned documents re-banding the
-    // sigs table per batch would dominate the admission cost. The
-    // cached shape is slim (band key + one long per banded row)
-    val ref = TextIndex.readSigs(spark, indexDir)
-      .select(col("simhash").as("ref_sh"))
-      .withColumn("k", explode(expr("sequence(0, 3)")))
-      .withColumn("byte", expr("shiftright(ref_sh, k * 8) & 255"))
+    // sigs table per batch would dominate the admission cost. Two
+    // cached shapes, both O(signatures): slim band rows for the
+    // candidate join, (ref_id, signature) rows for verification.
+    val refSigs = TextIndex.readSigs(spark, indexDir)
+    val refBands = refSigs.select(col("doc_id").as("ref_id"), col("mhs"))
+      .select(col("ref_id"), posexplode(DedupQueries.minhashBandArray).as(Seq("band", "bucket")))
       .persist()
-    sig.join(ref, Seq("k", "byte"))
-      .filter(bit_count(expr("simhash ^ ref_sh")) <= DedupQueries.HAMMING_MAX)
+    val refMhs = refSigs.select(col("doc_id").as("ref_id"), col("mhs").as("ref_mhs"))
+      .persist()
+    bands.join(refBands, Seq("band", "bucket"))
+      .select(col("doc_id"), col("content_hash"), col("ingest_ts"), col("mhs"), col("ref_id"))
+      .join(refMhs, "ref_id")
+      .filter(expr(s"size(filter(zip_with(mhs, ref_mhs, (a, b) -> a = b), x -> x)) >= $MIN_SIG_MATCH"))
       .select(col("doc_id"), col("content_hash"), lit("").as("pre"),
         lit(true).as("is_marker"), col("ingest_ts"))
   }
