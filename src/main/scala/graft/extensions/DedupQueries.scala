@@ -445,7 +445,7 @@ object DedupQueries {
   // 100 TB path is `dedup_embed_lsh` below (and the MinHash/SimHash
   // variants at realistic near-dup thresholds).
   // -------------------------------------------------------------------
-  private val COSINE_MIN = 0.45
+  private[graft] val COSINE_MIN = 0.45
   private val N_BLOCKS = 16
 
   val embedCosine: QueryDef = QueryDef(

@@ -35,7 +35,7 @@ object SimilarityQueries {
   /** Normalize a raw embeddings frame (vec_id, embedding, ...) into the
     * scoring shape (vec_id, v: double[], norm). Shared with AnnIndex so
     * index-build and query-time math are the same expressions. */
-  private[extensions] def prep(s: SparkSession, raw: DataFrame): DataFrame = {
+  private[graft] def prep(s: SparkSession, raw: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     raw.select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("norm", sqrt(call_function("graft_dot", col("v"), col("v"))))
@@ -107,14 +107,15 @@ object SimilarityQueries {
     * scheme. The default (16 planes / 4-bit bands) is the GATED
     * configuration — the DuckDB oracles derive it bit-for-bit; wider
     * schemes are the corpus-growth knob (see srpBands). */
-  private[extensions] def srpCoded(e: DataFrame, planes: Int = N_PLANES): DataFrame = {
+  private[graft] def srpCoded(e: DataFrame, planes: Int = N_PLANES,
+                              carry: Seq[String] = Nil): DataFrame = {
     require(planes >= 1 && planes <= 62, s"SRP planes must be in [1, 62], got $planes")
     (0 until planes).foldLeft(e) { (df, p) =>
       df.withColumn(s"bit_$p",
         (call_function("graft_dot", col("v"), typedlit(planeSigns(p))) > 0D).cast("long"))
     }.withColumn("code",
       (0 until planes).map(p => expr(s"shiftleft(bit_$p, $p)")).reduce(_ + _))
-      .select(col("vec_id"), col("v"), col("norm"), col("code"))
+      .select((Seq("vec_id", "v", "norm", "code") ++ carry).map(col): _*)
   }
 
   /** SLIM (vec_id, band, bucket) rows — the only shape that may enter a
@@ -128,13 +129,15 @@ object SimilarityQueries {
     * agreement s is 1 − (1 − s^bandBits)^bands: more bits per band
     * prunes harder AND more selectively — VectorScaleSmoke measures the
     * 4-bit vs 8-bit trade at 1M vectors. */
-  private[extensions] def srpBands(coded: DataFrame, planes: Int = N_PLANES,
-                                   bandBits: Int = BAND_BITS): DataFrame = {
+  private[graft] def srpBands(coded: DataFrame, planes: Int = N_PLANES,
+                              bandBits: Int = BAND_BITS,
+                              carry: Seq[String] = Nil): DataFrame = {
     require(planes % bandBits == 0, s"planes ($planes) must be a multiple of bandBits ($bandBits)")
-    coded.select(col("vec_id"), col("code"),
-        explode(expr(s"sequence(0, ${planes / bandBits - 1})")).as("band"))
+    coded.select(col("vec_id") +: col("code") +:
+        explode(expr(s"sequence(0, ${planes / bandBits - 1})")).as("band") +:
+        carry.map(col): _*)
       .withColumn("bucket", expr(s"shiftright(code, band * $bandBits) & ${(1 << bandBits) - 1}"))
-      .select("vec_id", "band", "bucket")
+      .select(("vec_id" +: "band" +: "bucket" +: carry).map(col): _*)
   }
 
   val ann: QueryDef = QueryDef(
