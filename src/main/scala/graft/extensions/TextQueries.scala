@@ -468,6 +468,54 @@ object TextQueries {
     doc = "X4 vocabulary induction (top-K tokens + cumulative coverage)")
 
   // -------------------------------------------------------------------
+  // BPE merge induction (first iteration): the most frequent ADJACENT
+  // CHARACTER pairs across the corpus, weighted by word frequency —
+  // the candidate list the first byte-pair-encoding merge picks from,
+  // and the char-level complement of vocab_topk's word-level answer.
+  // Scale shape: words aggregate FIRST (one grouped shuffle on the
+  // word), then pairs explode from the distinct-word table (bounded by
+  // vocabulary × word length, not corpus tokens) and aggregate on the
+  // pair. A full BPE train iterates this with re-segmentation — that
+  // loop is driver logic over these same aggregations; the query gates
+  // the corpus-sized step.
+  // -------------------------------------------------------------------
+  private val MERGES_K = 40
+
+  val bpeMerges: QueryDef = QueryDef(
+    build = (s, d) => {
+      val words = docs(s, d)
+        .select(explode(expr(toksExpr)).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("wcnt"))
+      val pairs = words
+        .filter(length(col("word")) >= 2)
+        .select(col("wcnt"),
+          explode(expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).as("pair"))
+        .groupBy("pair").agg(sum("wcnt").as("cnt"))
+      pairs.orderBy(col("cnt").desc, col("pair")).limit(MERGES_K)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(pmod(hash(col("pair")), lit(1)))
+            .orderBy(col("cnt").desc, col("pair"))).cast("long"))
+        .select("rank", "pair", "cnt")
+        .orderBy("rank")
+    },
+    oracle = Some(
+      s"""WITH w AS (
+         |  SELECT u.t AS word, count(*)::BIGINT AS wcnt
+         |  FROM (SELECT $toksSql AS toks FROM documents) d, unnest(d.toks) AS u(t)
+         |  GROUP BY u.t
+         |), p AS (
+         |  SELECT substring(word, i.i, 2) AS pair, sum(wcnt)::BIGINT AS cnt
+         |  FROM w, LATERAL unnest(range(1, length(word))) AS i(i)
+         |  WHERE length(word) >= 2
+         |  GROUP BY 1
+         |), top AS (
+         |  SELECT pair, cnt FROM p ORDER BY cnt DESC, pair LIMIT $MERGES_K
+         |)
+         |SELECT row_number() OVER (ORDER BY cnt DESC, pair)::BIGINT AS rank, pair, cnt
+         |FROM top ORDER BY rank""".stripMargin),
+    doc = "X4 BPE merge induction (top adjacent char pairs, word-frequency weighted)")
+
+  // -------------------------------------------------------------------
   // PII detection + redaction: emails and URLs found, masked, and
   // counted per document — the scrub pass a training corpus runs before
   // anything else ships. Map-only scan (regex match + replace per row,
@@ -533,5 +581,6 @@ object TextQueries {
     "text_fingerprint" -> fingerprint,
     "text_tfidf"       -> tfidf,
     "text_redact"      -> redact,
+    "bpe_merges"       -> bpeMerges,
   )
 }
