@@ -119,6 +119,25 @@ object PlanAudit {
         // catalog-default as-of: routed, per-shard universes, plain union
         "facade:sharded.readTimePoint" -> (() => sharded.readTimePoint(QueryTimePoint(Seq.empty, 0L, to))))
       facadePlans.foreach { case (name, mk) => auditOne(spark, name, mk(), flagged) }
+      // admission batch forms — they share markerLeg with the verdict
+      // STREAMS, so auditing these guards the admission join shapes
+      // (banding joins stay equi, windows stay key-partitioned)
+      val docsDf = spark.range(40).selectExpr("id AS doc_id",
+        "concat_ws(' ', transform(sequence(0, 39), j -> concat('w', pmod(id * 31 + j * 7, 997)))) AS text",
+        "'en' AS lang", "timestamp_seconds(id) AS ingest_ts")
+      val tDir = s"$dir/tidx"
+      graft.extensions.TextIndex.build(spark, docsDf.select("doc_id", "text"), tDir)
+      val vecsDf = spark.range(40).selectExpr("id AS vec_id",
+        "transform(sequence(0, 63), j -> CAST(pmod(id * 31 + j * 7, 997) / 997.0 - 0.5 AS FLOAT)) AS embedding",
+        "id % 5 AS label", "timestamp_seconds(id) AS ingest_ts")
+      val aDir = s"$dir/aidx"
+      graft.extensions.AnnIndex.build(spark, vecsDf.drop("ingest_ts"), aDir)
+      auditOne(spark, "facade:admission.text",
+        graft.streaming.StreamingClean.batchVerdicts(spark, docsDf, tDir), flagged)
+      auditOne(spark, "facade:admission.embed",
+        graft.streaming.StreamingEmbed.batchVerdicts(spark,
+          vecsDf.select("vec_id", "embedding", "ingest_ts"), aDir,
+          vecsDf.drop("ingest_ts")), flagged)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
