@@ -85,6 +85,26 @@ object SpanScaleSmoke {
     }
     assert(frac == expectedCarriers, s"ppm>0 for carriers only: $frac")
 
+    // window-level decontamination rides the same machinery: the eval
+    // slice (doc_id % 25 == 0) is a SUBSET of the carriers (% 5 == 0),
+    // so every train carrier shares the run's interior windows with
+    // eval docs → contaminated with exactly the RUN-token span; the
+    // planted tranche (eval copies at train ids) is fully contaminated
+    val evalCarriers = (nDocs + 24) / 25
+    val decon = time("decontaminate_spans (train vs eval slice, token accounting)") {
+      graft.SparkEntry.queries("decontaminate_spans")(spark, dir).cache()
+    }
+    val dcount = decon.count()
+    assert(dcount == (expectedCarriers - evalCarriers) + 2,
+      s"contaminated train docs = train carriers + 2 planted: got $dcount")
+    assert(decon.filter(col("doc_id") < 3000000L)
+      .filter(col("cont_tokens") =!= RUN).count() == 0,
+      "every natural train carrier is contaminated with exactly the run span")
+    assert(decon.filter(col("doc_id") >= 3000000L)
+      .filter(col("cont_ppm") =!= 1000000L).count() == 0,
+      "planted eval copies are fully contaminated")
+    decon.unpersist()
+
     val removed = time("dedup_scrub (keep-first excision + text rebuild)") {
       graft.SparkEntry.queries("dedup_scrub")(spark, dir)
         .agg(sum("n_removed"), count(when(col("n_removed") > 0, 1))).head()
@@ -119,6 +139,10 @@ object SpanScaleSmoke {
       }
       assert(removedIdx.getLong(0) == removed.getLong(0)
         && removedIdx.getLong(1) == removed.getLong(1), "served scrub must equal recompute")
+      val dcountIdx = time("decontaminate_spans INDEX-SERVED") {
+        graft.SparkEntry.queries("decontaminate_spans")(spark, dir).count()
+      }
+      assert(dcountIdx == dcount, s"served decontamination must equal recompute: $dcountIdx vs $dcount")
     } finally spark.conf.unset(TextIndex.ConfKey)
 
     println(s"[sscale] PASS: $spans spans, ${removed.getLong(0)} tokens scrubbed " +
