@@ -28,6 +28,7 @@ object SimilarityQueries {
   private[extensions] val BAND_BITS = 4
   private[extensions] val KMEANS_K = 10
   private[extensions] val KMEANS_ITERS = 3
+  private val SEM_BLOCKS = 8 // within-cell pair-join block keys (dedup_semantic)
 
   private def emb(s: SparkSession, d: String): DataFrame =
     prep(s, s.read.parquet(s"$d/embeddings.parquet"))
@@ -720,6 +721,101 @@ object SimilarityQueries {
          |ORDER BY query_id, method""".stripMargin),
     doc = "X3 ANN evaluation harness: recall@K + candidate volume of the SRP and IVF paths vs brute-force truth")
 
+  // -------------------------------------------------------------------
+  // X2f semantic dedup — the cluster-bucketed embedding-dedup shape a
+  // 100 TB corpus actually runs (the SemDeDup recipe: k-means the
+  // embedding space, then score pairs only WITHIN each cell — pairwise
+  // work drops from O(N²) to Σ|cell|², and |cell| is a knob: k grows
+  // with the corpus exactly like the bandBits advisor grows band
+  // width). Verdict per vector, keep-first discipline: a vector is
+  // dropped iff an EARLIER (lower-id) vector in its cell scores
+  // cos ≥ the dedup_embed threshold; `dup_of` is the smallest such id
+  // — the same corpus-first rule every other dedup operator applies.
+  //
+  // Cells come from the certified AnnIndex when it froze the k-means
+  // quantizer (same rule as sim_ivf_kmeans — label cells would answer
+  // a different question), the memoized deterministic k-means
+  // otherwise, so the oracle reproduces the bucketing bit-for-bit and
+  // the gate checks the whole pipeline: quantizer → cells → in-cell
+  // scoring → verdicts. Within a cell the pairwise join reuses
+  // dedup_embed's block-key shape (left side replicated across
+  // SEM_BLOCKS, right side keyed by pmod(id)): every pair lands in
+  // exactly one (cell, blk) task, so one hot cell cannot serialize
+  // into a single straggler task.
+  //
+  // Honest approximation note (the SemDeDup trade, stated): pairs that
+  // STRADDLE a cell boundary are not scored — on this corpus the
+  // within-cell verdicts catch the high-cosine pairs (boundary pairs
+  // sit in the background tail; compare dedup_embed's exact pair list)
+  // and the miss rate is the price that makes the operator linear in
+  // the corpus. `sim_recall` is the harness that measures the same
+  // trade for the serving paths.
+  // -------------------------------------------------------------------
+  val semanticDedup: QueryDef = QueryDef(
+    build = (s, d) => {
+      val e = emb(s, d)
+      val (_, assigned) = AnnIndex.resolveFor(s, e)
+        .filter(dir => AnnIndex.readMeta(s, dir).quantizer == "kmeans") match {
+        case Some(dir) =>
+          (AnnIndex.readCentroids(s, dir),
+            AnnIndex.readCodes(s, dir).select(col("vec_id"), col("cell")))
+        case None =>
+          val c = kmeansCentroids(s, s.read.parquet(s"$d/embeddings.parquet").drop("label"))
+          (c, assignCells(e, c))
+      }
+      // (vec_id, cell, v, norm); persisted: the frame feeds BOTH pair-join
+      // sides and the verdict spine — without the memo the plan re-derives
+      // the cell assignment (a corpus × k scoring pass) three times
+      val av = assigned.join(e, "vec_id")
+        .persist() // session-scoped memo (QueryDef cache contract)
+      val left = av.select(col("cell"), col("vec_id"), col("v"), col("norm"),
+        explode(expr(s"sequence(0, ${SEM_BLOCKS - 1})")).as("blk"))
+      val right = av.select(col("cell"),
+        pmod(col("vec_id"), lit(SEM_BLOCKS)).cast("int").as("blk"),
+        col("vec_id").as("o_id"), col("v").as("ov"), col("norm").as("onorm"))
+      val dup = left.join(right, Seq("cell", "blk"))
+        .filter(col("o_id") < col("vec_id"))
+        .withColumn("cs", round(
+          call_function("graft_dot", col("v"), col("ov")) / (col("norm") * col("onorm")), 6))
+        .filter(col("cs") >= DedupQueries.COSINE_MIN)
+        .groupBy("vec_id")
+        .agg(min("o_id").as("dup_of"), count(lit(1)).as("n_dups"))
+      av.select(col("vec_id"), col("cell"))
+        .join(dup, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"))
+        .orderBy("vec_id")
+    },
+    oracle = Some(
+      s"""${kmeansOracleCtes(KMEANS_K, KMEANS_ITERS)}, sims AS (
+         |  SELECT e.vec_id, c.clabel,
+         |         round(list_dot_product(e.v, c.cv) / (e.norm * c.cnorm), 6) AS csim
+         |  FROM e CROSS JOIN c$KMEANS_ITERS c
+         |), assigned AS (
+         |  SELECT vec_id, clabel AS cell FROM (
+         |    SELECT vec_id, clabel,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, clabel) AS rk
+         |    FROM sims) WHERE rk = 1
+         |), av AS (
+         |  SELECT a.vec_id, a.cell, e.v, e.norm FROM assigned a JOIN e USING (vec_id)
+         |), pr AS (
+         |  SELECT l.vec_id, r.vec_id AS o_id,
+         |         round(list_dot_product(l.v, r.v) / (l.norm * r.norm), 6) AS cs
+         |  FROM av l JOIN av r ON l.cell = r.cell AND r.vec_id < l.vec_id
+         |), dup AS (
+         |  SELECT vec_id, min(o_id) AS dup_of, count(*)::BIGINT AS n_dups
+         |  FROM pr WHERE cs >= ${DedupQueries.COSINE_MIN} GROUP BY vec_id
+         |)
+         |SELECT a.vec_id, a.cell,
+         |       coalesce(d.dup_of, -1) AS dup_of,
+         |       coalesce(d.n_dups, 0) AS n_dups,
+         |       (CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END)::BIGINT AS kept
+         |FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin),
+    doc = "X2 semantic dedup (SemDeDup): k-means cells bound pairwise cosine to within-cell pairs, keep-first verdicts")
+
   val defs: Map[String, QueryDef] = Map(
     "sim_topk"         -> topk,
     "sim_ann"          -> ann,
@@ -727,6 +823,7 @@ object SimilarityQueries {
     "kmeans_centroids" -> kmeansQ,
     "sim_ivf_kmeans"   -> ivfKmeans,
     "sim_recall"       -> recall,
+    "dedup_semantic"   -> semanticDedup,
     "embed_quantize"   -> quantize,
   )
 }

@@ -292,17 +292,22 @@ class AnnIndexSpec extends SparkSpec {
     // (the expensive unsupervised train happens at build, not per query)
     // and is identical to its own recompute derivation
     val recomputedKm = collectAnn("sim_ivf_kmeans")
+    val recomputedSem = collectAnn("dedup_semantic")
     withIndex(dir) {
       assert(collectAnn("sim_ivf_kmeans") === recomputedKm,
         "kmeans-index-served ≡ recomputed")
+      assert(collectAnn("dedup_semantic") === recomputedSem,
+        "semantic-dedup cells from the index ≡ recomputed")
     }
-    // a LABEL-built index must NOT serve the kmeans query path
+    // a LABEL-built index must NOT serve the kmeans query paths
     val dirLabeled = tmpDir("graft-ann-labeled")
     AnnIndex.build(spark, raw, dirLabeled)
     assert(AnnIndex.readMeta(spark, dirLabeled).quantizer === "label")
     withIndex(dirLabeled) {
       assert(collectAnn("sim_ivf_kmeans") === recomputedKm,
         "quantizer-kind mismatch falls back to recompute")
+      assert(collectAnn("dedup_semantic") === recomputedSem,
+        "semantic dedup refuses label cells (a different bucketing)")
     }
     // the unsupervised quantizer must match the SUPERVISED one: recall
     // vs exact top-k at least that of the label-centroid IVF path on the
