@@ -816,6 +816,64 @@ object SimilarityQueries {
          |ORDER BY a.vec_id""".stripMargin),
     doc = "X2 semantic dedup (SemDeDup): k-means cells bound pairwise cosine to within-cell pairs, keep-first verdicts")
 
+  // -------------------------------------------------------------------
+  // X3f IVF cell health check — per-cell occupancy + cohesion of the
+  // k-means quantizer. Occupancy skew is the number that governs BOTH
+  // IVF serving cost (a probe scores |cell| candidates) and
+  // dedup_semantic's Σ|cell|² pairwise bound; cohesion (how tightly a
+  // cell hugs its centroid) says whether k is still right for the
+  // corpus — a cell whose min member-cosine collapses is two clusters
+  // wearing one label, the retrain/grow-k signal. Cells ride the same
+  // resolve rule as sim_ivf_kmeans/dedup_semantic (certified kmeans
+  // index, else the memoized deterministic quantizer).
+  //
+  // Determinism discipline: per-member cosines are rounded to 6dp
+  // (one value per row — no accumulation), then aggregated as exact
+  // BIGINT micro-units (`sum` of integers is order-free, unlike a
+  // distributed double sum) and `min` (order-free). The gate hashes
+  // only order-independent aggregates.
+  // -------------------------------------------------------------------
+  val cellStats: QueryDef = QueryDef(
+    build = (s, d) => {
+      val e = emb(s, d)
+      val (cent, assigned) = AnnIndex.resolveFor(s, e)
+        .filter(dir => AnnIndex.readMeta(s, dir).quantizer == "kmeans") match {
+        case Some(dir) =>
+          (AnnIndex.readCentroids(s, dir),
+            AnnIndex.readCodes(s, dir).select(col("vec_id"), col("cell")))
+        case None =>
+          val c = kmeansCentroids(s, s.read.parquet(s"$d/embeddings.parquet").drop("label"))
+          (c, assignCells(e, c))
+      }
+      assigned.join(e, "vec_id")
+        .join(broadcast(cent.select(col("clabel").as("cell"), col("cv"), col("cnorm"))), "cell")
+        .withColumn("csim", round(
+          call_function("graft_dot", col("v"), col("cv")) / (col("norm") * col("cnorm")), 6))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          min("csim").as("min_csim"),
+          sum(expr("CAST(floor(csim * 1000000 + 0.5D) AS BIGINT)")).as("sum_csim_micro"))
+        .orderBy("cell")
+    },
+    oracle = Some(
+      s"""${kmeansOracleCtes(KMEANS_K, KMEANS_ITERS)}, sims AS (
+         |  SELECT e.vec_id, c.clabel,
+         |         round(list_dot_product(e.v, c.cv) / (e.norm * c.cnorm), 6) AS csim
+         |  FROM e CROSS JOIN c$KMEANS_ITERS c
+         |), assigned AS (
+         |  SELECT vec_id, clabel AS cell FROM (
+         |    SELECT vec_id, clabel,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, clabel) AS rk
+         |    FROM sims) WHERE rk = 1
+         |), m AS (
+         |  SELECT a.cell, round(list_dot_product(e.v, c.cv) / (e.norm * c.cnorm), 6) AS csim
+         |  FROM assigned a JOIN e USING (vec_id) JOIN c$KMEANS_ITERS c ON a.cell = c.clabel
+         |)
+         |SELECT cell, count(*)::BIGINT AS n_vecs, min(csim) AS min_csim,
+         |       sum(CAST(floor(csim * 1000000 + 0.5) AS BIGINT))::BIGINT AS sum_csim_micro
+         |FROM m GROUP BY cell ORDER BY cell""".stripMargin),
+    doc = "X3 IVF quantizer health check: per-cell occupancy + cohesion (retrain/grow-k signal)")
+
   val defs: Map[String, QueryDef] = Map(
     "sim_topk"         -> topk,
     "sim_ann"          -> ann,
@@ -824,6 +882,7 @@ object SimilarityQueries {
     "sim_ivf_kmeans"   -> ivfKmeans,
     "sim_recall"       -> recall,
     "dedup_semantic"   -> semanticDedup,
+    "ivf_cell_stats"   -> cellStats,
     "embed_quantize"   -> quantize,
   )
 }

@@ -293,11 +293,14 @@ class AnnIndexSpec extends SparkSpec {
     // and is identical to its own recompute derivation
     val recomputedKm = collectAnn("sim_ivf_kmeans")
     val recomputedSem = collectAnn("dedup_semantic")
+    val recomputedCs = collectAnn("ivf_cell_stats")
     withIndex(dir) {
       assert(collectAnn("sim_ivf_kmeans") === recomputedKm,
         "kmeans-index-served ≡ recomputed")
       assert(collectAnn("dedup_semantic") === recomputedSem,
         "semantic-dedup cells from the index ≡ recomputed")
+      assert(collectAnn("ivf_cell_stats") === recomputedCs,
+        "cell health check from the index ≡ recomputed")
     }
     // a LABEL-built index must NOT serve the kmeans query paths
     val dirLabeled = tmpDir("graft-ann-labeled")
