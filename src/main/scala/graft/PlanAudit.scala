@@ -44,6 +44,7 @@ object PlanAudit {
     "sim_recall" -> ("broadcast-nested-loop-join", "broadcast sides = fixed query set + label centroids (both bounded constants)"),
     "dedup_semantic" -> ("broadcast-nested-loop-join", "broadcast side = k-means centroids (bounded by k)"),
     "ivf_cell_stats" -> ("broadcast-nested-loop-join", "broadcast side = k-means centroids (bounded by k)"),
+    "bpe_merges" -> ("global-window", "window input = the 40-row TakeOrdered result (bounded constant)"),
     "text_tfidf" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus count"),
     "mixture_sample" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus count"),
     "vocab_topk" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus total"),

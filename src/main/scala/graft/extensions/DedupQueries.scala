@@ -81,7 +81,8 @@ object DedupQueries {
     * dedup_minhash and the admission path so both band identically. */
   private[graft] def minhashBandArray: org.apache.spark.sql.Column =
     array((0 until NUM_HASHES / BAND_ROWS).map(b =>
-      md5(concat(col("mhs").getItem(2 * b), col("mhs").getItem(2 * b + 1)))): _*)
+      md5(concat((0 until BAND_ROWS).map(r =>
+        col("mhs").getItem(BAND_ROWS * b + r)): _*))): _*)
 
   /** All text signatures in ONE map-side pass over the tokens —
     * exactly what [[TextIndex]] persists and the live paths derive:
@@ -230,8 +231,12 @@ object DedupQueries {
 
   /** SimHash near-dup pairs over ANY documents-shaped frame — shared
     * with [[PipelineQueries]] (whose near-dup stage runs on the
-    * pipeline's survivors, not the raw corpus). */
-  private[extensions] def simhashPairsFor(s: SparkSession, corpus: DataFrame): DataFrame = {
+    * pipeline's survivors, not the raw corpus; it passes
+    * `useIndex = false`, because a derived subset can never
+    * fingerprint-match and `resolveFor`'s content probe would fully
+    * EVALUATE the pipeline upstream of it just to reject the index). */
+  private[extensions] def simhashPairsFor(s: SparkSession, corpus: DataFrame,
+                                          useIndex: Boolean = true): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     // whole signature is map-side: per-doc md5 hashes (native
     // expression — stock md5+conv costs ~27µs/row) folded by a
@@ -240,7 +245,7 @@ object DedupQueries {
     // signatures instead (identical derivation ⇒ identical pairs);
     // dedup_clusters rides this too. A SUBSET corpus (the pipeline's
     // survivors) fails the fingerprint and recomputes — always correct.
-    val sig = TextIndex.resolveFor(s, corpus) match {
+    val sig = (if (useIndex) TextIndex.resolveFor(s, corpus) else None) match {
       case Some(dir) => TextIndex.readSigs(s, dir).select("doc_id", "simhash")
       case None => shingleDocs(corpus).select(col("doc_id"),
         call_function("graft_simhash",
@@ -697,7 +702,11 @@ object DedupQueries {
   /** Per-doc token counts — `ntk` from a certified index (column-pruned
     * read) or a text-scan fallback; dedup_span_frac / dedup_scrub's
     * denominator. */
-  private def docTokenCounts(s: SparkSession, d: String): DataFrame =
+  /** Per-doc token counts — `ntk` from a certified TextIndex (no text
+    * scan), the shared tokenizer otherwise. Shared with
+    * decontaminate_spans' denominator so the contamination ppm can
+    * never desynchronize from the window derivation's tokenizer. */
+  private[extensions] def docTokenCounts(s: SparkSession, d: String): DataFrame =
     TextIndex.resolveFor(s, docs(s, d)) match {
       case Some(dir) if TextIndex.readSigs(s, dir).columns.contains("ntk") =>
         TextIndex.readSigs(s, dir).select(col("doc_id"), col("ntk").as("n_toks"))

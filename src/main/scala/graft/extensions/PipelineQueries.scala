@@ -56,12 +56,14 @@ object PipelineQueries {
         .join(keepByHash, "chash")
         .select(col("doc_id"), col("text"), col("keep_id"))
       val s3 = ex.filter(col("doc_id") === col("keep_id")).select("doc_id", "text")
-      // near-dup stage: simhash banding over survivors only (a subset
-      // corpus fails the TextIndex fingerprint and recomputes — see
-      // simhashPairsFor), then connected components; the component's
-      // min doc_id is the kept representative
+      // near-dup stage: simhash banding over survivors only, then
+      // connected components; the component's min doc_id is the kept
+      // representative. useIndex=false: a derived subset can never
+      // fingerprint-match a TextIndex, and the resolve probe would
+      // re-evaluate the whole upstream pipeline just to reject it
       val comp = graft.operators.ConnectedComponents.resolve(
-        DedupQueries.simhashPairsFor(s, s3).select(col("doc_a"), col("doc_b")))
+        DedupQueries.simhashPairsFor(s, s3, useIndex = false)
+          .select(col("doc_a"), col("doc_b")))
       // verdict = first failing stage; WHEN order guarantees each
       // stage's column is only consulted for docs that reached it
       q.select(col("doc_id"), col("lang"), col("reasons"))

@@ -613,8 +613,14 @@ object SimilarityQueries {
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"))
         .dropDuplicates("query_id", "neighbor_id")
-      // IVF candidate set — the sim_ivf generation (label quantizer)
-      val (cent, assigned) = AnnIndex.resolveFor(s, e) match {
+      // IVF candidate set — the sim_ivf generation. This leg evaluates
+      // the LABEL quantizer (the oracle derives label centroids), so —
+      // unlike the quantizer-agnostic SRP leg above (codes are
+      // corpus-invariant) — it must apply the same kind-match rule as
+      // sim_ivf_kmeans, mirrored: a kmeans-built index answers a
+      // different bucketing and falls back to recompute here
+      val (cent, assigned) = AnnIndex.resolveFor(s, e)
+        .filter(dir => AnnIndex.readMeta(s, dir).quantizer == "label") match {
         case Some(dir) =>
           (AnnIndex.readCentroids(s, dir),
             AnnIndex.readCodes(s, dir).select(col("vec_id"), col("cell")))

@@ -188,6 +188,19 @@ object TextIndex {
     val m = readMeta(spark, dir)
     if (txn.exists { case (app, bid) => app == m.lastAppId && bid <= m.lastBatchId }) return
     val (n, bMin, bMax, bSum, bXor) = fingerprint(newDocs)
+    // schema-evolution guard: appending NEW-schema rows (e.g. with the
+    // round-6 swh/ntk span columns) into a dir whose existing sigs lack
+    // them would create a MIXED dir — parquet footer sampling then
+    // decides nondeterministically whether readers see the column, and
+    // the span family would serve null windows for every pre-append doc
+    // (silently dropping their duplicates, violating certify-or-
+    // fallback). An older artifact must be rebuilt, not grown.
+    val existing = spark.read.parquet(sigsPath(dir)).columns.toSet
+    val produced = DedupQueries.signatures(spark, newDocs.limit(0), m.numHashes).columns.toSet
+    require(existing == produced,
+      s"text index at $dir has signature schema ${existing.toSeq.sorted.mkString(",")} " +
+        s"but this version derives ${produced.toSeq.sorted.mkString(",")} — " +
+        "rebuild the index (TextIndex.build) before appending")
     TsdbStorage.markStatsOutOfSync(spark, dir)
     DedupQueries.signatures(spark, newDocs, m.numHashes)
       .write.mode("append").parquet(sigsPath(dir))

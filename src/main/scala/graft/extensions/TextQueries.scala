@@ -491,9 +491,13 @@ object TextQueries {
         .select(col("wcnt"),
           explode(expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).as("pair"))
         .groupBy("pair").agg(sum("wcnt").as("cnt"))
+      // the window IS global by intent — its input is the MERGES_K-row
+      // TakeOrdered result, a bounded constant, so a single-partition
+      // window is the right plan (PlanAudit waives it per-rule with
+      // that justification rather than the expression disguising it)
       pairs.orderBy(col("cnt").desc, col("pair")).limit(MERGES_K)
         .withColumn("rank", row_number().over(
-          Window.partitionBy(pmod(hash(col("pair")), lit(1)))
+          Window.partitionBy(lit(0))
             .orderBy(col("cnt").desc, col("pair"))).cast("long"))
         .select("rank", "pair", "cnt")
         .orderBy("rank")

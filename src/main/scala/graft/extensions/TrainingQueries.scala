@@ -231,9 +231,10 @@ object TrainingQueries {
         .agg((max(col("p")) - min(col("p")) + lit(spanK)).as("span_tokens"))
         .groupBy("doc_id")
         .agg(sum(col("span_tokens")).as("cont_tokens"))
-      val nBase = docs(s, d)
-        .select(col("doc_id"),
-          size(expr("filter(split(text, ' '), t -> t != '')")).cast("long").as("n_toks"))
+      // denominator from the shared helper: ntk from a certified
+      // TextIndex (no text scan — the windows above already come from
+      // swh), the shared tokenizer otherwise
+      val nBase = DedupQueries.docTokenCounts(s, d)
       val nToks = nBase.unionByName(
         nBase.filter(col("doc_id") % 25 === 0 && col("doc_id") < DECON_PLANT)
           .withColumn("doc_id", col("doc_id") + DECON_OFFSET))

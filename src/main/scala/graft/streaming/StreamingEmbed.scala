@@ -30,9 +30,11 @@ import graft.extensions.{AnnIndex, DedupQueries, SimilarityQueries}
   *     lesson). The owned side stays on parquet (column-pruned scan
   *     per batch); a 10⁹-vector deployment would bucket it by vec_id
   *     so the candidate join co-locates — the plan is unchanged.
-  *   - exact-dup state: one record per xxhash64(embedding) within the
-  *     horizon, evicted by event-time timeout ([[StreamingDedup]]'s
-  *     bounded-state contract).
+  *   - exact-dup state: one record per sha2-256(embedding JSON) within
+  *     the horizon, evicted by event-time timeout ([[StreamingDedup]]'s
+  *     bounded-state contract). 256-bit like the text path's content
+  *     hash — a 64-bit key has ~n²/2⁶⁵ birthday odds of silently
+  *     rejecting a genuinely novel vector at 10⁹-scale horizons.
   *
   * For in-order streams the verdicts equal [[batchVerdicts]] (the
   * backfill form) row-for-row — StreamingEmbedSpec.
@@ -105,7 +107,7 @@ object StreamingEmbed {
       s"ann index at $indexDir is absent or uncertified — build() it from the owned corpus first")
     val src = spark.readStream.schema(schema).parquet(dir)
       .withWatermark("ingest_ts", watermark)
-      .withColumn("vhash", xxhash64(col("embedding")).cast("string"))
+      .withColumn("vhash", sha2(to_json(col("embedding")), 256))
     val data = src.select(col("vec_id"), col("vhash"),
       lit(false).as("is_marker"), col("ingest_ts"))
     val markers = markerLeg(spark, src, indexDir, owned, cosMin)
@@ -147,7 +149,7 @@ object StreamingEmbed {
                     owned: DataFrame, cosMin: Double = DefaultCosMin): DataFrame = {
     require(AnnIndex.usable(spark, indexDir),
       s"ann index at $indexDir is absent or uncertified — build() it from the owned corpus first")
-    val in = vecs.withColumn("vhash", xxhash64(col("embedding")).cast("string"))
+    val in = vecs.withColumn("vhash", sha2(to_json(col("embedding")), 256))
     val firsts = in.withColumn("rk",
       row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy("vhash").orderBy(col("ingest_ts"), col("vec_id"))))

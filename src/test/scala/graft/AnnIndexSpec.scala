@@ -294,6 +294,7 @@ class AnnIndexSpec extends SparkSpec {
     val recomputedKm = collectAnn("sim_ivf_kmeans")
     val recomputedSem = collectAnn("dedup_semantic")
     val recomputedCs = collectAnn("ivf_cell_stats")
+    val recomputedRec = collectAnn("sim_recall")
     withIndex(dir) {
       assert(collectAnn("sim_ivf_kmeans") === recomputedKm,
         "kmeans-index-served ≡ recomputed")
@@ -301,6 +302,9 @@ class AnnIndexSpec extends SparkSpec {
         "semantic-dedup cells from the index ≡ recomputed")
       assert(collectAnn("ivf_cell_stats") === recomputedCs,
         "cell health check from the index ≡ recomputed")
+      assert(collectAnn("sim_recall") === recomputedRec,
+        "sim_recall's IVF leg evaluates label cells — a kmeans index " +
+          "must fall back (SRP leg may serve: codes are quantizer-free)")
     }
     // a LABEL-built index must NOT serve the kmeans query paths
     val dirLabeled = tmpDir("graft-ann-labeled")
