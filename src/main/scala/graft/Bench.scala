@@ -211,6 +211,17 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,""" +
         s""""queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"errors":$errJson,""" +
         s""""env":$envJson,"sf":"$sfDir"}""")
+    // The driver's artifact keeps only the TAIL of this process's output
+    // (observed: BENCH_r06.json's 2,000-char capture cut mid-queries_max,
+    // losing the median map and total). The full line above stays for
+    // humans with the whole log; this second, LAST line is compact enough
+    // (<400 chars) that any tail capture retains the decision-relevant
+    // numbers — total, rep count, error count, query count, and the env
+    // block that says whether two artifacts are even comparable.
+    println(
+      s"""{"metric":"total_compact","value":${fmt(total)},"unit":"sec","reps":$reps,""" +
+        s""""n_queries":${names.length},"n_errors":${errors.size},""" +
+        s""""env":$envJson,"sf":"$sfDir"}""")
     // exit 0 even with errors: the driver records stdout's JSON line as
     // the artifact — the non-empty "errors" map IS the failure signal
     (annDir ++ textDir).foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))

@@ -25,6 +25,12 @@ object TimeBounds {
       ldt.getNano / 1000L
   }
 
+  /** Wall-clock string → LocalDateTime, for NTZ-literal bounds against
+    * a µs-encoded `ts` column (inclusive at both ends: the stored
+    * precision IS µs, so no sub-µs remainder exists to truncate). */
+  def localDateTime(s: String): java.time.LocalDateTime =
+    java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+
   /** Inclusive lower bound on the raw-ns column. */
   def nsLower(from: String): Long = micros(from) * 1000L
 

@@ -23,16 +23,30 @@ object EventsSource {
     "CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 " +
       "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END"
 
-  /** `events.ts` is physically TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects. Read it as raw nanos (legacy conf) and floor-divide
-    * to microseconds — exactly DuckDB's ns→µs truncation, so the oracle
-    * sees identical instants.
+  /** `events.ts` has shipped in two physical encodings across driver
+    * generations: TIMESTAMP(NANOS) — which Spark's parquet reader
+    * rejects, so it's read as raw nanos (legacy conf) and floor-divided
+    * to microseconds, exactly DuckDB's ns→µs truncation — and plain
+    * timestamp[us] (isAdjustedToUTC=false), which Spark reads as
+    * TIMESTAMP_NTZ. Normalize both to session-TZ TIMESTAMP: every
+    * entrypoint pins `spark.sql.session.timeZone=UTC`, so the NTZ cast
+    * is value-identity and both encodings land on the same µs instants
+    * the oracle sees.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
   }
+
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+  /** ts-encoding dispatch (see [[events]]); keep every reader on this. */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
 
   /** The single definition of the events→Meas projection (kept in
     * lockstep with [[Sql.MEAS_CTE]]). */
@@ -50,20 +64,28 @@ object EventsSource {
     toMeas(events(spark, sfDir))
 
   /** Interval-pruned Meas view: the [from, to] predicate (inclusive,
-    * µs-truncated time semantics) is applied to the RAW nanosecond
-    * column before any projection, so it pushes down to the parquet
-    * scan and prunes row groups — the chunk-footer-index analog that a
-    * filter on the derived `time` column cannot give (Catalyst can't
-    * push predicates through `timestamp_micros(ts div 1000)`).
-    * The bound arithmetic lives in [[graft.core.TimeBounds]] — the one
-    * definition shared with every caller and pinned by property tests.
+    * µs-truncated time semantics) is applied to the RAW stored column
+    * before any projection, so it pushes down to the parquet scan and
+    * prunes row groups — the chunk-footer-index analog that a filter on
+    * the derived `time` column cannot give (Catalyst can't push
+    * predicates through `timestamp_micros(ts div 1000)` or an NTZ cast).
+    * ns encoding: half-open raw-ns window from [[graft.core.TimeBounds]]
+    * — the one definition shared with every caller and pinned by
+    * property tests. µs encoding: the bounds ARE µs instants, so the
+    * inclusive window is two NTZ literals, pushed down as-is.
     */
   def measInInterval(spark: SparkSession, sfDir: String, from: String, to: String): DataFrame = {
     import graft.core.TimeBounds
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    toMeas(spark.read.parquet(s"$sfDir/events.parquet")
-      .filter(col("ts") >= TimeBounds.nsLower(from) && col("ts") < TimeBounds.nsUpperExclusive(to))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val pruned = raw.schema("ts").dataType match {
+      case LongType =>
+        raw.filter(col("ts") >= TimeBounds.nsLower(from) && col("ts") < TimeBounds.nsUpperExclusive(to))
+      case _ =>
+        raw.filter(col("ts") >= lit(TimeBounds.localDateTime(from)) &&
+          col("ts") <= lit(TimeBounds.localDateTime(to)))
+    }
+    toMeas(normalizeTs(pruned))
   }
 
   /** Series catalog [U: libdariadb/scheme/scheme.h — class Scheme]:

@@ -29,11 +29,15 @@ import org.apache.spark.sql.SparkSession
   *    owner's lease. A new writer deletes it and retries the atomic
   *    create once (losing that race to another taker is safe: exactly
   *    one create(false) wins);
-  *  - re-entrant PER OWNER TOKEN: `maintain()` wraps compact/reindex/
-  *    fsck which each acquire the same lock — same owner just deepens a
-  *    JVM-local counter. A DIFFERENT owner in the same JVM (a second
-  *    engine instance on the same path — the exact scenario the contract
-  *    exists for) is rejected without an FS round-trip.
+  *  - re-entrant PER (OWNER TOKEN, THREAD): `maintain()` wraps compact/
+  *    reindex/fsck which each acquire the same lock on the SAME thread —
+  *    that chain just deepens a JVM-local counter. A DIFFERENT owner in
+  *    the same JVM (a second engine instance on the same path — the
+  *    exact scenario the contract exists for) is rejected without an FS
+  *    round-trip; so is the SAME owner on a different thread (two
+  *    threads of one engine instance calling e.g. maintain() and
+  *    compact() concurrently would otherwise both "re-enter" and
+  *    interleave the very marker transitions the lease serializes).
   *
   * The lease brackets the whole writer operation, enclosing every
   * marker transition, so the `_SYNCED` protocol's single-writer
@@ -52,7 +56,7 @@ object WriterLock {
     * proceed (retry later, or find and stop the other maintainer). */
   final class ConcurrentWriterException(msg: String) extends IllegalStateException(msg)
 
-  private final class Held(val owner: String) {
+  private final class Held(val owner: String, val threadId: Long) {
     var depth = 1
     @volatile var stopped = false
     var heartbeat: Thread = _
@@ -82,17 +86,21 @@ object WriterLock {
     val stale = staleMs(spark)
 
     // in-JVM decision under the map lock: re-enter or reject without FS I/O
+    val tid = Thread.currentThread().getId
     val entered = held.synchronized {
       held.get(key) match {
         case null => false
-        case h if h.owner == owner => h.depth += 1; true
+        case h if h.owner == owner && h.threadId == tid => h.depth += 1; true
+        case h if h.owner == owner => throw new ConcurrentWriterException(
+          s"$dir is write-locked by $owner on another thread of this JVM; " +
+            "concurrent maintenance from one engine instance rejected")
         case h => throw new ConcurrentWriterException(
           s"$dir is write-locked by ${h.owner} (this JVM); second writer rejected")
       }
     }
     if (!entered) {
       acquireFile(fs, lockPath, owner, stale, dir)
-      val h = new Held(owner)
+      val h = new Held(owner, tid)
       h.heartbeat = new Thread(() => {
         while (!h.stopped) {
           try Thread.sleep(math.max(1000L, stale / 4))
@@ -117,28 +125,35 @@ object WriterLock {
       }
     }
     try body
-    finally held.synchronized {
-      val h = held.get(key)
-      if (h != null && h.owner == owner) {
-        h.depth -= 1
-        if (h.depth == 0) {
-          h.stopped = true
-          h.heartbeat.interrupt()
-          held.remove(key)
-          // split-brain guard: if this writer stalled past staleMs (GC
-          // pause, VM freeze) another writer may have taken the lease
-          // over — deleting unconditionally would free THAT writer's
-          // lock under it. Delete only a file still recording this
-          // owner; a takeover leaves the usurper's lease intact (and
-          // the stall is loudly reported — both writers ran, and the
-          // marker protocol is what bounds the damage).
-          try {
-            if (readOwner(fs, lockPath) == owner) fs.delete(lockPath, false)
-            else System.err.println(s"[graft-lock] $dir lease was taken over " +
-              s"mid-operation (writer stalled past the stale window); " +
-              "left the new owner's lease in place")
-          } catch { case _: Throwable => () }
+    finally {
+      // the monitor only guards the map: one slow/hung FS call in a
+      // release must not block every acquire/release in the process
+      // (including leases on unrelated directories), so the owner-check
+      // + delete run OUTSIDE the synchronized block
+      val releasing = held.synchronized {
+        held.get(key) match {
+          case h if h != null && h.owner == owner && h.threadId == tid =>
+            h.depth -= 1
+            if (h.depth == 0) { held.remove(key); h } else null
+          case _ => null
         }
+      }
+      if (releasing != null) {
+        releasing.stopped = true
+        releasing.heartbeat.interrupt()
+        // split-brain guard: if this writer stalled past staleMs (GC
+        // pause, VM freeze) another writer may have taken the lease
+        // over — deleting unconditionally would free THAT writer's
+        // lock under it. Delete only a file still recording this
+        // owner; a takeover leaves the usurper's lease intact (and
+        // the stall is loudly reported — both writers ran, and the
+        // marker protocol is what bounds the damage).
+        try {
+          if (readOwner(fs, lockPath) == owner) fs.delete(lockPath, false)
+          else System.err.println(s"[graft-lock] $dir lease was taken over " +
+            s"mid-operation (writer stalled past the stale window); " +
+            "left the new owner's lease in place")
+        } catch { case _: Throwable => () }
       }
     }
   }
@@ -153,6 +168,11 @@ object WriterLock {
       } finally in.close()
     } catch { case _: java.io.IOException => "" }
 
+  /** Test seam: runs after a lease is judged stale, before the
+    * conditional re-stat that guards the delete — lets a spec simulate
+    * the "crashed" owner's heartbeat resuming in exactly that window. */
+  private[graft] var beforeStaleDelete: () => Unit = () => ()
+
   /** Atomic create-if-absent with one stale-takeover retry. */
   private def acquireFile(fs: org.apache.hadoop.fs.FileSystem, lockPath: Path,
                           owner: String, stale: Long, dir: String): Unit = {
@@ -163,15 +183,32 @@ object WriterLock {
         true
       } catch { case _: java.io.IOException => false }
     if (tryCreate()) return
-    val (age, holder) =
+    val (mtime, age, holder) =
       try {
         val st = fs.getFileStatus(lockPath)
-        (System.currentTimeMillis() - st.getModificationTime, readOwner(fs, lockPath))
-      } catch { case _: java.io.IOException => (Long.MaxValue, "(gone)") } // holder released between create and stat
+        (st.getModificationTime, System.currentTimeMillis() - st.getModificationTime,
+          readOwner(fs, lockPath))
+      } catch { case _: java.io.IOException => (0L, Long.MaxValue, "(gone)") } // holder released between create and stat
     if (age > stale) {
-      // crashed owner: heartbeat stopped > staleMs ago. Delete + retry
-      // the atomic create ONCE — losing to a concurrent taker is safe.
-      try fs.delete(lockPath, false) catch { case _: Throwable => () }
+      // crashed owner: heartbeat stopped > staleMs ago — but "crashed"
+      // is a judgment from one stat. A long GC pause ending RIGHT NOW
+      // would resume the owner's heartbeat and refresh mtime between
+      // that stat and our delete; deleting anyway would yank a live
+      // writer's lease. Re-stat immediately before the delete and abort
+      // the takeover if mtime moved (the owner is back — honor it). The
+      // residual stat→delete window is one FS round-trip wide; the
+      // marker protocol bounds whatever fits through it.
+      beforeStaleDelete()
+      val fresh =
+        try Some(fs.getFileStatus(lockPath).getModificationTime)
+        catch { case _: java.io.IOException => None } // gone: another taker — fall through to create
+      if (fresh.exists(_ != mtime))
+        throw new ConcurrentWriterException(
+          s"$dir stale lease takeover aborted: holder $holder's heartbeat " +
+            "resumed during takeover; second writer rejected")
+      if (fresh.isDefined)
+        try fs.delete(lockPath, false) catch { case _: Throwable => () }
+      // retry the atomic create ONCE — losing to a concurrent taker is safe
       if (tryCreate()) return
       throw new ConcurrentWriterException(
         s"$dir stale lease takeover raced another writer; second writer rejected")

@@ -85,15 +85,22 @@ class MeasPropertiesSpec extends SparkSpec {
       assert(pruned.exceptAll(filtered).isEmpty && filtered.exceptAll(pruned).isEmpty,
         s"pruned ≠ filtered for [$fUs, $tUs] µs")
     }
-    // sharpest edge: an ACTUAL raw-ns event time, with its non-zero ns
-    // remainder, used as both interval ends — inclusion must hold
+    // sharpest edge: an ACTUAL stored event time used as both interval
+    // ends — inclusion must hold. ns encoding: pick one with a non-zero
+    // ns remainder (the truncation edge). µs encoding: any stored
+    // instant (the point window is exact by construction).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawNs = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("ts")).filter(col("ts") % 1000L =!= 0L).head().getLong(0)
-    val us = rawNs / 1000L
+    val rawTs = spark.read.parquet(s"$sfDir/events.parquet").select(col("ts"))
+    val us = rawTs.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        rawTs.filter(col("ts") % 1000L =!= 0L).head().getLong(0) / 1000L
+      case _ =>
+        val ldt = rawTs.head().getAs[java.time.LocalDateTime]("ts")
+        ldt.toInstant(utc).getEpochSecond * 1000000L + ldt.getNano / 1000L
+    }
     val point = EventsSource.measInInterval(spark, sfDir, str(us), str(us))
     assert(point.filter(col("time") === lit(tstamp(us))).count() >= 1,
-      "a measurement must be included when the interval ends at its truncated µs instant")
+      "a measurement must be included when the interval ends at its stored µs instant")
     all.unpersist()
   }
 
