@@ -37,8 +37,15 @@ object Meas {
     * outside any measurable data, with ~4,000× headroom under every
     * ×1000 unit conversion in the codebase. Use THESE, never re-derive
     * the shift inline (MaxValue vs MinValue is an easy sign typo). */
-  val TIME_MAX: java.sql.Timestamp = new java.sql.Timestamp(Long.MaxValue >> 12)
-  val TIME_MIN: java.sql.Timestamp = new java.sql.Timestamp(Long.MinValue >> 12)
+  val TIME_MAX_MS: Long = Long.MaxValue >> 12
+  val TIME_MIN_MS: Long = Long.MinValue >> 12
+
+  /** Fresh instance per call, NOT shared singletons: java.sql.Timestamp
+    * is mutable (setTime/setNanos), so a shared `val` handed to any
+    * caller — e.g. inside a received QueryTimePoint — could be mutated
+    * and silently corrupt every later use process-wide. */
+  def TIME_MAX: java.sql.Timestamp = new java.sql.Timestamp(TIME_MAX_MS)
+  def TIME_MIN: java.sql.Timestamp = new java.sql.Timestamp(TIME_MIN_MS)
 }
 
 /** Flag-match semantics [U: libdariadb/meas.h — Meas::inFlag]:

@@ -264,20 +264,40 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
   // at 0 is not mistaken for a replay.
   private def cursorFile = new Path(s"$path/_stream_cursor")
 
-  private def readCursor(): (String, Long) =
-    if (!fs.exists(cursorFile)) ("", -1L)
+  /** A single-(appId,batchId) cursor would let TWO streams appending to
+    * one engine defeat replay detection: interleaved batches alternate
+    * the stored appId, so stream A's replay arriving after stream B's
+    * append looks like a new app and is re-applied. The cursor is
+    * therefore a small PER-APP map, most-recently-updated last, bounded
+    * at [[CursorMaxApps]] concurrent streams (eviction drops the
+    * longest-idle app, which then degrades to the documented
+    * masked-duplicate behavior — never to data loss). */
+  private val CursorMaxApps = 16
+
+  /** appId → last applied batchId, most-recently-updated LAST. Legacy
+    * single-cursor files ("appId\nbatchId", no tabs) parse as a one-
+    * entry map. */
+  private def readCursors(): Vector[(String, Long)] =
+    if (!fs.exists(cursorFile)) Vector.empty
     else {
       val in = fs.open(cursorFile)
       try {
         val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        (lines.headOption.getOrElse(""),
-          lines.lift(1).flatMap(_.toLongOption).getOrElse(-1L))
+        if (lines.exists(_.contains('\t')))
+          lines.flatMap { l =>
+            val i = l.lastIndexOf('\t')
+            if (i < 0) None else l.drop(i + 1).toLongOption.map(l.take(i) -> _)
+          }.toVector
+        else
+          (for { app <- lines.headOption; bid <- lines.lift(1).flatMap(_.toLongOption) }
+            yield Vector(app -> bid)).getOrElse(Vector.empty)
       } finally in.close()
     }
 
-  private def writeCursor(app: String, bid: Long): Unit = {
+  private def writeCursors(cur: Vector[(String, Long)]): Unit = {
     val out = fs.create(cursorFile, true)
-    try out.write(s"$app\n$bid".getBytes("UTF-8")) finally out.close()
+    try out.write(cur.map { case (a, b) => s"$a\t$b" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Append a streamed micro-batch at most once: a replayed (appId,
@@ -293,10 +313,12 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     * caveat the level itself documents. */
   def appendOnce(batch: DataFrame, appId: String, batchId: Long): Unit = synchronized {
     if (hotCapacity <= 0L) maybeLeased {
-      val (lastApp, lastBid) = readCursor()
-      if (appId != lastApp || batchId > lastBid) { // else replay: already applied
+      val cursors = readCursors()
+      val applied = cursors.collectFirst { case (a, b) if a == appId => b }
+      if (applied.forall(batchId > _)) { // else replay: already applied
         notifyAppended(appendCore(batch))
-        writeCursor(appId, batchId)
+        writeCursors((cursors.filterNot(_._1 == appId) :+ (appId -> batchId))
+          .takeRight(CursorMaxApps))
       }
     } else maybeLeased(notifyAppended(appendCore(batch)))
   }
@@ -855,27 +877,38 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     if (frag.nonEmpty) compactDays(frag)
     val reindexNeeded = hasData && !TsdbStorage.statsUsable(spark, statsPath)
     if (reindexNeeded) reindex()
-    val artifactReports =
-      annIndex.map { case (dir, corpus) =>
-        maintainArtifact(dir,
-          r => graft.extensions.AnnIndex.fsck(spark, dir, r),
-          graft.extensions.AnnIndex.usable(spark, dir),
-          () => graft.extensions.AnnIndex.verify(spark, dir, corpus),
-          () => graft.extensions.AnnIndex.build(spark, corpus, dir),
-          () => graft.extensions.AnnIndex.fragmented(spark, dir),
-          () => graft.extensions.AnnIndex.compact(spark, dir), repair)
-      }.toSeq ++
-      textIndex.map { case (dir, corpus) =>
-        maintainArtifact(dir,
-          r => graft.extensions.TextIndex.fsck(spark, dir, r),
-          graft.extensions.TextIndex.usable(spark, dir),
-          () => graft.extensions.TextIndex.verify(spark, dir, corpus),
-          () => graft.extensions.TextIndex.build(spark, corpus, dir),
-          () => graft.extensions.TextIndex.fragmented(spark, dir),
-          () => graft.extensions.TextIndex.compact(spark, dir), repair)
-      }.toSeq
-    MaintenanceReport(corrupt, frag, reindexNeeded, artifactReports)
+    MaintenanceReport(corrupt, frag, reindexNeeded,
+      maintainArtifacts(annIndex, textIndex, repair))
   }
+
+  /** The artifact-index half of [[maintain]], callable on its own: each
+    * handed index gets the probe → verify → rebuild-if-uncertified →
+    * compact-if-fragmented cycle. Artifact dirs hold their own `_LOCK`
+    * leases (separate dirs, separate writers), so this needs no store
+    * lease — which is what lets [[ShardedEngine.maintain]] run it
+    * exactly ONCE for corpus-level artifacts after the per-shard
+    * fan-out instead of once per shard. */
+  def maintainArtifacts(annIndex: Option[(String, DataFrame)] = None,
+                        textIndex: Option[(String, DataFrame)] = None,
+                        repair: Boolean = true): Seq[ArtifactReport] =
+    annIndex.map { case (dir, corpus) =>
+      maintainArtifact(dir,
+        r => graft.extensions.AnnIndex.fsck(spark, dir, r),
+        graft.extensions.AnnIndex.usable(spark, dir),
+        () => graft.extensions.AnnIndex.verify(spark, dir, corpus),
+        () => graft.extensions.AnnIndex.build(spark, corpus, dir),
+        () => graft.extensions.AnnIndex.fragmented(spark, dir),
+        () => graft.extensions.AnnIndex.compact(spark, dir), repair)
+    }.toSeq ++
+    textIndex.map { case (dir, corpus) =>
+      maintainArtifact(dir,
+        r => graft.extensions.TextIndex.fsck(spark, dir, r),
+        graft.extensions.TextIndex.usable(spark, dir),
+        () => graft.extensions.TextIndex.verify(spark, dir, corpus),
+        () => graft.extensions.TextIndex.build(spark, corpus, dir),
+        () => graft.extensions.TextIndex.fragmented(spark, dir),
+        () => graft.extensions.TextIndex.compact(spark, dir), repair)
+    }.toSeq
 
   /** One artifact's probe → verify → rebuild-if-uncertified →
     * compact-if-fragmented cycle. `existedUsable` is sampled BEFORE fsck

@@ -250,11 +250,20 @@ class ShardedEngine(spark: SparkSession, roots: Seq[String], buckets: Int = 32,
   def fsck(repair: Boolean = false): Seq[String] = inParallel(_.fsck(repair)).flatten
 
   /** Nightly maintenance, fanned out concurrently; one merged report
-    * (wall-clock ≈ slowest shard — ScaleSmoke measures the speedup). */
-  def maintain(maxFilesPerDay: Int = 2 * buckets, repair: Boolean = true): MaintenanceReport = {
+    * (wall-clock ≈ slowest shard — ScaleSmoke measures the speedup).
+    * The ARTIFACT indexes (`annIndex`/`textIndex`, same params as the
+    * single-engine maintain) are corpus-level, not per-shard, so their
+    * probe → rebuild-if-uncertified → compact cycle runs exactly ONCE,
+    * after the shard fan-out, and merges into the one report — the
+    * sharded nightly covers everything in the same single call the
+    * docs advertise as the cron entrypoint. */
+  def maintain(maxFilesPerDay: Int = 2 * buckets, repair: Boolean = true,
+               annIndex: Option[(String, org.apache.spark.sql.DataFrame)] = None,
+               textIndex: Option[(String, org.apache.spark.sql.DataFrame)] = None): MaintenanceReport = {
     val reports = inParallel(_.maintain(maxFilesPerDay, repair))
+    val artifacts = shards.head.maintainArtifacts(annIndex, textIndex, repair)
     MaintenanceReport(reports.flatMap(_.corrupt),
       reports.flatMap(_.compactedDays).distinct.sortBy(_.toString),
-      reports.exists(_.reindexed))
+      reports.exists(_.reindexed), artifacts)
   }
 }

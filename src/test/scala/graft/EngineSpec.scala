@@ -567,6 +567,15 @@ class EngineSpec extends SparkSpec {
     engine.appendOnce(spark.createDataset(Seq(
       Meas(4L, ts("2024-03-01 13:00:00"), 4.0, Flags.CLICK, 4))).toDF(), "ckpt-B", 0L)
     assert(engine.merged.count() === 4L, "a fresh appId is not a replay")
+    // INTERLEAVED streams: stream A's replay arriving AFTER stream B's
+    // append must still be detected (the cursor is a per-app map, not
+    // last-writer-wins — a single cursor would re-apply here)
+    val filesAfterB = dataFiles()
+    engine.appendOnce(spark.createDataset(Seq(
+      Meas(3L, ts("2024-03-01 12:00:00"), 3.0, Flags.CLICK, 3))).toDF(), "ckpt-A", 1L)
+    assert(dataFiles() === filesAfterB,
+      "stream A's replayed batch after stream B's append writes nothing")
+    assert(engine.merged.count() === 4L)
     // the real streaming path drives the same cursor
     val src = tmpDir("graft-ingest-replay-src")
     spark.createDataset(Seq(Meas(5L, ts("2024-03-01 14:00:00"), 5.0, Flags.CLICK, 5)))

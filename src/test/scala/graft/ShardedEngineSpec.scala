@@ -259,4 +259,27 @@ class ShardedEngineSpec extends SparkSpec {
       assert(ids.forall(_ % 2 == i), s"streamed rows routed to owning shard $i")
     }
   }
+
+  test("sharded maintain crons corpus-level artifact indexes exactly once") {
+    import graft.extensions.AnnIndex
+    val eng = new ShardedEngine(spark, Seq(tmpDir("mtart-s0"), tmpDir("mtart-s1")), buckets = 2)
+    eng.append(Seq(Meas(1L, ts("2024-03-01 10:00:00"), 1.0, Flags.CLICK, 1L),
+      Meas(2L, ts("2024-03-01 10:00:00"), 2.0, Flags.CLICK, 2L)))
+    val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val annDir = tmpDir("mtart-ann")
+    AnnIndex.build(spark, raw, annDir)
+    // corrupt one codes file — the nightly's one call must find it,
+    // rebuild from the corpus, and re-certify
+    java.nio.file.Files.write(
+      new java.io.File(s"$annDir/codes/part-corrupt.parquet").toPath, "junk".getBytes)
+    val report = eng.maintain(annIndex = Some((annDir, raw)))
+    assert(report.artifacts.map(_.dir) === Seq(annDir), "one artifact report — not one per shard")
+    assert(report.artifacts.head.corrupt.exists(_.contains("part-corrupt")))
+    assert(report.artifacts.head.rebuilt, "uncertified index rebuilt from its corpus")
+    assert(AnnIndex.usable(spark, annDir), "re-certified in the same nightly call")
+    assert(AnnIndex.readCodes(spark, annDir).count() === raw.count())
+    // idempotent second pass
+    val again = eng.maintain(annIndex = Some((annDir, raw)))
+    assert(again.artifacts.forall(a => a.corrupt.isEmpty && !a.rebuilt && !a.compacted))
+  }
 }
