@@ -114,18 +114,23 @@ object StreamingClean {
       .select(col("doc_id"), col("content_hash"), col("ingest_ts"), col("mhs"))
     val bands = sig.select(col("doc_id"), col("content_hash"), col("ingest_ts"), col("mhs"),
       posexplode(DedupQueries.minhashBandArray).as(Seq("band", "bucket")))
-    // the static side is read ONCE and cached for the stream's
-    // lifetime: a stream-static join re-evaluates the static plan
+    // the static side is read ONCE per index GENERATION and cached
+    // ([[RefCache]]): a stream-static join re-evaluates the static plan
     // every micro-batch, and at 10⁹ owned documents re-banding the
-    // sigs table per batch would dominate the admission cost. Two
+    // sigs table per batch would dominate the admission cost; keying
+    // the cache by the index meta fingerprint (instead of persisting
+    // per invocation) stops repeated batchVerdicts passes from leaking
+    // cached frames AND retires the cache when the index grows. Two
     // cached shapes, both O(signatures): slim band rows for the
     // candidate join, (ref_id, signature) rows for verification.
-    val refSigs = TextIndex.readSigs(spark, indexDir)
-    val refBands = refSigs.select(col("doc_id").as("ref_id"), col("mhs"))
-      .select(col("ref_id"), posexplode(DedupQueries.minhashBandArray).as(Seq("band", "bucket")))
-      .persist()
-    val refMhs = refSigs.select(col("doc_id").as("ref_id"), col("mhs").as("ref_mhs"))
-      .persist()
+    val Seq(refBands, refMhs) = RefCache.get(spark, indexDir,
+      TextIndex.readMeta(spark, indexDir).toString) {
+      val refSigs = TextIndex.readSigs(spark, indexDir)
+      Seq(
+        refSigs.select(col("doc_id").as("ref_id"), col("mhs"))
+          .select(col("ref_id"), posexplode(DedupQueries.minhashBandArray).as(Seq("band", "bucket"))),
+        refSigs.select(col("doc_id").as("ref_id"), col("mhs").as("ref_mhs")))
+    }
     bands.join(refBands, Seq("band", "bucket"))
       .select(col("doc_id"), col("content_hash"), col("ingest_ts"), col("mhs"), col("ref_id"))
       .join(refMhs, "ref_id")

@@ -81,10 +81,13 @@ object StreamingEmbed {
       carry = Seq("vhash", "ingest_ts"))
     val bands = SimilarityQueries.srpBands(coded, m.planes, m.bandBits,
       carry = Seq("vhash", "ingest_ts", "v", "norm"))
-    // slim owned band rows, cached once for the stream's lifetime
-    val refBands = AnnIndex.bandsFromIndex(spark, indexDir)
-      .withColumnRenamed("vec_id", "ref_id")
-      .persist()
+    // slim owned band rows, cached once per index generation
+    // ([[RefCache]]: no per-invocation persist leak, and an index
+    // append/rebuild re-keys the cache so later batches see it)
+    val Seq(refBands) = RefCache.get(spark, indexDir, m.toString) {
+      Seq(AnnIndex.bandsFromIndex(spark, indexDir)
+        .withColumnRenamed("vec_id", "ref_id"))
+    }
     val ownedVecs = SimilarityQueries.prep(spark, owned)
       .select(col("vec_id").as("ref_id"), col("v").as("rv"), col("norm").as("rnorm"))
     bands.join(refBands, Seq("band", "bucket"))

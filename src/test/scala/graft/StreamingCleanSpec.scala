@@ -117,6 +117,27 @@ class StreamingCleanSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("reference cache: one build per index generation, retired on index growth") {
+    val idx = buildIndex()
+    val docs = tranche.map { case (d, t, l, ts) => (d, t, l, new java.sql.Timestamp(ts * 1000L)) }
+      .toDF("doc_id", "text", "lang", "ingest_ts")
+    val before = graft.streaming.RefCache.buildCount.get()
+    StreamingClean.batchVerdicts(spark, docs, idx).collect()
+    StreamingClean.batchVerdicts(spark, docs, idx).collect()
+    assert(graft.streaming.RefCache.buildCount.get() === before + 1,
+      "repeated batch passes against an unchanged index share ONE cached generation")
+    // growing the index re-keys the cache: the next pass derives fresh
+    // reference frames that include the appended documents
+    TextIndex.append(spark, Seq((200L, goodText("n100"))).toDF("doc_id", "text"), idx)
+    val grown = StreamingClean.batchVerdicts(spark, docs, idx)
+      .select("doc_id", "verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(graft.streaming.RefCache.buildCount.get() === before + 2,
+      "an index append retires the cached generation")
+    assert(grown(100L) === "near_dup",
+      "the fresh generation serves the appended document's signature")
+  }
+
   test("an absent or uncertified index is a hard error, not a silent pass-through") {
     val err = intercept[IllegalArgumentException] {
       StreamingClean.verdicts(spark, tmpDir("graft-sclean-nosrc"),
