@@ -664,6 +664,29 @@ object CoreQueries {
     oracle = None,
     doc = "sketches: HLL++ distinct + approximate percentile per series")
 
+  /** The deterministic half of [[sketchStats]], hash-gated: same
+    * grouping, exact distinct + row count. The sketch ESTIMATES stay
+    * rows-only by design (HLL++/KLL register layouts are
+    * engine-specific — no cross-engine oracle exists for them);
+    * SketchSpec bounds their error against these exact values. This
+    * companion pins everything an oracle CAN check about the query:
+    * group coverage, counts, and the distinct cardinality the HLL
+    * estimate approximates. */
+  val sketchStatsExact: QueryDef = QueryDef(
+    build = (s, d) =>
+      meas(s, d)
+        .groupBy("id")
+        .agg(
+          countDistinct(col("value")).as("exact_distinct_values"),
+          count(lit(1)).as("cnt"))
+        .orderBy("id"),
+    oracle = Some(
+      s"""${Sql.MEAS_CTE}
+         |SELECT id, count(DISTINCT value)::BIGINT AS exact_distinct_values,
+         |       count(*)::BIGINT AS cnt
+         |FROM meas GROUP BY id ORDER BY id""".stripMargin),
+    doc = "exact companion gating sketch_stats' deterministic parts (distinct, count)")
+
   /** Registry: name → QueryDef. Names are stable driver-facing keys. */
   val defs: Map[String, QueryDef] = Map(
     "read_interval"   -> readInterval,
@@ -688,5 +711,6 @@ object CoreQueries {
     "series_zscore"   -> seriesZscore,
     "series_gaps"     -> seriesGaps,
     "sketch_stats"    -> sketchStats,
+    "sketch_stats_exact" -> sketchStatsExact,
   )
 }
