@@ -295,6 +295,7 @@ class AnnIndexSpec extends SparkSpec {
     val recomputedSem = collectAnn("dedup_semantic")
     val recomputedCs = collectAnn("ivf_cell_stats")
     val recomputedRec = collectAnn("sim_recall")
+    val recomputedStr = collectAnn("sem_recall")
     withIndex(dir) {
       assert(collectAnn("sim_ivf_kmeans") === recomputedKm,
         "kmeans-index-served ≡ recomputed")
@@ -305,6 +306,8 @@ class AnnIndexSpec extends SparkSpec {
       assert(collectAnn("sim_recall") === recomputedRec,
         "sim_recall's IVF leg evaluates label cells — a kmeans index " +
           "must fall back (SRP leg may serve: codes are quantizer-free)")
+      assert(collectAnn("sem_recall") === recomputedStr,
+        "straddle audit cells from the index ≡ recomputed")
     }
     // a LABEL-built index must NOT serve the kmeans query paths
     val dirLabeled = tmpDir("graft-ann-labeled")
@@ -327,5 +330,27 @@ class AnnIndexSpec extends SparkSpec {
     val (km, labeled) = (recall("sim_ivf_kmeans"), recall("sim_ivf"))
     assert(km >= labeled - 0.05,
       s"k-means recall@10 ($km) must match the supervised quantizer ($labeled)")
+  }
+
+  test("a planted near-identical pair co-locates in one quantizer cell") {
+    // the SemDeDup contract sem_recall audits: the straddle miss lives
+    // in the background-similarity tail (measured ~69 % there at
+    // threshold 0.45), while a genuinely near-identical pair — the
+    // pairs semantic dedup exists to drop — lands in ONE cell, because
+    // nearest-centroid assignment of two almost-equal vectors can only
+    // differ exactly on a cell boundary
+    import spark.implicits._
+    val base = raw.drop("label")
+    val v0 = base.filter(col("vec_id") === 0L)
+      .head().getAs[scala.collection.Seq[Float]]("embedding")
+    val dup = v0.toSeq.zipWithIndex.map { case (x, i) => if (i == 0) x + 1e-3f else x }
+    val corpus = base.unionByName(Seq((1000000L, dup)).toDF("vec_id", "embedding"))
+    val dir = tmpDir("graft-ann-colocate")
+    AnnIndex.build(spark, corpus, dir)
+    assert(AnnIndex.readMeta(spark, dir).quantizer === "kmeans")
+    val cells = AnnIndex.readCodes(spark, dir).select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(cells(1000000L) === cells(0L),
+      "near-identical vectors land in the same cell — within-cell scoring finds the pair")
   }
 }
