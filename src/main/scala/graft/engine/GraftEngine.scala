@@ -24,7 +24,8 @@ case class QueryTimePoint(ids: Seq[Long], flag: Long, timePoint: Timestamp)
   * repairing), whether the uncertified index was rebuilt from its
   * corpus, whether append-fragmentation was compacted away. */
 case class ArtifactReport(dir: String, corrupt: Seq[String],
-                          rebuilt: Boolean, compacted: Boolean)
+                          rebuilt: Boolean, compacted: Boolean,
+                          retuned: Option[String] = None)
 
 /** What one [[GraftEngine.maintain]] pass did: corrupt files found (and
   * dropped when repairing), fragmented days compacted, whether the stat
@@ -898,7 +899,9 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
         () => graft.extensions.AnnIndex.verify(spark, dir, corpus),
         () => graft.extensions.AnnIndex.build(spark, corpus, dir),
         () => graft.extensions.AnnIndex.fragmented(spark, dir),
-        () => graft.extensions.AnnIndex.compact(spark, dir), repair)
+        () => graft.extensions.AnnIndex.compact(spark, dir), repair,
+        health = () => graft.extensions.AnnIndex.quantizerHealth(spark, dir, corpus),
+        retune = () => graft.extensions.AnnIndex.rebuildGrown(spark, corpus, dir))
     }.toSeq ++
     textIndex.map { case (dir, corpus) =>
       maintainArtifact(dir,
@@ -923,16 +926,25 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
                                existedUsable: Boolean, verifyF: () => Boolean,
                                rebuild: () => Unit,
                                fragged: () => Boolean, compactF: () => Unit,
-                               repair: Boolean): ArtifactReport = {
+                               repair: Boolean,
+                               health: () => Option[String] = () => None,
+                               retune: () => Unit = () => ()): ArtifactReport = {
     val existed = existedUsable || // uncertified remains of a real index: rebuildable
       new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration).exists(new Path(dir))
     val bad = fsckF(repair)
     if (TsdbStorage.statsUsable(spark, dir)) verifyF() // uncertifies on mismatch
     val needRebuild = existed && !TsdbStorage.statsUsable(spark, dir)
     if (needRebuild && repair) rebuild()
+    // tuning-debt payment, consulted only on a CERTIFIED index (a
+    // rebuild above re-derived the quantizer already — health then
+    // re-checks the FRESH one, so a rebuild that still collapses gets
+    // its retune in the same pass): acts on the quantizerHealth signal
+    // (the ivf_cell_stats retrain trigger), rebuilding with grown k
+    val retuned = if (repair && TsdbStorage.statsUsable(spark, dir)) health() else None
+    retuned.foreach(_ => retune())
     val doCompact = fragged()
     if (doCompact) compactF()
-    ArtifactReport(dir, bad, needRebuild && repair, doCompact)
+    ArtifactReport(dir, bad, needRebuild && repair, doCompact, retuned)
   }
 
   /** Rewrite the append-only scheme log as its dedup view in one file

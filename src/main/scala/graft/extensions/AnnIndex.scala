@@ -30,6 +30,12 @@ import graft.sources.TsdbStorage
   *    whose quantizer matches; sim_ivf/sim_ann serve either (codes and
   *    bands are quantizer-independent, cells are whatever the index
   *    froze — documented as the index's tuning).
+  *  - `kCells` — how many cells that quantizer has. The oracle-gated
+  *    kmeans-cell consumers serve only the DEFAULT k (the bucketing
+  *    their oracles reproduce); a maintain-retuned index with grown k
+  *    ([[AnnIndex.quantizerHealth]]) legitimately buckets differently,
+  *    so those queries fall back to recompute while the quantizer-free
+  *    SRP paths keep serving it. Legacy metas read -1 (k unknown).
   *  - `lastAppId`/`lastBatchId` — the idempotent-writer cursor: the last
   *    streaming (checkpoint, batchId) whose append committed. foreachBatch
   *    is at-least-once, so a crash after the index commit but before the
@@ -41,7 +47,8 @@ import graft.sources.TsdbStorage
   */
 case class AnnMeta(planes: Int, bandBits: Int, corpusRows: Long,
                    idMin: Long, idMax: Long, idSum: Long, contentXor: Long,
-                   quantizer: String, lastAppId: String, lastBatchId: Long)
+                   quantizer: String, lastAppId: String, lastBatchId: Long,
+                   kCells: Int)
 
 /** Persisted ANN index — the artifact a production 100 TB embedding
   * corpus builds ONCE and serves every query from, instead of
@@ -279,7 +286,7 @@ object AnnIndex {
     val p = new Path(metaPath(dir))
     if (!fs(spark, dir).exists(p))
       AnnMeta(SimilarityQueries.N_PLANES, SimilarityQueries.BAND_BITS,
-        -1L, 0L, 0L, 0L, 0L, "label", "", -1L)
+        -1L, 0L, 0L, 0L, 0L, "label", "", -1L, -1)
     else {
       val df = spark.read.parquet(metaPath(dir))
       val names = df.columns.toSet
@@ -296,16 +303,17 @@ object AnnIndex {
         longOr(r, "content_xor", 0L),
         strOr(r, "quantizer", "label"), // pre-kind metas were label-built
         strOr(r, "last_app_id", ""),
-        longOr(r, "last_batch_id", -1L))
+        longOr(r, "last_batch_id", -1L),
+        longOr(r, "k_cells", -1L).toInt)
     }
   }
 
   private def writeMeta(spark: SparkSession, dir: String, m: AnnMeta): Unit = {
     import spark.implicits._
     Seq((m.planes, m.bandBits, m.corpusRows, m.idMin, m.idMax, m.idSum,
-        m.contentXor, m.quantizer, m.lastAppId, m.lastBatchId))
+        m.contentXor, m.quantizer, m.lastAppId, m.lastBatchId, m.kCells.toLong))
       .toDF("planes", "band_bits", "corpus_rows", "id_min", "id_max", "id_sum",
-        "content_xor", "quantizer", "last_app_id", "last_batch_id")
+        "content_xor", "quantizer", "last_app_id", "last_batch_id", "k_cells")
       .coalesce(1).write.mode("overwrite").parquet(metaPath(dir))
   }
 
@@ -338,6 +346,82 @@ object AnnIndex {
     math.min(divisors.find(_ >= want).getOrElse(cap), cap)
   }
 
+  /** Per-cell min member-cosine floor for [[quantizerHealth]]. A healthy
+    * cell's members all point broadly toward their centroid (this
+    * corpus: min ≈ +0.07..+0.16 per cell at every SF); a member whose
+    * cosine to its own centroid goes NEGATIVE is anti-correlated with
+    * the cell that claims it — two clusters wearing one label, the
+    * unambiguous retrain signal. 0.0 is deliberately conservative:
+    * health must never flag a merely-noisy cell into a rebuild loop. */
+  val CellMinCosineKey = "spark.graft.ann.cellMinCosine"
+
+  /** IVF cell-count advisor: k ≈ √N (the classic IVF sizing — probe
+    * cost ∝ k + N/k is minimized there), floored at the default k the
+    * oracle-gated queries reproduce. 500 vectors → 23; 10⁶ → 1000;
+    * 10⁹ → ~32k. The [[advisedBandBits]] precedent: the knob grows
+    * with the corpus, the advisor is one formula, build persists the
+    * result. */
+  def advisedKCells(corpusRows: Long): Int =
+    math.max(SimilarityQueries.KMEANS_K,
+      math.ceil(math.sqrt(math.max(0L, corpusRows).toDouble)).toInt)
+
+  /** The quantizer-health probe `maintain()` ACTS on (ivf_cell_stats is
+    * the queryable form of the same signal): Some(reason) when the
+    * certified k-means quantizer has a collapsed cell — one whose min
+    * member-cosine fell below [[CellMinCosineKey]] (default 0.0), i.e.
+    * the corpus drifted until some vectors are anti-correlated with the
+    * centroid that claims them. Occupancy rides along in the reason
+    * (the collapsed cell's size bounds how much IVF probe cost and
+    * dedup_semantic pairwise work the bad bucketing is costing).
+    * Label quantizers are never flagged (their cells are supervised
+    * ground truth, not a tunable), nor is an uncertified index (rebuild
+    * already owns that path). One corpus×k scoring pass — the
+    * ivf_cell_stats cost, paid only inside maintenance. */
+  def quantizerHealth(spark: SparkSession, dir: String, corpus: DataFrame): Option[String] = {
+    if (!usable(spark, dir)) return None
+    val m = readMeta(spark, dir)
+    if (m.quantizer != "kmeans") return None
+    val floor = spark.conf.get(CellMinCosineKey, "0.0").toDouble
+    graft.functions.VectorFunctions.register(spark)
+    val e = SimilarityQueries.prep(spark, corpus)
+    readCodes(spark, dir).select("vec_id", "cell")
+      .join(e, "vec_id")
+      .join(broadcast(readCentroids(spark, dir)
+        .select(col("clabel").as("cell"), col("cv"), col("cnorm"))), "cell")
+      .withColumn("csim",
+        call_function("graft_dot", col("v"), col("cv")) / (col("norm") * col("cnorm")))
+      .groupBy("cell")
+      .agg(min("csim").as("min_csim"), count(lit(1)).as("n_vecs"))
+      .filter(col("min_csim") < floor)
+      .orderBy(col("min_csim"))
+      .take(1).headOption
+      .map { r =>
+        val oldK = if (m.kCells > 0) m.kCells else SimilarityQueries.KMEANS_K
+        val cs = f"${r.getDouble(1)}%.4f"
+        s"cell ${r.get(0)} collapsed: min member-cosine $cs across " +
+          s"${r.getLong(2)} vectors < floor $floor — retrain with k grown " +
+          s"$oldK -> ${grownK(m)}"
+      }
+  }
+
+  /** The k a health-triggered retrain rebuilds with: the √N advisor,
+    * but always a real GROWTH past the current k (a collapse at the
+    * advised k means the advice was insufficient for this corpus —
+    * doubling is the bandBits ladder's step). */
+  private[extensions] def grownK(m: AnnMeta): Int = {
+    val oldK = if (m.kCells > 0) m.kCells else SimilarityQueries.KMEANS_K
+    math.max(advisedKCells(m.corpusRows), 2 * oldK)
+  }
+
+  /** Health-triggered retrain ([[quantizerHealth]] said why): rebuild
+    * from the corpus with grown k. Queries are unaffected mid-flight —
+    * the build runs under the marker protocol (certify-or-fallback),
+    * and afterward the oracle-gated kmeans consumers fall back to
+    * recompute (the index's k is no longer the one their oracles
+    * unroll) while the SRP paths serve the recertified codes. */
+  def rebuildGrown(spark: SparkSession, corpus: DataFrame, dir: String): Unit =
+    build(spark, corpus, dir, kCells = grownK(readMeta(spark, dir)))
+
   /** Build (or rebuild) the index from a full corpus: derive the
     * quantizer (label centroids when the corpus carries labels, else
     * deterministic k-means), code + assign every vector, fingerprint the
@@ -347,18 +431,23 @@ object AnnIndex {
     *
     * planes/bandBits parameterize the SRP scheme and are PERSISTED with
     * the index. bandBits ≤ 0 (the default) means advise from the corpus
-    * size ([[advisedBandBits]]); an explicit value overrides. */
+    * size ([[advisedBandBits]]); an explicit value overrides. kCells ≤ 0
+    * (the default) trains the default-k k-means quantizer (the bucketing
+    * the oracle-gated queries reproduce); an explicit value is the
+    * retune knob ([[quantizerHealth]] → grown k). Ignored for labeled
+    * corpora (their cell count IS the label count). */
   def build(spark: SparkSession, raw: DataFrame, dir: String,
             planes: Int = SimilarityQueries.N_PLANES,
-            bandBits: Int = 0): Unit = locked(spark, dir) {
+            bandBits: Int = 0, kCells: Int = 0): Unit = locked(spark, dir) {
     recoverCompact(spark, dir)
     val (n, idMin, idMax, idSum, cxor) = fingerprint(raw)
     val bb = if (bandBits > 0) bandBits else advisedBandBits(n, planes)
     require(planes % bb == 0, s"planes ($planes) must be a multiple of bandBits ($bb)")
     val kind = if (raw.columns.contains("label")) "label" else "kmeans"
     TsdbStorage.markStatsOutOfSync(spark, dir)
-    writeMeta(spark, dir, AnnMeta(planes, bb, n, idMin, idMax, idSum, cxor, kind, "", -1L))
-    val cent = SimilarityQueries.quantizer(spark, raw).coalesce(1)
+    val cent = SimilarityQueries.quantizer(spark, raw, kCells).coalesce(1)
+    val k = cent.count().toInt
+    writeMeta(spark, dir, AnnMeta(planes, bb, n, idMin, idMax, idSum, cxor, kind, "", -1L, k))
     cent.write.mode("overwrite").parquet(centroidsPath(dir))
     val e = SimilarityQueries.prep(spark, raw)
     SimilarityQueries.srpCoded(e, planes).select("vec_id", "code")

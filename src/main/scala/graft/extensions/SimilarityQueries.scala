@@ -33,6 +33,17 @@ object SimilarityQueries {
   private def emb(s: SparkSession, d: String): DataFrame =
     prep(s, s.read.parquet(s"$d/embeddings.parquet"))
 
+  /** Whether a certified index froze the quantizer these ORACLE-GATED
+    * kmeans-cell consumers can reproduce: kind "kmeans" AND the default
+    * k. A maintain-retuned index (grown k — [[AnnIndex.quantizerHealth]])
+    * legitimately buckets differently, so these queries fall back to the
+    * always-correct recompute while the quantizer-free SRP paths keep
+    * serving it; same for a legacy meta whose k is unknown (-1). */
+  private def defaultKmeans(s: SparkSession, dir: String): Boolean = {
+    val m = AnnIndex.readMeta(s, dir)
+    m.quantizer == "kmeans" && m.kCells == KMEANS_K
+  }
+
   /** Normalize a raw embeddings frame (vec_id, embedding, ...) into the
     * scoring shape (vec_id, v: double[], norm). Shared with AnnIndex so
     * index-build and query-time math are the same expressions. */
@@ -240,9 +251,13 @@ object SimilarityQueries {
     * the corpus carries a label column (the supervised fast path — one
     * grouped pass), deterministic k-means when it does not (the general
     * case: a real embedding corpus has no labels). */
-  private[extensions] def quantizer(s: SparkSession, raw: DataFrame): DataFrame =
+  /** The coarse quantizer for a corpus: label centroids when labeled,
+    * deterministic k-means otherwise. `k ≤ 0` means the default
+    * [[KMEANS_K]]; an explicit k is the retune path
+    * ([[AnnIndex.quantizerHealth]] grows it). */
+  private[extensions] def quantizer(s: SparkSession, raw: DataFrame, k: Int = 0): DataFrame =
     if (raw.columns.contains("label")) centroidTable(s, raw)
-    else kmeansCentroids(s, raw)
+    else kmeansCentroids(s, raw, if (k > 0) k else KMEANS_K)
 
   /** (clabel, cv, cnorm) frame from driver-held centroid vectors —
     * bounded (k rows), used to broadcast the evolving k-means centers. */
@@ -490,7 +505,7 @@ object SimilarityQueries {
       // recompute derivation is deterministic, so index-served ≡
       // recomputed (AnnIndexSpec pins it)
       val (cent, assigned) = AnnIndex.resolveFor(s, e)
-        .filter(dir => AnnIndex.readMeta(s, dir).quantizer == "kmeans") match {
+        .filter(defaultKmeans(s, _)) match {
         case Some(dir) =>
           (AnnIndex.readCentroids(s, dir),
             AnnIndex.readCodes(s, dir).select(col("vec_id"), col("cell")))
@@ -767,7 +782,7 @@ object SimilarityQueries {
     build = (s, d) => {
       val e = emb(s, d)
       val (_, assigned) = AnnIndex.resolveFor(s, e)
-        .filter(dir => AnnIndex.readMeta(s, dir).quantizer == "kmeans") match {
+        .filter(defaultKmeans(s, _)) match {
         case Some(dir) =>
           (AnnIndex.readCentroids(s, dir),
             AnnIndex.readCodes(s, dir).select(col("vec_id"), col("cell")))
@@ -849,7 +864,7 @@ object SimilarityQueries {
     build = (s, d) => {
       val e = emb(s, d)
       val (cent, assigned) = AnnIndex.resolveFor(s, e)
-        .filter(dir => AnnIndex.readMeta(s, dir).quantizer == "kmeans") match {
+        .filter(defaultKmeans(s, _)) match {
         case Some(dir) =>
           (AnnIndex.readCentroids(s, dir),
             AnnIndex.readCodes(s, dir).select(col("vec_id"), col("cell")))
@@ -909,7 +924,7 @@ object SimilarityQueries {
     build = (s, d) => {
       val e = emb(s, d)
       val assigned = AnnIndex.resolveFor(s, e)
-        .filter(dir => AnnIndex.readMeta(s, dir).quantizer == "kmeans") match {
+        .filter(defaultKmeans(s, _)) match {
         case Some(dir) => AnnIndex.readCodes(s, dir).select(col("vec_id"), col("cell"))
         case None =>
           val c = kmeansCentroids(s, s.read.parquet(s"$d/embeddings.parquet").drop("label"))

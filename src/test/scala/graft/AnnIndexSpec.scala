@@ -332,6 +332,69 @@ class AnnIndexSpec extends SparkSpec {
       s"k-means recall@10 ($km) must match the supervised quantizer ($labeled)")
   }
 
+  test("maintain acts on the quantizer health signal: drift collapses a cell, retrain grows k") {
+    import spark.implicits._
+    val dims = 64
+    // corpus A: 400 vectors tightly around +e1 (a small id-dependent
+    // wobble in e2 keeps vectors distinct for seeding); every member's
+    // cosine to every centroid is ≈ +1 → healthy
+    def vec(sign: Float, i: Long): Seq[Float] =
+      (0 until dims).map {
+        case 0 => sign
+        case 1 => (i % 97).toFloat / 970f
+        case _ => 0f
+      }
+    val corpusA = (0L until 400L).map(i => (i, vec(1f, i))).toDF("vec_id", "embedding")
+    val dir = tmpDir("graft-ann-health")
+    AnnIndex.build(spark, corpusA, dir)
+    assert(AnnIndex.readMeta(spark, dir).quantizer === "kmeans")
+    assert(AnnIndex.readMeta(spark, dir).kCells === 10)
+    assert(AnnIndex.quantizerHealth(spark, dir, corpusA).isEmpty, "aligned corpus is healthy")
+    // drift: 40 vectors around −e1 appended. Assigned against the
+    // FROZEN (+e1-ish) centroids they score cosine ≈ −1 to whatever
+    // cell claims them — the collapse signal
+    val drift = (1000L until 1040L).map(i => (i, vec(-1f, i))).toDF("vec_id", "embedding")
+    AnnIndex.append(spark, drift, dir)
+    val corpus = corpusA.unionByName(drift)
+    assert(AnnIndex.quantizerHealth(spark, dir, corpus).isDefined, "drift detected")
+    // the one nightly call consults the signal and retrains with grown k
+    val eng = new graft.engine.GraftEngine(spark, tmpDir("graft-ann-health-store"), buckets = 2)
+    val report = eng.maintain(annIndex = Some((dir, corpus)))
+    val art = report.artifacts.head
+    assert(art.retuned.isDefined && art.retuned.get.contains("collapsed"),
+      s"report says why: ${art.retuned}")
+    val m = AnnIndex.readMeta(spark, dir)
+    assert(m.kCells === math.max(AnnIndex.advisedKCells(440), 20),
+      "k grew per the √N advisor (never below 2× the collapsed k)")
+    assert(AnnIndex.usable(spark, dir), "retrained index recertified in the same call")
+    assert(AnnIndex.readCodes(spark, dir).count() === 440L)
+    assert(AnnIndex.quantizerHealth(spark, dir, corpus).isEmpty,
+      "grown quantizer gives the drift group its own cell(s) — healthy again")
+    // idempotent: the healthy retuned index is left alone
+    val again = eng.maintain(annIndex = Some((dir, corpus)))
+    assert(again.artifacts.head.retuned.isEmpty && !again.artifacts.head.rebuilt)
+  }
+
+  test("oracle-gated kmeans consumers refuse a retuned (non-default-k) index") {
+    // certify-or-fallback under retune: a grown-k index buckets
+    // differently from the quantizer the oracles unroll, so the gated
+    // kmeans-cell queries must fall back to recompute (identical
+    // results), while the quantizer-free SRP path keeps serving
+    val recomputedSem = collectAnn("dedup_semantic")
+    val recomputedKm = collectAnn("sim_ivf_kmeans")
+    val dir = tmpDir("graft-ann-retuned")
+    AnnIndex.build(spark, raw.drop("label"), dir, kCells = 20)
+    assert(AnnIndex.readMeta(spark, dir).kCells === 20)
+    withIndex(dir) {
+      assert(collectAnn("dedup_semantic") === recomputedSem,
+        "semantic dedup refuses the retuned k (a different bucketing)")
+      assert(collectAnn("sim_ivf_kmeans") === recomputedKm,
+        "sim_ivf_kmeans refuses the retuned k")
+      assert(SparkEntry.queries("sim_ann")(spark, sfDir).count() > 0,
+        "the SRP path still serves the retuned index")
+    }
+  }
+
   test("a planted near-identical pair co-locates in one quantizer cell") {
     // the SemDeDup contract sem_recall audits: the straddle miss lives
     // in the background-similarity tail (measured ~69 % there at
