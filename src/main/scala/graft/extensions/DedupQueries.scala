@@ -97,7 +97,7 @@ object DedupQueries {
     * position p, so index-served substring dedup posexplodes stored
     * longs instead of re-tokenizing + re-hashing the corpus), and the
     * token count `ntk` (dedup_span_frac's denominator). */
-  private[extensions] def signatures(s: SparkSession, docsDf: DataFrame,
+  private[graft] def signatures(s: SparkSession, docsDf: DataFrame,
       numHashes: Int = NUM_HASHES): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     docsDf

@@ -141,6 +141,62 @@ object CleanScaleSmoke {
       println(f"[cscale] PASS: ${v.values.sum}%,d verdicts; batch-2 steady state " +
         f"${(nBatch / b2).toLong}%,d docs/s against a $nOwned%,d-doc owned corpus")
     } finally q.stop()
+
+    // ---- phase 2: the CLOSED loop — admitted survivors feed the owned
+    // corpus + index inside the same per-batch transaction, so batch B
+    // judges against batch A's admissions (not just the seed corpus),
+    // with NO O(corpus) re-derive between batches (the RefCache
+    // incremental extension) and replay as a no-op.
+    println("[cscale] phase 2: closed admission loop")
+    val src2 = java.nio.file.Files.createTempDirectory("graft-cscale-src2").toString
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-cscale-ckpt2").toString
+    val vdir2 = java.nio.file.Files.createTempDirectory("graft-cscale-verdicts").toString
+    val owned2 = s"$ownedDir/docs.parquet"
+    val novelA = 100000000L
+    val novelB = 200000000L
+    def loopBatch(idBase: Long, textOf: org.apache.spark.sql.Column, tsBase: Long) =
+      spark.range(nBatch).select((col("id") + idBase).as("doc_id"), textOf.as("text"),
+          lit("en").as("lang"),
+          timestamp_seconds(lit(tsBase) + col("id") / lit(100000.0)).as("ingest_ts"))
+        .coalesce(8)
+    val (builds0, extends0) = (RefCache.buildCount.get(), RefCache.extendCount.get())
+    loopBatch(novelA, toksOf(s"id + $novelA"), 10000L).write.mode("append").parquet(src2)
+    val q2 = StreamingClean.admitStream(spark, src2, owned2, idxDir, vdir2, ckpt2)
+    try {
+      val ba = timed(f"closed-loop batch A ($nBatch%,d novel docs: judged + admitted + indexed)") {
+        q2.processAllAvailable()
+      }
+      // batch B: half duplicates of batch A's ADMISSIONS (new ids, same
+      // texts — none of them in the seed corpus), half novel
+      loopBatch(novelB,
+        when(col("id") < nBatch / 2, toksOf(s"id + $novelA"))
+          .otherwise(toksOf(s"id + $novelB")), 20000L).write.mode("append").parquet(src2)
+      val bb = timed(f"closed-loop batch B ($nBatch%,d docs; ${nBatch / 2}%,d copy batch-A admissions)") {
+        q2.processAllAvailable()
+      }
+      val v2 = spark.read.option("recursiveFileLookup", "true").parquet(vdir2)
+        .groupBy("verdict").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      println(s"[cscale] closed-loop verdicts: $v2")
+      assert(v2("near_dup") == nBatch / 2,
+        s"batch B's copies of batch-A admissions flag near_dup — the loop is closed: ${v2.get("near_dup")}")
+      assert(v2("kept") == nBatch + nBatch / 2, s"novel docs admitted: ${v2.get("kept")}")
+      assert(RefCache.buildCount.get() == builds0,
+        "no O(corpus) re-derive between batches: the cached reference rolled forward incrementally")
+      assert(RefCache.extendCount.get() == extends0 + 2,
+        "each admitting batch extended the cached generation")
+      val sigsN = TextIndex.readSigs(spark, idxDir).count()
+      assert(sigsN == nOwned + nBatch + nBatch / 2,
+        s"index covers seed + admissions exactly once: $sigsN")
+      // replay of batch A (same appId, batchId 0): returns before judging
+      StreamingClean.admitBatch(spark,
+        loopBatch(novelA, toksOf(s"id + $novelA"), 10000L),
+        owned2, idxDir, vdir2, ckpt2, 0L)
+      assert(TextIndex.readSigs(spark, idxDir).count() == sigsN, "replayed batch is a no-op")
+      assert(StreamingClean.ownedCorpus(spark, owned2).count() == sigsN,
+        "owned corpus and index agree row-for-row")
+      println(f"[cscale] PASS closed loop: batch A ${(nBatch / ba).toLong}%,d docs/s, " +
+        f"batch B ${(nBatch / bb).toLong}%,d docs/s — admissions indexed in-loop, replay no-op")
+    } finally q2.stop()
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ownedDir))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(srcDir))

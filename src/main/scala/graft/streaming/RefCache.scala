@@ -12,37 +12,95 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * per batch; persisting them per INVOCATION (the round-6 shape) leaked
   * two cached frames per [[StreamingClean.batchVerdicts]] call in a
   * long-lived session (the nightly re-admission pass). This memo keys
-  * the cache by (session, indexDir, index meta fingerprint) — the same
-  * discipline as the k-means / content-proof memos — so:
+  * the cache by (session, indexDir, index content fingerprint) — the
+  * same discipline as the k-means / content-proof memos — so:
   *
   *  - repeated batch passes against an unchanged index reuse one cached
   *    generation (no leak, no rebuild);
-  *  - an index APPEND or REBUILD changes the meta fingerprint, which
-  *    re-keys the cache: the superseded generation for the same
-  *    (session, dir) is unpersisted and dropped, and the new one is
-  *    derived fresh — the admission loop's "batch N+1 must see batch
-  *    N's admissions" contract falls out of the keying;
+  *  - an index APPEND or REBUILD changes the fingerprint, which re-keys
+  *    the cache: the superseded generation for the same (session, dir)
+  *    is unpersisted and dropped — stale frames are never served;
   *  - at most one generation per (session, index) is ever held.
+  *
+  * Each slot is stored as a SEGMENT LIST so the closed admission loop
+  * can roll a generation forward in O(batch) instead of re-deriving
+  * O(corpus): [[extend]] appends the admitted delta's frames as new
+  * eagerly-materialized segments (lineage truncated — a lazy union over
+  * the grown source files would double-count the delta) and re-keys.
+  * Past [[MaxSegments]] segments a slot is consolidated into one frame
+  * (the LSM discipline): per-batch admission pays O(batch) plus an
+  * amortized O(corpus / MaxSegments) merge, and the banding join's
+  * static side stays a bounded union.
   */
 private[graft] object RefCache {
 
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFrame]]()
+  /** Segment-count ceiling per slot before consolidation: bounds both
+    * the union fan-in in the join plan and the amortized merge cost. */
+  private val MaxSegments = 32
 
-  /** Cache builds — the memo's observable (spec-pinned). */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Vector[DataFrame]]]()
+
+  /** Full builds — the memo's observable (spec-pinned). */
   private[graft] val buildCount = new java.util.concurrent.atomic.AtomicLong()
 
-  /** The cached frames for this index generation, building + persisting
-    * on first use and retiring any superseded generation of the same
-    * (session, dir). `fingerprint` must change whenever the index's
-    * served content changes (the meta case-class rendering does). */
+  /** Incremental extends that hit a cached predecessor (spec-pinned). */
+  private[graft] val extendCount = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Keyed by the CONTEXT, not the session: foreachBatch hands its
+    * callback a cloned streaming session (MicroBatchExecution's
+    * sparkSessionForStream), and a session-identity key would give the
+    * stream a cold cache disjoint from the one the driving session
+    * warmed. Cached frames are context-shared (one BlockManager), so
+    * the wider scope serves both safely. */
+  private def prefixOf(session: SparkSession, dir: String) =
+    s"${System.identityHashCode(session.sparkContext)}:$dir:"
+
+  /** The cached frames for this index generation (each slot the union
+    * of its segments), building + persisting on first use and retiring
+    * any superseded generation of the same (session, dir).
+    * `fingerprint` must change whenever the index's served content
+    * changes (the meta content fields do). */
   def get(session: SparkSession, dir: String, fingerprint: String)
          (build: => Seq[DataFrame]): Seq[DataFrame] = {
-    val prefix = s"${System.identityHashCode(session)}:$dir:"
+    val prefix = prefixOf(session, dir)
     val key = prefix + fingerprint
     import scala.jdk.CollectionConverters._
     val stale = memo.keySet().asScala.filter(k => k.startsWith(prefix) && k != key).toList
-    stale.foreach(k => Option(memo.remove(k)).foreach(_.foreach(_.unpersist())))
-    memo.computeIfAbsent(key, _ => { buildCount.incrementAndGet(); build.map(_.persist()) })
+    stale.foreach(k => Option(memo.remove(k)).foreach(_.foreach(_.foreach(_.unpersist()))))
+    memo.computeIfAbsent(key, _ => {
+      buildCount.incrementAndGet()
+      build.map(f => Vector(f.persist()))
+    }).map(_.reduce(_ unionByName _))
+  }
+
+  /** Roll a cached generation forward with a known delta — the closed
+    * admission loop's commit hook. The new generation's slots = the
+    * predecessor's segments plus the delta frames, each delta
+    * materialized EAGERLY with its lineage truncated (localCheckpoint:
+    * the delta's logical plan reads source files the grown index now
+    * also contains — evaluating it lazily after the append would
+    * double-count). Returns false (and caches nothing) when the
+    * predecessor generation is not cached or the arity mismatches —
+    * the next [[get]] then derives the new generation from scratch,
+    * which is always correct. */
+  def extend(session: SparkSession, dir: String,
+             oldFingerprint: String, newFingerprint: String,
+             deltas: Seq[DataFrame]): Boolean = {
+    if (oldFingerprint == newFingerprint) return true // nothing admitted
+    val prefix = prefixOf(session, dir)
+    val prev = memo.remove(prefix + oldFingerprint)
+    if (prev == null || prev.size != deltas.size) return false
+    val next = prev.zip(deltas).map { case (segs, d) =>
+      val grown = segs :+ d.localCheckpoint(true)
+      if (grown.size > MaxSegments) {
+        val merged = grown.reduce(_ unionByName _).localCheckpoint(true)
+        grown.foreach(_.unpersist())
+        Vector(merged)
+      } else grown
+    }
+    memo.put(prefix + newFingerprint, next)
+    extendCount.incrementAndGet()
+    true
   }
 }

@@ -123,13 +123,12 @@ object StreamingClean {
     // cached frames AND retires the cache when the index grows. Two
     // cached shapes, both O(signatures): slim band rows for the
     // candidate join, (ref_id, signature) rows for verification.
-    val Seq(refBands, refMhs) = RefCache.get(spark, indexDir,
-      TextIndex.readMeta(spark, indexDir).toString) {
-      val refSigs = TextIndex.readSigs(spark, indexDir)
-      Seq(
-        refSigs.select(col("doc_id").as("ref_id"), col("mhs"))
-          .select(col("ref_id"), posexplode(DedupQueries.minhashBandArray).as(Seq("band", "bucket"))),
-        refSigs.select(col("doc_id").as("ref_id"), col("mhs").as("ref_mhs")))
+    // generation key = the meta's CONTENT fields only (not the txn
+    // cursor): an admitted batch that kept nothing advances the cursor
+    // but leaves the served signatures unchanged — no re-derive
+    val tm = TextIndex.readMeta(spark, indexDir)
+    val Seq(refBands, refMhs) = RefCache.get(spark, indexDir, textGen(tm)) {
+      refFrames(TextIndex.readSigs(spark, indexDir))
     }
     bands.join(refBands, Seq("band", "bucket"))
       .select(col("doc_id"), col("content_hash"), col("ingest_ts"), col("mhs"), col("ref_id"))
@@ -228,5 +227,110 @@ object StreamingClean {
       .queryName(queryName)
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
+      .start()
+
+  // -------------------------------------------------------------------
+  // The CLOSED admission loop: verdict → append, one transaction.
+  //
+  // [[verdicts]]/[[start]] JUDGE a stream against a frozen owned corpus
+  // — admitted survivors go nowhere, so batch N+1 cannot see batch N's
+  // admissions without an external rebuild. [[admitStream]] closes the
+  // loop: each micro-batch is judged against the CURRENT certified
+  // index, then its kept documents are appended to the owned corpus
+  // AND the TextIndex in the same per-batch transaction, so the next
+  // batch's near-dup check banding-joins signatures that already
+  // include this batch's admissions (the RefCache generation key rolls
+  // with the index fingerprint).
+  //
+  // Exactly-once under foreachBatch's at-least-once replay: the
+  // TextIndex meta's (lastAppId, lastBatchId) cursor is the commit
+  // point for the WHOLE transaction. A replayed batch at-or-behind the
+  // cursor returns before judging anything (judging it against the
+  // post-append index would wrongly flag the batch's own admissions as
+  // near-dups of themselves); a replay of a batch whose first attempt
+  // crashed BEFORE the index commit re-derives identical verdicts
+  // (the index never saw the batch) and overwrites its own
+  // deterministic corpus/verdict outputs — idempotent in content.
+  //
+  // Owned-corpus contract: `ownedDir` holds (doc_id, text) parquet —
+  // the seed corpus at the root, one subdir per admitted batch. At
+  // 100 TB this is exactly the ingest layout the engine's day-bucketed
+  // appends use: appends create files, never rewrite, and a periodic
+  // compact (the artifact-maintenance cycle) pays the file-count debt.
+  // -------------------------------------------------------------------
+
+  /** Deterministic 8-hex tag for an appId (a checkpoint path) — keeps
+    * per-stream output subdirs disjoint and filesystem-safe. */
+  private[streaming] def txnTag(appId: String): String =
+    java.util.UUID.nameUUIDFromBytes(appId.getBytes("UTF-8")).toString.take(8)
+
+  /** Content-generation key of a text index (the [[RefCache]] key):
+    * the meta's fingerprint fields, cursor excluded. */
+  private def textGen(m: graft.extensions.TextMeta): String =
+    s"${m.numHashes}:${m.corpusRows}:${m.idMin}:${m.idMax}:${m.idSum}:${m.contentXor}"
+
+  /** The two marker-leg reference shapes from a sigs-shaped frame —
+    * shared by the full-generation build and the per-batch delta so the
+    * incremental cache extension is bit-identical to a re-derive. */
+  private def refFrames(sigs: DataFrame): Seq[DataFrame] = Seq(
+    sigs.select(col("doc_id").as("ref_id"), col("mhs"))
+      .select(col("ref_id"), posexplode(DedupQueries.minhashBandArray).as(Seq("band", "bucket"))),
+    sigs.select(col("doc_id").as("ref_id"), col("mhs").as("ref_mhs")))
+
+  /** The owned corpus as one frame: the seed documents plus every
+    * admitted batch (all (doc_id, text) parquet under `ownedDir`). */
+  def ownedCorpus(spark: SparkSession, ownedDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(ownedDir)
+      .select("doc_id", "text")
+
+  /** One micro-batch through the closed loop (see the section note for
+    * the transaction contract). Callable directly as the nightly
+    * re-admission pass with a caller-chosen (appId, batchId). */
+  def admitBatch(spark: SparkSession, batch: DataFrame, ownedDir: String,
+                 indexDir: String, verdictsDir: String,
+                 appId: String, batchId: Long,
+                 keepLang: String = KEEP_LANG): Unit = {
+    require(TextIndex.usable(spark, indexDir),
+      s"text index at $indexDir is absent or uncertified — build() it from the owned corpus first")
+    val m = TextIndex.readMeta(spark, indexDir)
+    if (appId == m.lastAppId && batchId <= m.lastBatchId) return // replayed txn
+    if (batch.isEmpty) return // a dataless trigger admits nothing
+    val tag = txnTag(appId)
+    val v = batchVerdicts(spark, batch, indexDir, keepLang).persist()
+    try {
+      v.withColumn("batch_id", lit(batchId))
+        .coalesce(1).write.mode("overwrite").parquet(s"$verdictsDir/$tag/b$batchId")
+      val kept = batch
+        .join(v.filter(col("kept")).select("doc_id"), "doc_id")
+        .select("doc_id", "text")
+      kept.write.mode("overwrite").parquet(s"$ownedDir/admitted/$tag/b$batchId")
+      // the commit point: advances the txn cursor (even for an empty
+      // kept set) and rolls the fingerprint so the next batch's
+      // RefCache generation includes these admissions
+      TextIndex.append(spark, kept, indexDir, txn = Some((appId, batchId)))
+      // roll the cached reference forward INCREMENTALLY: derive frames
+      // for the admitted delta only (O(batch)) instead of letting the
+      // next batch re-band the whole grown corpus (O(corpus)) — the
+      // property that keeps closed-loop admission viable at 10⁹ docs
+      RefCache.extend(spark, indexDir, textGen(m),
+        textGen(TextIndex.readMeta(spark, indexDir)),
+        refFrames(DedupQueries.signatures(spark, kept, m.numHashes)))
+    } finally v.unpersist()
+  }
+
+  /** The closed admission loop over a parquet document feed: verdicts
+    * land under `verdictsDir` (one subdir per batch), admitted
+    * documents flow into `ownedDir` + the index. `indexDir` must hold a
+    * CERTIFIED [[TextIndex]] of the seed corpus at `ownedDir`. */
+  def admitStream(spark: SparkSession, srcDir: String, ownedDir: String,
+                  indexDir: String, verdictsDir: String, checkpoint: String,
+                  keepLang: String = KEEP_LANG): StreamingQuery =
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        admitBatch(batch.sparkSession, batch, ownedDir, indexDir,
+          verdictsDir, checkpoint, bid, keepLang)
+      }
       .start()
 }

@@ -83,8 +83,10 @@ object StreamingEmbed {
       carry = Seq("vhash", "ingest_ts", "v", "norm"))
     // slim owned band rows, cached once per index generation
     // ([[RefCache]]: no per-invocation persist leak, and an index
-    // append/rebuild re-keys the cache so later batches see it)
-    val Seq(refBands) = RefCache.get(spark, indexDir, m.toString) {
+    // append/rebuild re-keys the cache so later batches see it).
+    // Generation key = content fields only, not the txn cursor (the
+    // StreamingClean rule: a nothing-kept admission re-derives nothing)
+    val Seq(refBands) = RefCache.get(spark, indexDir, embGen(m)) {
       Seq(AnnIndex.bandsFromIndex(spark, indexDir)
         .withColumnRenamed("vec_id", "ref_id"))
     }
@@ -177,5 +179,83 @@ object StreamingEmbed {
       .queryName(queryName)
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
+      .start()
+
+  // -------------------------------------------------------------------
+  // The CLOSED admission loop, vector modality — [[StreamingClean]]'s
+  // transaction contract verbatim: each micro-batch is judged against
+  // the CURRENT certified AnnIndex, kept vectors append to the owned
+  // corpus AND the index in the same per-batch transaction (the
+  // AnnIndex meta txn cursor is the commit point), and the next batch
+  // bands against codes that include this batch's admissions.
+  // -------------------------------------------------------------------
+
+  /** The owned vectors as one frame: the seed embeddings plus every
+    * admitted batch (all (vec_id, embedding) parquet under `ownedDir`). */
+  def ownedVectors(spark: SparkSession, ownedDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(ownedDir)
+      .select("vec_id", "embedding")
+
+  /** Content-generation key of an ann index (the [[RefCache]] key):
+    * scheme + fingerprint fields, cursor excluded. */
+  private def embGen(m: graft.extensions.AnnMeta): String =
+    s"${m.planes}:${m.bandBits}:${m.corpusRows}:${m.idMin}:${m.idMax}:${m.idSum}:${m.contentXor}"
+
+  /** The marker-leg reference shape for a raw embeddings frame, coded
+    * with the index's own scheme — the delta form of what
+    * [[AnnIndex.bandsFromIndex]] yields for the whole index, so the
+    * incremental cache extension is bit-identical to a re-derive. */
+  private def refBandsOf(spark: SparkSession, raw: DataFrame,
+                         m: graft.extensions.AnnMeta): DataFrame =
+    SimilarityQueries.srpBands(
+      SimilarityQueries.srpCoded(SimilarityQueries.prep(spark, raw), m.planes)
+        .select("vec_id", "code"),
+      m.planes, m.bandBits)
+      .withColumnRenamed("vec_id", "ref_id")
+
+  /** One micro-batch through the closed loop ([[StreamingClean.admitBatch]]
+    * semantics: replay at-or-behind the index cursor returns before
+    * judging; outputs are overwrite-idempotent). */
+  def admitBatch(spark: SparkSession, batch: DataFrame, ownedDir: String,
+                 indexDir: String, verdictsDir: String,
+                 appId: String, batchId: Long,
+                 cosMin: Double = DefaultCosMin): Unit = {
+    require(AnnIndex.usable(spark, indexDir),
+      s"ann index at $indexDir is absent or uncertified — build() it from the owned corpus first")
+    val m = AnnIndex.readMeta(spark, indexDir)
+    if (appId == m.lastAppId && batchId <= m.lastBatchId) return // replayed txn
+    if (batch.isEmpty) return // a dataless trigger admits nothing
+    val tag = StreamingClean.txnTag(appId)
+    val v = batchVerdicts(spark, batch, indexDir,
+      ownedVectors(spark, ownedDir), cosMin).persist()
+    try {
+      v.withColumn("batch_id", lit(batchId))
+        .coalesce(1).write.mode("overwrite").parquet(s"$verdictsDir/$tag/b$batchId")
+      val kept = batch
+        .join(v.filter(col("kept")).select("vec_id"), "vec_id")
+        .select("vec_id", "embedding")
+      kept.write.mode("overwrite").parquet(s"$ownedDir/admitted/$tag/b$batchId")
+      AnnIndex.append(spark, kept, indexDir, txn = Some((appId, batchId)))
+      // roll the cached reference forward with the delta's band rows
+      // (O(batch), the StreamingClean discipline)
+      RefCache.extend(spark, indexDir, embGen(m),
+        embGen(AnnIndex.readMeta(spark, indexDir)),
+        Seq(refBandsOf(spark, kept, m)))
+    } finally v.unpersist()
+  }
+
+  /** The closed admission loop over a parquet embedding feed.
+    * `indexDir` must hold a CERTIFIED [[AnnIndex]] of the seed corpus
+    * at `ownedDir`. */
+  def admitStream(spark: SparkSession, srcDir: String, ownedDir: String,
+                  indexDir: String, verdictsDir: String, checkpoint: String,
+                  cosMin: Double = DefaultCosMin): StreamingQuery =
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        admitBatch(batch.sparkSession, batch, ownedDir, indexDir,
+          verdictsDir, checkpoint, bid, cosMin)
+      }
       .start()
 }

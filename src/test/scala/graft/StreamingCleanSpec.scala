@@ -138,6 +138,57 @@ class StreamingCleanSpec extends SparkSpec {
       "the fresh generation serves the appended document's signature")
   }
 
+  test("closed admission loop: batch N+1 sees batch N's admissions; replay is a no-op") {
+    val owned = tmpDir("graft-admit-owned")
+    baseCorpus.toDF("doc_id", "text").write.mode("overwrite").parquet(owned)
+    val idx = tmpDir("graft-admit-idx")
+    TextIndex.build(spark, StreamingClean.ownedCorpus(spark, owned), idx)
+    val src = tmpDir("graft-admit-src")
+    val vdir = tmpDir("graft-admit-verdicts")
+    val ckpt = tmpDir("graft-admit-ckpt")
+    def write(rows: Seq[(Long, String, String, Long)]): Unit =
+      rows.map { case (d, t, l, ts) => (d, t, l, new java.sql.Timestamp(ts * 1000L)) }
+        .toDF("doc_id", "text", "lang", "ingest_ts")
+        .coalesce(1).write.mode("append").parquet(src)
+    // batch 0: a novel doc + a near-copy of the SEED corpus
+    write(Seq((100L, goodText("n100"), "en", 1L), (103L, goodText("b0"), "en", 2L)))
+    val (builds0, extends0) =
+      (graft.streaming.RefCache.buildCount.get(), graft.streaming.RefCache.extendCount.get())
+    val q = StreamingClean.admitStream(spark, src, owned, idx, vdir, ckpt)
+    try {
+      q.processAllAvailable()
+      // batch 1: a duplicate of batch 0's ADMITTED doc — which is NOT
+      // in the seed corpus — plus another novel doc
+      write(Seq((200L, goodText("n100"), "en", 3L), (201L, goodText("n201"), "en", 4L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(graft.streaming.RefCache.buildCount.get() === builds0 + 1,
+      "one full reference derivation for the whole run — batch 1 rode the extended cache")
+    assert(graft.streaming.RefCache.extendCount.get() === extends0 + 2,
+      "each admitting batch rolled the cached generation forward incrementally")
+    val got = spark.read.option("recursiveFileLookup", "true").parquet(vdir)
+      .select("doc_id", "verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(100L) === "kept")
+    assert(got(103L) === "near_dup", "seed-corpus copy caught")
+    assert(got(200L) === "near_dup",
+      "batch 1's duplicate of a batch-0 admission is caught — the loop is closed")
+    assert(got(201L) === "kept")
+    // the owned corpus grew by exactly the kept docs; the index covers it
+    assert(StreamingClean.ownedCorpus(spark, owned).select("doc_id").collect()
+      .map(_.getLong(0)).toSet === ((0L until 20L).toSet + 100L + 201L))
+    assert(TextIndex.readSigs(spark, idx).count() === 22L)
+    assert(TextIndex.usable(spark, idx), "the loop leaves a certified index behind")
+    // replay of batch 0 (same appId = checkpoint path): returns before
+    // judging — no re-append, no corpus growth, no verdict rewrite
+    StreamingClean.admitBatch(spark,
+      Seq((100L, goodText("n100"), "en", new java.sql.Timestamp(1000L)))
+        .toDF("doc_id", "text", "lang", "ingest_ts"),
+      owned, idx, vdir, ckpt, 0L)
+    assert(TextIndex.readSigs(spark, idx).count() === 22L, "replayed batch appends nothing")
+    assert(StreamingClean.ownedCorpus(spark, owned).count() === 22L)
+  }
+
   test("an absent or uncertified index is a hard error, not a silent pass-through") {
     val err = intercept[IllegalArgumentException] {
       StreamingClean.verdicts(spark, tmpDir("graft-sclean-nosrc"),

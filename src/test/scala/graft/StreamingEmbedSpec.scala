@@ -80,6 +80,50 @@ class StreamingEmbedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("closed admission loop: batch N+1 sees batch N's admissions; replay is a no-op") {
+    val ownedDir = tmpDir("graft-semb-owned")
+    owned.map { case (id, v, _) => (id, v) }.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(ownedDir)
+    val idx = tmpDir("graft-semb-admit-idx")
+    AnnIndex.build(spark, StreamingEmbed.ownedVectors(spark, ownedDir), idx)
+    val src = tmpDir("graft-semb-admit-src")
+    val vdir = tmpDir("graft-semb-admit-verdicts")
+    val ckpt = tmpDir("graft-semb-admit-ckpt")
+    def write(rows: Seq[(Long, Seq[Float], Long)]): Unit =
+      rows.map { case (id, v, ts) => (id, v, new java.sql.Timestamp(ts * 1000L)) }
+        .toDF("vec_id", "embedding", "ingest_ts")
+        .coalesce(1).write.mode("append").parquet(src)
+    // batch 0: a novel vector + a scaled copy of the SEED corpus
+    write(Seq((100100L, vec(5000L), 1L), (100101L, vec(7L).map(_ * 2f), 2L)))
+    val q = StreamingEmbed.admitStream(spark, src, ownedDir, idx, vdir, ckpt)
+    try {
+      q.processAllAvailable()
+      // batch 1: a scaled copy of batch 0's ADMISSION (not in the seed
+      // corpus — identical SRP code, cosine exactly 1.0) + a novel one
+      write(Seq((100200L, vec(5000L).map(_ * 2f), 3L), (100201L, vec(6000L), 4L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.option("recursiveFileLookup", "true").parquet(vdir)
+      .select("vec_id", "verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(100100L) === "kept")
+    assert(got(100101L) === "near_dup", "seed-corpus copy caught")
+    assert(got(100200L) === "near_dup",
+      "batch 1's copy of a batch-0 admission is caught — the loop is closed")
+    assert(got(100201L) === "kept")
+    assert(StreamingEmbed.ownedVectors(spark, ownedDir).select("vec_id").collect()
+      .map(_.getLong(0)).toSet === ((0L until 200L).toSet + 100100L + 100201L))
+    assert(AnnIndex.readCodes(spark, idx).count() === 202L)
+    assert(AnnIndex.usable(spark, idx), "the loop leaves a certified index behind")
+    // replay of batch 0: returns before judging — nothing re-appends
+    StreamingEmbed.admitBatch(spark,
+      Seq((100100L, vec(5000L), new java.sql.Timestamp(1000L)))
+        .toDF("vec_id", "embedding", "ingest_ts"),
+      ownedDir, idx, vdir, ckpt, 0L)
+    assert(AnnIndex.readCodes(spark, idx).count() === 202L, "replayed batch appends nothing")
+    assert(StreamingEmbed.ownedVectors(spark, ownedDir).count() === 202L)
+  }
+
   test("an uncertified index is a hard error") {
     val err = intercept[IllegalArgumentException] {
       StreamingEmbed.verdicts(spark, tmpDir("graft-semb-nosrc"),
