@@ -12,9 +12,12 @@ class EventsSourceSpec extends SparkSpec {
     val plain = EventsSource.meas(spark, sfDir)
       .filter(col("time").between(lit(from).cast("timestamp"), lit(to).cast("timestamp")))
     assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
-    // and the pushdown is actually in the plan
+    // and the pushdown is actually in the plan — either encoding:
+    // ns-as-long is a half-open window (>= lower, < upper·exclusive),
+    // µs/NTZ an inclusive one (>= from, <= to)
     val scan = pruned.queryExecution.executedPlan.toString
-    assert(scan.contains("GreaterThanOrEqual(ts,") && scan.contains("LessThan(ts,"),
+    assert(scan.contains("GreaterThanOrEqual(ts,") &&
+      (scan.contains("LessThan(ts,") || scan.contains("LessThanOrEqual(ts,")),
       "raw-ts bounds must appear in PushedFilters")
   }
 
