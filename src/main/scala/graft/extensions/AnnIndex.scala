@@ -48,7 +48,11 @@ import graft.sources.TsdbStorage
 case class AnnMeta(planes: Int, bandBits: Int, corpusRows: Long,
                    idMin: Long, idMax: Long, idSum: Long, contentXor: Long,
                    quantizer: String, lastAppId: String, lastBatchId: Long,
-                   kCells: Int)
+                   kCells: Int, txnCursors: String = "") {
+  /** Per-app replay check ([[TxnCursors]]): the last applied batchId
+    * for `app`, if any. */
+  def appliedBatch(app: String): Option[Long] = TxnCursors.applied(txnCursors, app)
+}
 
 /** Persisted ANN index — the artifact a production 100 TB embedding
   * corpus builds ONCE and serves every query from, instead of
@@ -286,7 +290,7 @@ object AnnIndex {
     val p = new Path(metaPath(dir))
     if (!fs(spark, dir).exists(p))
       AnnMeta(SimilarityQueries.N_PLANES, SimilarityQueries.BAND_BITS,
-        -1L, 0L, 0L, 0L, 0L, "label", "", -1L, -1)
+        -1L, 0L, 0L, 0L, 0L, "label", "", -1L, -1, "")
     else {
       val df = spark.read.parquet(metaPath(dir))
       val names = df.columns.toSet
@@ -304,16 +308,24 @@ object AnnIndex {
         strOr(r, "quantizer", "label"), // pre-kind metas were label-built
         strOr(r, "last_app_id", ""),
         longOr(r, "last_batch_id", -1L),
-        longOr(r, "k_cells", -1L).toInt)
+        longOr(r, "k_cells", -1L).toInt,
+        // legacy single-cursor metas fold into a one-entry map
+        if (names("txn_cursors")) strOr(r, "txn_cursors", "")
+        else if (strOr(r, "last_app_id", "").nonEmpty)
+          TxnCursors.render(Vector(
+            strOr(r, "last_app_id", "") -> longOr(r, "last_batch_id", -1L)))
+        else "")
     }
   }
 
   private def writeMeta(spark: SparkSession, dir: String, m: AnnMeta): Unit = {
     import spark.implicits._
     Seq((m.planes, m.bandBits, m.corpusRows, m.idMin, m.idMax, m.idSum,
-        m.contentXor, m.quantizer, m.lastAppId, m.lastBatchId, m.kCells.toLong))
+        m.contentXor, m.quantizer, m.lastAppId, m.lastBatchId, m.kCells.toLong,
+        m.txnCursors))
       .toDF("planes", "band_bits", "corpus_rows", "id_min", "id_max", "id_sum",
-        "content_xor", "quantizer", "last_app_id", "last_batch_id", "k_cells")
+        "content_xor", "quantizer", "last_app_id", "last_batch_id", "k_cells",
+        "txn_cursors")
       .coalesce(1).write.mode("overwrite").parquet(metaPath(dir))
   }
 
@@ -446,9 +458,14 @@ object AnnIndex {
     val kind = if (raw.columns.contains("label")) "label" else "kmeans"
     TsdbStorage.markStatsOutOfSync(spark, dir)
     val cent = SimilarityQueries.quantizer(spark, raw, kCells).coalesce(1)
-    val k = cent.count().toInt
-    writeMeta(spark, dir, AnnMeta(planes, bb, n, idMin, idMax, idSum, cxor, kind, "", -1L, k))
     cent.write.mode("overwrite").parquet(centroidsPath(dir))
+    // cell count from the WRITTEN centroids (k rows), not a second
+    // evaluation of the quantizer frame — on the label path that frame
+    // is a full-corpus aggregation and counting it first would pay the
+    // derivation twice (the kmeans path is shielded by the driver memo,
+    // the label path is not)
+    val k = spark.read.parquet(centroidsPath(dir)).count().toInt
+    writeMeta(spark, dir, AnnMeta(planes, bb, n, idMin, idMax, idSum, cxor, kind, "", -1L, k))
     val e = SimilarityQueries.prep(spark, raw)
     SimilarityQueries.srpCoded(e, planes).select("vec_id", "code")
       .join(SimilarityQueries.assignCells(e, readCentroids(spark, dir)), "vec_id")
@@ -474,7 +491,8 @@ object AnnIndex {
     recoverCompact(spark, dir)
     require(usable(spark, dir), s"ANN index at $dir is absent or uncertified — build() first")
     val m = readMeta(spark, dir)
-    val replayed = txn.exists { case (app, bid) => app == m.lastAppId && bid <= m.lastBatchId }
+    // PER-APP replay check (see [[TxnCursors]])
+    val replayed = txn.exists { case (app, bid) => m.appliedBatch(app).exists(bid <= _) }
     if (replayed) return
     val (n, bMin, bMax, bSum, bXor) = fingerprint(rawNew)
     val planes = m.planes // code with the index's own scheme
@@ -484,14 +502,17 @@ object AnnIndex {
       .join(SimilarityQueries.assignCells(e, readCentroids(spark, dir)), "vec_id")
       .write.mode("append").parquet(codesPath(dir))
     val grown =
-      if (m.corpusRows < 0) m // legacy fingerprintless meta stays unknown
+      if (n == 0) m // EMPTY append: an all-zero fingerprint must not fold
+        // into min/max (the TextIndex.append rule) — only the cursor moves
+      else if (m.corpusRows < 0) m // legacy fingerprintless meta stays unknown
       else if (m.corpusRows == 0)
         m.copy(corpusRows = n, idMin = bMin, idMax = bMax, idSum = bSum, contentXor = bXor)
       else m.copy(corpusRows = m.corpusRows + n,
         idMin = math.min(m.idMin, bMin), idMax = math.max(m.idMax, bMax),
         idSum = m.idSum + bSum, contentXor = m.contentXor ^ bXor)
     writeMeta(spark, dir, txn.fold(grown) { case (app, bid) =>
-      grown.copy(lastAppId = app, lastBatchId = bid) })
+      grown.copy(lastAppId = app, lastBatchId = bid,
+        txnCursors = TxnCursors.advance(grown.txnCursors, app, bid)) })
     TsdbStorage.markStatsInSync(spark, dir)
   }
 

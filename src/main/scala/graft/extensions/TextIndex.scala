@@ -15,7 +15,12 @@ import graft.sources.TsdbStorage
   * to the documents it covers, and the idempotent-writer cursor for
   * streaming maintenance. */
 case class TextMeta(numHashes: Int, corpusRows: Long, idMin: Long, idMax: Long,
-                    idSum: Long, contentXor: Long, lastAppId: String, lastBatchId: Long)
+                    idSum: Long, contentXor: Long, lastAppId: String, lastBatchId: Long,
+                    txnCursors: String = "") {
+  /** Per-app replay check ([[TxnCursors]]): the last applied batchId
+    * for `app`, if any. */
+  def appliedBatch(app: String): Option[Long] = TxnCursors.applied(txnCursors, app)
+}
 
 /** Persisted text-signature index — the [[AnnIndex]] of the dedup
   * family. A 100 TB document corpus computes its MinHash/SimHash
@@ -151,15 +156,21 @@ object TextIndex {
       r.getLong(r.fieldIndex("id_sum")),
       if (names("content_xor")) r.getLong(r.fieldIndex("content_xor")) else 0L,
       r.getString(r.fieldIndex("last_app_id")),
-      r.getLong(r.fieldIndex("last_batch_id")))
+      r.getLong(r.fieldIndex("last_batch_id")),
+      // legacy single-cursor metas fold into a one-entry map
+      if (names("txn_cursors")) r.getString(r.fieldIndex("txn_cursors"))
+      else if (r.getString(r.fieldIndex("last_app_id")).nonEmpty)
+        TxnCursors.render(Vector(
+          r.getString(r.fieldIndex("last_app_id")) -> r.getLong(r.fieldIndex("last_batch_id"))))
+      else "")
   }
 
   private def writeMeta(spark: SparkSession, dir: String, m: TextMeta): Unit = {
     import spark.implicits._
     Seq((m.numHashes, m.corpusRows, m.idMin, m.idMax, m.idSum, m.contentXor,
-        m.lastAppId, m.lastBatchId))
+        m.lastAppId, m.lastBatchId, m.txnCursors))
       .toDF("num_hashes", "corpus_rows", "id_min", "id_max", "id_sum",
-        "content_xor", "last_app_id", "last_batch_id")
+        "content_xor", "last_app_id", "last_batch_id", "txn_cursors")
       .coalesce(1).write.mode("overwrite").parquet(metaPath(dir))
   }
 
@@ -186,7 +197,10 @@ object TextIndex {
     ArtifactSwap.recover(spark, dir, "sigs")
     require(usable(spark, dir), s"text index at $dir is absent or uncertified — build() first")
     val m = readMeta(spark, dir)
-    if (txn.exists { case (app, bid) => app == m.lastAppId && bid <= m.lastBatchId }) return
+    // PER-APP replay check: a second writer under a different appId
+    // (nightly re-admission, a second stream) must not reset replay
+    // detection for the first (see [[TxnCursors]])
+    if (txn.exists { case (app, bid) => m.appliedBatch(app).exists(bid <= _) }) return
     val (n, bMin, bMax, bSum, bXor) = fingerprint(newDocs)
     // schema-evolution guard: appending NEW-schema rows (e.g. with the
     // round-6 swh/ntk span columns) into a dir whose existing sigs lack
@@ -205,14 +219,19 @@ object TextIndex {
     DedupQueries.signatures(spark, newDocs, m.numHashes)
       .write.mode("append").parquet(sigsPath(dir))
     val grown =
-      if (m.corpusRows < 0) m // legacy fingerprintless meta stays unknown
+      if (n == 0) m // EMPTY append: an all-zero fingerprint must not fold
+        // into min/max (idMin = min(real, 0) would corrupt the identity
+        // and uncertify the index at the next verify) — the cursor still
+        // advances below, which is the whole point of an empty commit
+      else if (m.corpusRows < 0) m // legacy fingerprintless meta stays unknown
       else if (m.corpusRows == 0)
         m.copy(corpusRows = n, idMin = bMin, idMax = bMax, idSum = bSum, contentXor = bXor)
       else m.copy(corpusRows = m.corpusRows + n,
         idMin = math.min(m.idMin, bMin), idMax = math.max(m.idMax, bMax),
         idSum = m.idSum + bSum, contentXor = m.contentXor ^ bXor)
     writeMeta(spark, dir, txn.fold(grown) { case (app, bid) =>
-      grown.copy(lastAppId = app, lastBatchId = bid) })
+      grown.copy(lastAppId = app, lastBatchId = bid,
+        txnCursors = TxnCursors.advance(grown.txnCursors, app, bid)) })
     TsdbStorage.markStatsInSync(spark, dir)
   }
 

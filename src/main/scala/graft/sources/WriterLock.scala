@@ -213,6 +213,15 @@ object WriterLock {
       throw new ConcurrentWriterException(
         s"$dir stale lease takeover raced another writer; second writer rejected")
     }
+    // live-looking lease — but release runs its owner-check + delete
+    // OUTSIDE the JVM monitor (so a hung FS call can't block unrelated
+    // locks), which opens a ms-wide window where the releasing owner's
+    // map entry is gone yet its file still shows a fresh heartbeat. A
+    // back-to-back acquire landing in that window would spuriously
+    // reject a legitimate writer; absorb it with one brief retry before
+    // failing — a GENUINELY held lease is still there 50 ms later.
+    Thread.sleep(50)
+    if (tryCreate()) return
     throw new ConcurrentWriterException(
       s"$dir is write-locked by $holder (heartbeat ${age / 1000}s ago); " +
         s"second writer rejected — stale takeover after ${stale / 1000}s")

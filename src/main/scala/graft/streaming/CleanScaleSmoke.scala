@@ -197,9 +197,8 @@ object CleanScaleSmoke {
       println(f"[cscale] PASS closed loop: batch A ${(nBatch / ba).toLong}%,d docs/s, " +
         f"batch B ${(nBatch / bb).toLong}%,d docs/s — admissions indexed in-loop, replay no-op")
     } finally q2.stop()
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ownedDir))
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(srcDir))
+    Seq(ownedDir, idxDir, srcDir, src2, ckpt2, vdir2, ckpt).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
     spark.stop()
   }
 }

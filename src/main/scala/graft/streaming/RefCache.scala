@@ -89,8 +89,19 @@ private[graft] object RefCache {
              deltas: Seq[DataFrame]): Boolean = {
     if (oldFingerprint == newFingerprint) return true // nothing admitted
     val prefix = prefixOf(session, dir)
+    // validate BEFORE removing: an arity mismatch must leave the cached
+    // generation in the memo (still reachable for get()'s stale cleanup
+    // to unpersist), not strand its frames in executor storage
+    val peek = memo.get(prefix + oldFingerprint)
+    if (peek == null || peek.size != deltas.size) return false
     val prev = memo.remove(prefix + oldFingerprint)
-    if (prev == null || prev.size != deltas.size) return false
+    if (prev == null) return false // lost a race to another retire
+    // retirement caveat: unpersist() frees persist()-cached segments
+    // promptly, but a localCheckpoint-ed segment's blocks are released
+    // by the ContextCleaner when the dataset is GC'd — dropping the
+    // reference here is what makes that happen; it is eventual, not
+    // immediate (bounded: at most one superseded generation per index
+    // is ever awaiting collection)
     val next = prev.zip(deltas).map { case (segs, d) =>
       val grown = segs :+ d.localCheckpoint(true)
       if (grown.size > MaxSegments) {

@@ -243,9 +243,9 @@ object StreamingClean {
   // with the index fingerprint).
   //
   // Exactly-once under foreachBatch's at-least-once replay: the
-  // TextIndex meta's (lastAppId, lastBatchId) cursor is the commit
-  // point for the WHOLE transaction. A replayed batch at-or-behind the
-  // cursor returns before judging anything (judging it against the
+  // TextIndex meta's PER-APP txn cursor map ([[TxnCursors]]) is the
+  // commit point for the WHOLE transaction. A replayed batch at-or-
+  // behind its app's cursor returns before judging anything (judging it against the
   // post-append index would wrongly flag the batch's own admissions as
   // near-dups of themselves); a replay of a batch whose first attempt
   // crashed BEFORE the index commit re-derives identical verdicts
@@ -293,7 +293,12 @@ object StreamingClean {
     require(TextIndex.usable(spark, indexDir),
       s"text index at $indexDir is absent or uncertified — build() it from the owned corpus first")
     val m = TextIndex.readMeta(spark, indexDir)
-    if (appId == m.lastAppId && batchId <= m.lastBatchId) return // replayed txn
+    // PER-APP replay check: the nightly re-admission pass (or a second
+    // stream) must not reset the stream's replay detection — a defeated
+    // replay here would re-judge a batch against its own admissions,
+    // flag them all near_dup, and overwrite the batch's corpus dir with
+    // an empty kept set (destroying admitted documents)
+    if (m.appliedBatch(appId).exists(batchId <= _)) return // replayed txn
     if (batch.isEmpty) return // a dataless trigger admits nothing
     val tag = txnTag(appId)
     val v = batchVerdicts(spark, batch, indexDir, keepLang).persist()

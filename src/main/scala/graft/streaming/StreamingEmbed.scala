@@ -223,7 +223,8 @@ object StreamingEmbed {
     require(AnnIndex.usable(spark, indexDir),
       s"ann index at $indexDir is absent or uncertified — build() it from the owned corpus first")
     val m = AnnIndex.readMeta(spark, indexDir)
-    if (appId == m.lastAppId && batchId <= m.lastBatchId) return // replayed txn
+    // PER-APP replay check (the StreamingClean rationale verbatim)
+    if (m.appliedBatch(appId).exists(batchId <= _)) return // replayed txn
     if (batch.isEmpty) return // a dataless trigger admits nothing
     val tag = StreamingClean.txnTag(appId)
     val v = batchVerdicts(spark, batch, indexDir,

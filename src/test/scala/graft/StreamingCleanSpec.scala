@@ -181,12 +181,51 @@ class StreamingCleanSpec extends SparkSpec {
     assert(TextIndex.usable(spark, idx), "the loop leaves a certified index behind")
     // replay of batch 0 (same appId = checkpoint path): returns before
     // judging — no re-append, no corpus growth, no verdict rewrite
-    StreamingClean.admitBatch(spark,
-      Seq((100L, goodText("n100"), "en", new java.sql.Timestamp(1000L)))
-        .toDF("doc_id", "text", "lang", "ingest_ts"),
-      owned, idx, vdir, ckpt, 0L)
+    val batch0 = Seq((100L, goodText("n100"), "en", new java.sql.Timestamp(1000L)))
+      .toDF("doc_id", "text", "lang", "ingest_ts")
+    StreamingClean.admitBatch(spark, batch0, owned, idx, vdir, ckpt, 0L)
     assert(TextIndex.readSigs(spark, idx).count() === 22L, "replayed batch appends nothing")
     assert(StreamingClean.ownedCorpus(spark, owned).count() === 22L)
+    // a SECOND writer under a different appId (the nightly re-admission
+    // pass) must NOT reset the stream's replay detection: the cursor is
+    // a per-app map, and a defeated replay here would re-judge batch 0
+    // against its own admission (near_dup → empty kept) and overwrite
+    // its corpus dir — destroying doc 100
+    StreamingClean.admitBatch(spark,
+      Seq((300L, goodText("n300"), "en", new java.sql.Timestamp(9000L)))
+        .toDF("doc_id", "text", "lang", "ingest_ts"),
+      owned, idx, vdir, "nightly-pass", 0L)
+    assert(StreamingClean.ownedCorpus(spark, owned).count() === 23L, "the nightly's doc admitted")
+    StreamingClean.admitBatch(spark, batch0, owned, idx, vdir, ckpt, 0L)
+    val ids = StreamingClean.ownedCorpus(spark, owned).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids.contains(100L),
+      "stream batch 0's replay after the nightly's commit is STILL a no-op — " +
+        "its admission survives")
+    assert(StreamingClean.ownedCorpus(spark, owned).count() === 23L)
+  }
+
+  test("an all-rejected batch advances the cursor without corrupting the fingerprint") {
+    // seed ids start ABOVE zero — the case an all-zero empty-append
+    // fingerprint (min(realMin, 0) = 0) would silently corrupt, leaving
+    // verify() to uncertify the index on its next audit
+    val owned = tmpDir("graft-admit-empty-owned")
+    baseCorpus.map { case (d, t) => (d + 1000L, t) }.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(owned)
+    val idx = tmpDir("graft-admit-empty-idx")
+    TextIndex.build(spark, StreamingClean.ownedCorpus(spark, owned), idx)
+    val vdir = tmpDir("graft-admit-empty-verdicts")
+    // every doc in the batch is a copy of an owned doc → kept is EMPTY
+    StreamingClean.admitBatch(spark,
+      Seq((5000L, goodText("b0"), "en", new java.sql.Timestamp(1000L)),
+        (5001L, goodText("b1"), "en", new java.sql.Timestamp(2000L)))
+        .toDF("doc_id", "text", "lang", "ingest_ts"),
+      owned, idx, vdir, "app", 0L)
+    assert(TextIndex.usable(spark, idx))
+    assert(TextIndex.verify(spark, idx, StreamingClean.ownedCorpus(spark, owned)),
+      "the meta fingerprint still matches the (unchanged) owned corpus")
+    assert(TextIndex.readMeta(spark, idx).appliedBatch("app") === Some(0L),
+      "…and the txn cursor advanced — the empty commit is still a commit")
   }
 
   test("an absent or uncertified index is a hard error, not a silent pass-through") {
