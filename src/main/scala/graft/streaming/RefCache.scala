@@ -35,8 +35,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[graft] object RefCache {
 
   /** Segment-count ceiling per slot before consolidation: bounds both
-    * the union fan-in in the join plan and the amortized merge cost. */
-  private val MaxSegments = 32
+    * the union fan-in in the join plan and the amortized merge cost.
+    * Mutable only as a test seam (RefCacheSpec drives the
+    * consolidation path with a tiny ceiling). */
+  private[graft] var MaxSegments = 32
 
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Vector[DataFrame]]]()
