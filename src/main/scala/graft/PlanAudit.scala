@@ -46,6 +46,7 @@ object PlanAudit {
     "ivf_cell_stats" -> ("broadcast-nested-loop-join", "broadcast side = k-means centroids (bounded by k)"),
     "bpe_merges" -> ("global-window", "window input = the 40-row TakeOrdered result (bounded constant)"),
     "text_tfidf" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus count"),
+    "lm_score" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus token total"),
     "mixture_sample" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus count"),
     "vocab_topk" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus total"),
   )

@@ -355,8 +355,11 @@ object DedupQueries {
   private val DF_MAX = 20
   private val NGRAM_JACCARD_MIN = 0.5
 
-  val ngramJaccard: QueryDef = QueryDef(
-    build = (s, d) => {
+  /** The exact n-gram-Jaccard pair list (doc_a, doc_b, jaccard ≥
+    * NGRAM_JACCARD_MIN) — dedup_ngram's whole derivation, unsorted.
+    * Shared with [[bandingRecall]], which uses it as ground truth for
+    * auditing the MinHash banding's recall. */
+  private[extensions] def ngramPairs(s: SparkSession, d: String): DataFrame = {
       graft.functions.VectorFunctions.register(s)
       // Shingles as 60-bit md5-prefix ints (same md5 both engines; the
       // string-based oracle independently validates the rewrite). The
@@ -407,29 +410,138 @@ object DedupQueries {
         .withColumn("jaccard", round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
         .filter(col("jaccard") >= NGRAM_JACCARD_MIN)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
-    },
+  }
+
+  /** Oracle CTE chain producing `npairs`(doc_a, doc_b, jaccard) — the
+    * SQL mirror of [[ngramPairs]]; shared by the dedup_ngram and
+    * jaccard_recall oracles. */
+  private val ngramPairsCtes: String =
+    s"""s AS (
+       |  SELECT doc_id, $shinglesSql AS sh FROM documents
+       |), post AS (
+       |  SELECT doc_id, u.x FROM s, unnest(s.sh) AS u(x)
+       |), rare AS (
+       |  SELECT x FROM post GROUP BY x HAVING count(*) <= $DF_MAX
+       |), blocked AS (
+       |  SELECT p.doc_id, p.x FROM post p JOIN rare r ON p.x = r.x
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM blocked a JOIN blocked b ON a.x = b.x AND a.doc_id < b.doc_id
+       |), verified AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+       |           (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+       |  FROM cand c JOIN s sa ON c.doc_a = sa.doc_id JOIN s sb ON c.doc_b = sb.doc_id
+       |), npairs AS (
+       |  SELECT doc_a, doc_b, jaccard FROM verified
+       |  WHERE jaccard >= $NGRAM_JACCARD_MIN
+       |)""".stripMargin
+
+  val ngramJaccard: QueryDef = QueryDef(
+    build = (s, d) => ngramPairs(s, d).orderBy("doc_a", "doc_b"),
     oracle = Some(
-      s"""WITH s AS (
-         |  SELECT doc_id, $shinglesSql AS sh FROM documents
-         |), post AS (
-         |  SELECT doc_id, u.x FROM s, unnest(s.sh) AS u(x)
-         |), rare AS (
-         |  SELECT x FROM post GROUP BY x HAVING count(*) <= $DF_MAX
-         |), blocked AS (
-         |  SELECT p.doc_id, p.x FROM post p JOIN rare r ON p.x = r.x
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM blocked a JOIN blocked b ON a.x = b.x AND a.doc_id < b.doc_id
-         |), verified AS (
-         |  SELECT c.doc_a, c.doc_b,
-         |         round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
-         |           (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
-         |  FROM cand c JOIN s sa ON c.doc_a = sa.doc_id JOIN s sb ON c.doc_b = sb.doc_id
-         |)
-         |SELECT doc_a, doc_b, jaccard FROM verified
-         |WHERE jaccard >= $NGRAM_JACCARD_MIN ORDER BY doc_a, doc_b""".stripMargin),
+      s"""WITH $ngramPairsCtes
+         |SELECT doc_a, doc_b, jaccard FROM npairs ORDER BY doc_a, doc_b""".stripMargin),
     doc = "X2 n-gram Jaccard near-dup (rare-shingle blocking)")
+
+  // -------------------------------------------------------------------
+  // X2g banding-recall audit — the text-tier mirror of sem_recall: what
+  // fraction of the EXACT near-dup pairs (dedup_ngram's verified
+  // Jaccard ≥ 0.5 list, the truth an audit can afford because blocking
+  // keeps it sub-quadratic) does dedup_minhash's BAND-BUCKET candidate
+  // generation actually surface, per Jaccard decile? The banding theory
+  // says P(caught) = 1 − (1 − J^r)^b (r = BAND_ROWS, b = bands); this
+  // query puts the measured curve next to the theoretical one
+  // (`theory_ppm`, evaluated at the band midpoint with plain IEEE
+  // multiplication — no pow(), so both engines agree bit-for-bit), so a
+  // banding-scheme retune (more hashes / wider bands) is a query away
+  // from its evidence — the TextScaleSmoke 99.5 %-at-J≈0.84 number,
+  // generalized to every corpus and every band.
+  //
+  // Determinism discipline: the decile key derives from the micro-int
+  // form of the already-rounded jaccard (floor(j·1e6 + 0.5) DIV 1e5 —
+  // integer arithmetic, no double×10 boundary risk); ppm columns are
+  // BIGINT integer division.
+  // -------------------------------------------------------------------
+  val bandingRecall: QueryDef = QueryDef(
+    build = (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      // candidate pairs from the banding ONLY (no Jaccard verification —
+      // the audit measures the candidate generator); signatures served
+      // from a certified TextIndex exactly like dedup_minhash
+      val sig = TextIndex.resolveFor(s, docs(s, d)) match {
+        case Some(dir) => TextIndex.readSigs(s, dir).select("doc_id", "mhs")
+        case None => shingled(s, d).select(col("doc_id"),
+          call_function("graft_minhash", col("sh"), lit(NUM_HASHES)).as("mhs"))
+      }
+      val bands = sig.select(col("doc_id"), posexplode(minhashBandArray))
+        .toDF("doc_id", "band", "bucket")
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+        .withColumn("caught", lit(1L))
+      // q^b as a left-associated multiplication chain — the identical
+      // token sequence parses identically in Spark and DuckDB, so the
+      // rounding order matches bit-for-bit
+      val qPow = Seq.fill(NUM_HASHES / BAND_ROWS)("q").mkString(" * ")
+      ngramPairs(s, d)
+        .join(cand, Seq("doc_a", "doc_b"), "left")
+        .withColumn("caught", coalesce(col("caught"), lit(0L)))
+        .withColumn("j_band",
+          expr("CAST(floor(jaccard * 1000000 + 0.5D) AS BIGINT) DIV 100000"))
+        .groupBy("j_band")
+        .agg(count(lit(1)).as("n_pairs"), sum("caught").as("n_caught"))
+        .withColumn("miss_ppm",
+          expr("(n_pairs - n_caught) * 1000000 DIV n_pairs"))
+        // theoretical catch rate at the band midpoint, pow() spelled as
+        // repeated multiplication so Spark and DuckDB round identically
+        .withColumn("jm", least(
+          (col("j_band") * 100000L + 50000L).cast("double") / 1000000.0, lit(1.0)))
+        .withColumn("q", lit(1.0) - col("jm") * col("jm"))
+        .withColumn("theory_ppm", expr(
+          s"CAST(floor((1.0D - $qPow) * 1000000 + 0.5D) AS BIGINT)"))
+        .select("j_band", "n_pairs", "n_caught", "miss_ppm", "theory_ppm")
+        .orderBy("j_band")
+    },
+    oracle = Some {
+      val sigCols = (0 until NUM_HASHES).map(i =>
+        s"list_min(list_transform(sh, x -> md5('$i|' || x))) AS mh_$i").mkString(",\n         ")
+      val bandSelects = (0 until NUM_HASHES / BAND_ROWS).map(b =>
+        s"SELECT doc_id, $b AS band, md5(mh_${2 * b} || mh_${2 * b + 1}) AS bucket FROM msig").mkString("\n  UNION ALL\n  ")
+      val qPow = Seq.fill(NUM_HASHES / BAND_ROWS)("q").mkString(" * ")
+      s"""WITH $ngramPairsCtes, msig AS (
+         |  SELECT doc_id,
+         |         $sigCols
+         |  FROM s
+         |), mbands AS (
+         |  $bandSelects
+         |), mcand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM mbands a JOIN mbands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |), marked AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |         CAST(floor(p.jaccard * 1000000 + 0.5) AS BIGINT) // 100000 AS j_band,
+         |         (CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END)::BIGINT AS caught
+         |  FROM npairs p LEFT JOIN mcand c
+         |    ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+         |), g AS (
+         |  SELECT j_band, count(*)::BIGINT AS n_pairs, sum(caught)::BIGINT AS n_caught
+         |  FROM marked GROUP BY j_band
+         |), t AS (
+         |  SELECT *, least((j_band * 100000 + 50000)::DOUBLE / 1000000.0, 1.0) AS jm
+         |  FROM g
+         |), t2 AS (
+         |  SELECT *, 1.0 - jm * jm AS q FROM t
+         |)
+         |SELECT j_band, n_pairs, n_caught,
+         |       (n_pairs - n_caught) * 1000000 // n_pairs AS miss_ppm,
+         |       CAST(floor((1.0 - $qPow) * 1000000 + 0.5) AS BIGINT) AS theory_ppm
+         |FROM t2 ORDER BY j_band""".stripMargin
+    },
+    doc = "X2 banding-recall audit: measured vs theoretical MinHash-band catch rate per Jaccard decile")
 
   // -------------------------------------------------------------------
   // X2d embedding-cosine near-dup over `embeddings` — EXACT contract
@@ -893,5 +1005,6 @@ object DedupQueries {
     "dedup_spans"     -> spans,
     "dedup_span_frac" -> spanFrac,
     "dedup_scrub"     -> scrub,
+    "jaccard_recall"  -> bandingRecall,
   )
 }

