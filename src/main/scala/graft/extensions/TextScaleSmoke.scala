@@ -11,19 +11,27 @@ import org.apache.spark.sql.functions._
   * `dedup_ngram` recompute vs index-served THROUGH THE PRODUCTION
   * REGISTRY, asserting bit-identical results both ways.
   *
-  * Corpus: unique integer-hash tokens everywhere except every 50th
-  * doc, which near-duplicates its predecessor (last 10 of 120 tokens
-  * replaced → 3-gram Jaccard ≈ 0.8, above the 0.5 gate; the shared
-  * shingles have df=2, far under the rare-blocking cap, so every
-  * planted pair is a blocking candidate). Unique docs share no
-  * shingle, so candidate work scales with PLANTED duplication, not
-  * with doc pairs — the property the smoke exists to demonstrate.
+  * Corpus: unique integer-hash tokens everywhere except two planted
+  * tranches — every id ≡ 1 (mod 50) near-duplicates its predecessor
+  * (last 10 of 120 tokens replaced → 3-gram Jaccard = 108/128 =
+  * 0.84375, where banding is near-lossless), and every id ≡ 26
+  * (mod 50) MID-duplicates its predecessor (last 34 replaced →
+  * J = 84/152 ≈ 0.5526, where the 4×2 banding theory predicts a
+  * ~23 % candidate miss). The shared shingles have df=2, far under
+  * the rare-blocking cap, so every planted pair is in dedup_ngram's
+  * exact truth; the mid tranche exists to exercise `jaccard_recall`
+  * where the measured catch rate is BINOMIALLY distinguishable from
+  * both 0 and 1 — the smoke asserts measured ≈ theory per band.
+  * Unique docs share no shingle, so candidate work scales with
+  * PLANTED duplication, not with doc pairs — the property the smoke
+  * exists to demonstrate.
   *
   * Usage: runMain graft.extensions.TextScaleSmoke [docs]
   */
 object TextScaleSmoke {
   private val TOKENS = 120
-  private val TAIL = 10 // replaced suffix in the near-dup copy
+  private val TAIL = 10  // replaced suffix in the near-dup copy (J = 0.84375 → band 8)
+  private val TAIL2 = 34 // replaced suffix in the mid-dup copy (J ≈ 0.5526 → band 5)
 
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.nonEmpty) args(0).toLong else 200000L
@@ -43,14 +51,18 @@ object TextScaleSmoke {
       r
     }
 
-    // every 50th doc (id % 50 == 1) copies doc id-1's first 110 tokens
-    // and replaces the tail — token content derives from the BASE doc id
-    // so the copy is reproducible from the id alone
-    val base = expr("CASE WHEN id % 50 = 1 THEN id - 1 ELSE id END")
+    // copies derive their shared prefix from the BASE doc id (their
+    // predecessor) and their replaced tail from their OWN id, so the
+    // corpus is reproducible from ids alone; tail prefixes ('x'/'y')
+    // keep the two tranches' replacement tokens disjoint from
+    // everything else
+    val base = expr("CASE WHEN id % 50 IN (1, 26) THEN id - 1 ELSE id END")
     val toks = expr(
       s"""transform(sequence(0, ${TOKENS - 1}), i ->
          |  CASE WHEN doc_id % 50 = 1 AND i >= ${TOKENS - TAIL}
          |       THEN concat('x', pmod(doc_id * 2654435761 + i * 40503, 1000000000000))
+         |       WHEN doc_id % 50 = 26 AND i >= ${TOKENS - TAIL2}
+         |       THEN concat('y', pmod(doc_id * 2654435761 + i * 40503, 1000000000000))
          |       ELSE concat('t', pmod(base_id * 2654435761 + i * 40503, 1000000000000)) END)
          |""".stripMargin)
     val dir = java.nio.file.Files.createTempDirectory("graft-text-smoke").toString
@@ -62,7 +74,8 @@ object TextScaleSmoke {
         .withColumn("n_chars", length(col("text")).cast("long"))
         .write.parquet(s"$dir/documents.parquet")
     }
-    val planted = (nDocs - 2) / 50 + 1 // ids 1, 51, 101, … < nDocs
+    val planted = (nDocs - 2) / 50 + 1   // ids 1, 51, 101, … < nDocs
+    val planted2 = (nDocs - 27) / 50 + 1 // ids 26, 76, 126, … < nDocs
 
     def run(name: String): Array[org.apache.spark.sql.Row] = {
       val r = graft.SparkEntry.queries(name)(spark, dir).collect()
@@ -72,10 +85,11 @@ object TextScaleSmoke {
 
     val mhRecompute = time("dedup_minhash recompute")(run("dedup_minhash"))
     val ngRecompute = time("dedup_ngram recompute")(run("dedup_ngram"))
-    assert(ngRecompute.length == planted,
-      s"ngram must find exactly the planted pairs (J≈0.8 > 0.5): $planted vs ${ngRecompute.length}")
-    // banding at J≈0.8 catches ~99 % of pairs (1-(1-J²)^4); exact-Jaccard
-    // verification keeps found ⊆ planted
+    assert(ngRecompute.length == planted + planted2,
+      s"ngram must find exactly the planted pairs of both tranches: " +
+        s"${planted + planted2} vs ${ngRecompute.length}")
+    // dedup_minhash VERIFIES at J ≥ 0.8, so only the near-dup tranche
+    // survives; banding at J=0.84375 catches ~99 % (1-(1-J²)^4)
     assert(mhRecompute.length <= planted && mhRecompute.length > planted * 9 / 10,
       s"minhash candidates ≈ planted: ${mhRecompute.length} of $planted")
 
@@ -95,7 +109,30 @@ object TextScaleSmoke {
         "index-served minhash must be bit-identical to recompute")
       assert(ngServed.map(_.toSeq).toSeq == ngRecompute.map(_.toSeq).toSeq,
         "index-served ngram must be bit-identical to recompute")
-      println(s"[tscale] PASS: $planted planted pairs; ngram found ${ngRecompute.length}, " +
+
+      // the banding-recall audit at scale, index-served: with ~4k pairs
+      // per band the binomial spread is ~±2 % at 3σ, so measured catch
+      // must sit on the theory curve — near-lossless at J=0.84 (band 8),
+      // ~23 % miss at J=0.55 (band 5). This is the number the audit
+      // query exists to surface; the sf* corpora only populate the
+      // lossless bands.
+      val jr = time("jaccard_recall index-served (pays the exact truth + banding)") {
+        run("jaccard_recall")
+      }
+      val byBand = jr.map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap // band -> (n, caught, theory)
+      assert(byBand.keySet == Set(5L, 8L), s"bands: ${byBand.keySet}")
+      assert(byBand(8L)._1 == planted && byBand(5L)._1 == planted2,
+        s"per-band truth counts: ${byBand(8L)._1}/$planted, ${byBand(5L)._1}/$planted2")
+      val caught8 = byBand(8L)._2 * 1000000L / byBand(8L)._1
+      assert(caught8 >= 980000L, s"band-8 catch ppm $caught8 (theory ${byBand(8L)._3})")
+      val caught5 = byBand(5L)._2 * 1000000L / byBand(5L)._1
+      assert(math.abs(caught5 - byBand(5L)._3) <= 30000L,
+        s"band-5 catch ppm $caught5 must sit within 3 % of theory ${byBand(5L)._3}")
+      println(s"[tscale] jaccard_recall: band 8 catch ${caught8} ppm (theory ${byBand(8L)._3}), " +
+        s"band 5 catch ${caught5} ppm (theory ${byBand(5L)._3})")
+
+      println(s"[tscale] PASS: $planted + $planted2 planted pairs; ngram found ${ngRecompute.length}, " +
         s"minhash ${mhRecompute.length}; served ≡ recompute both ways")
     } finally spark.conf.unset(TextIndex.ConfKey)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
