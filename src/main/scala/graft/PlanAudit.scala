@@ -47,6 +47,8 @@ object PlanAudit {
     "bpe_merges" -> ("global-window", "window input = the 40-row TakeOrdered result (bounded constant)"),
     "text_tfidf" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus count"),
     "lm_score" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus token total"),
+    "lm_calibration" -> ("broadcast-nested-loop-join", "broadcast sides = single-row corpus token total + decile targets (bounded by |langs| × 9)"),
+    "mixture_temperature" -> ("broadcast-nested-loop-join", "broadcast side = single-row mixture totals"),
     "mixture_sample" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus count"),
     "vocab_topk" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus total"),
   )

@@ -589,37 +589,100 @@ object TextQueries {
   // and the mean is integer division, so no double ever crosses an
   // aggregation boundary.
   // -------------------------------------------------------------------
+  /** The per-document LM frame (doc_id, n_tokens, sum_log2_micro,
+    * mean_log2_micro), unsorted — shared by the lm_score query and the
+    * [[lmCalibration]] threshold table. */
+  private def lmFrame(s: SparkSession, d: String): DataFrame = {
+    val tok = docs(s, d).select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+      .persist() // session-scoped memo (QueryDef cache contract)
+    val lm = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tok.agg(count(lit(1)).as("total"))))
+      .withColumn("surprisal_micro", expr(
+        "CAST(floor(log2(CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000000 + 0.5D) AS BIGINT)"))
+      .select("token", "surprisal_micro")
+    tok.join(lm, "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("surprisal_micro").as("sum_log2_micro"))
+      .withColumn("mean_log2_micro", expr("sum_log2_micro DIV n_tokens"))
+      .select("doc_id", "n_tokens", "sum_log2_micro", "mean_log2_micro")
+  }
+
+  /** SQL mirror of [[lmFrame]]: CTE chain ending in `lmdoc`. */
+  private val lmFrameCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id, unnest($toksSql) AS token FROM documents
+       |), lm AS (
+       |  SELECT token,
+       |         CAST(floor(log2((SELECT count(*) FROM tok)::DOUBLE / count(*)::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS surprisal_micro
+       |  FROM tok GROUP BY token
+       |), lmdoc AS (
+       |  SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+       |         sum(l.surprisal_micro)::BIGINT AS sum_log2_micro,
+       |         (sum(l.surprisal_micro) // count(*))::BIGINT AS mean_log2_micro
+       |  FROM tok t JOIN lm l USING (token)
+       |  GROUP BY t.doc_id
+       |)""".stripMargin
+
   val lmScore: QueryDef = QueryDef(
+    build = (s, d) => lmFrame(s, d).orderBy("doc_id"),
+    oracle = Some(
+      s"""WITH $lmFrameCtes
+         |SELECT doc_id, n_tokens, sum_log2_micro, mean_log2_micro
+         |FROM lmdoc ORDER BY doc_id""".stripMargin),
+    doc = "X4 unigram-LM surprisal scoring (CCNet-style corpus-self-trained quality signal)")
+
+  // -------------------------------------------------------------------
+  // LM calibration table — how the lm_score signal becomes a FILTER:
+  // per-language deciles of the per-doc mean surprisal, i.e. the
+  // threshold table behind CCNet's head/middle/tail bucketing (docs
+  // below the p30 of their language are boilerplate-ish, above p70
+  // rare-token noise; the cuts are per-LANGUAGE because surprisal
+  // distributions differ by language). Rank-based discrete quantiles
+  // (value at row floor((n−1)·p/10)+1 of the (score, doc_id) order) —
+  // exact integer arithmetic end to end, no interpolation, so the
+  // cross-engine gate is trivial. The per-language sort is a
+  // partitioned window, not a global one; at 100 TB a production
+  // deployment would compute the same table from a per-language
+  // sample, which changes this plan only by a filter.
+  // -------------------------------------------------------------------
+  val lmCalibration: QueryDef = QueryDef(
     build = (s, d) => {
-      val tok = docs(s, d).select(col("doc_id"), explode(expr(toksExpr)).as("token"))
-        .persist() // session-scoped memo (QueryDef cache contract)
-      val lm = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
-        .crossJoin(broadcast(tok.agg(count(lit(1)).as("total"))))
-        .withColumn("surprisal_micro", expr(
-          "CAST(floor(log2(CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000000 + 0.5D) AS BIGINT)"))
-        .select("token", "surprisal_micro")
-      tok.join(lm, "token")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum("surprisal_micro").as("sum_log2_micro"))
-        .withColumn("mean_log2_micro", expr("sum_log2_micro DIV n_tokens"))
-        .select("doc_id", "n_tokens", "sum_log2_micro", "mean_log2_micro")
-        .orderBy("doc_id")
+      val scored = lmFrame(s, d)
+        .join(docs(s, d).select("doc_id", "lang"), "doc_id")
+      val n = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+      val targets = n.select(col("lang"), col("n"),
+          explode(expr("sequence(1, 9)")).as("decile"))
+        .withColumn("target_rn", expr("(n - 1) * decile DIV 10 + 1"))
+      val w = Window.partitionBy("lang").orderBy("mean_log2_micro", "doc_id")
+      scored
+        .select(col("lang"), col("mean_log2_micro"),
+          row_number().over(w).cast("long").as("rn"))
+        .join(targets, Seq("lang"))
+        .filter(col("rn") === col("target_rn"))
+        .select(col("lang"), col("decile").cast("long").as("decile"),
+          col("n"), col("mean_log2_micro").as("cut_micro"))
+        .orderBy("lang", "decile")
     },
     oracle = Some(
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest($toksSql) AS token FROM documents
-         |), lm AS (
-         |  SELECT token,
-         |         CAST(floor(log2((SELECT count(*) FROM tok)::DOUBLE / count(*)::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS surprisal_micro
-         |  FROM tok GROUP BY token
+      s"""WITH $lmFrameCtes, scored AS (
+         |  SELECT d.lang, l.mean_log2_micro, l.doc_id FROM lmdoc l
+         |  JOIN documents d USING (doc_id)
+         |), ranked AS (
+         |  SELECT lang, mean_log2_micro,
+         |         row_number() OVER (PARTITION BY lang ORDER BY mean_log2_micro, doc_id)::BIGINT AS rn
+         |  FROM scored
+         |), n AS (
+         |  SELECT lang, count(*)::BIGINT AS n FROM scored GROUP BY lang
+         |), targets AS (
+         |  SELECT n.lang, n.n, g.decile::BIGINT AS decile,
+         |         (n.n - 1) * g.decile // 10 + 1 AS target_rn
+         |  FROM n CROSS JOIN generate_series(1, 9) AS g(decile)
          |)
-         |SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
-         |       sum(l.surprisal_micro)::BIGINT AS sum_log2_micro,
-         |       (sum(l.surprisal_micro) // count(*))::BIGINT AS mean_log2_micro
-         |FROM tok t JOIN lm l USING (token)
-         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
-    doc = "X4 unigram-LM surprisal scoring (CCNet-style corpus-self-trained quality signal)")
+         |SELECT t.lang, t.decile, t.n, r.mean_log2_micro AS cut_micro
+         |FROM targets t JOIN ranked r ON r.lang = t.lang AND r.rn = t.target_rn
+         |ORDER BY t.lang, t.decile""".stripMargin),
+    doc = "X4 LM-score calibration: per-language surprisal deciles (the CCNet head/middle/tail cut table)")
 
   val defs: Map[String, QueryDef] = Map(
     "quality_gate"     -> qualityGate,
@@ -635,5 +698,6 @@ object TextQueries {
     "text_redact"      -> redact,
     "bpe_merges"       -> bpeMerges,
     "lm_score"         -> lmScore,
+    "lm_calibration"   -> lmCalibration,
   )
 }

@@ -385,8 +385,49 @@ object TrainingQueries {
         |ORDER BY d.doc_id""".stripMargin),
     doc = "training: deterministic mixture resampling to target language proportions")
 
+  // -------------------------------------------------------------------
+  // Temperature-scaled mixture weights — where mixture_sample's target
+  // proportions COME FROM: the standard multilingual-training recipe
+  // samples language ℓ with probability p_ℓ^(1/T) (normalized), which
+  // up-weights low-resource languages without letting them dominate.
+  // T = 2 makes the scaling an exact IEEE sqrt (correctly rounded in
+  // both engines — no pow()); per-language scaled masses round to
+  // micro-int ONCE, so the normalization is integer arithmetic. Output
+  // is the curator's table: observed share, temperature share, and the
+  // implied up/down-sampling factor per language. One vocab-small
+  // groupBy at any corpus size.
+  // -------------------------------------------------------------------
+  val mixtureTemperature: QueryDef = QueryDef(
+    build = (s, d) => {
+      val g = docs(s, d).groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("s_micro", expr(
+          "CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5D) AS BIGINT)"))
+      g.crossJoin(broadcast(
+          g.agg(sum("s_micro").as("s_tot"), sum("n_docs").as("n_tot"))))
+        .withColumn("flat_ppm", expr("n_docs * 1000000 DIV n_tot"))
+        .withColumn("temp_ppm", expr("s_micro * 1000000 DIV s_tot"))
+        .withColumn("boost_pm", expr("temp_ppm * 1000 DIV flat_ppm"))
+        .select("lang", "n_docs", "flat_ppm", "temp_ppm", "boost_pm")
+        .orderBy("lang")
+    },
+    oracle = Some(
+      """WITH g AS (
+        |  SELECT lang, count(*)::BIGINT AS n_docs,
+        |         CAST(floor(sqrt(count(*)::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS s_micro
+        |  FROM documents GROUP BY lang
+        |), tot AS (
+        |  SELECT sum(s_micro)::BIGINT AS s_tot, sum(n_docs)::BIGINT AS n_tot FROM g
+        |)
+        |SELECT lang, n_docs,
+        |       n_docs * 1000000 // n_tot AS flat_ppm,
+        |       s_micro * 1000000 // s_tot AS temp_ppm,
+        |       (s_micro * 1000000 // s_tot) * 1000 // (n_docs * 1000000 // n_tot) AS boost_pm
+        |FROM g CROSS JOIN tot ORDER BY lang""".stripMargin),
+    doc = "training: temperature-scaled (T=2) language mixture weights — the source of mixture_sample's targets")
+
   val defs: Map[String, QueryDef] = Map(
     "mixture_sample"    -> mixtureSample,
+    "mixture_temperature" -> mixtureTemperature,
     "corpus_dedup"      -> corpusDedup,
     "train_split"       -> trainSplit,
     "sample_stratified" -> sampleStratified,

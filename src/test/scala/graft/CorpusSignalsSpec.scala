@@ -47,6 +47,42 @@ class CorpusSignalsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // mixture_temperature: 16/4 language split → exact sqrt masses 4/2,
+  // so every output cell is exact integer arithmetic.
+  // ---------------------------------------------------------------
+  private val mixDir: String = {
+    val d = tmpDir("graft-mix")
+    val rows = (0 until 16).map(i => (i.toLong, s"m$i", "en", "src0", 2L)) ++
+      (0 until 4).map(i => (100L + i, s"n$i", "de", "src0", 2L))
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("mixture_temperature: T=2 weights from exact sqrt masses") {
+    val got = SparkEntry.queries("mixture_temperature")(spark, mixDir).collect().toSeq
+      .map { case Row(l: String, n: Long, f: Long, t: Long, b: Long) => (l, (n, f, t, b)) }
+      .toMap
+    // flat: 16/20, 4/20; sqrt masses 4e6, 2e6 → temp: 4/6, 2/6
+    assert(got === Map(
+      "en" -> ((16L, 800000L, 666666L, 833L)),  // down-weighted 0.83×
+      "de" -> ((4L, 200000L, 333333L, 1666L)),  // up-weighted 1.67×
+    ))
+  }
+
+  test("lm_calibration: 9 deciles per language, cuts non-decreasing") {
+    val rows = SparkEntry.queries("lm_calibration")(spark, sfDir).collect().toSeq
+      .map { case Row(l: String, dec: Long, _, cut: Long) => (l, dec, cut) }
+    assert(rows.size === 45) // 5 langs × 9 deciles on the sf0.001 corpus
+    rows.groupBy(_._1).foreach { case (l, rs) =>
+      val cuts = rs.sortBy(_._2).map(_._3)
+      assert(cuts.size === 9, s"lang $l")
+      assert(cuts === cuts.sorted, s"lang $l cuts must be non-decreasing: $cuts")
+    }
+  }
+
+  // ---------------------------------------------------------------
   // jaccard_recall corpus: docs 0/1 identical (J = 1, band 10);
   // docs 2/3 share a 14-token prefix of 20 (J = 12/24 = 0.5, band 5);
   // doc 4 disjoint filler.
