@@ -359,7 +359,8 @@ object DedupQueries {
     * NGRAM_JACCARD_MIN) — dedup_ngram's whole derivation, unsorted.
     * Shared with [[bandingRecall]], which uses it as ground truth for
     * auditing the MinHash banding's recall. */
-  private[extensions] def ngramPairs(s: SparkSession, d: String): DataFrame = {
+  private[extensions] def ngramPairs(s: SparkSession, d: String,
+      shPre: Option[DataFrame] = None): DataFrame = {
       graft.functions.VectorFunctions.register(s)
       // Shingles as 60-bit md5-prefix ints (same md5 both engines; the
       // string-based oracle independently validates the rewrite). The
@@ -376,7 +377,7 @@ object DedupQueries {
       val sh = (TextIndex.resolveFor(s, docs(s, d)) match {
         case Some(dir) if TextIndex.readSigs(s, dir).columns.contains("shn") =>
           TextIndex.readSigs(s, dir).select(col("doc_id"), col("shn").as("sh"))
-        case _ => shingled(s, d)
+        case _ => shPre.getOrElse(shingled(s, d))
           .select(col("doc_id"), expr("transform(sh, x -> graft_md5_prefix(x, 15))").as("sh"))
       }).withColumn("n", size(col("sh")).cast("long"))
         .persist() // persists below: session-scoped memos (QueryDef cache contract)
@@ -468,10 +469,19 @@ object DedupQueries {
       graft.functions.VectorFunctions.register(s)
       // candidate pairs from the banding ONLY (no Jaccard verification —
       // the audit measures the candidate generator); signatures served
-      // from a certified TextIndex exactly like dedup_minhash
-      val sig = TextIndex.resolveFor(s, docs(s, d)) match {
+      // from a certified TextIndex exactly like dedup_minhash. Without
+      // an index, BOTH legs (minhash sigs here, the hashed-shingle
+      // truth inside ngramPairs) derive from ONE persisted string-
+      // shingle scan — the text scan + tokenize + shingle pass is the
+      // corpus-sized part and must not run twice.
+      val (resolved, shStr) = TextIndex.resolveFor(s, docs(s, d)) match {
+        case some @ Some(_) => (some, None)
+        case None => (None, Some(shingled(s, d)
+          .persist())) // session-scoped memo (QueryDef cache contract)
+      }
+      val sig = resolved match {
         case Some(dir) => TextIndex.readSigs(s, dir).select("doc_id", "mhs")
-        case None => shingled(s, d).select(col("doc_id"),
+        case None => shStr.get.select(col("doc_id"),
           call_function("graft_minhash", col("sh"), lit(NUM_HASHES)).as("mhs"))
       }
       val bands = sig.select(col("doc_id"), posexplode(minhashBandArray))
@@ -486,7 +496,7 @@ object DedupQueries {
       // token sequence parses identically in Spark and DuckDB, so the
       // rounding order matches bit-for-bit
       val qPow = Seq.fill(NUM_HASHES / BAND_ROWS)("q").mkString(" * ")
-      ngramPairs(s, d)
+      ngramPairs(s, d, shStr)
         .join(cand, Seq("doc_a", "doc_b"), "left")
         .withColumn("caught", coalesce(col("caught"), lit(0L)))
         .withColumn("j_band",
