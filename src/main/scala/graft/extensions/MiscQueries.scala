@@ -50,6 +50,67 @@ object MiscQueries {
   }
 
   // -------------------------------------------------------------------
+  // X2×X5 image perceptual-hash dedup: the LAION-style media dedup
+  // pass — every payload gets a 64-bit average-hash (REAL 8×8 raster
+  // hash for payloads a JDK codec decodes, UTF-8-codepoint resample
+  // for the rest — Multimodal.MediaDecoder.aHash64 is the single
+  // definition), then keep-first per identical hash. The hash runs in
+  // the batched mapPartitions decoder loop (one codec init per
+  // partition); the dedup itself is one grouped window on the
+  // 64-bit key — at 100 TB the hash pass is embarrassingly parallel
+  // and the shuffle carries (doc_id, 64 chars) per item, nothing
+  // payload-sized. The oracle reproduces the fallback hash exactly
+  // (string_split + unicode + the same integer cross-multiplied
+  // threshold), so the all-fallback synthetic corpus hash-gates the
+  // whole pipeline; MultimodalSpec pins the raster path on real PNGs
+  // (re-encode ⇒ identical hash, perturbation ⇒ small Hamming).
+  // -------------------------------------------------------------------
+  val phashDedup: QueryDef = QueryDef(
+    build = (s, d) => {
+      import s.implicits._
+      val ph = Multimodal.mediaRows(s, d)
+        .mapPartitions { it =>
+          // per-partition codec init happens inside ImageIO; payloads
+          // stream through the iterator — constant memory
+          it.map(r => (r.doc_id, Multimodal.MediaDecoder.aHash64(r.content)))
+        }
+        .toDF("doc_id", "phash")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("phash")
+      ph.select(col("doc_id"), col("phash"),
+          min("doc_id").over(w).as("rep_id"),
+          count(lit(1)).over(w).as("n_same"))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      """WITH cp AS (
+        |  SELECT doc_id, string_split(text, '') AS cs FROM documents
+        |), pos AS (
+        |  SELECT doc_id, (i - 1) * 64 // len(cs) AS j, unicode(cs[i])::BIGINT AS v
+        |  FROM (SELECT doc_id, cs, unnest(generate_series(1, len(cs))) AS i FROM cp)
+        |), cell AS (
+        |  SELECT doc_id, j, sum(v)::BIGINT AS s, count(*)::BIGINT AS c
+        |  FROM pos GROUP BY doc_id, j
+        |), tot AS (
+        |  SELECT doc_id, sum(s)::BIGINT AS tot, sum(c)::BIGINT AS n FROM cell GROUP BY doc_id
+        |), grid AS (
+        |  SELECT d.doc_id, g.j::BIGINT AS j FROM documents d CROSS JOIN generate_series(0, 63) AS g(j)
+        |), bits AS (
+        |  SELECT gr.doc_id, gr.j,
+        |         CASE WHEN coalesce(ce.s, 0) * coalesce(t.n, 0) > coalesce(t.tot, 0) * coalesce(ce.c, 0)
+        |              THEN '1' ELSE '0' END AS b
+        |  FROM grid gr
+        |  LEFT JOIN tot t ON t.doc_id = gr.doc_id
+        |  LEFT JOIN cell ce ON ce.doc_id = gr.doc_id AND ce.j = gr.j
+        |), ph AS (
+        |  SELECT doc_id, string_agg(b, '' ORDER BY j) AS phash FROM bits GROUP BY doc_id
+        |)
+        |SELECT doc_id, phash,
+        |       min(doc_id) OVER (PARTITION BY phash) AS rep_id,
+        |       count(*) OVER (PARTITION BY phash)::BIGINT AS n_same
+        |FROM ph ORDER BY doc_id""".stripMargin),
+    doc = "X2/X5 image perceptual-hash dedup (aHash: raster for decodable payloads, codepoint fallback)")
+
+  // -------------------------------------------------------------------
   // X5 semi-structured props: JSON extraction on events, aggregated per
   // event type. from_json with an explicit schema (never schema
   // inference at scale).
@@ -323,6 +384,7 @@ object MiscQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "multimodal_meta" -> multimodalMeta,
+    "dedup_phash" -> phashDedup,
     "events_props"    -> eventsProps,
     "pricing_summary" -> pricingSummary,
     "revenue_by_nation" -> revenueByNation,

@@ -60,6 +60,13 @@ object Multimodal {
       * fail here and fall back, they don't yield half-real metadata.
       * None for formats the JDK lacks or non-image payloads. */
     def decodeImage(content: Array[Byte]): Option[(Int, Int, String)] =
+      readImage(content).map { case (fmt, img) => (img.getWidth, img.getHeight, fmt) }
+
+    /** The decoded raster itself — for pixel-level features (aHash). */
+    def decodeRaster(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      readImage(content).map(_._2)
+
+    private def readImage(content: Array[Byte]): Option[(String, java.awt.image.BufferedImage)] =
       try {
         val in = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(content))
@@ -72,11 +79,91 @@ object Multimodal {
               r.setInput(in)
               val fmt = r.getFormatName.toLowerCase
               val img = r.read(0) // full raster decode, not a header probe
-              Some((img.getWidth, img.getHeight, fmt))
+              Some((fmt, img))
             } finally r.dispose()
           }
         } finally if (in != null) in.close()
       } catch { case scala.util.control.NonFatal(_) => None }
+
+    // ---------------------------------------------------------------
+    // Average-hash (aHash): the classic 64-bit perceptual image
+    // fingerprint — downsample to an 8×8 grid, threshold each cell
+    // against the global mean. Encoded as a 64-char bit string (never
+    // a BIGINT: bit 63 would wrap the sign and the two engines
+    // disagree on shift-overflow semantics). Thresholds use exact
+    // integer cross-multiplication (cellSum·total > grandSum·cellCnt),
+    // so the hash is bit-deterministic with no FP anywhere.
+    //
+    // Decodable payloads hash their actual pixel raster (integer luma
+    // 299/587/114, each pixel binned to one grid cell). Payloads no
+    // codec accepts hash their UTF-8 codepoint sequence resampled to
+    // 64 cells — deterministic, and exactly mirrorable in SQL
+    // (string_split + unicode in DuckDB), which is what lets the
+    // synthetic all-fallback corpus carry a full hash gate for
+    // `dedup_phash` while MultimodalSpec pins the raster path on real
+    // PNGs.
+    // ---------------------------------------------------------------
+    def aHash64(content: Array[Byte]): String =
+      decodeRaster(content) match {
+        case Some(img) => aHashRaster(img)
+        case None => aHashCodepoints(
+          new String(content, java.nio.charset.StandardCharsets.UTF_8))
+      }
+
+    def aHashRaster(img: java.awt.image.BufferedImage): String = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val sums = new Array[Long](64)
+      val cnts = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val cy = (y.toLong * 8 / h).toInt
+        var x = 0
+        while (x < w) {
+          val j = cy * 8 + (x.toLong * 8 / w).toInt
+          val rgb = img.getRGB(x, y)
+          val gray = (((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L +
+            (rgb & 0xff) * 114L) / 1000L
+          sums(j) += gray
+          cnts(j) += 1
+          x += 1
+        }
+        y += 1
+      }
+      thresholdBits(sums, cnts)
+    }
+
+    def aHashCodepoints(text: String): String = {
+      val cps = text.codePoints.toArray
+      val n = cps.length
+      if (n == 0) return "0" * 64
+      val sums = new Array[Long](64)
+      val cnts = new Array[Long](64)
+      var i = 0
+      while (i < n) {
+        val j = (i.toLong * 64 / n).toInt
+        sums(j) += cps(i)
+        cnts(j) += 1
+        i += 1
+      }
+      thresholdBits(sums, cnts)
+    }
+
+    private def thresholdBits(sums: Array[Long], cnts: Array[Long]): String = {
+      val tot = sums.sum
+      val n = cnts.sum
+      val sb = new java.lang.StringBuilder(64)
+      var j = 0
+      while (j < 64) {
+        sb.append(if (sums(j) * n > tot * cnts(j)) '1' else '0')
+        j += 1
+      }
+      sb.toString
+    }
+
+    /** Hamming distance between two 64-char bit strings. */
+    def hamming(a: String, b: String): Int =
+      (0 until 64).count(i => a.charAt(i) != b.charAt(i))
   }
 
   /** Lift the documents table into typed media rows (text bytes stand in

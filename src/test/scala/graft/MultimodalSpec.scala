@@ -88,4 +88,52 @@ class MultimodalSpec extends SparkSpec {
     assert(strided.count() < frames.count())
     frames.unpersist()
   }
+
+  test("aHash: re-encoded image identical, perturbation near, different image far") {
+    val D = Multimodal.MediaDecoder
+    def img(w: Int, h: Int)(px: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val i = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => i.setRGB(x, y, px(x, y))))
+      i
+    }
+    def png(i: java.awt.image.BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(i, "png", out)
+      out.toByteArray
+    }
+    // a half-dark / half-light gradient — structured, not flat
+    val a = img(64, 48)((x, y) => if (x < 32) 0x101010 + y else 0xe0e0e0 - y)
+    val hashA = D.aHash64(png(a))
+    // PNG is lossless: a decode→re-encode round trip hashes identically
+    val roundTrip = png(D.decodeRaster(png(a)).get)
+    assert(D.aHash64(roundTrip) === hashA, "lossless re-encode must not move the hash")
+    // perturb one 8×6 corner block: at most a few grid cells flip
+    val aTweaked = img(64, 48)((x, y) =>
+      if (x < 8 && y < 6) 0xffffff else if (x < 32) 0x101010 + y else 0xe0e0e0 - y)
+    val dNear = D.hamming(D.aHash64(png(aTweaked)), hashA)
+    assert(dNear > 0 && dNear <= 6, s"corner tweak moved $dNear bits")
+    // an unrelated structure (inverted halves) is far
+    val b = img(64, 48)((x, y) => if (x >= 32) 0x101010 + y else 0xe0e0e0 - y)
+    val dFar = D.hamming(D.aHash64(png(b)), hashA)
+    assert(dFar > 20, s"structurally different image only $dFar bits away")
+    // the raster path is what hashed these (not the codepoint fallback)
+    assert(D.decodeRaster(png(a)).isDefined)
+  }
+
+  test("dedup_phash groups identical payloads and leaves the rest singleton") {
+    import spark.implicits._
+    val dir = tmpDir("graft-phash")
+    // docs 0 and 7 share identical text → identical fallback aHash
+    val txt = (0 until 10).map(i => if (i == 7) "copy copy copy shared payload"
+      else if (i == 0) "copy copy copy shared payload" else s"unique document number $i with drift ${"z" * i}")
+    txt.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("dedup_phash")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L)._2 === 0L && got(7L)._2 === 0L, "identical payloads share the min-id rep")
+    assert(got(0L)._3 === 2L && got(7L)._3 === 2L)
+    assert(got(0L)._1 === got(7L)._1)
+    (1 until 7).foreach(i => assert(got(i.toLong)._3 === 1L, s"doc $i singleton"))
+  }
 }
