@@ -745,6 +745,101 @@ object CoreQueries {
     },
     doc = "truncated exponentially-weighted moving average per series (K=8, α=1/4, head-exact normalization)")
 
+  // -------------------------------------------------------------------
+  // LTTB display downsampling — the canonical "draw 10M points on a
+  // 2k-pixel chart" operator (Steinarsson's Largest-Triangle-Three-
+  // Buckets), in the PARALLEL fixed-anchor variant: the classic
+  // algorithm anchors each bucket's triangle on the previously
+  // SELECTED point, a sequential dependency that cannot distribute;
+  // anchoring on the NEIGHBOR BUCKETS' average point instead (the same
+  // anchor the classic algorithm uses for its right leg) makes every
+  // bucket's argmax independent — two grouped shuffles on (id, bucket)
+  // and one partitioned window, no sequential scan. First/last point
+  // of each series are always kept (their buckets are singletons by
+  // construction); a series with ≤ B points passes through whole.
+  //
+  // Determinism discipline: every area input is an exact integer
+  // (epoch-µs x, micro-int y, BIGINT bucket sums/counts) and the
+  // triangle area is the same literal expression in both engines, so
+  // the per-bucket argmax compares identical doubles; ties break on
+  // row order. Areas never appear in the output.
+  // -------------------------------------------------------------------
+  private val LTTB_B = 8
+
+  val seriesLttb: QueryDef = QueryDef(
+    build = (s, d) => {
+      val ord = Window.partitionBy("id").orderBy("time", "seq")
+      val whole = Window.partitionBy("id")
+      val base = meas(s, d)
+        .select(col("id"), col("time"), col("seq"), col("value"),
+          unix_micros(col("time")).as("x"),
+          expr("CAST(floor(value * 1000000 + 0.5D) AS BIGINT)").as("y"),
+          row_number().over(ord).cast("long").as("rn"),
+          count(lit(1)).over(whole).as("n"))
+        .withColumn("bucket", expr(
+          s"""CASE WHEN n <= $LTTB_B THEN rn - 1
+             |     WHEN rn = 1 THEN CAST(0 AS BIGINT)
+             |     WHEN rn = n THEN CAST(${LTTB_B - 1} AS BIGINT)
+             |     ELSE 1 + (rn - 2) * ${LTTB_B - 2} DIV (n - 2) END""".stripMargin))
+        .persist() // session-scoped memo (QueryDef cache contract)
+      val agg = base.groupBy("id", "bucket")
+        .agg(sum("x").as("sx"), sum("y").as("sy"), count(lit(1)).as("c"))
+      val prev = agg.select(col("id"), (col("bucket") + 1).as("bucket"),
+        col("sx").as("sxp"), col("sy").as("syp"), col("c").as("cp"))
+      val next = agg.select(col("id"), (col("bucket") - 1).as("bucket"),
+        col("sx").as("sxn"), col("sy").as("syn"), col("c").as("cn"))
+      val pickW = Window.partitionBy("id", "bucket")
+        .orderBy(col("area2").desc, col("rn"))
+      base
+        .join(prev, Seq("id", "bucket"), "left")
+        .join(next, Seq("id", "bucket"), "left")
+        .withColumn("area2", coalesce(expr(
+          """abs((CAST(sxp AS DOUBLE) / cp - CAST(sxn AS DOUBLE) / cn) * (CAST(y AS DOUBLE) - CAST(syp AS DOUBLE) / cp)
+            |  - (CAST(sxp AS DOUBLE) / cp - CAST(x AS DOUBLE)) * (CAST(syn AS DOUBLE) / cn - CAST(syp AS DOUBLE) / cp))""".stripMargin),
+          lit(0.0)))
+        .withColumn("pick", row_number().over(pickW))
+        .filter(col("pick") === 1)
+        .select(col("id"), col("bucket"), col("time"), col("seq"), col("value"))
+        .orderBy("id", "bucket")
+    },
+    oracle = Some(
+      s"""${Sql.MEAS_CTE},
+         |b AS (
+         |  SELECT id, time, seq, value, epoch_us(time) AS x,
+         |         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y,
+         |         row_number() OVER (PARTITION BY id ORDER BY time, seq)::BIGINT AS rn,
+         |         count(*) OVER (PARTITION BY id)::BIGINT AS n
+         |  FROM meas
+         |), bk AS (
+         |  SELECT *,
+         |         CASE WHEN n <= $LTTB_B THEN rn - 1
+         |              WHEN rn = 1 THEN CAST(0 AS BIGINT)
+         |              WHEN rn = n THEN CAST(${LTTB_B - 1} AS BIGINT)
+         |              ELSE 1 + (rn - 2) * ${LTTB_B - 2} // (n - 2) END AS bucket
+         |  FROM b
+         |), agg AS (
+         |  SELECT id, bucket, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy, count(*)::BIGINT AS c
+         |  FROM bk GROUP BY id, bucket
+         |), j AS (
+         |  SELECT bk.*,
+         |         p.sx AS sxp, p.sy AS syp, p.c AS cp,
+         |         nx.sx AS sxn, nx.sy AS syn, nx.c AS cn
+         |  FROM bk
+         |  LEFT JOIN agg p ON p.id = bk.id AND p.bucket = bk.bucket - 1
+         |  LEFT JOIN agg nx ON nx.id = bk.id AND nx.bucket = bk.bucket + 1
+         |), ar AS (
+         |  SELECT *,
+         |         coalesce(abs((CAST(sxp AS DOUBLE) / cp - CAST(sxn AS DOUBLE) / cn) * (CAST(y AS DOUBLE) - CAST(syp AS DOUBLE) / cp)
+         |           - (CAST(sxp AS DOUBLE) / cp - CAST(x AS DOUBLE)) * (CAST(syn AS DOUBLE) / cn - CAST(syp AS DOUBLE) / cp)), 0.0) AS area2
+         |  FROM j
+         |), pk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id, bucket ORDER BY area2 DESC, rn) AS pick
+         |  FROM ar
+         |)
+         |SELECT id, bucket, time, seq, value FROM pk WHERE pick = 1
+         |ORDER BY id, bucket""".stripMargin),
+    doc = "LTTB display downsampling per series (parallel fixed-anchor variant, B=8 buckets)")
+
   /** Registry: name → QueryDef. Names are stable driver-facing keys. */
   val defs: Map[String, QueryDef] = Map(
     "read_interval"   -> readInterval,
@@ -767,6 +862,7 @@ object CoreQueries {
     "series_delta"    -> seriesDelta,
     "series_rate"     -> seriesRate,
     "series_ewma"     -> seriesEwma,
+    "series_lttb"     -> seriesLttb,
     "series_zscore"   -> seriesZscore,
     "series_gaps"     -> seriesGaps,
     "sketch_stats"    -> sketchStats,
