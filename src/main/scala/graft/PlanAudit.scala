@@ -49,6 +49,7 @@ object PlanAudit {
     "lm_score" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus token total"),
     "lm_calibration" -> ("broadcast-nested-loop-join", "broadcast sides = single-row corpus token total + decile targets (bounded by |langs| × 9)"),
     "mixture_temperature" -> ("broadcast-nested-loop-join", "broadcast side = single-row mixture totals"),
+    "lm_crossval" -> ("broadcast-nested-loop-join", "broadcast side = single-row T+V denominator"),
     "mixture_sample" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus count"),
     "vocab_topk" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus total"),
   )

@@ -684,6 +684,73 @@ object TextQueries {
          |ORDER BY t.lang, t.decile""".stripMargin),
     doc = "X4 LM-score calibration: per-language surprisal deciles (the CCNet head/middle/tail cut table)")
 
+  // -------------------------------------------------------------------
+  // Reference-LM scoring — the actual CCNet gate shape: the LM is
+  // trained on a REFERENCE corpus and documents are scored against it
+  // (CCNet uses a Wikipedia LM; here the reference is a deterministic
+  // 80 % md5 split of the corpus and the held-out 20 % is scored, so
+  // the whole train-on-A-score-B pipeline is oracle-gated). Laplace
+  // smoothing gives unseen tokens a finite surprisal — p(t) =
+  // (cnt + 1) / (T + V) — and the per-doc OOV count is its own quality
+  // signal (high OOV = vocabulary the reference has never seen: a
+  // different language, encoding damage, or genuinely novel text).
+  //
+  // Determinism: surprisal is a pure function of the integer pair
+  // (cnt, T + V), rounded to micro-bits per ROW before any
+  // aggregation; doc sums are exact BIGINT. Same vocab-sized LM +
+  // corpus-sized join shape as lm_score.
+  // -------------------------------------------------------------------
+  private val LM_TRAIN_PERMILLE = 800
+
+  val lmCrossval: QueryDef = QueryDef(
+    build = (s, d) => {
+      val bucketed = docs(s, d).withColumn("bkt", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 1000"))
+      val trainTok = bucketed.filter(col("bkt") < LM_TRAIN_PERMILLE)
+        .select(explode(expr(toksExpr)).as("token"))
+      val lm = trainTok.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .persist() // session-scoped memo (QueryDef cache contract)
+      val denom = lm.agg((sum("cnt") + count(lit(1))).as("tv")) // T + V
+      val heldTok = bucketed.filter(col("bkt") >= LM_TRAIN_PERMILLE)
+        .select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+      heldTok
+        .join(lm, Seq("token"), "left")
+        .crossJoin(broadcast(denom))
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+        .withColumn("surprisal_micro", expr(
+          "CAST(floor(log2(CAST(tv AS DOUBLE) / CAST(cnt + 1 AS DOUBLE)) * 1000000 + 0.5D) AS BIGINT)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("cnt") === 0L, 1L).otherwise(0L)).as("oov"),
+          sum("surprisal_micro").as("sum_log2_micro"))
+        .withColumn("mean_log2_micro", expr("sum_log2_micro DIV n_tokens"))
+        .select("doc_id", "n_tokens", "oov", "sum_log2_micro", "mean_log2_micro")
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH bucketed AS (
+         |  SELECT *, ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS bkt
+         |  FROM documents
+         |), traintok AS (
+         |  SELECT unnest($toksSql) AS token FROM bucketed WHERE bkt < $LM_TRAIN_PERMILLE
+         |), lm AS (
+         |  SELECT token, count(*)::BIGINT AS cnt FROM traintok GROUP BY token
+         |), denom AS (
+         |  SELECT (sum(cnt) + count(*))::BIGINT AS tv FROM lm
+         |), heldtok AS (
+         |  SELECT doc_id, unnest($toksSql) AS token FROM bucketed WHERE bkt >= $LM_TRAIN_PERMILLE
+         |), scored AS (
+         |  SELECT h.doc_id, coalesce(l.cnt, 0) AS cnt,
+         |         CAST(floor(log2(d.tv::DOUBLE / (coalesce(l.cnt, 0) + 1)::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS surprisal_micro
+         |  FROM heldtok h LEFT JOIN lm l USING (token) CROSS JOIN denom d
+         |)
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |       sum(CASE WHEN cnt = 0 THEN 1 ELSE 0 END)::BIGINT AS oov,
+         |       sum(surprisal_micro)::BIGINT AS sum_log2_micro,
+         |       (sum(surprisal_micro) // count(*))::BIGINT AS mean_log2_micro
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    doc = "X4 reference-LM scoring (CCNet gate shape): train on an 80% md5 split, score held-out docs with Laplace smoothing + OOV counts")
+
   val defs: Map[String, QueryDef] = Map(
     "quality_gate"     -> qualityGate,
     "vocab_topk"       -> vocabTopK,
@@ -699,5 +766,6 @@ object TextQueries {
     "bpe_merges"       -> bpeMerges,
     "lm_score"         -> lmScore,
     "lm_calibration"   -> lmCalibration,
+    "lm_crossval"      -> lmCrossval,
   )
 }

@@ -83,6 +83,38 @@ class CorpusSignalsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // lm_crossval: construct a corpus where one held-out doc carries a
+  // token the 80 % train split has never seen — the OOV path (zero on
+  // the synthetic corpora, whose vocabulary is shared across the
+  // split) gets pinned here.
+  // ---------------------------------------------------------------
+  test("lm_crossval counts OOV tokens and smooths their surprisal") {
+    // same md5-permille bucketing as the query
+    def bkt(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 8), 16) % 1000
+    }
+    val trainIds = (0L until 200L).filter(bkt(_) < 800).take(4)
+    val heldId = (0L until 200L).find(bkt(_) >= 800).get
+    val d = tmpDir("graft-lmcv")
+    val rows = trainIds.map(i => mk(i, "seen seen common")) :+
+      mk(heldId, "seen novel")
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("lm_crossval")(spark, d).collect()
+    assert(got.length === 1) // only the held-out doc is scored
+    val Row(id: Long, n: Long, oov: Long, sum: Long, _) = got.head: @unchecked
+    assert(id === heldId && n === 2L && oov === 1L)
+    // train: 4 docs × (2×seen + 1×common) → T=12, V=2, T+V=14;
+    // "seen" cnt=8 → log2(14/9); "novel" cnt=0 → log2(14/1)
+    val expected = math.floor(math.log(14.0 / 9.0) / math.log(2) * 1e6 + 0.5).toLong +
+      math.floor(math.log(14.0) / math.log(2) * 1e6 + 0.5).toLong
+    assert(sum === expected)
+  }
+
+  // ---------------------------------------------------------------
   // jaccard_recall corpus: docs 0/1 identical (J = 1, band 10);
   // docs 2/3 share a 14-token prefix of 20 (J = 12/24 = 0.5, band 5);
   // doc 4 disjoint filler.
