@@ -11,7 +11,8 @@ class CacheHygieneSpec extends SparkSpec {
   test("re-running persisting queries adds no cache entries; clearCache drains all") {
     // every query whose build persist()s an intermediate
     val names = Seq("dedup_minhash", "dedup_simhash", "dedup_ngram",
-      "dedup_embed_lsh", "sim_ann", "text_tfidf")
+      "dedup_embed_lsh", "sim_ann", "text_tfidf",
+      "jaccard_recall", "lm_score", "lm_calibration", "lm_crossval", "series_lttb")
     spark.sharedState.cacheManager.clearCache()
     def runAll(): Int = {
       names.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
