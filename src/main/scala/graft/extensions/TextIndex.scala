@@ -64,6 +64,32 @@ object TextIndex {
   val ConfKey = "spark.graft.text.indexDir"
 
   private def sigsPath(dir: String) = s"$dir/sigs"
+  private def vocabPath(dir: String) = s"$dir/vocab"
+
+  /** Tokenizer contract — lockstep with TextQueries/DedupQueries. */
+  private val toksExpr = "filter(split(text, ' '), t -> t != '')"
+
+  /** Does this index carry the round-7 vocabulary component? Older
+    * artifacts don't; consumers fall back to deriving counts from the
+    * corpus (rebuild to upgrade — a PARTIAL vocab covering only
+    * post-upgrade appends would be a silently wrong LM, so append
+    * never creates the component). */
+  def hasVocab(spark: SparkSession, dir: String): Boolean =
+    fs(spark, dir).exists(new Path(vocabPath(dir)))
+
+  /** The owned corpus's unigram counts (token, cnt), aggregated over
+    * the build segment + every append delta. Output is vocab-sized;
+    * the groupBy is the LSM consolidation read — [[compact]] folds the
+    * segments so steady-state reads scan one. */
+  def readVocab(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(vocabPath(dir))
+      .groupBy("token").agg(sum("cnt").as("cnt"))
+
+  /** Per-batch vocabulary delta — the identical derivation at build
+    * and append, so summed deltas equal a from-scratch count. */
+  private def vocabDelta(docs: DataFrame): DataFrame =
+    docs.select(explode(expr(toksExpr)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
   private def metaPath(dir: String) = s"$dir/_meta"
 
   private def fs(spark: SparkSession, dir: String) =
@@ -184,6 +210,10 @@ object TextIndex {
     writeMeta(spark, dir, TextMeta(numHashes, n, idMin, idMax, idSum, cxor, "", -1L))
     DedupQueries.signatures(spark, docs, numHashes)
       .write.mode("overwrite").parquet(sigsPath(dir))
+    // round-7 vocabulary component: the owned corpus's unigram counts,
+    // the reference LM the online quality gate (StreamingLm) scores
+    // admission batches against — ingest-amortized like the signatures
+    vocabDelta(docs).write.mode("overwrite").parquet(vocabPath(dir))
     TsdbStorage.markStatsInSync(spark, dir)
   }
 
@@ -195,6 +225,7 @@ object TextIndex {
   def append(spark: SparkSession, newDocs: DataFrame, dir: String,
              txn: Option[(String, Long)] = None): Unit = locked(spark, dir) {
     ArtifactSwap.recover(spark, dir, "sigs")
+    ArtifactSwap.recover(spark, dir, "vocab")
     require(usable(spark, dir), s"text index at $dir is absent or uncertified — build() first")
     val m = readMeta(spark, dir)
     // PER-APP replay check: a second writer under a different appId
@@ -218,6 +249,12 @@ object TextIndex {
     TsdbStorage.markStatsOutOfSync(spark, dir)
     DedupQueries.signatures(spark, newDocs, m.numHashes)
       .write.mode("append").parquet(sigsPath(dir))
+    // vocab delta rides the same txn: the replay check above already
+    // returned for a replayed batch, so counts are exactly-once. Only
+    // dirs that HAVE the component grow it (a pre-vocab artifact must
+    // be rebuilt, not silently given a partial LM).
+    if (hasVocab(spark, dir))
+      vocabDelta(newDocs).write.mode("append").parquet(vocabPath(dir))
     val grown =
       if (n == 0) m // EMPTY append: an all-zero fingerprint must not fold
         // into min/max (idMin = min(real, 0) would corrupt the identity
@@ -239,8 +276,10 @@ object TextIndex {
     * repair drops the bad files — full repair is build() (derived data). */
   def fsck(spark: SparkSession, dir: String, repair: Boolean = false): Seq[String] = locked(spark, dir) {
     ArtifactSwap.recover(spark, dir, "sigs")
+    ArtifactSwap.recover(spark, dir, "vocab")
     val bad = TsdbStorage.probeFiles(spark, sigsPath(dir)) ++
-      TsdbStorage.probeFiles(spark, metaPath(dir))
+      TsdbStorage.probeFiles(spark, metaPath(dir)) ++
+      (if (hasVocab(spark, dir)) TsdbStorage.probeFiles(spark, vocabPath(dir)) else Nil)
     if (bad.nonEmpty) {
       TsdbStorage.markStatsOutOfSync(spark, dir)
       if (repair) { val f = fs(spark, dir); bad.foreach(p => f.delete(new Path(p), false)) }
@@ -275,6 +314,20 @@ object TextIndex {
         .repartitionByRange(files, col("doc_id"))
         .sortWithinPartitions("doc_id")
         .write.parquet(tmp)
+    }
+    // consolidate the vocab LSM: fold append deltas into summed,
+    // token-range-clustered segments so steady-state readVocab scans
+    // one segment per size target (never a coalesce(1) monolith — the
+    // vocabulary of a 100 TB corpus is itself large)
+    if (hasVocab(spark, dir)) {
+      ArtifactSwap.recover(spark, dir, "vocab")
+      val vRows = spark.read.parquet(vocabPath(dir)).count()
+      val vFiles = math.max(1L, (vRows + rowsPerFile - 1) / rowsPerFile).toInt
+      ArtifactSwap.rewrite(spark, dir, "vocab") { tmp =>
+        readVocab(spark, dir)
+          .repartitionByRange(vFiles, col("token"))
+          .write.parquet(tmp)
+      }
     }
   }
 }

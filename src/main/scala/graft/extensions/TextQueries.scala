@@ -702,29 +702,37 @@ object TextQueries {
   // -------------------------------------------------------------------
   private val LM_TRAIN_PERMILLE = 800
 
+  /** Score a documents-shaped frame against an explicit reference
+    * vocabulary (token, cnt) with Laplace smoothing — the lm_crossval
+    * scoring leg, shared verbatim with the online admission gate
+    * ([[graft.streaming.StreamingLm]]) so an online score equals the
+    * batch one bit-for-bit. Output: (doc_id, n_tokens, oov,
+    * sum_log2_micro, mean_log2_micro), unsorted. */
+  private[graft] def scoreAgainstVocab(batch: DataFrame, vocab: DataFrame): DataFrame = {
+    val denom = vocab.agg((sum("cnt") + count(lit(1))).as("tv")) // T + V
+    batch.select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+      .join(vocab, Seq("token"), "left")
+      .crossJoin(broadcast(denom))
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("surprisal_micro", expr(
+        "CAST(floor(log2(CAST(tv AS DOUBLE) / CAST(cnt + 1 AS DOUBLE)) * 1000000 + 0.5D) AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cnt") === 0L, 1L).otherwise(0L)).as("oov"),
+        sum("surprisal_micro").as("sum_log2_micro"))
+      .withColumn("mean_log2_micro", expr("sum_log2_micro DIV n_tokens"))
+      .select("doc_id", "n_tokens", "oov", "sum_log2_micro", "mean_log2_micro")
+  }
+
   val lmCrossval: QueryDef = QueryDef(
     build = (s, d) => {
       val bucketed = docs(s, d).withColumn("bkt", expr(
         "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 1000"))
-      val trainTok = bucketed.filter(col("bkt") < LM_TRAIN_PERMILLE)
+      val lm = bucketed.filter(col("bkt") < LM_TRAIN_PERMILLE)
         .select(explode(expr(toksExpr)).as("token"))
-      val lm = trainTok.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
         .persist() // session-scoped memo (QueryDef cache contract)
-      val denom = lm.agg((sum("cnt") + count(lit(1))).as("tv")) // T + V
-      val heldTok = bucketed.filter(col("bkt") >= LM_TRAIN_PERMILLE)
-        .select(col("doc_id"), explode(expr(toksExpr)).as("token"))
-      heldTok
-        .join(lm, Seq("token"), "left")
-        .crossJoin(broadcast(denom))
-        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
-        .withColumn("surprisal_micro", expr(
-          "CAST(floor(log2(CAST(tv AS DOUBLE) / CAST(cnt + 1 AS DOUBLE)) * 1000000 + 0.5D) AS BIGINT)"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(when(col("cnt") === 0L, 1L).otherwise(0L)).as("oov"),
-          sum("surprisal_micro").as("sum_log2_micro"))
-        .withColumn("mean_log2_micro", expr("sum_log2_micro DIV n_tokens"))
-        .select("doc_id", "n_tokens", "oov", "sum_log2_micro", "mean_log2_micro")
+      scoreAgainstVocab(bucketed.filter(col("bkt") >= LM_TRAIN_PERMILLE), lm)
         .orderBy("doc_id")
     },
     oracle = Some(
