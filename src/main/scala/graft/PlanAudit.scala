@@ -52,6 +52,7 @@ object PlanAudit {
     "lm_crossval" -> ("broadcast-nested-loop-join", "broadcast side = single-row T+V denominator"),
     "mixture_sample" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus count"),
     "vocab_topk" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus total"),
+    "pq_recall" -> ("broadcast-nested-loop-join", "broadcast side = fixed query set (bounded constant, the truth leg)"),
   )
 
   // GRAFT_EXPLAIN=name1,name2 (or "all"): print the formatted plan of

@@ -1,0 +1,386 @@
+package graft.extensions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.QueryDef
+
+/** Product quantization (PQ) over the `embeddings` table — the
+  * compression tier of the X3 similarity family (SURVEY.md §2.3).
+  *
+  * SRP-LSH and IVF (SimilarityQueries) prune WHICH vectors get scored;
+  * PQ changes WHAT gets scored. Each L2-normalized vector is split into
+  * M=8 contiguous 8-dim subvectors; each subspace trains its own
+  * KSUB=16-centroid codebook (deterministic Lloyd, same discipline as
+  * `kmeans_centroids`); a vector is stored as 8 four-bit codes — 4
+  * bytes instead of 256 for float32[64], a 64× compression. Query-time
+  * scoring is asymmetric distance computation (ADC, Jégou et al. 2011):
+  * per query, precompute the M×KSUB table of subquery·centroid dot
+  * products (128 entries), then every candidate's approximate cosine is
+  * just M table lookups summed — no vector arithmetic, no vector I/O.
+  *
+  * Why this is the 100 TB tier: at 10⁹+ vectors the raw float corpus
+  * (hundreds of GB to TB) cannot be rescanned per query wave, but the
+  * PQ codes (4 GB per 10⁹ vectors) persist like the SRP/IVF codes and
+  * the scan that scores them reads 4-byte codes joined to a broadcast
+  * 128-row LUT — map-side, codegen'd, one shuffle of (query, candidate)
+  * partial sums. IVF-PQ (prune by cell, score by ADC) is the standard
+  * composition and falls out of joining this family's codes with
+  * sim_ivf's cells.
+  *
+  * Determinism discipline (the kmeans/ivf_cell_stats rules):
+  *  - training distances and ADC scores are integer micro-units
+  *    (`CAST(floor(x * 1e6 + 0.5) AS BIGINT)`) before any ordering or
+  *    aggregation — BIGINT sums are order-free, no -0.0, no half-mode
+  *    drift;
+  *  - centroid updates round to 6dp per dimension (avg is the one
+  *    rounded-double step, the kmeans_centroids precedent);
+  *  - every argmin/row_number carries an explicit code/id tiebreak.
+  *
+  * The DuckDB oracles unroll training → codes → LUT → ADC in one CTE
+  * chain, so the gates check the entire pipeline, not just the final
+  * ranking.
+  */
+object PqQueries {
+
+  private[graft] val M = 8      // subspaces
+  private[graft] val DSUB = 8   // dims per subspace (M * DSUB = 64)
+  private[graft] val KSUB = 16  // centroids per subspace (4-bit codes)
+  private[graft] val ITERS = 2  // Lloyd iterations per subspace
+  private val K = 10                 // top-k for ADC ranking
+  private val N_QUERIES = 10         // query set: vec_id < 10
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    SimilarityQueries.prep(s, s.read.parquet(s"$d/embeddings.parquet"))
+
+  /** (vec_id, sub, sv) — the L2-normalized subvector view. Normalizing
+    * FIRST makes the ADC sum approximate the cosine directly (the
+    * reconstruction approximates the unit vector, so q̂·v̂_reconstructed
+    * ≈ cos). Division is correctly-rounded IEEE in both engines, so no
+    * rounding step is needed here. */
+  private[graft] def subvectors(e: DataFrame): DataFrame =
+    e.withColumn("u", expr("transform(v, x -> x / norm)"))
+      .select(col("vec_id"), explode(expr(s"sequence(0, ${M - 1})")).as("sub"), col("u"))
+      .withColumn("sv", expr(s"slice(u, sub * $DSUB + 1, $DSUB)"))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("sv"))
+
+  /** Codebook rows (sub, code, cv) as a broadcastable frame. */
+  private def cbFrame(s: SparkSession, cb: Seq[(Long, Long, Seq[Double])]): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    import s.implicits._
+    cb.toDF("sub", "code", "cv")
+  }
+
+  /** Squared L2 distance to a codebook entry in integer micro-units.
+    * Written as (‖sv‖² − 2·sv·cv) + ‖cv‖² — the exact expression shape
+    * the oracle uses, so both engines round the identical double. */
+  private def d2micro = expr(
+    "CAST(floor(((graft_dot(sv, sv) - 2 * graft_dot(sv, cv)) + graft_dot(cv, cv)) " +
+      "* 1000000 + 0.5D) AS BIGINT)")
+
+  /** Nearest-code assignment per (vector, subspace): min micro-distance,
+    * lowest-code tiebreak. Partial-aggregating max_by, not a window
+    * (the assignCells lesson — one candidate per map partition reaches
+    * the shuffle, not KSUB rows per vector). */
+  private[graft] def assignCodes(sv: DataFrame, cb: DataFrame): DataFrame =
+    sv.join(broadcast(cb), "sub")
+      .withColumn("d2m", d2micro)
+      .groupBy("vec_id", "sub")
+      .agg(max_by(col("code"), struct(-col("d2m"), -col("code"))).as("code"))
+
+  /** Training invocations — the memo's observable (spec-pinned). */
+  private[graft] val pqTrainCount = new java.util.concurrent.atomic.AtomicLong()
+
+  /** MEMOIZED per (session, corpus fingerprint): training is ~2·ITERS
+    * corpus passes and every query in this family needs the same
+    * codebooks. Probe = one fingerprint agg pass; cached value =
+    * M×KSUB×DSUB driver-held doubles (8 KiB). Bounded at 8 corpora
+    * (the CacheHygiene discipline). */
+  private val pqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Long, Seq[Double])]]()
+
+  private[graft] def pqCodebooks(s: SparkSession, raw: DataFrame): DataFrame = {
+    val key = s"${System.identityHashCode(s)}:${AnnIndex.fingerprint(raw)}"
+    if (pqMemo.size > 8) pqMemo.clear()
+    cbFrame(s, pqMemo.computeIfAbsent(key, _ => trainPq(s, raw)))
+  }
+
+  /** Per-subspace deterministic Lloyd. Seeds: the SAME KSUB vectors for
+    * every subspace — the md5(vec_id)-ranked head, the kmeans_centroids
+    * seed rule — each subspace seeding from its own slice of them.
+    * Updates: per-dimension avg rounded to 6dp; an emptied code keeps
+    * its previous center. Each iteration collects M×KSUB×DSUB rounded
+    * doubles to the driver (bounded metadata, like the engine's day
+    * lists). */
+  private def trainPq(s: SparkSession, raw: DataFrame): Seq[(Long, Long, Seq[Double])] = {
+    pqTrainCount.incrementAndGet()
+    val e = SimilarityQueries.prep(s, raw)
+    val sv = subvectors(e).persist()
+    try {
+      val seedIds = e.select(col("vec_id"))
+        .withColumn("h", md5(col("vec_id").cast("string")))
+        .orderBy("h", "vec_id").limit(KSUB)
+        .collect() // bounded: KSUB rows (TakeOrdered, no global sort)
+        .map(_.getLong(0))
+      val seedRank = seedIds.zipWithIndex.toMap
+      var cb: Seq[(Long, Long, Seq[Double])] = sv
+        .filter(col("vec_id").isin(seedIds: _*))
+        .collect() // bounded: KSUB × M rows
+        .map(r => (r.getLong(r.fieldIndex("sub")),
+          seedRank(r.getLong(r.fieldIndex("vec_id"))).toLong,
+          r.getSeq[Double](r.fieldIndex("sv"))))
+        .sortBy(c => (c._1, c._2))
+      for (_ <- 1 to ITERS) {
+        val means = assignCodes(sv, cbFrame(s, cb)).join(sv, Seq("vec_id", "sub"))
+          .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
+          .groupBy("sub", "code", "dim").agg(round(avg("x"), 6).as("cx"))
+          .groupBy("sub", "code")
+          .agg(expr("transform(array_sort(collect_list(struct(dim, cx))), p -> p.cx)").as("cv"))
+          .collect() // bounded: ≤ M × KSUB rows
+          .map(r => ((r.getLong(r.fieldIndex("sub")), r.getLong(r.fieldIndex("code"))),
+            r.getSeq[Double](r.fieldIndex("cv"))))
+          .toMap
+        cb = cb.map { case (sub, code, old) => (sub, code, means.getOrElse((sub, code), old)) }
+      }
+      cb
+    } finally sv.unpersist()
+  }
+
+  // -------------------------------------------------------------------
+  // Oracle CTE chain: e → u → sv → seeds → c0 → (d/a/m/n/c)×ITERS.
+  // Mirrors trainPq step-for-step (same micro-distances, same rounding,
+  // same tiebreaks, same coalesce-on-empty).
+  // -------------------------------------------------------------------
+  private def pqOracleCtes: String = {
+    val head =
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+         |  FROM embeddings
+         |), u AS (
+         |  SELECT vec_id, list_transform(v, x -> x / norm) AS u FROM e
+         |), sv AS (
+         |  SELECT u.vec_id, g.s AS sub, (u.u)[(g.s * $DSUB + 1):(g.s * $DSUB + $DSUB)] AS sv
+         |  FROM u CROSS JOIN generate_series(0, ${M - 1}) g(s)
+         |), seeds AS (
+         |  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS code, vec_id
+         |  FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $KSUB
+         |), c0 AS (
+         |  SELECT sv.sub, s.code, sv.sv AS cv FROM seeds s JOIN sv ON s.vec_id = sv.vec_id
+         |)""".stripMargin
+    val steps = (1 to ITERS).map { i =>
+      s""", d$i AS (
+         |  SELECT sv.vec_id, sv.sub, c.code,
+         |         CAST(floor(((list_dot_product(sv.sv, sv.sv) - 2 * list_dot_product(sv.sv, c.cv))
+         |           + list_dot_product(c.cv, c.cv)) * 1000000 + 0.5) AS BIGINT) AS d2m
+         |  FROM sv JOIN c${i - 1} c ON sv.sub = c.sub
+         |), a$i AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2m, code) AS rk
+         |    FROM d$i) WHERE rk = 1
+         |), m$i AS (
+         |  SELECT a.sub, a.code, g.d AS dim, round(avg(sv.sv[g.d + 1]), 6) AS cx
+         |  FROM a$i a JOIN sv ON a.vec_id = sv.vec_id AND a.sub = sv.sub
+         |  CROSS JOIN generate_series(0, ${DSUB - 1}) g(d)
+         |  GROUP BY 1, 2, 3
+         |), n$i AS (
+         |  SELECT sub, code, list(cx ORDER BY dim) AS cv FROM m$i GROUP BY sub, code
+         |), c$i AS (
+         |  SELECT p.sub, p.code, coalesce(n.cv, p.cv) AS cv
+         |  FROM c${i - 1} p LEFT JOIN n$i n ON p.sub = n.sub AND p.code = n.code
+         |)""".stripMargin
+    }.mkString
+    head + steps
+  }
+
+  /** Final (vec_id, sub, code) assignment CTE against c$ITERS. */
+  private def codesCte: String =
+    s""", df AS (
+       |  SELECT sv.vec_id, sv.sub, c.code,
+       |         CAST(floor(((list_dot_product(sv.sv, sv.sv) - 2 * list_dot_product(sv.sv, c.cv))
+       |           + list_dot_product(c.cv, c.cv)) * 1000000 + 0.5) AS BIGINT) AS d2m
+       |  FROM sv JOIN c$ITERS c ON sv.sub = c.sub
+       |), codes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2m, code) AS rk
+       |    FROM df) WHERE rk = 1
+       |)""".stripMargin
+
+  /** ADC scoring CTEs: LUT (query subvector · codebook entry, micro) +
+    * per-(query, candidate) BIGINT sums over the M code lookups. */
+  private def adcCtes: String =
+    s""", qsv AS (
+       |  SELECT vec_id AS query_id, sub, sv FROM sv WHERE vec_id < $N_QUERIES
+       |), lut AS (
+       |  SELECT q.query_id, c.sub, c.code,
+       |         CAST(floor(list_dot_product(q.sv, c.cv) * 1000000 + 0.5) AS BIGINT) AS lut_micro
+       |  FROM qsv q JOIN c$ITERS c ON q.sub = c.sub
+       |), adc AS (
+       |  SELECT l.query_id, k.vec_id AS neighbor_id, sum(l.lut_micro)::BIGINT AS adc_micro
+       |  FROM codes k JOIN lut l ON k.sub = l.sub AND k.code = l.code
+       |  WHERE k.vec_id <> l.query_id
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
+  // -------------------------------------------------------------------
+  // X3g pq_codebooks — the trained per-subspace codebooks. The gate
+  // hash-checks the entire training pipeline (seeds, assignments,
+  // updates) at M×KSUB rows of output.
+  // -------------------------------------------------------------------
+  val codebooks: QueryDef = QueryDef(
+    build = (s, d) =>
+      pqCodebooks(s, s.read.parquet(s"$d/embeddings.parquet").drop("label"))
+        .orderBy("sub", "code"),
+    oracle = Some(
+      s"""$pqOracleCtes
+         |SELECT sub, code, cv FROM c$ITERS ORDER BY sub, code""".stripMargin),
+    doc = "X3 product-quantization codebooks: per-subspace deterministic Lloyd (M=8 × KSUB=16, 4-bit codes)")
+
+  // -------------------------------------------------------------------
+  // X3h pq_codes — every vector encoded as one packed BIGINT (8 × 4-bit
+  // codes). This is the artifact a 100 TB deployment persists: 4 bytes
+  // of code per 256-byte vector. Packing is an order-free integer sum;
+  // 16^sub is exact in double, so the CAST is exact in both engines.
+  // -------------------------------------------------------------------
+  val codes: QueryDef = QueryDef(
+    build = (s, d) => {
+      val e = emb(s, d)
+      val cb = pqCodebooks(s, s.read.parquet(s"$d/embeddings.parquet").drop("label"))
+      assignCodes(subvectors(e), cb)
+        .groupBy("vec_id")
+        .agg(expr("sum(code * CAST(pow(16, sub) AS BIGINT))").as("pq_code"))
+        .orderBy("vec_id")
+    },
+    oracle = Some(
+      s"""$pqOracleCtes$codesCte
+         |SELECT vec_id, sum(code * CAST(pow(16, sub) AS BIGINT))::BIGINT AS pq_code
+         |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+    doc = "X3 PQ encoding: 64-dim float vector → packed 32-bit code (64× compression)")
+
+  // -------------------------------------------------------------------
+  // X3i sim_pq — ADC top-k. The scan side touches ONLY (vec_id, sub,
+  // code) rows joined to a broadcast 128-entry-per-query LUT: map-side
+  // lookup, partial BIGINT sum, one shuffle of (query, candidate)
+  // partials, one bounded per-query window. At 10⁹ vectors this is the
+  // only X3 path whose query-time I/O is measured in code bytes, not
+  // vector bytes.
+  // -------------------------------------------------------------------
+  val simPq: QueryDef = QueryDef(
+    build = (s, d) => {
+      val e = emb(s, d)
+      val cb = pqCodebooks(s, s.read.parquet(s"$d/embeddings.parquet").drop("label"))
+      val sv = subvectors(e)
+      val lut = subvectors(e.filter(col("vec_id") < N_QUERIES))
+        .join(broadcast(cb), "sub")
+        .withColumn("lut_micro",
+          expr("CAST(floor(graft_dot(sv, cv) * 1000000 + 0.5D) AS BIGINT)"))
+        .select(col("vec_id").as("query_id"), col("sub"), col("code"), col("lut_micro"))
+      val w = Window.partitionBy("query_id").orderBy(col("adc_micro").desc, col("neighbor_id"))
+      assignCodes(sv, cb)
+        .join(broadcast(lut), Seq("sub", "code"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(sum("lut_micro").as("adc_micro"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= K)
+        .select("query_id", "rank", "neighbor_id", "adc_micro")
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some(
+      s"""$pqOracleCtes$codesCte$adcCtes, ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_micro DESC, neighbor_id) AS rank
+         |  FROM adc
+         |)
+         |SELECT query_id, rank::BIGINT AS rank, neighbor_id, adc_micro
+         |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin),
+    doc = "X3 PQ asymmetric-distance top-k: broadcast LUT, code-only scan, order-free BIGINT scores")
+
+  // -------------------------------------------------------------------
+  // X3j pq_recall — the evaluation harness (the sim_recall discipline):
+  // per query, recall@K of the ADC ranking against the exact-cosine
+  // truth, plus the summed |ADC − exact| micro-error over the truth
+  // pairs — the quantization-distortion number a deployment reads
+  // before trusting 64×-compressed scores. Truth pays one brute-force
+  // pass (priced like sim_recall's truth leg).
+  // -------------------------------------------------------------------
+  val recall: QueryDef = QueryDef(
+    build = (s, d) => {
+      val e = emb(s, d).persist() // session-scoped memo (QueryDef cache contract)
+      val cb = pqCodebooks(s, s.read.parquet(s"$d/embeddings.parquet").drop("label"))
+      val sv = subvectors(e)
+      // exact truth: top-K per query by micro-cosine
+      val q = e.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+      val wt = Window.partitionBy("query_id").orderBy(col("exact_micro").desc, col("neighbor_id"))
+      val truth = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("exact_micro", expr(
+          "CAST(floor(graft_dot(v, qv) / (norm * qnorm) * 1000000 + 0.5D) AS BIGINT)"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("exact_micro"))
+        .withColumn("trank", row_number().over(wt))
+        .filter(col("trank") <= K)
+      // ADC scores for every (query, candidate)
+      val lut = subvectors(e.filter(col("vec_id") < N_QUERIES))
+        .join(broadcast(cb), "sub")
+        .withColumn("lut_micro",
+          expr("CAST(floor(graft_dot(sv, cv) * 1000000 + 0.5D) AS BIGINT)"))
+        .select(col("vec_id").as("query_id"), col("sub"), col("code"), col("lut_micro"))
+      val adc = assignCodes(sv, cb)
+        .join(broadcast(lut), Seq("sub", "code"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(sum("lut_micro").as("adc_micro"))
+      val wa = Window.partitionBy("query_id").orderBy(col("adc_micro").desc, col("neighbor_id"))
+      val approx = adc.withColumn("arank", row_number().over(wa))
+        .filter(col("arank") <= K)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      truth
+        .join(adc, Seq("query_id", "neighbor_id"))
+        .join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
+          sum(abs(col("adc_micro") - col("exact_micro"))).as("err_sum_micro"))
+        .select(col("query_id"), col("n_truth"), col("n_hit"),
+          expr("n_hit * 1000000L div n_truth").as("recall_ppm"),
+          col("err_sum_micro"))
+        .orderBy("query_id")
+    },
+    oracle = Some(
+      s"""$pqOracleCtes$codesCte$adcCtes, q AS (
+         |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e WHERE vec_id < $N_QUERIES
+         |), truth AS (
+         |  SELECT query_id, neighbor_id, exact_micro FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |           CAST(floor(list_dot_product(e.v, q.qv) / (e.norm * q.qnorm) * 1000000 + 0.5) AS BIGINT) AS exact_micro,
+         |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |             CAST(floor(list_dot_product(e.v, q.qv) / (e.norm * q.qnorm) * 1000000 + 0.5) AS BIGINT) DESC,
+         |             e.vec_id) AS trank
+         |    FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+         |  ) WHERE trank <= $K
+         |), approx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_micro DESC, neighbor_id) AS arank
+         |    FROM adc) WHERE arank <= $K
+         |)
+         |SELECT t.query_id, count(*)::BIGINT AS n_truth,
+         |       sum(CASE WHEN x.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+         |       (sum(CASE WHEN x.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+         |          // count(*))::BIGINT AS recall_ppm,
+         |       sum(abs(a.adc_micro - t.exact_micro))::BIGINT AS err_sum_micro
+         |FROM truth t
+         |JOIN adc a ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |LEFT JOIN approx x ON x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id
+         |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin),
+    doc = "X3 PQ evaluation harness: recall@K of ADC vs exact-cosine truth + quantization distortion")
+
+  val defs: Map[String, QueryDef] = Map(
+    "pq_codebooks" -> codebooks,
+    "pq_codes"     -> codes,
+    "sim_pq"       -> simPq,
+    "pq_recall"    -> recall,
+  )
+}
