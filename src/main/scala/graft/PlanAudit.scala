@@ -53,6 +53,7 @@ object PlanAudit {
     "mixture_sample" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus count"),
     "vocab_topk" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus total"),
     "pq_recall" -> ("broadcast-nested-loop-join", "broadcast side = fixed query set (bounded constant, the truth leg)"),
+    "sim_ivfpq" -> ("broadcast-nested-loop-join", "broadcast side = k-means centroids (bounded by k, the probe leg)"),
   )
 
   // GRAFT_EXPLAIN=name1,name2 (or "all"): print the formatted plan of

@@ -150,77 +150,84 @@ object PqQueries {
   // -------------------------------------------------------------------
   // Oracle CTE chain: e → u → sv → seeds → c0 → (d/a/m/n/c)×ITERS.
   // Mirrors trainPq step-for-step (same micro-distances, same rounding,
-  // same tiebreaks, same coalesce-on-empty).
+  // same tiebreaks, same coalesce-on-empty). `p` prefixes every CTE name
+  // so the chain composes after another chain that owns `e`/`seeds`/`c*`
+  // (sim_ivfpq appends it to the k-means chain); `lead=false` drops the
+  // WITH head and reuses the existing `e` (identical definition).
   // -------------------------------------------------------------------
-  private def pqOracleCtes: String = {
+  private def pqOracleCtes(px: String = "", lead: Boolean = true): String = {
+    val eHead = if (lead)
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings
+        |), """.stripMargin
+    else ", "
     val head =
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v,
-         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
-         |  FROM embeddings
-         |), u AS (
+      s"""$eHead${px}u AS (
          |  SELECT vec_id, list_transform(v, x -> x / norm) AS u FROM e
-         |), sv AS (
+         |), ${px}sv AS (
          |  SELECT u.vec_id, g.s AS sub, (u.u)[(g.s * $DSUB + 1):(g.s * $DSUB + $DSUB)] AS sv
-         |  FROM u CROSS JOIN generate_series(0, ${M - 1}) g(s)
-         |), seeds AS (
+         |  FROM ${px}u u CROSS JOIN generate_series(0, ${M - 1}) g(s)
+         |), ${px}seeds AS (
          |  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS code, vec_id
          |  FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $KSUB
-         |), c0 AS (
-         |  SELECT sv.sub, s.code, sv.sv AS cv FROM seeds s JOIN sv ON s.vec_id = sv.vec_id
+         |), ${px}c0 AS (
+         |  SELECT sv.sub, s.code, sv.sv AS cv
+         |  FROM ${px}seeds s JOIN ${px}sv sv ON s.vec_id = sv.vec_id
          |)""".stripMargin
     val steps = (1 to ITERS).map { i =>
-      s""", d$i AS (
+      s""", ${px}d$i AS (
          |  SELECT sv.vec_id, sv.sub, c.code,
          |         CAST(floor(((list_dot_product(sv.sv, sv.sv) - 2 * list_dot_product(sv.sv, c.cv))
          |           + list_dot_product(c.cv, c.cv)) * 1000000 + 0.5) AS BIGINT) AS d2m
-         |  FROM sv JOIN c${i - 1} c ON sv.sub = c.sub
-         |), a$i AS (
+         |  FROM ${px}sv sv JOIN ${px}c${i - 1} c ON sv.sub = c.sub
+         |), ${px}a$i AS (
          |  SELECT vec_id, sub, code FROM (
          |    SELECT vec_id, sub, code,
          |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2m, code) AS rk
-         |    FROM d$i) WHERE rk = 1
-         |), m$i AS (
+         |    FROM ${px}d$i) WHERE rk = 1
+         |), ${px}m$i AS (
          |  SELECT a.sub, a.code, g.d AS dim, round(avg(sv.sv[g.d + 1]), 6) AS cx
-         |  FROM a$i a JOIN sv ON a.vec_id = sv.vec_id AND a.sub = sv.sub
+         |  FROM ${px}a$i a JOIN ${px}sv sv ON a.vec_id = sv.vec_id AND a.sub = sv.sub
          |  CROSS JOIN generate_series(0, ${DSUB - 1}) g(d)
          |  GROUP BY 1, 2, 3
-         |), n$i AS (
-         |  SELECT sub, code, list(cx ORDER BY dim) AS cv FROM m$i GROUP BY sub, code
-         |), c$i AS (
+         |), ${px}n$i AS (
+         |  SELECT sub, code, list(cx ORDER BY dim) AS cv FROM ${px}m$i GROUP BY sub, code
+         |), ${px}c$i AS (
          |  SELECT p.sub, p.code, coalesce(n.cv, p.cv) AS cv
-         |  FROM c${i - 1} p LEFT JOIN n$i n ON p.sub = n.sub AND p.code = n.code
+         |  FROM ${px}c${i - 1} p LEFT JOIN ${px}n$i n ON p.sub = n.sub AND p.code = n.code
          |)""".stripMargin
     }.mkString
     head + steps
   }
 
-  /** Final (vec_id, sub, code) assignment CTE against c$ITERS. */
-  private def codesCte: String =
-    s""", df AS (
+  /** Final (vec_id, sub, code) assignment CTE against ${px}c$ITERS. */
+  private def codesCte(px: String = ""): String =
+    s""", ${px}df AS (
        |  SELECT sv.vec_id, sv.sub, c.code,
        |         CAST(floor(((list_dot_product(sv.sv, sv.sv) - 2 * list_dot_product(sv.sv, c.cv))
        |           + list_dot_product(c.cv, c.cv)) * 1000000 + 0.5) AS BIGINT) AS d2m
-       |  FROM sv JOIN c$ITERS c ON sv.sub = c.sub
-       |), codes AS (
+       |  FROM ${px}sv sv JOIN ${px}c$ITERS c ON sv.sub = c.sub
+       |), ${px}codes AS (
        |  SELECT vec_id, sub, code FROM (
        |    SELECT vec_id, sub, code,
        |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2m, code) AS rk
-       |    FROM df) WHERE rk = 1
+       |    FROM ${px}df) WHERE rk = 1
        |)""".stripMargin
 
   /** ADC scoring CTEs: LUT (query subvector · codebook entry, micro) +
     * per-(query, candidate) BIGINT sums over the M code lookups. */
-  private def adcCtes: String =
-    s""", qsv AS (
-       |  SELECT vec_id AS query_id, sub, sv FROM sv WHERE vec_id < $N_QUERIES
-       |), lut AS (
+  private def adcCtes(px: String = ""): String =
+    s""", ${px}qsv AS (
+       |  SELECT vec_id AS query_id, sub, sv FROM ${px}sv WHERE vec_id < $N_QUERIES
+       |), ${px}lut AS (
        |  SELECT q.query_id, c.sub, c.code,
        |         CAST(floor(list_dot_product(q.sv, c.cv) * 1000000 + 0.5) AS BIGINT) AS lut_micro
-       |  FROM qsv q JOIN c$ITERS c ON q.sub = c.sub
-       |), adc AS (
+       |  FROM ${px}qsv q JOIN ${px}c$ITERS c ON q.sub = c.sub
+       |), ${px}adc AS (
        |  SELECT l.query_id, k.vec_id AS neighbor_id, sum(l.lut_micro)::BIGINT AS adc_micro
-       |  FROM codes k JOIN lut l ON k.sub = l.sub AND k.code = l.code
+       |  FROM ${px}codes k JOIN ${px}lut l ON k.sub = l.sub AND k.code = l.code
        |  WHERE k.vec_id <> l.query_id
        |  GROUP BY 1, 2
        |)""".stripMargin
@@ -235,7 +242,7 @@ object PqQueries {
       pqCodebooks(s, s.read.parquet(s"$d/embeddings.parquet").drop("label"))
         .orderBy("sub", "code"),
     oracle = Some(
-      s"""$pqOracleCtes
+      s"""${pqOracleCtes()}
          |SELECT sub, code, cv FROM c$ITERS ORDER BY sub, code""".stripMargin),
     doc = "X3 product-quantization codebooks: per-subspace deterministic Lloyd (M=8 × KSUB=16, 4-bit codes)")
 
@@ -255,7 +262,7 @@ object PqQueries {
         .orderBy("vec_id")
     },
     oracle = Some(
-      s"""$pqOracleCtes$codesCte
+      s"""${pqOracleCtes()}${codesCte()}
          |SELECT vec_id, sum(code * CAST(pow(16, sub) AS BIGINT))::BIGINT AS pq_code
          |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin),
     doc = "X3 PQ encoding: 64-dim float vector → packed 32-bit code (64× compression)")
@@ -290,7 +297,7 @@ object PqQueries {
         .orderBy("query_id", "rank")
     },
     oracle = Some(
-      s"""$pqOracleCtes$codesCte$adcCtes, ranked AS (
+      s"""${pqOracleCtes()}${codesCte()}${adcCtes()}, ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_micro DESC, neighbor_id) AS rank
          |  FROM adc
          |)
@@ -350,7 +357,7 @@ object PqQueries {
         .orderBy("query_id")
     },
     oracle = Some(
-      s"""$pqOracleCtes$codesCte$adcCtes, q AS (
+      s"""${pqOracleCtes()}${codesCte()}${adcCtes()}, q AS (
          |  SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e WHERE vec_id < $N_QUERIES
          |), truth AS (
          |  SELECT query_id, neighbor_id, exact_micro FROM (
@@ -377,10 +384,94 @@ object PqQueries {
          |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin),
     doc = "X3 PQ evaluation harness: recall@K of ADC vs exact-cosine truth + quantization distortion")
 
+  // -------------------------------------------------------------------
+  // X3k sim_ivfpq — the standard composition (IVF-PQ, Jégou et al.
+  // 2011; the FAISS IVFPQ layout): the coarse k-means quantizer prunes
+  // WHICH vectors are considered (probe the N_PROBE nearest cells, the
+  // sim_ivf_kmeans rule), and ADC decides HOW they are scored (code
+  // lookups against the broadcast LUT, the sim_pq rule). At 10⁹+
+  // vectors this is the shape that actually runs: candidate volume
+  // bounded by probed-cell occupancy (ivf_cell_stats measures it),
+  // scoring I/O bounded by code bytes. The oracle appends the
+  // prefix-isolated PQ chain to the k-means chain, so the gate checks
+  // both quantizers end-to-end in one statement.
+  // -------------------------------------------------------------------
+  val ivfPq: QueryDef = QueryDef(
+    build = (s, d) => {
+      val e = emb(s, d).persist() // session-scoped memo (QueryDef cache contract)
+      val raw = s.read.parquet(s"$d/embeddings.parquet").drop("label")
+      val cb = pqCodebooks(s, raw)
+      // coarse quantizer: certified kmeans index when its quantizer is
+      // the default oracle-reproducible one, memoized recompute otherwise
+      // (the sim_ivf_kmeans resolve rule)
+      val (cent, assigned) = AnnIndex.resolveFor(s, e)
+        .filter(SimilarityQueries.defaultKmeans(s, _)) match {
+        case Some(dir) =>
+          (AnnIndex.readCentroids(s, dir),
+            AnnIndex.readCodes(s, dir).select(col("vec_id"), col("cell")))
+        case None =>
+          val c = SimilarityQueries.kmeansCentroids(s, raw)
+          (c, SimilarityQueries.assignCells(e, c))
+      }
+      val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("clabel"))
+      val probes = SimilarityQueries.cellSims(e.filter(col("vec_id") < N_QUERIES), cent)
+        .withColumn("rk", row_number().over(byVec))
+        .filter(col("rk") <= SimilarityQueries.N_PROBE)
+        .select(col("vec_id").as("query_id"), col("clabel").as("cell"))
+      val cand = probes.join(assigned, "cell")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        .dropDuplicates("query_id", "neighbor_id")
+      val lut = subvectors(e.filter(col("vec_id") < N_QUERIES))
+        .join(broadcast(cb), "sub")
+        .withColumn("lut_micro",
+          expr("CAST(floor(graft_dot(sv, cv) * 1000000 + 0.5D) AS BIGINT)"))
+        .select(col("vec_id").as("query_id"), col("sub"), col("code"), col("lut_micro"))
+      val codeRows = assignCodes(subvectors(e), cb)
+        .withColumnRenamed("vec_id", "neighbor_id")
+      val w = Window.partitionBy("query_id").orderBy(col("adc_micro").desc, col("neighbor_id"))
+      cand.join(codeRows, "neighbor_id")
+        .join(broadcast(lut), Seq("query_id", "sub", "code"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(sum("lut_micro").as("adc_micro"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= K)
+        .select("query_id", "rank", "neighbor_id", "adc_micro")
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some(
+      s"""${SimilarityQueries.kmeansOracleCtes(SimilarityQueries.KMEANS_K, SimilarityQueries.KMEANS_ITERS)}${pqOracleCtes("p", lead = false)}${codesCte("p")}${adcCtes("p")}, sims AS (
+         |  SELECT e.vec_id, c.clabel,
+         |         round(list_dot_product(e.v, c.cv) / (e.norm * c.cnorm), 6) AS csim
+         |  FROM e CROSS JOIN c${SimilarityQueries.KMEANS_ITERS} c
+         |), rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, clabel) AS rk FROM sims
+         |), assigned AS (
+         |  SELECT vec_id, clabel AS cell FROM rk WHERE rk = 1
+         |), probes AS (
+         |  SELECT vec_id AS query_id, clabel AS cell FROM rk
+         |  WHERE rk <= ${SimilarityQueries.N_PROBE} AND vec_id < $N_QUERIES
+         |), cand AS (
+         |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN assigned a ON p.cell = a.cell
+         |  WHERE a.vec_id <> p.query_id
+         |), scored AS (
+         |  SELECT c.query_id, c.neighbor_id, ad.adc_micro
+         |  FROM cand c JOIN padc ad
+         |    ON ad.query_id = c.query_id AND ad.neighbor_id = c.neighbor_id
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_micro DESC, neighbor_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank::BIGINT AS rank, neighbor_id, adc_micro
+         |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin),
+    doc = "X3 IVF-PQ: coarse-cell pruning (probe-2) + ADC code scoring — the FAISS-layout composition")
+
   val defs: Map[String, QueryDef] = Map(
     "pq_codebooks" -> codebooks,
     "pq_codes"     -> codes,
     "sim_pq"       -> simPq,
     "pq_recall"    -> recall,
+    "sim_ivfpq"    -> ivfPq,
   )
 }

@@ -39,7 +39,7 @@ object SimilarityQueries {
     * legitimately buckets differently, so these queries fall back to the
     * always-correct recompute while the quantizer-free SRP paths keep
     * serving it; same for a legacy meta whose k is unknown (-1). */
-  private def defaultKmeans(s: SparkSession, dir: String): Boolean = {
+  private[extensions] def defaultKmeans(s: SparkSession, dir: String): Boolean = {
     val m = AnnIndex.readMeta(s, dir)
     m.quantizer == "kmeans" && m.kCells == KMEANS_K
   }
@@ -230,7 +230,7 @@ object SimilarityQueries {
   // dims×cells — always broadcastable; the cell assignment is one
   // map-side pass over the corpus.
   // -------------------------------------------------------------------
-  private val N_PROBE = 2
+  private[graft] val N_PROBE = 2
 
   /** The IVF coarse quantizer: per-label centroid table, rounded 6dp so
     * both engines (and index-build vs query-time) derive bit-identical
@@ -341,7 +341,7 @@ object SimilarityQueries {
     * final (clabel, cv, cnorm) table. Mirrors [[kmeansCentroids]]
     * step-for-step (same rounding, same tiebreaks, same index-order dot
     * products). */
-  private def kmeansOracleCtes(k: Int, iters: Int): String = {
+  private[extensions] def kmeansOracleCtes(k: Int, iters: Int): String = {
     val head =
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -379,7 +379,7 @@ object SimilarityQueries {
 
   /** Rounded cosine of every vector against every centroid — one
     * map-side pass (broadcast centroid table). */
-  private[extensions] def cellSims(vecs: DataFrame, cent: DataFrame): DataFrame =
+  private[graft] def cellSims(vecs: DataFrame, cent: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cent))
       .withColumn("csim",
         round(call_function("graft_dot", col("v"), col("cv")) / (col("norm") * col("cnorm")), 6))
@@ -393,7 +393,7 @@ object SimilarityQueries {
     * shuffle every (vector × cell) sim row into single-vector
     * partitions; max_by reduces map-side and shuffles one candidate
     * per (partition × vector) — the current_value lesson. */
-  private[extensions] def assignCells(vecs: DataFrame, cent: DataFrame): DataFrame =
+  private[graft] def assignCells(vecs: DataFrame, cent: DataFrame): DataFrame =
     cellSims(vecs, cent).groupBy("vec_id")
       .agg(max_by(col("clabel"), struct(col("csim"), -col("clabel"))).as("cell"))
       .select(col("vec_id"), col("cell"))

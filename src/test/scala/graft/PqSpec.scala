@@ -79,6 +79,34 @@ class PqSpec extends SparkSpec {
     assert(trained <= 1L, s"same corpus in one session must train at most once (trained $trained times)")
   }
 
+  test("sim_ivfpq scores match sim_pq's ADC on shared pairs and respect the cell-prune contract") {
+    val ivfpq = PqQueries.ivfPq.build(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"), col("adc_micro"))
+    // full-corpus ADC ranking: same LUT, no pruning — scores must agree
+    val full = PqQueries.simPq.build(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"), col("adc_micro").as("full_micro"))
+    val shared = ivfpq.join(full, Seq("query_id", "neighbor_id"))
+    assert(shared.filter(col("adc_micro") =!= col("full_micro")).count() === 0L,
+      "pruning must never change a candidate's ADC score")
+    // every returned neighbor sits in one of the query's probed cells
+    val e = prepped
+    val cent = graft.extensions.SimilarityQueries.kmeansCentroids(spark, rawEmb)
+    val cells = graft.extensions.SimilarityQueries.assignCells(e, cent)
+    val probes = graft.extensions.SimilarityQueries.cellSims(
+        e.filter(col("vec_id") < 10), cent)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("csim").desc, col("clabel"))))
+      .filter(col("rk") <= graft.extensions.SimilarityQueries.N_PROBE)
+      .select(col("vec_id").as("query_id"), col("clabel").as("cell"))
+    val outside = ivfpq
+      .join(cells.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .join(probes, Seq("query_id", "cell"), "left_semi")
+    assert(outside.count() === ivfpq.count(),
+      "every IVF-PQ result must come from a probed cell")
+    assert(ivfpq.count() > 0)
+  }
+
   test("pq_codes packing round-trips to the per-subspace assignments") {
     val packed = PqQueries.codes.build(spark, sfDir)
     val cb = PqQueries.pqCodebooks(spark, rawEmb)
