@@ -48,7 +48,7 @@ import graft.sources.TsdbStorage
 case class AnnMeta(planes: Int, bandBits: Int, corpusRows: Long,
                    idMin: Long, idMax: Long, idSum: Long, contentXor: Long,
                    quantizer: String, lastAppId: String, lastBatchId: Long,
-                   kCells: Int, txnCursors: String = "") {
+                   kCells: Int, txnCursors: String = "", pqM: Int = 0) {
   /** Per-app replay check ([[TxnCursors]]): the last applied batchId
     * for `app`, if any. */
   def appliedBatch(app: String): Option[Long] = TxnCursors.applied(txnCursors, app)
@@ -128,6 +128,7 @@ object AnnIndex {
 
   private def codesPath(dir: String) = s"$dir/codes"
   private def centroidsPath(dir: String) = s"$dir/centroids"
+  private def pqPath(dir: String) = s"$dir/pq"
   private def metaPath(dir: String) = s"$dir/_meta"
 
   private def fs(spark: SparkSession, dir: String) =
@@ -253,6 +254,11 @@ object AnnIndex {
   def readCentroids(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(centroidsPath(dir))
 
+  /** The frozen PQ codebooks (sub, code, cv) — present iff the meta says
+    * pq_m > 0 (pre-PQ indexes have neither the dir nor the column). */
+  def readPqCodebooks(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(pqPath(dir))
+
   /** The vector content in its canonical (double-array) form, whichever
     * shape the frame is in: prepped frames carry it as `v`, raw
     * embeddings frames derive it with the exact `prep` cast — so build
@@ -314,18 +320,19 @@ object AnnIndex {
         else if (strOr(r, "last_app_id", "").nonEmpty)
           TxnCursors.render(Vector(
             strOr(r, "last_app_id", "") -> longOr(r, "last_batch_id", -1L)))
-        else "")
+        else "",
+        longOr(r, "pq_m", 0L).toInt) // pre-PQ metas: no pq component
     }
   }
 
-  private def writeMeta(spark: SparkSession, dir: String, m: AnnMeta): Unit = {
+  private[graft] def writeMeta(spark: SparkSession, dir: String, m: AnnMeta): Unit = {
     import spark.implicits._
     Seq((m.planes, m.bandBits, m.corpusRows, m.idMin, m.idMax, m.idSum,
         m.contentXor, m.quantizer, m.lastAppId, m.lastBatchId, m.kCells.toLong,
-        m.txnCursors))
+        m.txnCursors, m.pqM.toLong))
       .toDF("planes", "band_bits", "corpus_rows", "id_min", "id_max", "id_sum",
         "content_xor", "quantizer", "last_app_id", "last_batch_id", "k_cells",
-        "txn_cursors")
+        "txn_cursors", "pq_m")
       .coalesce(1).write.mode("overwrite").parquet(metaPath(dir))
   }
 
@@ -465,10 +472,17 @@ object AnnIndex {
     // derivation twice (the kmeans path is shielded by the driver memo,
     // the label path is not)
     val k = spark.read.parquet(centroidsPath(dir)).count().toInt
-    writeMeta(spark, dir, AnnMeta(planes, bb, n, idMin, idMax, idSum, cxor, kind, "", -1L, k))
+    // PQ component: per-subspace codebooks trained from this corpus
+    // (the memoized deterministic Lloyd — label-independent), frozen
+    // like the centroids; per-vector packed codes ride the codes table
+    PqQueries.pqCodebooks(spark, raw.drop("label"))
+      .coalesce(1).write.mode("overwrite").parquet(pqPath(dir))
+    writeMeta(spark, dir, AnnMeta(planes, bb, n, idMin, idMax, idSum, cxor, kind, "", -1L, k,
+      pqM = PqQueries.M))
     val e = SimilarityQueries.prep(spark, raw)
     SimilarityQueries.srpCoded(e, planes).select("vec_id", "code")
       .join(SimilarityQueries.assignCells(e, readCentroids(spark, dir)), "vec_id")
+      .join(PqQueries.packedCodes(e, readPqCodebooks(spark, dir)), "vec_id")
       .write.mode("overwrite").parquet(codesPath(dir))
     TsdbStorage.markStatsInSync(spark, dir)
   }
@@ -498,9 +512,15 @@ object AnnIndex {
     val planes = m.planes // code with the index's own scheme
     TsdbStorage.markStatsOutOfSync(spark, dir)
     val e = SimilarityQueries.prep(spark, rawNew)
-    SimilarityQueries.srpCoded(e, planes).select("vec_id", "code")
+    val base = SimilarityQueries.srpCoded(e, planes).select("vec_id", "code")
       .join(SimilarityQueries.assignCells(e, readCentroids(spark, dir)), "vec_id")
-      .write.mode("append").parquet(codesPath(dir))
+    // PQ codes against the FROZEN codebooks (the centroid rule); a
+    // legacy pre-PQ index keeps its schema — mixing would corrupt reads
+    val withPq =
+      if (m.pqM == PqQueries.M)
+        base.join(PqQueries.packedCodes(e, readPqCodebooks(spark, dir)), "vec_id")
+      else base
+    withPq.write.mode("append").parquet(codesPath(dir))
     val grown =
       if (n == 0) m // EMPTY append: an all-zero fingerprint must not fold
         // into min/max (the TextIndex.append rule) — only the cursor moves
@@ -526,6 +546,7 @@ object AnnIndex {
     recoverCompact(spark, dir)
     val bad = TsdbStorage.probeFiles(spark, codesPath(dir)) ++
       TsdbStorage.probeFiles(spark, centroidsPath(dir)) ++
+      TsdbStorage.probeFiles(spark, pqPath(dir)) ++
       TsdbStorage.probeFiles(spark, metaPath(dir))
     if (bad.nonEmpty) {
       TsdbStorage.markStatsOutOfSync(spark, dir)

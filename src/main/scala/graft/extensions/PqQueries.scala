@@ -89,6 +89,42 @@ object PqQueries {
       .groupBy("vec_id", "sub")
       .agg(max_by(col("code"), struct(-col("d2m"), -col("code"))).as("code"))
 
+  /** Packed per-vector PQ code (vec_id, pq): the 8 four-bit codes as one
+    * BIGINT — the 4-byte artifact the AnnIndex persists per vector.
+    * 16^sub is exact in double, so the CAST is exact in both engines. */
+  private[graft] def packedCodes(e: DataFrame, cb: DataFrame): DataFrame =
+    assignCodes(subvectors(e), cb)
+      .groupBy("vec_id")
+      .agg(expr("sum(code * CAST(pow(16, sub) AS BIGINT))").as("pq"))
+
+  /** Packed → (vec_id, sub, code) rows — the shape ADC consumes.
+    * Map-side arithmetic only (PqSpec pins the round-trip). */
+  private def unpackCodes(codes: DataFrame): DataFrame =
+    codes.withColumn("sub", explode(expr(s"sequence(0L, ${M - 1}L)")))
+      .withColumn("code", expr("(pq div CAST(pow(16, sub) AS BIGINT)) % 16"))
+      .select("vec_id", "sub", "code")
+
+  /** The certified index dir IF it carries the default PQ component
+    * (the defaultKmeans rule: a foreign scheme is refused, callers fall
+    * back to the always-correct recompute). */
+  private def servedPq(s: SparkSession, e: DataFrame): Option[String] =
+    AnnIndex.resolveFor(s, e).filter(dir => AnnIndex.readMeta(s, dir).pqM == M)
+
+  /** Codebooks + per-(vector, subspace) codes: served from the certified
+    * AnnIndex when its frozen PQ component matches the default scheme
+    * (codes come back by UNPACKING the persisted 4-byte column — the
+    * production path reads code bytes, never vectors), derived live
+    * otherwise. Served ≡ derived bit-for-bit (AnnIndexSpec). */
+  private def resolvePq(s: SparkSession, d: String, e: DataFrame): (DataFrame, DataFrame) =
+    servedPq(s, e) match {
+      case Some(dir) =>
+        (AnnIndex.readPqCodebooks(s, dir),
+          unpackCodes(AnnIndex.readCodes(s, dir).select(col("vec_id"), col("pq"))))
+      case None =>
+        val cb = pqCodebooks(s, s.read.parquet(s"$d/embeddings.parquet").drop("label"))
+        (cb, assignCodes(subvectors(e), cb))
+    }
+
   /** Training invocations — the memo's observable (spec-pinned). */
   private[graft] val pqTrainCount = new java.util.concurrent.atomic.AtomicLong()
 
@@ -255,11 +291,17 @@ object PqQueries {
   val codes: QueryDef = QueryDef(
     build = (s, d) => {
       val e = emb(s, d)
-      val cb = pqCodebooks(s, s.read.parquet(s"$d/embeddings.parquet").drop("label"))
-      assignCodes(subvectors(e), cb)
-        .groupBy("vec_id")
-        .agg(expr("sum(code * CAST(pow(16, sub) AS BIGINT))").as("pq_code"))
-        .orderBy("vec_id")
+      // the one query whose served path is a PURE index read: the packed
+      // column IS the answer
+      servedPq(s, e) match {
+        case Some(dir) =>
+          AnnIndex.readCodes(s, dir).select(col("vec_id"), col("pq").as("pq_code"))
+            .orderBy("vec_id")
+        case None =>
+          val cb = pqCodebooks(s, s.read.parquet(s"$d/embeddings.parquet").drop("label"))
+          packedCodes(e, cb).select(col("vec_id"), col("pq").as("pq_code"))
+            .orderBy("vec_id")
+      }
     },
     oracle = Some(
       s"""${pqOracleCtes()}${codesCte()}
@@ -278,15 +320,14 @@ object PqQueries {
   val simPq: QueryDef = QueryDef(
     build = (s, d) => {
       val e = emb(s, d)
-      val cb = pqCodebooks(s, s.read.parquet(s"$d/embeddings.parquet").drop("label"))
-      val sv = subvectors(e)
+      val (cb, codeRows) = resolvePq(s, d, e)
       val lut = subvectors(e.filter(col("vec_id") < N_QUERIES))
         .join(broadcast(cb), "sub")
         .withColumn("lut_micro",
           expr("CAST(floor(graft_dot(sv, cv) * 1000000 + 0.5D) AS BIGINT)"))
         .select(col("vec_id").as("query_id"), col("sub"), col("code"), col("lut_micro"))
       val w = Window.partitionBy("query_id").orderBy(col("adc_micro").desc, col("neighbor_id"))
-      assignCodes(sv, cb)
+      codeRows
         .join(broadcast(lut), Seq("sub", "code"))
         .filter(col("vec_id") =!= col("query_id"))
         .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
@@ -316,8 +357,7 @@ object PqQueries {
   val recall: QueryDef = QueryDef(
     build = (s, d) => {
       val e = emb(s, d).persist() // session-scoped memo (QueryDef cache contract)
-      val cb = pqCodebooks(s, s.read.parquet(s"$d/embeddings.parquet").drop("label"))
-      val sv = subvectors(e)
+      val (cb, codeRows) = resolvePq(s, d, e)
       // exact truth: top-K per query by micro-cosine
       val q = e.filter(col("vec_id") < N_QUERIES)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
@@ -335,7 +375,7 @@ object PqQueries {
         .withColumn("lut_micro",
           expr("CAST(floor(graft_dot(sv, cv) * 1000000 + 0.5D) AS BIGINT)"))
         .select(col("vec_id").as("query_id"), col("sub"), col("code"), col("lut_micro"))
-      val adc = assignCodes(sv, cb)
+      val adc = codeRows
         .join(broadcast(lut), Seq("sub", "code"))
         .filter(col("vec_id") =!= col("query_id"))
         .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
@@ -400,7 +440,7 @@ object PqQueries {
     build = (s, d) => {
       val e = emb(s, d).persist() // session-scoped memo (QueryDef cache contract)
       val raw = s.read.parquet(s"$d/embeddings.parquet").drop("label")
-      val cb = pqCodebooks(s, raw)
+      val (cb, codeRows0) = resolvePq(s, d, e)
       // coarse quantizer: certified kmeans index when its quantizer is
       // the default oracle-reproducible one, memoized recompute otherwise
       // (the sim_ivf_kmeans resolve rule)
@@ -427,8 +467,7 @@ object PqQueries {
         .withColumn("lut_micro",
           expr("CAST(floor(graft_dot(sv, cv) * 1000000 + 0.5D) AS BIGINT)"))
         .select(col("vec_id").as("query_id"), col("sub"), col("code"), col("lut_micro"))
-      val codeRows = assignCodes(subvectors(e), cb)
-        .withColumnRenamed("vec_id", "neighbor_id")
+      val codeRows = codeRows0.withColumnRenamed("vec_id", "neighbor_id")
       val w = Window.partitionBy("query_id").orderBy(col("adc_micro").desc, col("neighbor_id"))
       cand.join(codeRows, "neighbor_id")
         .join(broadcast(lut), Seq("query_id", "sub", "code"))

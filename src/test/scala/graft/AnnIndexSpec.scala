@@ -39,6 +39,53 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("PQ component: served sim_pq/pq_codes/sim_ivfpq identical to recompute; pre-PQ meta refused") {
+    val dir = tmpDir("graft-ann-pq")
+    val recomputedCodes = collectAnn("pq_codes")
+    val recomputedPq = collectAnn("sim_pq")
+    val recomputedIvfPq = collectAnn("sim_ivfpq")
+    val recomputedRecall = collectAnn("pq_recall")
+    AnnIndex.build(spark, raw, dir)
+    val m = AnnIndex.readMeta(spark, dir)
+    assert(m.pqM === graft.extensions.PqQueries.M, "build must persist the PQ scheme")
+    assert(AnnIndex.readCodes(spark, dir).columns.contains("pq"),
+      "codes table must carry the packed PQ column")
+    withIndex(dir) {
+      assert(collectAnn("pq_codes") === recomputedCodes,
+        "served packed codes must equal the live derivation")
+      assert(collectAnn("sim_pq") === recomputedPq)
+      assert(collectAnn("sim_ivfpq") === recomputedIvfPq)
+      assert(collectAnn("pq_recall") === recomputedRecall)
+    }
+    // a meta claiming no PQ component must not be served the PQ paths
+    AnnIndex.writeMeta(spark, dir, m.copy(pqM = 0))
+    withIndex(dir) {
+      assert(collectAnn("sim_pq") === recomputedPq,
+        "a pq_m=0 index must fall back to recompute, not throw")
+    }
+  }
+
+  test("PQ component rides appends: frozen codebooks, appended vectors coded exactly") {
+    val dir = tmpDir("graft-ann-pqapp")
+    val base = raw.filter(col("vec_id") < 400)
+    val extra = raw.filter(col("vec_id") >= 400)
+    AnnIndex.build(spark, base, dir)
+    val frozen = AnnIndex.readPqCodebooks(spark, dir).collect().toSeq.map(_.toSeq).sortBy(_.toString)
+    AnnIndex.append(spark, extra, dir)
+    assert(AnnIndex.readPqCodebooks(spark, dir).collect().toSeq.map(_.toSeq).sortBy(_.toString)
+      === frozen, "append must never move the codebooks")
+    // appended rows carry pq codes equal to a live derivation against
+    // the frozen codebooks
+    val e = SimilarityQueries.prep(spark, extra)
+    val expect = graft.extensions.PqQueries
+      .packedCodes(e, AnnIndex.readPqCodebooks(spark, dir))
+      .withColumnRenamed("pq", "expect")
+    val got = AnnIndex.readCodes(spark, dir).filter(col("vec_id") >= 400)
+      .select("vec_id", "pq")
+    assert(got.join(expect, "vec_id").filter(col("pq") =!= col("expect")).count() === 0L)
+    assert(got.count() === extra.count())
+  }
+
   test("append extends the index exactly: SRP codes corpus-invariant, cells frozen-quantizer") {
     val dir = tmpDir("graft-ann-append")
     val dirFull = tmpDir("graft-ann-full")
