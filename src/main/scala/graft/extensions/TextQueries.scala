@@ -759,6 +759,61 @@ object TextQueries {
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     doc = "X4 reference-LM scoring (CCNet gate shape): train on an 80% md5 split, score held-out docs with Laplace smoothing + OOV counts")
 
+  // -------------------------------------------------------------------
+  // Per-source curation profile — the CCNet/RefinedWeb move of making
+  // keep/drop/reweight decisions at SOURCE granularity (a domain, a
+  // dump, a crawl segment), not per document: a source whose documents
+  // are mostly near-empty, repetitive, or duplicated gets down-weighted
+  // or cut wholesale before per-document filtering ever runs. Composes
+  // the already-gated signals — quality metrics (withQualityMetrics,
+  // shared verbatim with quality_gate), exact-dup membership (the
+  // dedup_exact sha256 keep-first rule) — into one grouped aggregation:
+  // a scan + two bounded shuffles (the sha256 grouping and the
+  // per-source agg), no new derivation. All emitted values are exact
+  // integers (counts, div-scaled ppm).
+  //
+  // 100 TB: |sources| ≪ |docs| (domains vs pages), so the output is
+  // dashboard-sized; the sha256 window shuffles on the content hash
+  // exactly like dedup_exact, which is the same bounded shuffle that
+  // pass already pays — a deployment computes both in one job.
+  // -------------------------------------------------------------------
+  val sourceStats: QueryDef = QueryDef(
+    build = (s, d) => {
+      val q = withQualityMetrics(docs(s, d))
+      val rk = docs(s, d)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")))
+        .select("doc_id", "rk")
+      q.join(rk, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("lang").as("n_langs"),
+          sum("n_tokens").as("tok_sum"),
+          sum((col("reasons") =!= "").cast("long")).as("n_fail"),
+          sum((col("rk") > 1).cast("long")).as("n_dup"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          expr("tok_sum div n_docs").as("tokens_per_doc"),
+          expr("n_fail * 1000000L div n_docs").as("quality_fail_ppm"),
+          expr("n_dup * 1000000L div n_docs").as("dup_ppm"))
+        .orderBy("source")
+    },
+    oracle = Some(
+      s"""WITH ${qualitySqlCtes("documents")}, dd AS (
+         |  SELECT doc_id, source, lang,
+         |         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rk
+         |  FROM documents
+         |)
+         |SELECT d.source, count(*)::BIGINT AS n_docs,
+         |       count(DISTINCT d.lang)::BIGINT AS n_langs,
+         |       (sum(q.n_tokens) // count(*))::BIGINT AS tokens_per_doc,
+         |       (sum(CASE WHEN q.reasons <> '' THEN 1 ELSE 0 END) * 1000000
+         |          // count(*))::BIGINT AS quality_fail_ppm,
+         |       (sum(CASE WHEN d.rk > 1 THEN 1 ELSE 0 END) * 1000000
+         |          // count(*))::BIGINT AS dup_ppm
+         |FROM dd d JOIN qr q USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin),
+    doc = "X4 per-source curation profile (docs, langs, tokens/doc, quality-fail + dup ppm)")
+
   val defs: Map[String, QueryDef] = Map(
     "quality_gate"     -> qualityGate,
     "vocab_topk"       -> vocabTopK,
@@ -771,6 +826,7 @@ object TextQueries {
     "text_fingerprint" -> fingerprint,
     "text_tfidf"       -> tfidf,
     "text_redact"      -> redact,
+    "source_stats"     -> sourceStats,
     "bpe_merges"       -> bpeMerges,
     "lm_score"         -> lmScore,
     "lm_calibration"   -> lmCalibration,

@@ -222,6 +222,106 @@ object VectorScaleSmoke {
       }
       probeSims.unpersist()
     }
+    // ---- PQ / ADC from the persisted packed codes: the compression
+    // tier. The scoring scan reads the 8-byte packed column — never the
+    // 512-byte double vectors: at 10⁹ vectors that is the difference
+    // between a codes table that fits in cluster memory and one that
+    // cannot. Full-scan ADC trades vector I/O for a (query × corpus)
+    // partial-sum shuffle; IVF-PQ below prunes that shuffle by probed
+    // cell — the actual serving shape.
+    locally {
+      val cb = AnnIndex.readPqCodebooks(spark, idxDir)
+      val codeRows = PqQueries.unpackCodes(
+        AnnIndex.readCodes(spark, idxDir).select(col("vec_id"), col("pq"))).persist()
+      time("unpack persisted PQ codes (map-side)")(codeRows.count())
+      val lut = PqQueries.subvectors(e.filter(col("vec_id") < N_QUERIES))
+        .join(broadcast(cb), "sub")
+        .withColumn("lut_micro",
+          expr("CAST(floor(graft_dot(sv, cv) * 1000000 + 0.5D) AS BIGINT)"))
+        .select(col("vec_id").as("query_id"), col("sub"), col("code"), col("lut_micro"))
+      val wAdc = Window.partitionBy("query_id").orderBy(col("adc_micro").desc, col("neighbor_id"))
+      val adcAll = codeRows.join(broadcast(lut), Seq("sub", "code"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(sum("lut_micro").as("adc_micro"))
+        .persist()
+      time(s"PQ ADC score ALL ${rows}×$N_QUERIES pairs (code-only scan, no vector I/O)")(adcAll.count())
+      val adcSet = adcAll.filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("rank", row_number().over(wAdc))
+        .filter(col("rank") <= K)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"[vscale] PQ ADC recall@$K vs brute force: ${adcSet.intersect(bruteSet).size.toDouble / bruteSet.size}%.2f " +
+        f"(uniform-random vectors — PQ's worst case: neighbor cosines are near-tied while " +
+        f"quantization distortion is large; stored ${rows * 8} code bytes vs ${rows * DIMS * 4L} float bytes, ${DIMS * 4 / 8}x)")
+      // the duplicate contract: an exact copy of the query scores the
+      // query's OWN code sum — its ADC rank among all 1M candidates is
+      // what PQ dedup/admission actually relies on
+      val self = adcAll.filter(col("neighbor_id") === col("query_id"))
+        .select(col("query_id"), col("adc_micro").as("self_micro"))
+      val dupRanks = adcAll.join(self, "query_id")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .groupBy("query_id")
+        .agg(sum((col("adc_micro") > col("self_micro")).cast("long")).as("n_above"))
+        .collect().map(r => r.getLong(1)).sorted
+      println(f"[vscale] ADC rank an exact duplicate would get: median ${dupRanks(dupRanks.length / 2)}, " +
+        f"max ${dupRanks.last} of $rows%,d (the dedup contract: a true copy surfaces immediately)")
+      // the production serving pattern: ADC shortlist + exact rerank —
+      // vector I/O only for the shortlist (R/N of the corpus)
+      for (r <- Seq(100, 1000)) {
+        val rr = time(s"ADC shortlist-$r + exact rerank top-$K") {
+          adcAll.filter(col("neighbor_id") =!= col("query_id"))
+            .withColumn("arank", row_number().over(wAdc))
+            .filter(col("arank") <= r)
+            .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("norm")), "neighbor_id")
+            .join(broadcast(q), "query_id")
+            .withColumn("cos_sim",
+              call_function("graft_dot", col("v"), col("qv")) / (col("norm") * col("qnorm")))
+            .withColumn("rank", row_number().over(
+              Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))))
+            .filter(col("rank") <= K)
+            .select("query_id", "neighbor_id")
+            .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+        }
+        println(f"[vscale] ADC shortlist-$r rerank recall@$K: ${rr.intersect(bruteSet).size.toDouble / bruteSet.size}%.2f " +
+          f"(vector I/O: ${r.toDouble / rows * 100}%.2f %% of corpus)")
+      }
+      adcAll.unpersist()
+      // IVF-PQ: probe-4 cells via the frozen quantizer, ADC-score only
+      // probed-cell candidates — prune bounds the shuffle, codes bound
+      // the I/O
+      val cent = AnnIndex.readCentroids(spark, idxDir)
+      val assigned = AnnIndex.readCodes(spark, idxDir).select(col("vec_id"), col("cell"))
+      val byQ = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell"))
+      val probes = e.filter(col("vec_id") < N_QUERIES).crossJoin(broadcast(cent))
+        .withColumn("csim",
+          call_function("graft_dot", col("v"), col("cv")) / (col("norm") * col("cnorm")))
+        .select(col("vec_id").as("query_id"), col("clabel").as("cell"), col("csim"))
+        .withColumn("rk", row_number().over(byQ))
+        .filter(col("rk") <= 4).select("query_id", "cell")
+      val ivfpqSet = time(s"IVF-PQ probe-4 + shortlist-1000 rerank top-$K (the full serving chain)") {
+        probes.join(assigned, "cell")
+          .filter(col("vec_id") =!= col("query_id"))
+          .select("query_id", "vec_id").dropDuplicates("query_id", "vec_id")
+          .withColumnRenamed("vec_id", "neighbor_id")
+          .join(codeRows.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+          .join(broadcast(lut), Seq("query_id", "sub", "code"))
+          .groupBy("query_id", "neighbor_id")
+          .agg(sum("lut_micro").as("adc_micro"))
+          .withColumn("arank", row_number().over(wAdc))
+          .filter(col("arank") <= 1000)
+          .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("norm")), "neighbor_id")
+          .join(broadcast(q), "query_id")
+          .withColumn("cos_sim",
+            call_function("graft_dot", col("v"), col("qv")) / (col("norm") * col("qnorm")))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))))
+          .filter(col("rank") <= K)
+          .select("query_id", "neighbor_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      println(f"[vscale] IVF-PQ probe-4 + rerank recall@$K vs brute force: ${ivfpqSet.intersect(bruteSet).size.toDouble / bruteSet.size}%.2f")
+      codeRows.unpersist()
+    }
     // ---- unsupervised quantizer at scale: the build-ONCE train cost a
     // label-less corpus pays for its IVF cells (each Lloyd iteration is
     // one broadcast-assign pass + one grouped mean over the corpus;
