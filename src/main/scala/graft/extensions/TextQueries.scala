@@ -760,6 +760,67 @@ object TextQueries {
     doc = "X4 reference-LM scoring (CCNet gate shape): train on an 80% md5 split, score held-out docs with Laplace smoothing + OOV counts")
 
   // -------------------------------------------------------------------
+  // Bigram-LM surprisal — the step from lm_score's unigram toward the
+  // KenLM-style n-gram gate CCNet actually runs: score every document
+  // by its mean CONDITIONAL surprisal −log2 p(w2 | w1), with
+  // p(w2 | w1) = c(w1,w2) / Σ_x c(w1,x) (the bigram-table marginal).
+  // Word-salad text (every unigram common, transitions random) scores
+  // high here while passing a unigram LM — the signal bigrams exist
+  // for. Docs need ≥ 2 tokens to have a bigram; shorter docs are
+  // quality_gate's business, not this one's.
+  //
+  // Scale shape: the LM is bounded by DISTINCT adjacent pairs (corpus-
+  // sublinear in natural text), the corpus-sized work is one explode +
+  // one join on the bigram key — the tf-idf/lm_score shape. Surprisal
+  // is micro-BIGINT per bigram TYPE before any aggregation (order-free
+  // doc sums; log2 of a ratio of exact BIGINTs is the same IEEE
+  // operation in both engines, the lm_score precedent).
+  // -------------------------------------------------------------------
+  val lmBigram: QueryDef = QueryDef(
+    build = (s, d) => {
+      val bg = docs(s, d).select(col("doc_id"), expr(toksExpr).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> struct(toks[i - 1] AS w1, toks[i] AS w2))")).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .persist() // session-scoped memo (QueryDef cache contract)
+      val counts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      val lm = counts
+        .join(counts.groupBy("w1").agg(sum("cnt").as("c1")), "w1")
+        .withColumn("surprisal_micro", expr(
+          "CAST(floor(log2(CAST(c1 AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000000 + 0.5D) AS BIGINT)"))
+        .select("w1", "w2", "surprisal_micro")
+      bg.join(lm, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("surprisal_micro").as("sum_log2_micro"))
+        .withColumn("mean_log2_micro", expr("sum_log2_micro DIV n_bigrams"))
+        .select("doc_id", "n_bigrams", "sum_log2_micro", "mean_log2_micro")
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), bg AS (
+         |  SELECT doc_id, toks[i.i] AS w1, toks[i.i + 1] AS w2
+         |  FROM t, LATERAL unnest(range(1, len(toks))) AS i(i)
+         |  WHERE len(toks) >= 2
+         |), c AS (
+         |  SELECT w1, w2, count(*)::BIGINT AS cnt FROM bg GROUP BY 1, 2
+         |), m AS (
+         |  SELECT w1, sum(cnt)::BIGINT AS c1 FROM c GROUP BY 1
+         |), lm AS (
+         |  SELECT c.w1, c.w2,
+         |         CAST(floor(log2(c1::DOUBLE / cnt::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS surprisal_micro
+         |  FROM c JOIN m USING (w1)
+         |)
+         |SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+         |       sum(surprisal_micro)::BIGINT AS sum_log2_micro,
+         |       (sum(surprisal_micro) // count(*))::BIGINT AS mean_log2_micro
+         |FROM bg b JOIN lm USING (w1, w2)
+         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin),
+    doc = "X4 bigram-LM conditional surprisal (word-salad detector; the n-gram step toward the KenLM gate)")
+
+  // -------------------------------------------------------------------
   // Per-source curation profile — the CCNet/RefinedWeb move of making
   // keep/drop/reweight decisions at SOURCE granularity (a domain, a
   // dump, a crawl segment), not per document: a source whose documents
@@ -827,6 +888,7 @@ object TextQueries {
     "text_tfidf"       -> tfidf,
     "text_redact"      -> redact,
     "source_stats"     -> sourceStats,
+    "lm_bigram"        -> lmBigram,
     "bpe_merges"       -> bpeMerges,
     "lm_score"         -> lmScore,
     "lm_calibration"   -> lmCalibration,
