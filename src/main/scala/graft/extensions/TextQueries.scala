@@ -760,6 +760,89 @@ object TextQueries {
     doc = "X4 reference-LM scoring (CCNet gate shape): train on an 80% md5 split, score held-out docs with Laplace smoothing + OOV counts")
 
   // -------------------------------------------------------------------
+  // BPE merge APPLICATION — the other half of the tokenizer story:
+  // bpe_merges learns the ranked pair table; this query applies the top
+  // ENC_MERGES merges to the corpus and reports what the tokenizer
+  // training actually buys — per-document symbol counts before/after
+  // and the compression ppm. Each merge is a leftmost non-overlapping
+  // replace of the raw 2-char pair with a private-use-area placeholder
+  // (one per rank), applied in rank order — the first BPE iteration
+  // over the character alphabet, exactly reproducible in SQL (replace()
+  // has identical leftmost non-overlap semantics in both engines; the
+  // oracle runs the rank-ordered chain as a recursive CTE joined to the
+  // merge table, the Spark side folds the collected 8-row merge list —
+  // bounded metadata, the kmeans discipline).
+  //
+  // Scale shape: merges apply to the DISTINCT-WORD table (vocabulary-
+  // bounded, like bpe_merges itself); the corpus-sized work is the
+  // token explode + one join on the word key — the tf-idf shape.
+  // -------------------------------------------------------------------
+  private val ENC_MERGES = 8
+
+  val bpeEncode: QueryDef = QueryDef(
+    build = (s, d) => {
+      val words = docs(s, d)
+        .select(explode(expr(toksExpr)).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("wcnt"))
+        .persist() // session-scoped memo (QueryDef cache contract)
+      val merges = words
+        .filter(length(col("word")) >= 2)
+        .select(col("wcnt"),
+          explode(expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).as("pair"))
+        .groupBy("pair").agg(sum("wcnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(ENC_MERGES)
+        .collect() // bounded: ENC_MERGES rows (TakeOrdered)
+        .map(_.getString(0))
+      val fin = merges.zipWithIndex.foldLeft(words.withColumn("cur", col("word"))) {
+        case (df, (pair, i)) =>
+          // lit() keeps pair text out of SQL-string escaping entirely
+          df.withColumn("cur", call_function("replace",
+            col("cur"), lit(pair), lit((57345 + i).toChar.toString)))
+      }.select(col("word"), length(col("word")).cast("long").as("n_before"),
+        length(col("cur")).cast("long").as("n_after"))
+      docs(s, d).select(col("doc_id"), explode(expr(toksExpr)).as("word"))
+        .join(fin, "word")
+        .groupBy("doc_id")
+        .agg(sum("n_before").as("symbols_before"), sum("n_after").as("symbols_after"))
+        .select(col("doc_id"), col("symbols_before"), col("symbols_after"),
+          expr("symbols_after * 1000000L div symbols_before").as("compression_ppm"))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH RECURSIVE w AS (
+         |  SELECT u.t AS word, count(*)::BIGINT AS wcnt
+         |  FROM (SELECT $toksSql AS toks FROM documents) d, unnest(d.toks) AS u(t)
+         |  GROUP BY u.t
+         |), p AS (
+         |  SELECT substring(word, i.i, 2) AS pair, sum(wcnt)::BIGINT AS cnt
+         |  FROM w, LATERAL unnest(range(1, length(word))) AS i(i)
+         |  WHERE length(word) >= 2
+         |  GROUP BY 1
+         |), mg AS (
+         |  SELECT pair, chr(57344 + rank::INT) AS ph, rank FROM (
+         |    SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS rank
+         |    FROM p ORDER BY cnt DESC, pair LIMIT $ENC_MERGES)
+         |), st AS (
+         |  SELECT word, word AS cur, 0 AS step FROM w
+         |  UNION ALL
+         |  SELECT st.word, replace(st.cur, mg.pair, mg.ph) AS cur, st.step + 1
+         |  FROM st JOIN mg ON mg.rank = st.step + 1
+         |  WHERE st.step < $ENC_MERGES
+         |), fin AS (
+         |  SELECT word, length(word)::BIGINT AS n_before, length(cur)::BIGINT AS n_after
+         |  FROM st WHERE step = $ENC_MERGES
+         |), tok AS (
+         |  SELECT doc_id, u.t AS word
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents) d, unnest(d.toks) AS u(t)
+         |)
+         |SELECT t.doc_id, sum(f.n_before)::BIGINT AS symbols_before,
+         |       sum(f.n_after)::BIGINT AS symbols_after,
+         |       (sum(f.n_after) * 1000000 // sum(f.n_before))::BIGINT AS compression_ppm
+         |FROM tok t JOIN fin f USING (word)
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
+    doc = "X4 BPE merge application: top-8 learned merges applied, per-doc symbol compression")
+
+  // -------------------------------------------------------------------
   // Bigram-LM surprisal — the step from lm_score's unigram toward the
   // KenLM-style n-gram gate CCNet actually runs: score every document
   // by its mean CONDITIONAL surprisal −log2 p(w2 | w1), with
@@ -889,6 +972,7 @@ object TextQueries {
     "text_redact"      -> redact,
     "source_stats"     -> sourceStats,
     "lm_bigram"        -> lmBigram,
+    "bpe_encode"       -> bpeEncode,
     "bpe_merges"       -> bpeMerges,
     "lm_score"         -> lmScore,
     "lm_calibration"   -> lmCalibration,
