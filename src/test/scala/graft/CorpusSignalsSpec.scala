@@ -161,4 +161,91 @@ class CorpusSignalsSpec extends SparkSpec {
       assert(th === math.floor((1.0 - q * q * q * q) * 1e6 + 0.5).toLong, s"band $band theory_ppm")
     }
   }
+
+  // ---------------------------------------------------------------
+  // lm_bigram: same unigram profile, different transition structure —
+  // the word-salad case a unigram LM cannot distinguish.
+  // ---------------------------------------------------------------
+  private val bgDir: String = {
+    val d = tmpDir("graft-bg")
+    val rows = Seq(
+      mk(0L, "x y x y x y x y"),  // deterministic transitions
+      mk(1L, "x x y y x y y x")) // same unigrams, salad transitions
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("lm_bigram: salad transitions score above structured ones at equal unigram profile") {
+    val got = SparkEntry.queries("lm_bigram")(spark, bgDir).collect().toSeq
+      .map { case Row(id: Long, n: Long, sum: Long, mean: Long) => (id, (n, sum, mean)) }
+      .toMap
+    // both docs have 7 bigrams; unigram counts are identical (8 x, 8 y)
+    assert(got(0L)._1 === 7L)
+    assert(got(1L)._1 === 7L)
+    assert(got(1L)._3 > got(0L)._3,
+      "the word-salad doc must carry higher conditional surprisal")
+    got.values.foreach { case (n, sum, mean) => assert(mean === sum / n) }
+    // independent arithmetic: corpus bigram counts (x,y)=6 (y,x)=5
+    // (x,x)=1 (y,y)=2, both marginals 7 → doc 0 sum =
+    // 4·log2(7/6) + 3·log2(7/5) micro-rounded per TYPE then summed
+    def m(num: Long, den: Long): Long =
+      math.floor(math.log(num.toDouble / den.toDouble) / math.log(2.0) * 1e6 + 0.5).toLong
+    assert(got(0L)._2 === 4L * m(7, 6) + 3L * m(7, 5))
+    assert(got(1L)._2 === m(7, 1) + 2L * m(7, 6) + 2L * m(7, 2) + 2L * m(7, 5))
+  }
+
+  // ---------------------------------------------------------------
+  // bpe_encode: hand-exact merge application on a constructed corpus.
+  // ---------------------------------------------------------------
+  private val beDir: String = {
+    val d = tmpDir("graft-be")
+    val rows = Seq(
+      mk(0L, "abab abab cd"),
+      mk(1L, "cd cd"))
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("bpe_encode: learned merges compress exactly as hand-applied") {
+    // pair counts (word-frequency weighted): ab=4, ba=2, cd=3 →
+    // merge ranks: ab(1), cd(2), ba(3). abab → two ab-placeholders
+    // (ba never survives ab's earlier replace), cd → one placeholder.
+    val got = SparkEntry.queries("bpe_encode")(spark, beDir).collect().toSeq
+      .map { case Row(id: Long, b: Long, a: Long, ppm: Long) => (id, (b, a, ppm)) }
+      .toMap
+    assert(got(0L) === ((10L, 5L, 500000L))) // 4+4+2 → 2+2+1
+    assert(got(1L) === ((4L, 2L, 500000L)))  // 2+2 → 1+1
+  }
+
+  // ---------------------------------------------------------------
+  // source_stats: per-source exact counts on a constructed corpus.
+  // ---------------------------------------------------------------
+  private val ssDir: String = {
+    val d = tmpDir("graft-ss")
+    val longText = (0 until 40).map(i => s"w$i").mkString(" ") // passes every gate
+    val rows = Seq(
+      (0L, longText, "en", "srcA", longText.length.toLong),
+      (1L, longText, "en", "srcA", longText.length.toLong),   // exact dup of 0
+      (2L, "tiny doc", "de", "srcA", 8L),                     // short → quality fail
+      (3L, longText + " tail", "en", "srcB", 5L))
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("source_stats: dup and quality-fail attribution per source is exact") {
+    val got = SparkEntry.queries("source_stats")(spark, ssDir).collect().toSeq
+      .map { case Row(src: String, nd: Long, nl: Long, tpd: Long, qf: Long, dp: Long) =>
+        (src, (nd, nl, tpd, qf, dp)) }
+      .toMap
+    // srcA: 3 docs, 2 langs, 1 short fail (333333 ppm), 1 dup non-keeper
+    assert(got("srcA") === ((3L, 2L, (40L + 40L + 2L) / 3L, 333333L, 333333L)))
+    // srcB: 1 doc, clean
+    assert(got("srcB") === ((1L, 1L, 41L, 0L, 0L)))
+  }
 }
