@@ -52,6 +52,8 @@ object PlanAudit {
     "lm_crossval" -> ("broadcast-nested-loop-join", "broadcast side = single-row T+V denominator"),
     "mixture_sample" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus count"),
     "vocab_topk" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus total"),
+    "topic_mixture" -> ("broadcast-nested-loop-join", "broadcast sides = single-row mixture totals + k-means centroids (bounded by k)"),
+    "shard_manifest" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus token total"),
     "pq_recall" -> ("broadcast-nested-loop-join", "broadcast side = fixed query set (bounded constant, the truth leg)"),
     "sim_ivfpq" -> ("broadcast-nested-loop-join", "broadcast side = k-means centroids (bounded by k, the probe leg)"),
   )

@@ -53,7 +53,9 @@ private[extensions] object ArtifactSwap {
     f.delete(tmp, true)
     f.delete(old, true)
     write(tmp.toString)
-    f.rename(live, old)
+    // a FIRST write has no live copy to retire (ShardExport's initial
+    // export); RawLocalFileSystem.rename throws on a missing source
+    if (f.exists(live)) f.rename(live, old)
     f.rename(tmp, live)
     f.delete(old, true)
     TsdbStorage.markStatsInSync(spark, dir)

@@ -138,6 +138,98 @@ object DedupQueries {
     doc = "X1 exact dedup (sha256 groupBy)")
 
   // -------------------------------------------------------------------
+  // X1c batch-vs-corpus exact dedup with a Bloom-filter runtime prune —
+  // the INCREMENTAL form of dedup_exact: a small arriving batch asks
+  // "which of my documents already exist in the 100 TB owned corpus?".
+  // The naive plan shuffles the whole corpus on content hash to meet a
+  // batch a millionth its size. Instead the BATCH side (the small side)
+  // builds an m-bit Bloom filter of its content hashes — one bounded
+  // aggregation, collected as m/64 longs of driver metadata (8 KB at
+  // the default m) — and the corpus scan applies the membership test as
+  // a pure codegen'd literal-array expression, MAP-SIDE: only corpus
+  // rows whose hash might be in the batch reach the verification join.
+  // This is the runtime-filter shape Spark's own optimizer injects for
+  // selective joins, made explicit so the small side is always the
+  // batch regardless of what statistics the planner sees.
+  //
+  // Bloom false positives only admit extra rows into the exact
+  // verification join — the final verdicts are IDENTICAL to the
+  // unfiltered join (no false negatives by construction), so the query
+  // is fully hash-gated against a plain-join oracle; the filter's
+  // internals never need cross-engine reproduction. Sizing: k = 3
+  // hashes, m = 2^16 bits ⇒ ~1 % false positives at 5 k batch docs; at
+  // scale m grows with the batch (the batch stays the small side — the
+  // corpus never influences filter size).
+  //
+  // The batch is the doc_id % 20 = 7 slice re-keyed, with every second
+  // batch doc's text mutated — so both verdict branches (duplicate of a
+  // corpus doc / genuinely new) are exercised at every SF.
+  // -------------------------------------------------------------------
+  private val BLOOM_BITS = 1L << 16
+  private val BLOOM_HASHES = 3
+  private val BLOOM_OFFSET = 4000000L
+
+  /** Bloom bit array (m/64 longs) of a frame's `h` column — one bounded
+    * aggregation, collected to the driver (8 KB at the default m). */
+  private[graft] def bloomArray(df: DataFrame): Array[Long] = {
+    val words = df
+      .select(explode(expr(
+        s"transform(sequence(0, ${BLOOM_HASHES - 1}), i -> xxhash64(h, i))")).as("hv"))
+      .select(pmod(col("hv"), lit(BLOOM_BITS)).as("pos"))
+      .select(shiftright(col("pos").cast("int"), 6).as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("bits"))
+      .collect() // bounded: ≤ m/64 rows (1024 at the default m)
+    val arr = new Array[Long]((BLOOM_BITS / 64).toInt)
+    words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  /** The map-side membership test: k literal-array probes, codegen'd —
+    * no UDF, no join, no shuffle. */
+  private[graft] def bloomMightContain(arr: Array[Long], h: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val b = typedlit(arr.toSeq)
+    (0 until BLOOM_HASHES).map { i =>
+      val pos = pmod(xxhash64(h, lit(i)), lit(BLOOM_BITS))
+      element_at(b, shiftright(pos.cast("int"), 6) + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), pmod(pos, lit(64L)).cast("int"))) =!= 0L
+    }.reduce(_ && _)
+  }
+
+  val bloomDedup: QueryDef = QueryDef(
+    build = (s, d) => {
+      val batchH = docs(s, d).filter(col("doc_id") % 20 === 7)
+        .select((col("doc_id") + BLOOM_OFFSET).as("batch_id"),
+          when(expr("(doc_id div 20) % 2 = 1"),
+            concat(col("text"), lit(" #"), col("doc_id")))
+            .otherwise(col("text")).as("text"))
+        .select(col("batch_id"), sha2(col("text"), 256).as("h"))
+      val bloom = bloomArray(batchH)
+      val hits = docs(s, d)
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        .filter(bloomMightContain(bloom, col("h"))) // map-side corpus prune
+        .groupBy("h").agg(min("doc_id").as("dup_of"))
+      batchH.join(broadcast(hits), Seq("h"), "left")
+        .select(col("batch_id"),
+          when(col("dup_of").isNull, lit("new")).otherwise(lit("dup")).as("verdict"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+        .orderBy("batch_id")
+    },
+    oracle = Some(
+      s"""WITH b AS (
+         |  SELECT doc_id + $BLOOM_OFFSET AS batch_id,
+         |         CASE WHEN (doc_id // 20) % 2 = 1 THEN text || ' #' || doc_id
+         |              ELSE text END AS text
+         |  FROM documents WHERE doc_id % 20 = 7
+         |), bh AS (SELECT batch_id, sha256(text) AS h FROM b),
+         |ch AS (SELECT sha256(text) AS h, min(doc_id) AS dup_of FROM documents GROUP BY 1)
+         |SELECT bh.batch_id,
+         |       CASE WHEN ch.dup_of IS NULL THEN 'new' ELSE 'dup' END AS verdict,
+         |       coalesce(ch.dup_of, -1) AS dup_of
+         |FROM bh LEFT JOIN ch USING (h) ORDER BY batch_id""".stripMargin),
+    doc = "X1 incremental exact dedup: batch-side Bloom filter prunes the corpus scan map-side; verdicts identical to the exact join")
+
+  // -------------------------------------------------------------------
   // X2a MinHash + LSH over 3-gram shingles. 8 md5-keyed min-hashes,
   // 4 bands × 2 rows → LSH threshold (1/4)^(1/2) = 0.5. Candidates =
   // pairs sharing ≥1 band bucket; survivors verified with exact Jaccard.
@@ -1005,6 +1097,7 @@ object DedupQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "dedup_exact"     -> exact,
+    "dedup_bloom"     -> bloomDedup,
     "dedup_minhash"   -> minhash,
     "dedup_simhash"   -> simhash,
     "dedup_ngram"     -> ngramJaccard,

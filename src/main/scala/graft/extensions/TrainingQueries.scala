@@ -425,6 +425,123 @@ object TrainingQueries {
         |FROM g CROSS JOIN tot ORDER BY lang""".stripMargin),
     doc = "training: temperature-scaled (T=2) language mixture weights — the source of mixture_sample's targets")
 
+  // -------------------------------------------------------------------
+  // Topic-balanced mixture weights: mixture_temperature's recipe applied
+  // to UNLABELED data — the quantizer's k-means cells stand in for the
+  // missing language/domain labels (the data-curation move when the
+  // corpus has no metadata: cluster, then temperature-rebalance the
+  // clusters so no topic dominates pretraining). Cells ride the same
+  // resolve rule as sim_ivf_kmeans/dedup_semantic (certified kmeans
+  // AnnIndex, else the memoized deterministic quantizer), so the weights
+  // describe exactly the bucketing the serving paths use. Same integer
+  // discipline as mixture_temperature: T = 2 ⇒ exact IEEE sqrt, scaled
+  // masses rounded to micro-int ONCE, then integer normalization only.
+  //
+  // 100 TB shape: one map-side cell assignment (broadcast centroids) +
+  // one k-row groupBy; the weights table is k rows — the downstream
+  // sampler joins it broadcast exactly like mixture_sample's rates.
+  // -------------------------------------------------------------------
+  val topicMixture: QueryDef = QueryDef(
+    build = (s, d) => {
+      val raw = s.read.parquet(s"$d/embeddings.parquet")
+      val e = SimilarityQueries.prep(s, raw)
+      val assigned = AnnIndex.resolveFor(s, e)
+        .filter(SimilarityQueries.defaultKmeans(s, _)) match {
+        case Some(dir) => AnnIndex.readCodes(s, dir).select(col("vec_id"), col("cell"))
+        case None =>
+          val c = SimilarityQueries.kmeansCentroids(s, raw.drop("label"))
+          SimilarityQueries.assignCells(e, c)
+      }
+      val g = assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+        .withColumn("s_micro", expr(
+          "CAST(floor(sqrt(CAST(n_vecs AS DOUBLE)) * 1000000 + 0.5D) AS BIGINT)"))
+      g.crossJoin(broadcast(
+          g.agg(sum("s_micro").as("s_tot"), sum("n_vecs").as("n_tot"))))
+        .withColumn("flat_ppm", expr("n_vecs * 1000000 DIV n_tot"))
+        .withColumn("temp_ppm", expr("s_micro * 1000000 DIV s_tot"))
+        .withColumn("boost_pm", expr("temp_ppm * 1000 DIV greatest(flat_ppm, 1)"))
+        .select("cell", "n_vecs", "flat_ppm", "temp_ppm", "boost_pm")
+        .orderBy("cell")
+    },
+    oracle = Some(
+      s"""${SimilarityQueries.kmeansOracleCtes(SimilarityQueries.KMEANS_K, SimilarityQueries.KMEANS_ITERS)}, sims AS (
+         |  SELECT e.vec_id, c.clabel,
+         |         round(list_dot_product(e.v, c.cv) / (e.norm * c.cnorm), 6) AS csim
+         |  FROM e CROSS JOIN c${SimilarityQueries.KMEANS_ITERS} c
+         |), assigned AS (
+         |  SELECT vec_id, clabel AS cell FROM (
+         |    SELECT vec_id, clabel,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, clabel) AS rk
+         |    FROM sims) WHERE rk = 1
+         |), g AS (
+         |  SELECT cell, count(*)::BIGINT AS n_vecs,
+         |         CAST(floor(sqrt(count(*)::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS s_micro
+         |  FROM assigned GROUP BY cell
+         |), tot AS (
+         |  SELECT sum(s_micro)::BIGINT AS s_tot, sum(n_vecs)::BIGINT AS n_tot FROM g
+         |)
+         |SELECT cell, n_vecs,
+         |       n_vecs * 1000000 // n_tot AS flat_ppm,
+         |       s_micro * 1000000 // s_tot AS temp_ppm,
+         |       (s_micro * 1000000 // s_tot) * 1000 // greatest(n_vecs * 1000000 // n_tot, 1) AS boost_pm
+         |FROM g CROSS JOIN tot ORDER BY cell""".stripMargin),
+    doc = "training: temperature-scaled (T=2) topic mixture weights over the k-means cells — mixture rebalancing for unlabeled corpora")
+
+  // -------------------------------------------------------------------
+  // Shard manifest: the export "last mile". Documents hash-assign to
+  // N_SHARDS training shards (content-independent md5 bucket — any
+  // worker computes the same assignment, appends never reshuffle old
+  // shards), and the manifest is what the loader reads before the
+  // first byte of data: per-shard doc/token/char totals, id range, and
+  // the skew indicator (shard tokens vs perfectly-balanced share, in
+  // permille — 1000 = exact balance). Token counts ride the shared
+  // [[DedupQueries.docTokenCounts]] denominator (TextIndex-served when
+  // a certified index exists, the shared tokenizer otherwise).
+  //
+  // 100 TB shape: one map-side shard assignment + one N_SHARDS-row
+  // groupBy; no corpus-sized shuffle. [[ShardExport]] writes the
+  // corresponding parquet layout with the SAME shard expression, so
+  // this manifest describes exactly what the exporter ships.
+  // -------------------------------------------------------------------
+  private[extensions] val N_SHARDS = 16L
+  /** The shard assignment — shared with [[ShardExport]] verbatim. */
+  private[extensions] val shardExpr =
+    s"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % $N_SHARDS"
+  private val shardSql =
+    s"('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % $N_SHARDS"
+
+  val shardManifest: QueryDef = QueryDef(
+    build = (s, d) => {
+      val g = docs(s, d).select(col("doc_id"), col("n_chars"))
+        .join(DedupQueries.docTokenCounts(s, d), "doc_id")
+        .withColumn("shard", expr(shardExpr))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+          sum("n_chars").as("n_chars"),
+          min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+      g.crossJoin(broadcast(g.agg(sum("n_tokens").as("t_tot"))))
+        .withColumn("skew_pm", expr(s"n_tokens * 1000 * $N_SHARDS DIV greatest(t_tot, 1)"))
+        .select("shard", "n_docs", "n_tokens", "n_chars",
+          "min_doc_id", "max_doc_id", "skew_pm")
+        .orderBy("shard")
+    },
+    oracle = Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars,
+         |         len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT AS n_toks,
+         |         $shardSql AS shard
+         |  FROM documents
+         |), g AS (
+         |  SELECT shard, count(*)::BIGINT AS n_docs, sum(n_toks)::BIGINT AS n_tokens,
+         |         sum(n_chars)::BIGINT AS n_chars,
+         |         min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+         |  FROM t GROUP BY shard
+         |), tot AS (SELECT sum(n_tokens)::BIGINT AS t_tot FROM g)
+         |SELECT shard, n_docs, n_tokens, n_chars, min_doc_id, max_doc_id,
+         |       n_tokens * 1000 * $N_SHARDS // greatest(t_tot, 1) AS skew_pm
+         |FROM g CROSS JOIN tot ORDER BY shard""".stripMargin),
+    doc = "training: hash-assigned shard manifest (per-shard doc/token totals + balance skew) — what ShardExport ships")
+
   val defs: Map[String, QueryDef] = Map(
     "mixture_sample"    -> mixtureSample,
     "mixture_temperature" -> mixtureTemperature,
@@ -435,5 +552,7 @@ object TrainingQueries {
     "decontaminate"     -> decontaminate,
     "decontaminate_spans" -> decontaminateSpans,
     "pack_batches"      -> packBatches,
+    "topic_mixture"     -> topicMixture,
+    "shard_manifest"    -> shardManifest,
   )
 }

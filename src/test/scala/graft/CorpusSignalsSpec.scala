@@ -71,6 +71,31 @@ class CorpusSignalsSpec extends SparkSpec {
     ))
   }
 
+  test("topic_mixture: cell occupancies match ivf_cell_stats; weights satisfy their integer arithmetic") {
+    val tm = SparkEntry.queries("topic_mixture")(spark, sfDir).collect().toSeq
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val cs = SparkEntry.queries("ivf_cell_stats")(spark, sfDir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(tm.view.mapValues(_._1).toMap === cs,
+      "the mixture must weight exactly the cells the quantizer serves")
+    val nTot = tm.values.map(_._1).sum
+    val sMicro = tm.map { case (c, (n, _, _, _)) =>
+      c -> math.floor(math.sqrt(n.toDouble) * 1e6 + 0.5).toLong }
+    val sTot = sMicro.values.sum
+    tm.foreach { case (c, (n, f, t, b)) =>
+      assert(f === n * 1000000L / nTot, s"cell $c flat_ppm")
+      assert(t === sMicro(c) * 1000000L / sTot, s"cell $c temp_ppm")
+      assert(b === t * 1000L / math.max(f, 1L), s"cell $c boost_pm")
+      // temperature flattens: small cells never boosted below flat share order
+    }
+    // T=2 up-weights below-average cells, down-weights above-average ones
+    val avg = nTot / tm.size
+    tm.foreach { case (c, (n, _, _, b)) =>
+      if (n < avg / 2) assert(b > 1000L, s"small cell $c must be up-weighted, got $b")
+      if (n > avg * 2) assert(b < 1000L, s"large cell $c must be down-weighted, got $b")
+    }
+  }
+
   test("lm_calibration: 9 deciles per language, cuts non-decreasing") {
     val rows = SparkEntry.queries("lm_calibration")(spark, sfDir).collect().toSeq
       .map { case Row(l: String, dec: Long, _, cut: Long) => (l, dec, cut) }

@@ -40,6 +40,48 @@ class LshSpec extends SparkSpec {
     assert(overlap > 0, "the two near-dup detectors must agree on planted dups")
   }
 
+  test("bloom-pruned incremental dedup verdicts equal the unfiltered exact join") {
+    val got = DedupQueries.bloomDedup.build(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    // the reference: the same batch derivation, NO bloom prune — the
+    // whole corpus meets the batch in a plain join
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val batch = corpus.filter(col("doc_id") % 20 === 7)
+      .select((col("doc_id") + 4000000L).as("batch_id"),
+        when(expr("(doc_id div 20) % 2 = 1"),
+          concat(col("text"), lit(" #"), col("doc_id")))
+          .otherwise(col("text")).as("text"))
+      .select(col("batch_id"), sha2(col("text"), 256).as("h"))
+    val hits = corpus.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .groupBy("h").agg(min("doc_id").as("dup_of"))
+    val want = batch.join(hits, Seq("h"), "left")
+      .select(col("batch_id"),
+        when(col("dup_of").isNull, lit("new")).otherwise(lit("dup")).as("verdict"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+      .orderBy("batch_id").collect().map(_.toSeq).toSeq
+    assert(got === want, "bloom false positives must never change a verdict")
+    // both branches exercised
+    val verdicts = got.map(_(1)).toSet
+    assert(verdicts === Set("dup", "new"))
+  }
+
+  test("bloom prune admits every batch hash and rejects most of the corpus") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val batchH = corpus.filter(col("doc_id") % 20 === 7).select("h")
+    val bloom = DedupQueries.bloomArray(batchH)
+    // no false negatives: every hash that went in tests positive
+    assert(batchH.filter(!DedupQueries.bloomMightContain(bloom, col("h"))).isEmpty,
+      "a bloom filter must contain everything inserted into it")
+    // the prune is real: survivors ≈ batch-sized, far below the corpus
+    val total = corpus.count()
+    val survivors = corpus.filter(DedupQueries.bloomMightContain(bloom, col("h"))).count()
+    val batchN = batchH.count()
+    assert(survivors < total / 2,
+      s"prune must reject most of the corpus: $survivors of $total survived")
+    assert(survivors >= batchN, "survivors include at least the true members")
+  }
+
   test("exact dedup keeps exactly one representative per content hash") {
     val res = DedupQueries.exact.build(spark, sfDir)
     assert(res.filter(col("dup_cnt") =!= 2).count() === 0L,
