@@ -143,11 +143,14 @@ object DedupQueries {
   // "which of my documents already exist in the 100 TB owned corpus?".
   // The naive plan shuffles the whole corpus on content hash to meet a
   // batch a millionth its size. Instead the BATCH side (the small side)
-  // builds an m-bit Bloom filter of its content hashes — one bounded
+  // builds an m-bit Bloom filter of its documents — one bounded
   // aggregation, collected as m/64 longs of driver metadata (8 KB at
   // the default m) — and the corpus scan applies the membership test as
   // a pure codegen'd literal-array expression, MAP-SIDE: only corpus
-  // rows whose hash might be in the batch reach the verification join.
+  // rows whose text might be in the batch reach the verification join.
+  // The filter keys on xxhash64 of the RAW text, so the corpus scan
+  // pays three cheap hashes per row and the cryptographic content hash
+  // runs only on prune survivors.
   // This is the runtime-filter shape Spark's own optimizer injects for
   // selective joins, made explicit so the small side is always the
   // batch regardless of what statistics the planner sees.
@@ -169,12 +172,15 @@ object DedupQueries {
   private val BLOOM_HASHES = 3
   private val BLOOM_OFFSET = 4000000L
 
-  /** Bloom bit array (m/64 longs) of a frame's `h` column — one bounded
-    * aggregation, collected to the driver (8 KB at the default m). */
-  private[graft] def bloomArray(df: DataFrame): Array[Long] = {
+  /** Bloom bit array (m/64 longs) over a frame's `key` column — one
+    * bounded aggregation, collected to the driver (8 KB at the default
+    * m). The key is hashed with xxhash64 directly — for text dedup that
+    * means the SCAN-side probes never pay a cryptographic hash: sha256
+    * is computed only for prune survivors, at any corpus size. */
+  private[graft] def bloomArray(df: DataFrame, key: String = "h"): Array[Long] = {
     val words = df
       .select(explode(expr(
-        s"transform(sequence(0, ${BLOOM_HASHES - 1}), i -> xxhash64(h, i))")).as("hv"))
+        s"transform(sequence(0, ${BLOOM_HASHES - 1}), i -> xxhash64($key, i))")).as("hv"))
       .select(pmod(col("hv"), lit(BLOOM_BITS)).as("pos"))
       .select(shiftright(col("pos").cast("int"), 6).as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("m"))
@@ -198,16 +204,18 @@ object DedupQueries {
 
   val bloomDedup: QueryDef = QueryDef(
     build = (s, d) => {
-      val batchH = docs(s, d).filter(col("doc_id") % 20 === 7)
+      val batchT = docs(s, d).filter(col("doc_id") % 20 === 7)
         .select((col("doc_id") + BLOOM_OFFSET).as("batch_id"),
           when(expr("(doc_id div 20) % 2 = 1"),
             concat(col("text"), lit(" #"), col("doc_id")))
             .otherwise(col("text")).as("text"))
-        .select(col("batch_id"), sha2(col("text"), 256).as("h"))
-      val bloom = bloomArray(batchH)
+      val batchH = batchT.select(col("batch_id"), sha2(col("text"), 256).as("h"))
+      // keyed on the RAW text: the corpus-scan probes pay 3 xxhash64
+      // calls per row, and sha256 only runs on prune survivors
+      val bloom = bloomArray(batchT, "text")
       val hits = docs(s, d)
+        .filter(bloomMightContain(bloom, col("text"))) // map-side corpus prune
         .select(col("doc_id"), sha2(col("text"), 256).as("h"))
-        .filter(bloomMightContain(bloom, col("h"))) // map-side corpus prune
         .groupBy("h").agg(min("doc_id").as("dup_of"))
       batchH.join(broadcast(hits), Seq("h"), "left")
         .select(col("batch_id"),
