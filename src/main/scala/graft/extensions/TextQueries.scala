@@ -958,8 +958,68 @@ object TextQueries {
          |GROUP BY d.source ORDER BY d.source""".stripMargin),
     doc = "X4 per-source curation profile (docs, langs, tokens/doc, quality-fail + dup ppm)")
 
+  // -------------------------------------------------------------------
+  // X4/X3 bridge: deterministic feature-hash document embeddings — the
+  // hashing-trick bag-of-words (Weinberger et al. 2009): every token
+  // hashes to one of D dimensions with a ±1 sign, a document's vector
+  // is the signed count per dimension. This is the embedding you get
+  // when the corpus ships with NO model-produced vectors — it feeds the
+  // same cosine machinery (dedup_embed, sim_*, topic_mixture) because
+  // E[cos(hash(a), hash(b))] tracks the bag-of-words cosine. md5-derived
+  // dim + sign so the oracle replays it bit-for-bit; outputs are signed
+  // BIGINT counts + an integer micro-norm — nothing rounded twice.
+  //
+  // 100 TB shape: one token explode (∝ corpus tokens) feeding ONE
+  // doc-keyed shuffle of D conditional partial sums — the per-partition
+  // combine collapses each document's tokens to a single D-column row
+  // before the exchange. No (doc, dim) intermediate shuffle, no join.
+  // -------------------------------------------------------------------
+  private val EMBED_D = 16
+
+  val docEmbed: QueryDef = QueryDef(
+    build = (s, d) => {
+      val ex = docs(s, d)
+        .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
+        .select(col("doc_id"),
+          expr(s"CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % $EMBED_D").as("dim"),
+          expr("CASE WHEN CAST(conv(substring(md5(tok), 9, 1), 16, 10) AS BIGINT) % 2 = 0 " +
+            "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END").as("sgn"))
+      val sums = (0 until EMBED_D).map(i =>
+        sum(when(col("dim") === i, col("sgn")).otherwise(0L)).as(s"v$i"))
+      ex.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"),
+          array((0 until EMBED_D).map(i => col(s"v$i")): _*).as("vec"))
+        .select(col("doc_id"), col("vec"),
+          expr("CAST(size(filter(vec, x -> x != 0)) AS BIGINT)").as("nnz"),
+          expr("CAST(floor(sqrt(CAST(aggregate(vec, CAST(0 AS BIGINT), (a, x) -> a + x * x) AS DOUBLE)) * 1000000 + 0.5D) AS BIGINT)").as("norm_micro"))
+        .orderBy("doc_id")
+    },
+    oracle = Some {
+      val terms = (0 until EMBED_D).map(i =>
+        s"sum(CASE WHEN dim = $i THEN sgn ELSE 0 END)::BIGINT").mkString(", ")
+      s"""WITH tk AS (
+         |  SELECT doc_id, u.tok FROM (
+         |    SELECT doc_id, $toksSql AS ts FROM documents
+         |  ), unnest(ts) AS u(tok)
+         |), hx AS (
+         |  SELECT doc_id,
+         |         ('0x' || substring(md5(tok), 1, 8))::BIGINT % $EMBED_D AS dim,
+         |         CASE WHEN ('0x' || substring(md5(tok), 9, 1))::BIGINT % 2 = 0
+         |              THEN 1 ELSE -1 END AS sgn
+         |  FROM tk
+         |), vecs AS (
+         |  SELECT doc_id, [$terms] AS vec FROM hx GROUP BY doc_id
+         |)
+         |SELECT doc_id, vec,
+         |       len(list_filter(vec, x -> x <> 0))::BIGINT AS nnz,
+         |       CAST(floor(sqrt(list_dot_product(vec::DOUBLE[], vec::DOUBLE[])) * 1000000 + 0.5) AS BIGINT) AS norm_micro
+         |FROM vecs ORDER BY doc_id""".stripMargin
+    },
+    doc = "X4 feature-hash document embeddings (hashing trick, ±1 signs) — model-free vectors for the cosine machinery")
+
   val defs: Map[String, QueryDef] = Map(
     "quality_gate"     -> qualityGate,
+    "doc_embed"        -> docEmbed,
     "vocab_topk"       -> vocabTopK,
     "text_stats"       -> textStats,
     "text_repetition"  -> repetition,

@@ -93,6 +93,43 @@ object TextScaleSmoke {
     assert(mhRecompute.length <= planted && mhRecompute.length > planted * 9 / 10,
       s"minhash candidates ≈ planted: ${mhRecompute.length} of $planted")
 
+    // X1c at scale: dedup_bloom's batch is the doc_id % 20 = 7 slice —
+    // 10k docs against this 200k corpus. Measure the pruned path vs the
+    // plain corpus join (identical verdicts by construction) and report
+    // the prune selectivity the literal-array filter achieves.
+    val bloomGot = time("dedup_bloom (bloom-pruned corpus scan)")(run("dedup_bloom"))
+    val plainWant = time("dedup_bloom reference (plain corpus join)") {
+      val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      val batch = corpus.filter(col("doc_id") % 20 === 7)
+        .select((col("doc_id") + 4000000L).as("batch_id"),
+          when(expr("(doc_id div 20) % 2 = 1"),
+            concat(col("text"), lit(" #"), col("doc_id")))
+            .otherwise(col("text")).as("text"))
+        .select(col("batch_id"), sha2(col("text"), 256).as("h"))
+      val hits = corpus.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        .groupBy("h").agg(min("doc_id").as("dup_of"))
+      batch.join(hits, Seq("h"), "left")
+        .select(col("batch_id"),
+          when(col("dup_of").isNull, lit("new")).otherwise(lit("dup")).as("verdict"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+        .orderBy("batch_id").collect()
+    }
+    assert(bloomGot.map(_.toSeq).toSeq == plainWant.map(_.toSeq).toSeq,
+      "bloom-pruned verdicts must equal the plain join at scale")
+    locally {
+      val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      val batchT = corpus.filter(col("doc_id") % 20 === 7)
+        .select(when(expr("(doc_id div 20) % 2 = 1"),
+          concat(col("text"), lit(" #"), col("doc_id")))
+          .otherwise(col("text")).as("text"))
+      val bloom = DedupQueries.bloomArray(batchT, "text")
+      val survivors = corpus.filter(DedupQueries.bloomMightContain(bloom, col("text"))).count()
+      val total = corpus.count()
+      println(f"[tscale] bloom prune: $survivors%,d of $total%,d corpus rows survive " +
+        f"(${survivors * 1000 / total}%d permille reach the verification join)")
+      assert(survivors < total / 4, "the prune must reject the bulk of the corpus")
+    }
+
     val idxDir = java.nio.file.Files.createTempDirectory("graft-text-smoke-idx").toString
     time(s"TextIndex.build over $nDocs docs (the once-at-ingest cost)") {
       TextIndex.build(spark, spark.read.parquet(s"$dir/documents.parquet"), idxDir)

@@ -71,6 +71,38 @@ class CorpusSignalsSpec extends SparkSpec {
     ))
   }
 
+  test("doc_embed matches a hand-rolled hashing-trick implementation") {
+    val d = tmpDir("graft-embed")
+    val rows = Seq(mk(0L, "a a b"), mk(1L, "b c c c"), mk(2L, "a"))
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    // independent implementation of the md5 dim/sign contract
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def dimOf(t: String) = (java.lang.Long.parseLong(md5hex(t).substring(0, 8), 16) % 16).toInt
+    def sgnOf(t: String) = if (java.lang.Long.parseLong(md5hex(t).substring(8, 9), 16) % 2 == 0) 1L else -1L
+    def vecOf(toks: Seq[String]): Seq[Long] = {
+      val v = new Array[Long](16)
+      toks.foreach(t => v(dimOf(t)) += sgnOf(t))
+      v.toSeq
+    }
+    val got = SparkEntry.queries("doc_embed")(spark, d).collect().toSeq
+      .map(r => (r.getLong(0), (r.getSeq[Long](1), r.getLong(2), r.getLong(3)))).toMap
+    val texts = Map(0L -> Seq("a", "a", "b"), 1L -> Seq("b", "c", "c", "c"), 2L -> Seq("a"))
+    texts.foreach { case (id, toks) =>
+      val want = vecOf(toks)
+      assert(got(id)._1 === want, s"doc $id vector")
+      assert(got(id)._2 === want.count(_ != 0L), s"doc $id nnz")
+      assert(got(id)._3 ===
+        math.floor(math.sqrt(want.map(x => x * x).sum.toDouble) * 1e6 + 0.5).toLong,
+        s"doc $id norm")
+    }
+    // identical bags embed identically; the signed counts scale with
+    // multiplicity (the property the cosine machinery relies on)
+    assert(got(2L)._1.map(_ * 2L) === vecOf(Seq("a", "a")))
+  }
+
   test("topic_mixture: cell occupancies match ivf_cell_stats; weights satisfy their integer arithmetic") {
     val tm = SparkEntry.queries("topic_mixture")(spark, sfDir).collect().toSeq
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
