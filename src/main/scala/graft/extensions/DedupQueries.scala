@@ -709,6 +709,73 @@ object DedupQueries {
     doc = "X2 embedding-cosine near-dup (exact, block-partitioned equi-join)")
 
   // -------------------------------------------------------------------
+  // X2h cosine near-dup over the MODEL-FREE doc_embed vectors — near-
+  // duplicate detection for a corpus that ships with no embeddings at
+  // all: TextQueries.hashEmbedVecs gives every document a 64-dim signed
+  // integer bag-of-words vector, and this query scores pairs with the
+  // embedCosine block-join shape. Because the vectors are INTEGER, the
+  // threshold test needs no floating point anywhere: for τ = 19/20,
+  //   cos(a,b) ≥ τ  ⟺  dot > 0  ∧  400·dot² ≥ 361·|a|²·|b|²
+  // — every quantity a BIGINT (|dot| ≤ ntokₐ·ntok_b keeps 400·dot²
+  // inside 2⁶³ through ~50k-token documents), so Spark and DuckDB agree
+  // bit-for-bit BY CONSTRUCTION, with no rounding discipline needed.
+  // Output is the exact integers (dot, the two squared norms).
+  //
+  // τ = 0.95 is the measured near-dup cliff on this corpus: same-lang
+  // documents share stopword-heavy bags, so unweighted BoW cosine runs
+  // high between NON-duplicates (τ=0.8 flags 10 % of all pairs, τ=0.9
+  // still 231 at sf0.001) while true near-dups sit ≥0.95 (29 pairs,
+  // collapsing to 22 at 0.99) — the threshold lives where the
+  // distribution separates, not at the embed-family default.
+  //
+  // 100 TB shape: identical to embedCosine — one-side block
+  // replication, equi-join on the block key, every pair in exactly one
+  // task; integer dots need no rounding step in the hot loop.
+  // -------------------------------------------------------------------
+  private val DV_BLOCKS = 16
+
+  val docvecDedup: QueryDef = QueryDef(
+    build = (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      // the pair dot runs through the codegen'd native graft_dot on a
+      // double view of the integer vectors — every partial sum is an
+      // integer far below 2^53, so the double arithmetic is EXACT and
+      // the cast back to BIGINT loses nothing; an interpreted
+      // zip_with/aggregate lambda here measured 58 s at sf0.1 vs ~2 s
+      // native (higher-order lambdas never enter whole-stage codegen)
+      val e = TextQueries.hashEmbedVecs(s, d)
+        .withColumn("vd", expr("transform(vec, x -> CAST(x AS DOUBLE))"))
+        .withColumn("n2", expr("aggregate(vec, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+        .select("doc_id", "vd", "n2")
+        .persist() // session-scoped memo (QueryDef cache contract)
+      val left = e
+        .select(col("doc_id").as("doc_a"), col("vd").as("va"), col("n2").as("na2"),
+          explode(expr(s"sequence(0, ${DV_BLOCKS - 1})")).as("blk"))
+        .repartition(col("blk"), col("doc_a"))
+      val right = e.select(pmod(col("doc_id"), lit(DV_BLOCKS)).cast("int").as("blk"),
+        col("doc_id").as("doc_b"), col("vd").as("vb"), col("n2").as("nb2"))
+      left.join(right, Seq("blk"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("dot", call_function("graft_dot", col("va"), col("vb")).cast("long"))
+        .filter(col("dot") > 0 &&
+          lit(400L) * col("dot") * col("dot") >= lit(361L) * col("na2") * col("nb2"))
+        .select("doc_a", "doc_b", "dot", "na2", "nb2")
+        .orderBy("doc_a", "doc_b")
+    },
+    oracle = Some(
+      s"""${TextQueries.hashEmbedSql}, e AS (
+         |  SELECT doc_id, vec, list_dot_product(vec, vec)::BIGINT AS n2 FROM vecs
+         |), p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         list_dot_product(a.vec, b.vec)::BIGINT AS dot, a.n2 AS na2, b.n2 AS nb2
+         |  FROM e a JOIN e b ON a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b, dot, na2, nb2 FROM p
+         |WHERE dot > 0 AND 400 * dot * dot >= 361 * na2 * nb2
+         |ORDER BY doc_a, doc_b""".stripMargin),
+    doc = "X2 cosine near-dup over model-free hash embeddings (exact integer threshold test, block-partitioned join)")
+
+  // -------------------------------------------------------------------
   // X2e SRP-LSH-bucketed embedding near-dup — the sub-quadratic 100 TB
   // path. 16 deterministic md5-parity hyperplanes (shared with
   // SimilarityQueries.ann) → 16-bit code → 4 bands × 4 bits; only pairs
@@ -1110,6 +1177,7 @@ object DedupQueries {
     "dedup_simhash"   -> simhash,
     "dedup_ngram"     -> ngramJaccard,
     "dedup_embed"     -> embedCosine,
+    "dedup_docvec"    -> docvecDedup,
     "dedup_embed_lsh" -> embedCosineLsh,
     "dedup_clusters"  -> clusters,
     "dedup_chunks"    -> chunkDedup,

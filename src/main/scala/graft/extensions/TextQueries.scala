@@ -961,7 +961,7 @@ object TextQueries {
   // -------------------------------------------------------------------
   // X4/X3 bridge: deterministic feature-hash document embeddings — the
   // hashing-trick bag-of-words (Weinberger et al. 2009): every token
-  // hashes to one of D dimensions with a ±1 sign, a document's vector
+  // hashes to one of D = 64 dimensions with a ±1 sign, a document's vector
   // is the signed count per dimension. This is the embedding you get
   // when the corpus ships with NO model-produced vectors — it feeds the
   // same cosine machinery (dedup_embed, sim_*, topic_mixture) because
@@ -974,52 +974,111 @@ object TextQueries {
   // combine collapses each document's tokens to a single D-column row
   // before the exchange. No (doc, dim) intermediate shuffle, no join.
   // -------------------------------------------------------------------
-  private val EMBED_D = 16
+  // D = 64: the hashing-trick cosine error is O(1/√D) (σ ≈ 0.125 for
+  // unrelated bags at 64), so the τ = 0.8 docvec threshold sits ~6σ out
+  // and chance pairs vanish; D = 16 measured 32 % of random pairs over
+  // threshold — a detector, not a filter.
+  private val EMBED_D = 64
+
+  /** (doc_id, vec) hash-embedding frame — the derivation behind
+    * doc_embed, shared with [[DedupQueries]]'s docvec dedup so both
+    * operate on bit-identical vectors. */
+  private[extensions] def hashEmbedVecs(s: SparkSession, d: String): DataFrame = {
+    val ex = docs(s, d)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
+      .select(col("doc_id"),
+        expr(s"CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % $EMBED_D").as("dim"),
+        expr("CASE WHEN CAST(conv(substring(md5(tok), 9, 1), 16, 10) AS BIGINT) % 2 = 0 " +
+          "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END").as("sgn"))
+    val sums = (0 until EMBED_D).map(i =>
+      sum(when(col("dim") === i, col("sgn")).otherwise(0L)).as(s"v$i"))
+    ex.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        array((0 until EMBED_D).map(i => col(s"v$i")): _*).as("vec"))
+  }
+
+  /** The doc_embed derivation as oracle CTEs ending in `vecs(doc_id,
+    * vec)` — shared with the docvec dedup oracle. */
+  private[extensions] def hashEmbedSql: String = {
+    val terms = (0 until EMBED_D).map(i =>
+      s"sum(CASE WHEN dim = $i THEN sgn ELSE 0 END)::BIGINT").mkString(", ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, u.tok FROM (
+       |    SELECT doc_id, $toksSql AS ts FROM documents
+       |  ), unnest(ts) AS u(tok)
+       |), hx AS (
+       |  SELECT doc_id,
+       |         ('0x' || substring(md5(tok), 1, 8))::BIGINT % $EMBED_D AS dim,
+       |         CASE WHEN ('0x' || substring(md5(tok), 9, 1))::BIGINT % 2 = 0
+       |              THEN 1 ELSE -1 END AS sgn
+       |  FROM tk
+       |), vecs AS (
+       |  SELECT doc_id, [$terms] AS vec FROM hx GROUP BY doc_id
+       |)""".stripMargin
+  }
 
   val docEmbed: QueryDef = QueryDef(
-    build = (s, d) => {
-      val ex = docs(s, d)
-        .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
-        .select(col("doc_id"),
-          expr(s"CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % $EMBED_D").as("dim"),
-          expr("CASE WHEN CAST(conv(substring(md5(tok), 9, 1), 16, 10) AS BIGINT) % 2 = 0 " +
-            "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END").as("sgn"))
-      val sums = (0 until EMBED_D).map(i =>
-        sum(when(col("dim") === i, col("sgn")).otherwise(0L)).as(s"v$i"))
-      ex.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-        .select(col("doc_id"),
-          array((0 until EMBED_D).map(i => col(s"v$i")): _*).as("vec"))
+    build = (s, d) =>
+      hashEmbedVecs(s, d)
         .select(col("doc_id"), col("vec"),
           expr("CAST(size(filter(vec, x -> x != 0)) AS BIGINT)").as("nnz"),
           expr("CAST(floor(sqrt(CAST(aggregate(vec, CAST(0 AS BIGINT), (a, x) -> a + x * x) AS DOUBLE)) * 1000000 + 0.5D) AS BIGINT)").as("norm_micro"))
-        .orderBy("doc_id")
-    },
-    oracle = Some {
-      val terms = (0 until EMBED_D).map(i =>
-        s"sum(CASE WHEN dim = $i THEN sgn ELSE 0 END)::BIGINT").mkString(", ")
-      s"""WITH tk AS (
-         |  SELECT doc_id, u.tok FROM (
-         |    SELECT doc_id, $toksSql AS ts FROM documents
-         |  ), unnest(ts) AS u(tok)
-         |), hx AS (
-         |  SELECT doc_id,
-         |         ('0x' || substring(md5(tok), 1, 8))::BIGINT % $EMBED_D AS dim,
-         |         CASE WHEN ('0x' || substring(md5(tok), 9, 1))::BIGINT % 2 = 0
-         |              THEN 1 ELSE -1 END AS sgn
-         |  FROM tk
-         |), vecs AS (
-         |  SELECT doc_id, [$terms] AS vec FROM hx GROUP BY doc_id
-         |)
+        .orderBy("doc_id"),
+    oracle = Some(
+      s"""$hashEmbedSql
          |SELECT doc_id, vec,
          |       len(list_filter(vec, x -> x <> 0))::BIGINT AS nnz,
          |       CAST(floor(sqrt(list_dot_product(vec::DOUBLE[], vec::DOUBLE[])) * 1000000 + 0.5) AS BIGINT) AS norm_micro
-         |FROM vecs ORDER BY doc_id""".stripMargin
-    },
+         |FROM vecs ORDER BY doc_id""".stripMargin),
     doc = "X4 feature-hash document embeddings (hashing trick, ±1 signs) — model-free vectors for the cosine machinery")
+
+  // -------------------------------------------------------------------
+  // X4 RAG-style chunking: fixed W-token windows at stride S (overlap
+  // W − S) — the retrieval-prep step that turns documents into
+  // embeddable passages. Chunk boundaries are pure arithmetic on the
+  // token array, so the op is one map-side explode (∝ output chunks,
+  // never doc pairs); the final window clamps so every token is covered
+  // exactly once past the overlap. Distinct from dedup_chunks (strided
+  // NON-overlapping windows for duplication counting): the overlap here
+  // exists so a retrieval hit near a boundary still carries its
+  // context.
+  // -------------------------------------------------------------------
+  private val CS_W = 32
+  private val CS_S = 24
+
+  val chunkSplit: QueryDef = QueryDef(
+    build = (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), expr(toksExpr).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("chunk_id", explode(expr(
+          s"sequence(CAST(0 AS BIGINT), (greatest(n - $CS_W, CAST(0 AS BIGINT)) + ${CS_S - 1}) div $CS_S)")))
+        .select(col("doc_id"), col("chunk_id"),
+          (col("chunk_id") * CS_S).as("start_tok"),
+          least(lit(CS_W.toLong), col("n") - col("chunk_id") * CS_S).as("n_toks"),
+          md5(concat_ws(" ",
+            slice(col("toks"), (col("chunk_id") * CS_S + 1).cast("int"), lit(CS_W)))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id"),
+    oracle = Some(
+      s"""WITH d AS (
+         |  SELECT doc_id, ts, len(ts)::BIGINT AS n FROM (
+         |    SELECT doc_id, $toksSql AS ts FROM documents
+         |  ) WHERE len(ts) > 0
+         |), c AS (
+         |  SELECT doc_id, i.ci AS chunk_id, i.ci * $CS_S AS start_tok,
+         |         least($CS_W, n - i.ci * $CS_S)::BIGINT AS n_toks,
+         |         md5(array_to_string(ts[i.ci * $CS_S + 1 : i.ci * $CS_S + $CS_W], ' ')) AS chunk_md5
+         |  FROM d, LATERAL unnest(range(0, (greatest(n - $CS_W, 0) + ${CS_S - 1}) // $CS_S + 1)) AS i(ci)
+         |)
+         |SELECT doc_id, chunk_id, start_tok, n_toks, chunk_md5
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin),
+    doc = "X4 RAG chunking: fixed 32-token windows at stride 24 (8-token overlap), map-side")
 
   val defs: Map[String, QueryDef] = Map(
     "quality_gate"     -> qualityGate,
     "doc_embed"        -> docEmbed,
+    "chunk_split"      -> chunkSplit,
     "vocab_topk"       -> vocabTopK,
     "text_stats"       -> textStats,
     "text_repetition"  -> repetition,

@@ -80,10 +80,10 @@ class CorpusSignalsSpec extends SparkSpec {
     // independent implementation of the md5 dim/sign contract
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    def dimOf(t: String) = (java.lang.Long.parseLong(md5hex(t).substring(0, 8), 16) % 16).toInt
+    def dimOf(t: String) = (java.lang.Long.parseLong(md5hex(t).substring(0, 8), 16) % 64).toInt
     def sgnOf(t: String) = if (java.lang.Long.parseLong(md5hex(t).substring(8, 9), 16) % 2 == 0) 1L else -1L
     def vecOf(toks: Seq[String]): Seq[Long] = {
-      val v = new Array[Long](16)
+      val v = new Array[Long](64)
       toks.foreach(t => v(dimOf(t)) += sgnOf(t))
       v.toSeq
     }

@@ -82,6 +82,35 @@ class LshSpec extends SparkSpec {
     assert(survivors >= batchN, "survivors include at least the true members")
   }
 
+  test("docvec dedup: exact duplicates always pair, disjoint-vocab docs never do; predicate ≡ cosine ≥ 0.95") {
+    val d = tmpDir("graft-docvec")
+    val rows = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "en", "s", 1L),
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "s", 1L), // exact dup of 0
+      (2L, "alpha beta gamma delta epsilon eta", "en", "s", 1L),  // near dup of 0 (5/6 shared)
+      (3L, "one two three four five six", "en", "s", 1L))         // disjoint vocab
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val pairs = DedupQueries.docvecDedup.build(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "an exact duplicate has cosine 1 — must always pair")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "a disjoint-vocabulary doc shares no hashed dimension mass — must never pair")
+    // the integer predicate is exactly cos >= 0.95 on the real vectors
+    val vecs = SparkEntry.queries("doc_embed")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      dot / math.sqrt(a.map(x => x * x).sum.toDouble * b.map(x => x * x).sum.toDouble)
+    }
+    for (i <- 0L to 3L; j <- (i + 1) to 3L) {
+      val c = cos(vecs(i), vecs(j))
+      assert(pairs.contains((i, j)) === (c >= 0.95 - 1e-12),
+        s"pair ($i,$j) cos=$c vs integer predicate")
+    }
+  }
+
   test("exact dedup keeps exactly one representative per content hash") {
     val res = DedupQueries.exact.build(spark, sfDir)
     assert(res.filter(col("dup_cnt") =!= 2).count() === 0L,
