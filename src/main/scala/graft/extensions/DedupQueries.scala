@@ -1170,9 +1170,84 @@ object DedupQueries {
          |ORDER BY d.doc_id""".stripMargin),
     doc = "X1 substring-dedup scrub: remove every duplicated window copy except its corpus-first occurrence")
 
+  // -------------------------------------------------------------------
+  // X4 winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme):
+  // slide a W-position window over the per-document k-gram hash array
+  // and keep each window's MINIMUM — the guarantee is that any shared
+  // substring of ≥ W + k − 1 tokens contributes at least one IDENTICAL
+  // fingerprint to both documents, while storage shrinks ~W-fold. This
+  // is the run-compressed variant: consecutive windows re-selecting the
+  // same minimum collapse to one fingerprint row (min + lag over the
+  // doc's position order — no argmin tie-breaking, so both engines
+  // agree on exact BIGINTs with no ordering subtleties). k-gram hashes
+  // ride [[spanWindows]] — the span family's derivation, INDEX-SERVED
+  // from a certified TextIndex's `swh` column when one exists, so
+  // fingerprinting a 100 TB corpus never re-tokenizes it.
+  //
+  // Output is per-document: k-gram/window/fingerprint counts plus an
+  // md5 digest of the (position, hash) fingerprint set — the compact
+  // form an attribution store would key on.
+  // -------------------------------------------------------------------
+  private val WINNOW_W = 4
+
+  val winnow: QueryDef = QueryDef(
+    build = (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byP = Window.partitionBy("doc_id").orderBy("p")
+      val byQ = Window.partitionBy("doc_id").orderBy("q")
+      val wins = spanWindows(s, d) // (doc_id, p, h); h = 60-bit window hash
+      val sel = wins
+        .select(col("doc_id"), col("p"),
+          min("h").over(byP.rowsBetween(-(WINNOW_W - 1), 0)).as("m"))
+        .withColumn("q", col("p") - (WINNOW_W - 1))
+        .filter(col("q") >= 0)
+        .withColumn("prev", lag("m", 1).over(byQ))
+        .filter(col("prev").isNull || col("m") =!= col("prev"))
+      val nk = wins.groupBy("doc_id").agg((max("p") + 1).as("n_kgrams"))
+      sel.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"),
+          md5(concat_ws(",",
+            array_sort(collect_list(concat_ws(":", col("q"), col("m")))))).as("fp_digest"))
+        .join(nk, "doc_id")
+        .select(col("doc_id"), col("n_kgrams"),
+          (col("n_kgrams") - (WINNOW_W - 1)).as("n_windows"),
+          col("n_fp"), col("fp_digest"))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS ts FROM documents WHERE len($toksSql) >= $SPAN_K
+         |), w AS (
+         |  SELECT t.doc_id, i.p,
+         |         ('0x' || substring(md5(array_to_string(t.ts[i.p + 1 : i.p + $SPAN_K], ' ')), 1, 15))::BIGINT AS h
+         |  FROM t, LATERAL unnest(range(0, len(t.ts) - $SPAN_K + 1)) AS i(p)
+         |), mm AS (
+         |  SELECT doc_id, p,
+         |         min(h) OVER (PARTITION BY doc_id ORDER BY p
+         |                      ROWS BETWEEN ${WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS m
+         |  FROM w
+         |), qq AS (
+         |  SELECT doc_id, p - ${WINNOW_W - 1} AS q, m FROM mm WHERE p >= ${WINNOW_W - 1}
+         |), sel AS (
+         |  SELECT doc_id, q, m, lag(m) OVER (PARTITION BY doc_id ORDER BY q) AS prev FROM qq
+         |), fp AS (
+         |  SELECT doc_id, q, m FROM sel WHERE prev IS NULL OR m <> prev
+         |), agg AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_fp,
+         |         md5(array_to_string(list_sort(list(q::VARCHAR || ':' || m::VARCHAR)), ',')) AS fp_digest
+         |  FROM fp GROUP BY doc_id
+         |), nk AS (
+         |  SELECT doc_id, (max(p) + 1)::BIGINT AS n_kgrams FROM w GROUP BY doc_id
+         |)
+         |SELECT a.doc_id, nk.n_kgrams, (nk.n_kgrams - ${WINNOW_W - 1})::BIGINT AS n_windows,
+         |       a.n_fp, a.fp_digest
+         |FROM agg a JOIN nk USING (doc_id) ORDER BY a.doc_id""".stripMargin),
+    doc = "X4 winnowing fingerprints (MOSS): per-window k-gram-hash minima, run-compressed — index-served at scale")
+
   val defs: Map[String, QueryDef] = Map(
     "dedup_exact"     -> exact,
     "dedup_bloom"     -> bloomDedup,
+    "text_winnow"     -> winnow,
     "dedup_minhash"   -> minhash,
     "dedup_simhash"   -> simhash,
     "dedup_ngram"     -> ngramJaccard,

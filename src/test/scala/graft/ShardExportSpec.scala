@@ -50,6 +50,69 @@ class ShardExportSpec extends SparkSpec {
     }
   }
 
+  test("append is exactly-once: batch lands in existing shards, manifest merges, replay is a no-op") {
+    val out = tmpDir("graft-shardexp-a")
+    ShardExport.write(spark, sfDir, out)
+    val base = ShardExport.readDocs(spark, out).count()
+    // the batch: a re-keyed slice, so ids are disjoint from the base
+    val batch = docs.filter(col("doc_id") % 10 === 3)
+      .withColumn("doc_id", col("doc_id") + 7000000L)
+    val bn = batch.count()
+    assert(ShardExport.append(spark, batch, out, "appA", 1L), "first apply must land")
+    val after = ShardExport.readDocs(spark, out)
+    assert(after.count() === base + bn)
+    // every appended row is in the shard its hash assigns
+    val mis = ShardExport.withShard(batch).select(col("doc_id"), col("shard").as("want"))
+      .join(after.select(col("doc_id"), col("shard").cast("long").as("got")), "doc_id")
+      .filter(col("want") =!= col("got"))
+    assert(mis.isEmpty, "appends must respect the stable hash assignment")
+    // manifest after merge ≡ manifest recomputed from the shipped data
+    val man = ShardExport.readManifest(spark, out)
+      .select("shard", "n_docs", "n_tokens", "n_chars", "min_doc_id", "max_doc_id")
+      .collect().map(_.toSeq).toSet
+    val want = ShardExport.manifestOf(docs.unionByName(batch))
+      .collect().map(_.toSeq).toSet
+    assert(man === want, "merged manifest must equal a from-scratch recompute")
+    // replay: same (app, batch) → nothing changes
+    assert(!ShardExport.append(spark, batch, out, "appA", 1L), "replay must report no-op")
+    assert(ShardExport.readDocs(spark, out).count() === base + bn)
+    assert(ShardExport.readManifest(spark, out)
+      .select("shard", "n_docs", "n_tokens", "n_chars", "min_doc_id", "max_doc_id")
+      .collect().map(_.toSeq).toSet === man, "replay must not double-count the manifest")
+    // a second app's batch does not disturb the first's cursor
+    assert(ShardExport.append(spark, batch.withColumn("doc_id", col("doc_id") + 1000L),
+      out, "appB", 1L))
+    assert(!ShardExport.append(spark, batch, out, "appA", 1L), "appA cursor survives appB")
+  }
+
+  test("append crash before the meta swap: replay re-lands the files once and the manifest merges once") {
+    val out = tmpDir("graft-shardexp-x")
+    ShardExport.write(spark, sfDir, out)
+    val batch = docs.filter(col("doc_id") % 10 === 4)
+      .withColumn("doc_id", col("doc_id") + 8000000L)
+    val bn = batch.count()
+    val base = ShardExport.readDocs(spark, out).count()
+    // simulate the crash window: files moved (a full append), then the
+    // meta swap "lost" — restore the pre-append meta and re-run
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaBak = new Path(s"$out/meta.bak")
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$out/shards/meta"), fs, metaBak,
+      false, spark.sparkContext.hadoopConfiguration)
+    assert(ShardExport.append(spark, batch, out, "appX", 1L))
+    fs.delete(new Path(s"$out/shards/meta"), true)
+    fs.rename(metaBak, new Path(s"$out/shards/meta")) // cursor now pre-append again
+    // replay after the "crash": idempotent moves (no row duplication),
+    // manifest merged exactly once
+    assert(ShardExport.append(spark, batch, out, "appX", 1L), "cursor is old — must re-apply")
+    assert(ShardExport.readDocs(spark, out).count() === base + bn,
+      "replayed file moves must overwrite, not duplicate")
+    val man = ShardExport.readManifest(spark, out)
+      .select("shard", "n_docs", "n_tokens", "n_chars", "min_doc_id", "max_doc_id")
+      .collect().map(_.toSeq).toSet
+    val want = ShardExport.manifestOf(docs.unionByName(batch)).collect().map(_.toSeq).toSet
+    assert(man === want, "manifest counts the batch exactly once after the crash replay")
+  }
+
   test("re-export swaps atomically; crash debris recovers on the next write") {
     val out = tmpDir("graft-shardexp-c")
     ShardExport.write(spark, sfDir, out)
