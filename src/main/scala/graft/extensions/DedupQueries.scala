@@ -1190,19 +1190,48 @@ object DedupQueries {
   // -------------------------------------------------------------------
   private val WINNOW_W = 4
 
+  /** Run-compressed winnow selections (doc_id, q, m) — shared by
+    * text_winnow and winnow_matches. */
+  private def winnowFingerprints(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byP = Window.partitionBy("doc_id").orderBy("p")
+    val byQ = Window.partitionBy("doc_id").orderBy("q")
+    spanWindows(s, d) // (doc_id, p, h); h = 60-bit window hash
+      .select(col("doc_id"), col("p"),
+        min("h").over(byP.rowsBetween(-(WINNOW_W - 1), 0)).as("m"))
+      .withColumn("q", col("p") - (WINNOW_W - 1))
+      .filter(col("q") >= 0)
+      .withColumn("prev", lag("m", 1).over(byQ))
+      .filter(col("prev").isNull || col("m") =!= col("prev"))
+      .select(col("doc_id"), col("q"), col("m"))
+  }
+
+  /** The winnow chain as oracle CTEs ending in `fp(doc_id, q, m)` —
+    * shared by the two winnow oracles. */
+  private val winnowFpSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, $toksSql AS ts FROM documents WHERE len($toksSql) >= $SPAN_K
+       |), w AS (
+       |  SELECT t.doc_id, i.p,
+       |         ('0x' || substring(md5(array_to_string(t.ts[i.p + 1 : i.p + $SPAN_K], ' ')), 1, 15))::BIGINT AS h
+       |  FROM t, LATERAL unnest(range(0, len(t.ts) - $SPAN_K + 1)) AS i(p)
+       |), mm AS (
+       |  SELECT doc_id, p,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY p
+       |                      ROWS BETWEEN ${WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS m
+       |  FROM w
+       |), qq AS (
+       |  SELECT doc_id, p - ${WINNOW_W - 1} AS q, m FROM mm WHERE p >= ${WINNOW_W - 1}
+       |), sel AS (
+       |  SELECT doc_id, q, m, lag(m) OVER (PARTITION BY doc_id ORDER BY q) AS prev FROM qq
+       |), fp AS (
+       |  SELECT doc_id, q, m FROM sel WHERE prev IS NULL OR m <> prev
+       |)""".stripMargin
+
   val winnow: QueryDef = QueryDef(
     build = (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val byP = Window.partitionBy("doc_id").orderBy("p")
-      val byQ = Window.partitionBy("doc_id").orderBy("q")
-      val wins = spanWindows(s, d) // (doc_id, p, h); h = 60-bit window hash
-      val sel = wins
-        .select(col("doc_id"), col("p"),
-          min("h").over(byP.rowsBetween(-(WINNOW_W - 1), 0)).as("m"))
-        .withColumn("q", col("p") - (WINNOW_W - 1))
-        .filter(col("q") >= 0)
-        .withColumn("prev", lag("m", 1).over(byQ))
-        .filter(col("prev").isNull || col("m") =!= col("prev"))
+      val wins = spanWindows(s, d)
+      val sel = winnowFingerprints(s, d)
       val nk = wins.groupBy("doc_id").agg((max("p") + 1).as("n_kgrams"))
       sel.groupBy("doc_id")
         .agg(count(lit(1)).as("n_fp"),
@@ -1215,24 +1244,7 @@ object DedupQueries {
         .orderBy("doc_id")
     },
     oracle = Some(
-      s"""WITH t AS (
-         |  SELECT doc_id, $toksSql AS ts FROM documents WHERE len($toksSql) >= $SPAN_K
-         |), w AS (
-         |  SELECT t.doc_id, i.p,
-         |         ('0x' || substring(md5(array_to_string(t.ts[i.p + 1 : i.p + $SPAN_K], ' ')), 1, 15))::BIGINT AS h
-         |  FROM t, LATERAL unnest(range(0, len(t.ts) - $SPAN_K + 1)) AS i(p)
-         |), mm AS (
-         |  SELECT doc_id, p,
-         |         min(h) OVER (PARTITION BY doc_id ORDER BY p
-         |                      ROWS BETWEEN ${WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS m
-         |  FROM w
-         |), qq AS (
-         |  SELECT doc_id, p - ${WINNOW_W - 1} AS q, m FROM mm WHERE p >= ${WINNOW_W - 1}
-         |), sel AS (
-         |  SELECT doc_id, q, m, lag(m) OVER (PARTITION BY doc_id ORDER BY q) AS prev FROM qq
-         |), fp AS (
-         |  SELECT doc_id, q, m FROM sel WHERE prev IS NULL OR m <> prev
-         |), agg AS (
+      s"""$winnowFpSql, agg AS (
          |  SELECT doc_id, count(*)::BIGINT AS n_fp,
          |         md5(array_to_string(list_sort(list(q::VARCHAR || ':' || m::VARCHAR)), ',')) AS fp_digest
          |  FROM fp GROUP BY doc_id
@@ -1244,10 +1256,65 @@ object DedupQueries {
          |FROM agg a JOIN nk USING (doc_id) ORDER BY a.doc_id""".stripMargin),
     doc = "X4 winnowing fingerprints (MOSS): per-window k-gram-hash minima, run-compressed — index-served at scale")
 
+  // -------------------------------------------------------------------
+  // X4 the MOSS match step: document pairs sharing winnow fingerprints.
+  // Candidate generation is a grouped self-join on the fingerprint
+  // VALUE — a bounded shuffle key, never doc pairs — and, as in MOSS,
+  // fingerprints present in more than FP_MAX_DOCS documents are dropped
+  // first as boilerplate (a template header shared by half the corpus
+  // is noise, and it is also exactly the hub that would quadratically
+  // explode the join — the semantic filter and the skew guard are the
+  // same line). overlap_pm = shared fingerprints as permille of the
+  // smaller document's fingerprint set — the containment-style score an
+  // attribution review ranks by.
+  // -------------------------------------------------------------------
+  private val FP_MAX_DOCS = 8
+
+  val winnowMatches: QueryDef = QueryDef(
+    build = (s, d) => {
+      val fp = winnowFingerprints(s, d)
+        .select(col("doc_id"), col("m")).dropDuplicates("doc_id", "m")
+      val boiler = fp.groupBy("m")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > FP_MAX_DOCS).select("m")
+      val kept = fp.join(boiler, Seq("m"), "left_anti").persist()
+      val counts = kept.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+      kept.select(col("m"), col("doc_id").as("doc_a"))
+        .join(kept.select(col("m"), col("doc_id").as("doc_b")), Seq("m"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .join(counts.select(col("doc_id").as("doc_a"), col("nfp").as("nfp_a")), "doc_a")
+        .join(counts.select(col("doc_id").as("doc_b"), col("nfp").as("nfp_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_shared"), col("nfp_a"), col("nfp_b"),
+          expr("n_shared * 1000 div least(nfp_a, nfp_b)").as("overlap_pm"))
+        .orderBy("doc_a", "doc_b")
+    },
+    oracle = Some(
+      s"""$winnowFpSql, fpd AS (
+         |  SELECT DISTINCT doc_id, m FROM fp
+         |), kept AS (
+         |  SELECT * FROM fpd WHERE m NOT IN (
+         |    SELECT m FROM fpd GROUP BY m HAVING count(DISTINCT doc_id) > $FP_MAX_DOCS)
+         |), counts AS (
+         |  SELECT doc_id, count(*)::BIGINT AS nfp FROM kept GROUP BY doc_id
+         |), pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+         |  FROM kept a JOIN kept b ON a.m = b.m AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT pr.doc_a, pr.doc_b, pr.n_shared, ca.nfp AS nfp_a, cb.nfp AS nfp_b,
+         |       pr.n_shared * 1000 // least(ca.nfp, cb.nfp) AS overlap_pm
+         |FROM pr JOIN counts ca ON ca.doc_id = pr.doc_a
+         |         JOIN counts cb ON cb.doc_id = pr.doc_b
+         |ORDER BY pr.doc_a, pr.doc_b""".stripMargin),
+    doc = "X4 MOSS match step: doc pairs sharing winnow fingerprints (boilerplate-capped), containment-style overlap score")
+
   val defs: Map[String, QueryDef] = Map(
     "dedup_exact"     -> exact,
     "dedup_bloom"     -> bloomDedup,
     "text_winnow"     -> winnow,
+    "winnow_matches"  -> winnowMatches,
     "dedup_minhash"   -> minhash,
     "dedup_simhash"   -> simhash,
     "dedup_ngram"     -> ngramJaccard,

@@ -85,6 +85,7 @@ object TextScaleSmoke {
 
     val mhRecompute = time("dedup_minhash recompute")(run("dedup_minhash"))
     val ngRecompute = time("dedup_ngram recompute")(run("dedup_ngram"))
+    val wnRecompute = time("text_winnow recompute")(run("text_winnow"))
     assert(ngRecompute.length == planted + planted2,
       s"ngram must find exactly the planted pairs of both tranches: " +
         s"${planted + planted2} vs ${ngRecompute.length}")
@@ -146,6 +147,11 @@ object TextScaleSmoke {
         "index-served minhash must be bit-identical to recompute")
       assert(ngServed.map(_.toSeq).toSeq == ngRecompute.map(_.toSeq).toSeq,
         "index-served ngram must be bit-identical to recompute")
+      val wnServed = time("text_winnow index-served (posexplodes stored swh)") {
+        run("text_winnow")
+      }
+      assert(wnServed.map(_.toSeq).toSeq == wnRecompute.map(_.toSeq).toSeq,
+        "index-served winnow must be bit-identical to recompute")
 
       // the banding-recall audit at scale, index-served: with ~4k pairs
       // per band the binomial spread is ~±2 % at 3σ, so measured catch
