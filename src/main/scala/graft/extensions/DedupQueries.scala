@@ -159,44 +159,71 @@ object DedupQueries {
   // verification join — the final verdicts are IDENTICAL to the
   // unfiltered join (no false negatives by construction), so the query
   // is fully hash-gated against a plain-join oracle; the filter's
-  // internals never need cross-engine reproduction. Sizing: k = 3
-  // hashes, m = 2^16 bits ⇒ ~1 % false positives at 5 k batch docs; at
-  // scale m grows with the batch (the batch stays the small side — the
-  // corpus never influences filter size).
+  // internals never need cross-engine reproduction. Sizing: m sizes
+  // itself to the batch count (≥16 bits/item at k = 3 ⇒ ~0.1 % FP)
+  // between 2^16 and 2^20 bits — the batch alone determines filter
+  // size, the corpus never does; past the cap the batch has outgrown
+  // "the small side" and the exact join is the right plan.
   //
   // The batch is the doc_id % 20 = 7 slice re-keyed, with every second
   // batch doc's text mutated — so both verdict branches (duplicate of a
   // corpus doc / genuinely new) are exercised at every SF.
   // -------------------------------------------------------------------
-  private val BLOOM_BITS = 1L << 16
   private val BLOOM_HASHES = 3
-  private val BLOOM_OFFSET = 4000000L
+  private val BLOOM_MIN_BITS = 1L << 16
+  // 3 probe copies of the literal array embed in the plan; 2^20 bits =
+  // 3 × 128 KB of codegen literals is the ceiling. Batches past ~65k
+  // rows saturate it (FP rate climbs again) — at that size the batch is
+  // no longer "the small side" and the exact join is the right plan.
+  private val BLOOM_MAX_BITS = 1L << 20
+  private[graft] val BLOOM_OFFSET = 4000000L
+
+  /** m sized to the BATCH: ≥16 bits/item at k=3 ⇒ ~0.1 % FP, growing
+    * with the filter's content and never with the corpus. */
+  private def bloomBits(n: Long): Long = {
+    var m = BLOOM_MIN_BITS
+    while (m < 16 * n && m < BLOOM_MAX_BITS) m <<= 1
+    m
+  }
+
+  /** The dedup_bloom batch derivation: the doc_id % 20 = 7 slice
+    * re-keyed, every second doc's text mutated — shared with the spec
+    * and the scale smoke so all three measure the same batch. */
+  private[graft] def bloomBatch(corpus: DataFrame): DataFrame =
+    corpus.filter(col("doc_id") % 20 === 7)
+      .select((col("doc_id") + BLOOM_OFFSET).as("batch_id"),
+        when(expr("(doc_id div 20) % 2 = 1"),
+          concat(col("text"), lit(" #"), col("doc_id")))
+          .otherwise(col("text")).as("text"))
 
   /** Bloom bit array (m/64 longs) over a frame's `key` column — one
-    * bounded aggregation, collected to the driver (8 KB at the default
-    * m). The key is hashed with xxhash64 directly — for text dedup that
-    * means the SCAN-side probes never pay a cryptographic hash: sha256
-    * is computed only for prune survivors, at any corpus size. */
+    * count + one bounded aggregation, collected to the driver (8 KB–
+    * 128 KB depending on batch size). The key is hashed with xxhash64
+    * directly — for text dedup that means the SCAN-side probes never
+    * pay a cryptographic hash: sha256 is computed only for prune
+    * survivors, at any corpus size. */
   private[graft] def bloomArray(df: DataFrame, key: String = "h"): Array[Long] = {
+    val bits = bloomBits(df.count())
     val words = df
       .select(explode(expr(
         s"transform(sequence(0, ${BLOOM_HASHES - 1}), i -> xxhash64($key, i))")).as("hv"))
-      .select(pmod(col("hv"), lit(BLOOM_BITS)).as("pos"))
+      .select(pmod(col("hv"), lit(bits)).as("pos"))
       .select(shiftright(col("pos").cast("int"), 6).as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("m"))
       .groupBy("w").agg(expr("bit_or(m)").as("bits"))
-      .collect() // bounded: ≤ m/64 rows (1024 at the default m)
-    val arr = new Array[Long]((BLOOM_BITS / 64).toInt)
+      .collect() // bounded: ≤ m/64 rows
+    val arr = new Array[Long]((bits / 64).toInt)
     words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
     arr
   }
 
   /** The map-side membership test: k literal-array probes, codegen'd —
-    * no UDF, no join, no shuffle. */
+    * no UDF, no join, no shuffle. m is carried by the array itself. */
   private[graft] def bloomMightContain(arr: Array[Long], h: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val b = typedlit(arr.toSeq)
+    val bits = arr.length * 64L
     (0 until BLOOM_HASHES).map { i =>
-      val pos = pmod(xxhash64(h, lit(i)), lit(BLOOM_BITS))
+      val pos = pmod(xxhash64(h, lit(i)), lit(bits))
       element_at(b, shiftright(pos.cast("int"), 6) + 1)
         .bitwiseAND(call_function("shiftleft", lit(1L), pmod(pos, lit(64L)).cast("int"))) =!= 0L
     }.reduce(_ && _)
@@ -204,11 +231,7 @@ object DedupQueries {
 
   val bloomDedup: QueryDef = QueryDef(
     build = (s, d) => {
-      val batchT = docs(s, d).filter(col("doc_id") % 20 === 7)
-        .select((col("doc_id") + BLOOM_OFFSET).as("batch_id"),
-          when(expr("(doc_id div 20) % 2 = 1"),
-            concat(col("text"), lit(" #"), col("doc_id")))
-            .otherwise(col("text")).as("text"))
+      val batchT = bloomBatch(docs(s, d))
       val batchH = batchT.select(col("batch_id"), sha2(col("text"), 256).as("h"))
       // keyed on the RAW text: the corpus-scan probes pay 3 xxhash64
       // calls per row, and sha256 only runs on prune survivors
@@ -217,7 +240,10 @@ object DedupQueries {
         .filter(bloomMightContain(bloom, col("text"))) // map-side corpus prune
         .select(col("doc_id"), sha2(col("text"), 256).as("h"))
         .groupBy("h").agg(min("doc_id").as("dup_of"))
-      batchH.join(broadcast(hits), Seq("h"), "left")
+      // no broadcast hint: |hits| ≈ |batch| + FP-rate·|corpus| — small
+      // at the designed FP rate, but forcing a broadcast would gamble
+      // the driver on it; AQE sees the post-prune size and decides
+      batchH.join(hits, Seq("h"), "left")
         .select(col("batch_id"),
           when(col("dup_of").isNull, lit("new")).otherwise(lit("dup")).as("verdict"),
           coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
@@ -716,10 +742,13 @@ object DedupQueries {
   // embedCosine block-join shape. Because the vectors are INTEGER, the
   // threshold test needs no floating point anywhere: for τ = 19/20,
   //   cos(a,b) ≥ τ  ⟺  dot > 0  ∧  400·dot² ≥ 361·|a|²·|b|²
-  // — every quantity a BIGINT (|dot| ≤ ntokₐ·ntok_b keeps 400·dot²
-  // inside 2⁶³ through ~50k-token documents), so Spark and DuckDB agree
-  // bit-for-bit BY CONSTRUCTION, with no rounding discipline needed.
-  // Output is the exact integers (dot, the two squared norms).
+  // evaluated in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — 128-bit
+  // integer arithmetic, immune to the int64 wrap two ~15k-token
+  // repetitive documents would hit (|dot| can reach ntokₐ·ntok_b, and
+  // 400·dot² passes 2⁶³ already at dot ≈ 4.8e9). The remaining exact
+  // ness bound is the double-valued dot itself: exact while
+  // ntokₐ·ntok_b < 2⁵³ (~90M-token pairs). Output is the exact
+  // integers (dot, the two squared norms).
   //
   // τ = 0.95 is the measured near-dup cliff on this corpus: same-lang
   // documents share stopword-heavy bags, so unweighted BoW cosine runs
@@ -757,8 +786,8 @@ object DedupQueries {
       left.join(right, Seq("blk"))
         .filter(col("doc_a") < col("doc_b"))
         .withColumn("dot", call_function("graft_dot", col("va"), col("vb")).cast("long"))
-        .filter(col("dot") > 0 &&
-          lit(400L) * col("dot") * col("dot") >= lit(361L) * col("na2") * col("nb2"))
+        .filter(col("dot") > 0 && expr(
+          "CAST(400 AS DECIMAL(38,0)) * dot * dot >= CAST(361 AS DECIMAL(38,0)) * na2 * nb2"))
         .select("doc_a", "doc_b", "dot", "na2", "nb2")
         .orderBy("doc_a", "doc_b")
     },
@@ -771,7 +800,7 @@ object DedupQueries {
          |  FROM e a JOIN e b ON a.doc_id < b.doc_id
          |)
          |SELECT doc_a, doc_b, dot, na2, nb2 FROM p
-         |WHERE dot > 0 AND 400 * dot * dot >= 361 * na2 * nb2
+         |WHERE dot > 0 AND 400::HUGEINT * dot * dot >= 361::HUGEINT * na2 * nb2
          |ORDER BY doc_a, doc_b""".stripMargin),
     doc = "X2 cosine near-dup over model-free hash embeddings (exact integer threshold test, block-partitioned join)")
 
@@ -1191,12 +1220,17 @@ object DedupQueries {
   private val WINNOW_W = 4
 
   /** Run-compressed winnow selections (doc_id, q, m) — shared by
-    * text_winnow and winnow_matches. */
+    * text_winnow and winnow_matches. Documents with fewer than W
+    * k-grams (8–10 tokens at the defaults) get the degenerate
+    * whole-document window — one fingerprint, the global minimum —
+    * exactly as in the original scheme; without it a short boilerplate
+    * document copied verbatim would be invisible to the match step. */
   private def winnowFingerprints(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byP = Window.partitionBy("doc_id").orderBy("p")
     val byQ = Window.partitionBy("doc_id").orderBy("q")
-    spanWindows(s, d) // (doc_id, p, h); h = 60-bit window hash
+    val wins = spanWindows(s, d) // (doc_id, p, h); h = 60-bit window hash
+    val full = wins
       .select(col("doc_id"), col("p"),
         min("h").over(byP.rowsBetween(-(WINNOW_W - 1), 0)).as("m"))
       .withColumn("q", col("p") - (WINNOW_W - 1))
@@ -1204,6 +1238,11 @@ object DedupQueries {
       .withColumn("prev", lag("m", 1).over(byQ))
       .filter(col("prev").isNull || col("m") =!= col("prev"))
       .select(col("doc_id"), col("q"), col("m"))
+    val short = wins.groupBy("doc_id")
+      .agg(max("p").as("mx"), min("h").as("m"))
+      .filter(col("mx") < WINNOW_W - 1)
+      .select(col("doc_id"), lit(0L).as("q"), col("m"))
+    full.unionByName(short)
   }
 
   /** The winnow chain as oracle CTEs ending in `fp(doc_id, q, m)` —
@@ -1224,8 +1263,13 @@ object DedupQueries {
        |  SELECT doc_id, p - ${WINNOW_W - 1} AS q, m FROM mm WHERE p >= ${WINNOW_W - 1}
        |), sel AS (
        |  SELECT doc_id, q, m, lag(m) OVER (PARTITION BY doc_id ORDER BY q) AS prev FROM qq
+       |), short AS (
+       |  SELECT doc_id, 0::BIGINT AS q, min(h) AS m FROM w
+       |  GROUP BY doc_id HAVING max(p) < ${WINNOW_W - 1}
        |), fp AS (
        |  SELECT doc_id, q, m FROM sel WHERE prev IS NULL OR m <> prev
+       |  UNION ALL
+       |  SELECT doc_id, q, m FROM short
        |)""".stripMargin
 
   val winnow: QueryDef = QueryDef(
@@ -1239,7 +1283,7 @@ object DedupQueries {
             array_sort(collect_list(concat_ws(":", col("q"), col("m")))))).as("fp_digest"))
         .join(nk, "doc_id")
         .select(col("doc_id"), col("n_kgrams"),
-          (col("n_kgrams") - (WINNOW_W - 1)).as("n_windows"),
+          greatest(col("n_kgrams") - (WINNOW_W - 1), lit(1L)).as("n_windows"),
           col("n_fp"), col("fp_digest"))
         .orderBy("doc_id")
     },
@@ -1251,7 +1295,7 @@ object DedupQueries {
          |), nk AS (
          |  SELECT doc_id, (max(p) + 1)::BIGINT AS n_kgrams FROM w GROUP BY doc_id
          |)
-         |SELECT a.doc_id, nk.n_kgrams, (nk.n_kgrams - ${WINNOW_W - 1})::BIGINT AS n_windows,
+         |SELECT a.doc_id, nk.n_kgrams, greatest(nk.n_kgrams - ${WINNOW_W - 1}, 1)::BIGINT AS n_windows,
          |       a.n_fp, a.fp_digest
          |FROM agg a JOIN nk USING (doc_id) ORDER BY a.doc_id""".stripMargin),
     doc = "X4 winnowing fingerprints (MOSS): per-window k-gram-hash minima, run-compressed — index-served at scale")

@@ -85,18 +85,35 @@ object ShardExport {
     * Returns true if the batch was applied, false on a replay no-op. */
   def append(spark: SparkSession, batch: DataFrame, outDir: String,
       appId: String, batchId: Long): Boolean = {
+    // a crashed FULL export's swap must be recovered before any append
+    // touches the tree — otherwise batch files land inside a half-swapped
+    // layout and the next write()'s recovery mistakes the debris for a
+    // live export
+    ArtifactSwap.recover(spark, outDir, Name)
     val root = s"$outDir/$Name"
     val f = fs(spark, root)
+    if (!f.exists(new Path(s"$root/docs")))
+      throw new java.io.IOException(s"no export at $root to append to — run write() first")
     ArtifactSwap.recover(spark, root, "meta")
     val cur = readCursor(spark, s"$root/meta")
     if (TxnCursors.applied(cur, appId).exists(_ >= batchId)) return false
+    val prefix = s"b_${appId}_${batchId}_"
+    // cursor-eviction guard: TxnCursors keeps the 16 most-recent apps.
+    // If this app's cursor was evicted but this batch's files already
+    // exist, the batch may ALREADY be counted in the manifest — a naive
+    // merge would double-count it forever. The files are ground truth
+    // (deterministic names), so in that ambiguous state the manifest is
+    // rebuilt from the data instead of merged (costlier, rare path).
+    val evictedReplay = TxnCursors.applied(cur, appId).isEmpty &&
+      f.exists(new Path(s"$root/docs")) &&
+      f.listStatus(new Path(s"$root/docs")).exists(st => st.isDirectory &&
+        f.listStatus(st.getPath).exists(_.getPath.getName.startsWith(prefix)))
 
     // 1. batch files → shard dirs under deterministic replay-safe names
     val tmp = new Path(s"$root/append.tmp")
     f.delete(tmp, true)
     withShard(batch).sortWithinPartitions("shard")
       .write.partitionBy("shard").mode("overwrite").parquet(tmp.toString)
-    val prefix = s"b_${appId}_${batchId}_"
     for (st <- f.listStatus(tmp) if st.isDirectory && st.getPath.getName.startsWith("shard=")) {
       val dst = new Path(s"$root/docs/${st.getPath.getName}")
       f.mkdirs(dst)
@@ -106,23 +123,30 @@ object ShardExport {
       val parts = f.listStatus(st.getPath)
         .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
       parts.zipWithIndex.foreach { case (p, i) =>
-        f.rename(p.getPath, new Path(dst, s"$prefix$i.parquet"))
+        val to = new Path(dst, s"$prefix$i.parquet")
+        if (!f.rename(p.getPath, to)) // some FS impls return false, not throw
+          throw new java.io.IOException(s"rename ${p.getPath} -> $to failed")
       }
     }
     f.delete(tmp, true)
 
-    // 2. merged manifest + advanced cursor, one atomic meta swap
-    val merged = withSkew(
-      spark.read.parquet(s"$root/meta/manifest")
-        .select("shard", "n_docs", "n_tokens", "n_chars", "min_doc_id", "max_doc_id")
-        .unionByName(manifestOf(batch))
-        .groupBy("shard")
-        .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
-          sum("n_chars").as("n_chars"),
-          min("min_doc_id").as("min_doc_id"), max("max_doc_id").as("max_doc_id")))
-      .collect() // bounded: N_SHARDS rows — materialized BEFORE the swap
-                 // drops the manifest this merge reads from
-    val schema = withSkew(manifestOf(batch)).schema
+    // 2. merged (or, on an evicted replay, rebuilt-from-data) manifest +
+    //    advanced cursor, one atomic meta swap
+    val mergedDf =
+      if (evictedReplay)
+        withSkew(manifestOf(readDocs(spark, outDir)
+          .select("doc_id", "text", "lang", "source", "n_chars")))
+      else withSkew(
+        spark.read.parquet(s"$root/meta/manifest")
+          .select("shard", "n_docs", "n_tokens", "n_chars", "min_doc_id", "max_doc_id")
+          .unionByName(manifestOf(batch))
+          .groupBy("shard")
+          .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+            sum("n_chars").as("n_chars"),
+            min("min_doc_id").as("min_doc_id"), max("max_doc_id").as("max_doc_id")))
+    val schema = mergedDf.schema
+    val merged = mergedDf.collect() // bounded: N_SHARDS rows — materialized
+                                    // BEFORE the swap drops the manifest read
     ArtifactSwap.rewrite(spark, root, "meta") { metaTmp =>
       spark.createDataFrame(spark.sparkContext.parallelize(merged.toSeq, 1), schema)
         .write.mode("overwrite").parquet(s"$metaTmp/manifest")

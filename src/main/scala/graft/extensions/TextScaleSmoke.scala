@@ -101,11 +101,7 @@ object TextScaleSmoke {
     val bloomGot = time("dedup_bloom (bloom-pruned corpus scan)")(run("dedup_bloom"))
     val plainWant = time("dedup_bloom reference (plain corpus join)") {
       val corpus = spark.read.parquet(s"$dir/documents.parquet")
-      val batch = corpus.filter(col("doc_id") % 20 === 7)
-        .select((col("doc_id") + 4000000L).as("batch_id"),
-          when(expr("(doc_id div 20) % 2 = 1"),
-            concat(col("text"), lit(" #"), col("doc_id")))
-            .otherwise(col("text")).as("text"))
+      val batch = DedupQueries.bloomBatch(corpus)
         .select(col("batch_id"), sha2(col("text"), 256).as("h"))
       val hits = corpus.select(col("doc_id"), sha2(col("text"), 256).as("h"))
         .groupBy("h").agg(min("doc_id").as("dup_of"))
@@ -119,10 +115,7 @@ object TextScaleSmoke {
       "bloom-pruned verdicts must equal the plain join at scale")
     locally {
       val corpus = spark.read.parquet(s"$dir/documents.parquet")
-      val batchT = corpus.filter(col("doc_id") % 20 === 7)
-        .select(when(expr("(doc_id div 20) % 2 = 1"),
-          concat(col("text"), lit(" #"), col("doc_id")))
-          .otherwise(col("text")).as("text"))
+      val batchT = DedupQueries.bloomBatch(corpus)
       val bloom = DedupQueries.bloomArray(batchT, "text")
       val survivors = corpus.filter(DedupQueries.bloomMightContain(bloom, col("text"))).count()
       val total = corpus.count()

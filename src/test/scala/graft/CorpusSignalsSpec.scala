@@ -133,28 +133,36 @@ class CorpusSignalsSpec extends SparkSpec {
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     def kgramHash(toks: Seq[String], p: Int): Long =
       java.lang.Long.parseLong(md5hex(toks.slice(p, p + 8).mkString(" ")).substring(0, 15), 16)
-    // independent winnow: window minima over W=4, run-compressed
+    // independent winnow: window minima over W=4, run-compressed; docs
+    // with fewer than W k-grams degrade to the whole-document window
     def winnowOf(text: String): (Long, Long, Seq[(Long, Long)], String) = {
       val toks = text.split(" ").filter(_.nonEmpty).toSeq
       val hs = (0 to toks.size - 8).map(p => kgramHash(toks, p))
-      val mins = (3 until hs.size).map(p => ((p - 3).toLong, hs.slice(p - 3, p + 1).min))
-      val fp = mins.foldLeft(Vector.empty[(Long, Long)]) { (acc, qm) =>
-        if (acc.nonEmpty && acc.last._2 == qm._2) acc else acc :+ qm
-      }
+      val fp =
+        if (hs.size < 4) Vector((0L, hs.min))
+        else {
+          val mins = (3 until hs.size).map(p => ((p - 3).toLong, hs.slice(p - 3, p + 1).min))
+          mins.foldLeft(Vector.empty[(Long, Long)]) { (acc, qm) =>
+            if (acc.nonEmpty && acc.last._2 == qm._2) acc else acc :+ qm
+          }
+        }
       val digest = md5hex(fp.map { case (q, m) => s"$q:$m" }.sorted.mkString(","))
-      (hs.size.toLong, (hs.size - 3).toLong, fp, digest)
+      (hs.size.toLong, math.max(hs.size - 3, 1).toLong, fp, digest)
     }
     val shared = (1 to 12).map(i => s"run$i").mkString(" ") // 12 shared tokens ≥ W + k − 1 = 11
     val docA = s"a1 a2 a3 a4 a5 $shared a6 a7 a8 a9"
     val docB = s"b1 b2 b3 b4 b5 b6 b7 $shared b8 b9"
     val docC = (1 to 30).map(i => s"c$i").mkString(" ") // disjoint
+    val docD = (1 to 9).map(i => s"d$i").mkString(" ")  // 2 k-grams: short-doc path
+    val docE = docD                                      // verbatim short copy
     val d = tmpDir("graft-winnow")
-    spark.createDataFrame(Seq(mk(0L, docA), mk(1L, docB), mk(2L, docC)))
+    spark.createDataFrame(Seq(mk(0L, docA), mk(1L, docB), mk(2L, docC), mk(3L, docD), mk(4L, docE)))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$d/documents.parquet")
     val got = SparkEntry.queries("text_winnow")(spark, d).collect().toSeq
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
-    val wants = Map(0L -> winnowOf(docA), 1L -> winnowOf(docB), 2L -> winnowOf(docC))
+    val wants = Map(0L -> winnowOf(docA), 1L -> winnowOf(docB), 2L -> winnowOf(docC),
+      3L -> winnowOf(docD), 4L -> winnowOf(docE))
     wants.foreach { case (id, (nk, nw, fp, dig)) =>
       assert(got(id) === ((nk, nw, fp.size.toLong, dig)), s"doc $id")
     }
@@ -164,6 +172,11 @@ class CorpusSignalsSpec extends SparkSpec {
     assert((fpv(0L) & fpv(1L)).nonEmpty, "the 12-token shared run must yield a common fingerprint")
     assert((fpv(0L) & fpv(2L)).isEmpty && (fpv(1L) & fpv(2L)).isEmpty,
       "disjoint-vocabulary docs share no fingerprint")
+    // the short-doc path: a verbatim 9-token copy is VISIBLE to the
+    // match step (the recall hole the degenerate window exists to close)
+    val matches = SparkEntry.queries("winnow_matches")(spark, d).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matches.contains((3L, 4L)), "verbatim short copies must share their whole-doc fingerprint")
   }
 
   test("lm_calibration: 9 deciles per language, cuts non-decreasing") {

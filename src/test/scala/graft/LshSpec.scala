@@ -43,14 +43,10 @@ class LshSpec extends SparkSpec {
   test("bloom-pruned incremental dedup verdicts equal the unfiltered exact join") {
     val got = DedupQueries.bloomDedup.build(spark, sfDir)
       .collect().map(_.toSeq).toSeq
-    // the reference: the same batch derivation, NO bloom prune — the
-    // whole corpus meets the batch in a plain join
+    // the reference: the same batch derivation (the shared helper), NO
+    // bloom prune — the whole corpus meets the batch in a plain join
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
-    val batch = corpus.filter(col("doc_id") % 20 === 7)
-      .select((col("doc_id") + 4000000L).as("batch_id"),
-        when(expr("(doc_id div 20) % 2 = 1"),
-          concat(col("text"), lit(" #"), col("doc_id")))
-          .otherwise(col("text")).as("text"))
+    val batch = DedupQueries.bloomBatch(corpus)
       .select(col("batch_id"), sha2(col("text"), 256).as("h"))
     val hits = corpus.select(col("doc_id"), sha2(col("text"), 256).as("h"))
       .groupBy("h").agg(min("doc_id").as("dup_of"))

@@ -113,6 +113,31 @@ class ShardExportSpec extends SparkSpec {
     assert(man === want, "manifest counts the batch exactly once after the crash replay")
   }
 
+  test("append replay after cursor eviction rebuilds the manifest from data — no double count") {
+    val out = tmpDir("graft-shardexp-e")
+    ShardExport.write(spark, sfDir, out)
+    val batch = docs.filter(col("doc_id") % 10 === 5)
+      .withColumn("doc_id", col("doc_id") + 9000000L)
+    assert(ShardExport.append(spark, batch, out, "appE", 1L))
+    val want = ShardExport.readManifest(spark, out)
+      .select("shard", "n_docs", "n_tokens", "n_chars", "min_doc_id", "max_doc_id")
+      .collect().map(_.toSeq).toSet
+    // simulate TxnCursors' 16-app eviction: blank appE's cursor entry
+    // while its batch files remain on disk — the ambiguous state where
+    // a naive merge would double-count
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(new Path(s"$out/shards/meta/cursor"), true)
+    os.write("other\t7".getBytes("UTF-8")); os.close()
+    assert(ShardExport.append(spark, batch, out, "appE", 1L),
+      "an evicted cursor cannot prove the batch applied — it must re-apply")
+    assert(ShardExport.readDocs(spark, out).count() ===
+      docs.count() + batch.count(), "file moves stay idempotent")
+    val after = ShardExport.readManifest(spark, out)
+      .select("shard", "n_docs", "n_tokens", "n_chars", "min_doc_id", "max_doc_id")
+      .collect().map(_.toSeq).toSet
+    assert(after === want, "the rebuilt-from-data manifest must not double-count the batch")
+  }
+
   test("re-export swaps atomically; crash debris recovers on the next write") {
     val out = tmpDir("graft-shardexp-c")
     ShardExport.write(spark, sfDir, out)
