@@ -138,6 +138,37 @@ class ShardExportSpec extends SparkSpec {
     assert(after === want, "the rebuilt-from-data manifest must not double-count the batch")
   }
 
+  test("streaming export: micro-batches land exactly once, stream result ≡ batch appends") {
+    val out = tmpDir("graft-shardexp-s")
+    ShardExport.write(spark, sfDir, out)
+    val base = ShardExport.readDocs(spark, out).count()
+    val src = tmpDir("graft-shardexp-src")
+    def write(off: Long): Unit =
+      docs.filter(col("doc_id") % 10 === 6)
+        .withColumn("doc_id", col("doc_id") + off)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(src)
+    write(5000000L)
+    val stream = spark.readStream.schema(
+      docs.select("doc_id", "text", "lang", "source", "n_chars").schema).parquet(src)
+    val q = graft.streaming.ShardExportStream.start(stream, out, tmpDir("graft-shardexp-ckpt"))
+    try {
+      q.processAllAvailable()
+      write(6000000L) // a second micro-batch
+      q.processAllAvailable()
+      val bn = docs.filter(col("doc_id") % 10 === 6).count()
+      assert(ShardExport.readDocs(spark, out).count() === base + 2 * bn)
+      // manifest describes exactly the shipped files after both batches
+      val man = ShardExport.readManifest(spark, out)
+        .select("shard", "n_docs", "min_doc_id", "max_doc_id").collect().map(_.toSeq).toSet
+      val want = ShardExport.manifestOf(docs
+          .unionByName(docs.filter(col("doc_id") % 10 === 6).withColumn("doc_id", col("doc_id") + 5000000L))
+          .unionByName(docs.filter(col("doc_id") % 10 === 6).withColumn("doc_id", col("doc_id") + 6000000L)))
+        .select("shard", "n_docs", "min_doc_id", "max_doc_id").collect().map(_.toSeq).toSet
+      assert(man === want)
+    } finally q.stop()
+  }
+
   test("re-export swaps atomically; crash debris recovers on the next write") {
     val out = tmpDir("graft-shardexp-c")
     ShardExport.write(spark, sfDir, out)
