@@ -146,6 +146,20 @@ object TextScaleSmoke {
       assert(wnServed.map(_.toSeq).toSeq == wnRecompute.map(_.toSeq).toSeq,
         "index-served winnow must be bit-identical to recompute")
 
+      // the match step at scale: unique docs share no k-gram, so every
+      // fingerprint's doc-frequency is ≤ 2 (no boilerplate cap hits)
+      // and the match set must be EXACTLY the planted pairs of both
+      // tranches — the copies share 110/86-token prefixes, far past the
+      // W + k − 1 = 11-token guarantee threshold.
+      val wm = time("winnow_matches index-served (fingerprint self-join)") {
+        run("winnow_matches")
+      }
+      val gotPairs = wm.map(r => (r.getLong(0), r.getLong(1))).toSet
+      val wantPairs = ((1L until nDocs by 50L) ++ (26L until nDocs by 50L))
+        .map(b => (b - 1, b)).toSet
+      assert(gotPairs == wantPairs,
+        s"winnow matches must be exactly the planted pairs: got ${gotPairs.size}, want ${wantPairs.size}")
+
       // the banding-recall audit at scale, index-served: with ~4k pairs
       // per band the binomial spread is ~±2 % at 3σ, so measured catch
       // must sit on the theory curve — near-lossless at J=0.84 (band 8),
