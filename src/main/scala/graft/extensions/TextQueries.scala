@@ -1075,8 +1075,78 @@ object TextQueries {
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin),
     doc = "X4 RAG chunking: fixed 32-token windows at stride 24 (8-token overlap), map-side")
 
+  // -------------------------------------------------------------------
+  // X4 the Gopher quality rules (Rae et al. 2021, §A1.1) — the NAMED
+  // heuristic gate most pretraining pipelines start from, adapted to
+  // the whitespace-token contract: word-count bounds, mean-word-length
+  // band, minimum alphabetic-word fraction, and the ≥2-stopword
+  // English-ness check. Every rule is map-side integer arithmetic over
+  // the token array (micro-scaled means, ppm fractions — no rounded
+  // doubles), and the verdict names the FIRST failing rule, so the
+  // output doubles as the attrition report quality dashboards plot.
+  // The stopword rule is English-centric by design (as in the paper) —
+  // non-English docs legitimately fail it; this is the report the
+  // curator reads next to lang, not a blind filter of record.
+  // -------------------------------------------------------------------
+  private val GOPHER_STOPS = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  private val GOPHER_MIN_WORDS = 50L
+  private val GOPHER_MAX_WORDS = 100000L
+
+  val qualityGopher: QueryDef = QueryDef(
+    build = (s, d) => {
+      val stops = GOPHER_STOPS.map(w => s"'$w'").mkString("array(", ", ", ")")
+      docs(s, d)
+        .select(col("doc_id"), expr(toksExpr).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_words"),
+          expr("aggregate(toks, CAST(0 AS BIGINT), (a, t) -> a + length(t))").as("n_chars_w"),
+          expr("CAST(size(filter(toks, t -> t rlike '[a-z]')) AS BIGINT)").as("alpha_words"),
+          expr(s"CAST(size(array_intersect(array_distinct(toks), $stops)) AS BIGINT)").as("stop_hits"))
+        .select(col("doc_id"), col("n_words"),
+          expr("CASE WHEN n_words > 0 THEN n_chars_w * 1000000 div n_words ELSE CAST(0 AS BIGINT) END").as("mean_wl_micro"),
+          expr("CASE WHEN n_words > 0 THEN alpha_words * 1000000 div n_words ELSE CAST(0 AS BIGINT) END").as("alpha_ppm"),
+          col("stop_hits"))
+        .withColumn("fail_rule",
+          when(col("n_words") < GOPHER_MIN_WORDS, "too_few_words")
+            .when(col("n_words") > GOPHER_MAX_WORDS, "too_many_words")
+            .when(col("mean_wl_micro") < 3000000L || col("mean_wl_micro") > 10000000L, "word_length")
+            .when(col("alpha_ppm") < 800000L, "non_alpha")
+            .when(col("stop_hits") < 2, "stopwords")
+            .otherwise("pass"))
+        .orderBy("doc_id")
+    },
+    oracle = Some {
+      val stops = GOPHER_STOPS.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |         len(toks)::BIGINT AS n_words,
+         |         list_sum(list_transform(toks, t -> len(t)))::BIGINT AS n_chars_w,
+         |         len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::BIGINT AS alpha_words,
+         |         len(list_intersect(list_distinct(toks), $stops))::BIGINT AS stop_hits
+         |  FROM t
+         |), r AS (
+         |  SELECT doc_id, n_words,
+         |         CASE WHEN n_words > 0 THEN n_chars_w * 1000000 // n_words ELSE 0 END AS mean_wl_micro,
+         |         CASE WHEN n_words > 0 THEN alpha_words * 1000000 // n_words ELSE 0 END AS alpha_ppm,
+         |         stop_hits
+         |  FROM m
+         |)
+         |SELECT doc_id, n_words, mean_wl_micro, alpha_ppm, stop_hits,
+         |       CASE WHEN n_words < $GOPHER_MIN_WORDS THEN 'too_few_words'
+         |            WHEN n_words > $GOPHER_MAX_WORDS THEN 'too_many_words'
+         |            WHEN mean_wl_micro < 3000000 OR mean_wl_micro > 10000000 THEN 'word_length'
+         |            WHEN alpha_ppm < 800000 THEN 'non_alpha'
+         |            WHEN stop_hits < 2 THEN 'stopwords'
+         |            ELSE 'pass' END AS fail_rule
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+    doc = "X4 Gopher quality rules (Rae et al. 2021): word count, mean word length, alphabetic fraction, stopword presence — first-failing-rule report")
+
   val defs: Map[String, QueryDef] = Map(
     "quality_gate"     -> qualityGate,
+    "quality_gopher"   -> qualityGopher,
     "doc_embed"        -> docEmbed,
     "chunk_split"      -> chunkSplit,
     "vocab_topk"       -> vocabTopK,

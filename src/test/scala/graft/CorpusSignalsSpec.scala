@@ -179,6 +179,29 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(matches.contains((3L, 4L)), "verbatim short copies must share their whole-doc fingerprint")
   }
 
+  test("quality_gopher: every rule branch fires on its constructed document") {
+    val goodWords = Seq("the", "and", "with", "that", "quality", "corpus", "tokens", "letters")
+    val pass = (0 until 60).map(i => goodWords(i % goodWords.size)).mkString(" ")
+    val docs = Seq(
+      mk(0L, pass),                                            // pass
+      mk(1L, "the and tiny"),                                  // too_few_words
+      mk(2L, (0 until 60).map(_ => "ab").mkString(" ")),       // word_length (mean 2)
+      mk(3L, ("123456 " * 60).trim),                           // word_length fires before non_alpha (mean 6 is fine → non_alpha)
+      mk(4L, (0 until 60).map(i => s"zqx$i xyz").mkString(" ")), // stopwords (alpha + length fine, no stop hits)
+    )
+    val d = tmpDir("graft-gopher")
+    spark.createDataFrame(docs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("quality_gopher")(spark, d).collect().toSeq
+      .map(r => (r.getLong(0), r.getString(5))).toMap
+    assert(got(0L) === "pass")
+    assert(got(1L) === "too_few_words")
+    assert(got(2L) === "word_length")
+    assert(got(3L) === "non_alpha", "digit-only words have valid length but no alphabetic char")
+    assert(got(4L) === "stopwords")
+  }
+
   test("lm_calibration: 9 deciles per language, cuts non-decreasing") {
     val rows = SparkEntry.queries("lm_calibration")(spark, sfDir).collect().toSeq
       .map { case Row(l: String, dec: Long, _, cut: Long) => (l, dec, cut) }
