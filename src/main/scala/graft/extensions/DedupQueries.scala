@@ -231,7 +231,10 @@ object DedupQueries {
 
   val bloomDedup: QueryDef = QueryDef(
     build = (s, d) => {
-      val batchT = bloomBatch(docs(s, d))
+      // persisted: the derivation feeds three consumers (the sizing
+      // count, the bit aggregation, and the content hashes) — without
+      // the memo each would re-scan the corpus for the batch slice
+      val batchT = bloomBatch(docs(s, d)).persist()
       val batchH = batchT.select(col("batch_id"), sha2(col("text"), 256).as("h"))
       // keyed on the RAW text: the corpus-scan probes pay 3 xxhash64
       // calls per row, and sha256 only runs on prune survivors
@@ -1233,11 +1236,17 @@ object DedupQueries {
     * whole-document window — one fingerprint, the global minimum —
     * exactly as in the original scheme; without it a short boilerplate
     * document copied verbatim would be invisible to the match step. */
-  private def winnowFingerprints(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc window stats (max position + min hash) — ONE aggregation
+    * feeding both the short-doc degenerate window and text_winnow's
+    * n_kgrams column (two separate groupBys would shuffle the full
+    * (doc, p, h) rowset twice). */
+  private def winnowStats(wins: DataFrame): DataFrame =
+    wins.groupBy("doc_id").agg(max("p").as("mx"), min("h").as("mnh"))
+
+  private def winnowFingerprints(wins: DataFrame, stats: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byP = Window.partitionBy("doc_id").orderBy("p")
     val byQ = Window.partitionBy("doc_id").orderBy("q")
-    val wins = spanWindows(s, d) // (doc_id, p, h); h = 60-bit window hash
     val full = wins
       .select(col("doc_id"), col("p"),
         min("h").over(byP.rowsBetween(-(WINNOW_W - 1), 0)).as("m"))
@@ -1246,10 +1255,8 @@ object DedupQueries {
       .withColumn("prev", lag("m", 1).over(byQ))
       .filter(col("prev").isNull || col("m") =!= col("prev"))
       .select(col("doc_id"), col("q"), col("m"))
-    val short = wins.groupBy("doc_id")
-      .agg(max("p").as("mx"), min("h").as("m"))
-      .filter(col("mx") < WINNOW_W - 1)
-      .select(col("doc_id"), lit(0L).as("q"), col("m"))
+    val short = stats.filter(col("mx") < WINNOW_W - 1)
+      .select(col("doc_id"), lit(0L).as("q"), col("mnh").as("m"))
     full.unionByName(short)
   }
 
@@ -1283,8 +1290,9 @@ object DedupQueries {
   val winnow: QueryDef = QueryDef(
     build = (s, d) => {
       val wins = spanWindows(s, d)
-      val sel = winnowFingerprints(s, d)
-      val nk = wins.groupBy("doc_id").agg((max("p") + 1).as("n_kgrams"))
+      val stats = winnowStats(wins).persist() // feeds shorts AND n_kgrams
+      val sel = winnowFingerprints(wins, stats)
+      val nk = stats.select(col("doc_id"), (col("mx") + 1).as("n_kgrams"))
       sel.groupBy("doc_id")
         .agg(count(lit(1)).as("n_fp"),
           md5(concat_ws(",",
@@ -1324,7 +1332,8 @@ object DedupQueries {
 
   val winnowMatches: QueryDef = QueryDef(
     build = (s, d) => {
-      val fp = winnowFingerprints(s, d)
+      val wins = spanWindows(s, d)
+      val fp = winnowFingerprints(wins, winnowStats(wins))
         .select(col("doc_id"), col("m")).dropDuplicates("doc_id", "m")
       val boiler = fp.groupBy("m")
         .agg(countDistinct(col("doc_id")).as("nd"))

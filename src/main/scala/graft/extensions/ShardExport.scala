@@ -25,11 +25,16 @@ import org.apache.spark.sql.functions._
   * so a replayed move overwrites itself. Exactly-once:
   *   1. move batch files into the shard dirs (idempotent — replay
   *      deletes its own names first);
-  *   2. swap `meta` = merged manifest + advanced cursor in ONE rename.
-  * Crash before the swap → the cursor still reads the old batch id, a
-  * replay redoes the (idempotent) moves and re-merges against the OLD
-  * manifest; crash after → the cursor says applied and the replay is a
-  * no-op. The manifest can never double-count a batch.
+  *   2. swap `meta` = merged manifest + advanced cursor + extended
+  *      applied log in ONE rename.
+  * Crash before the swap → neither record names the batch, a replay
+  * redoes the (idempotent) moves and re-merges against the OLD
+  * manifest; crash after → the batch is named and the replay is a
+  * no-op. The cursor is the bounded fast path (16 most-recent apps);
+  * the append-only `applied.log` (~20 bytes per batch, swapped with
+  * the manifest) is the durable record, so cursor eviction can never
+  * make a committed batch look unapplied. The manifest can never
+  * double-count a batch.
   */
 object ShardExport {
 
@@ -95,19 +100,22 @@ object ShardExport {
     if (!f.exists(new Path(s"$root/docs")))
       throw new java.io.IOException(s"no export at $root to append to — run write() first")
     ArtifactSwap.recover(spark, root, "meta")
+    // appIds become file-name components and applied-log tokens:
+    // sanitize once and use the SAME token for names, log, and cursor
+    // (a streaming checkpoint PATH as appId would otherwise smuggle
+    // '/' into the flat-name contract the replay hygiene scans)
+    val app = sanitize(appId)
     val cur = readCursor(spark, s"$root/meta")
-    if (TxnCursors.applied(cur, appId).exists(_ >= batchId)) return false
-    val prefix = s"b_${appId}_${batchId}_"
-    // cursor-eviction guard: TxnCursors keeps the 16 most-recent apps.
-    // If this app's cursor was evicted but this batch's files already
-    // exist, the batch may ALREADY be counted in the manifest — a naive
-    // merge would double-count it forever. The files are ground truth
-    // (deterministic names), so in that ambiguous state the manifest is
-    // rebuilt from the data instead of merged (costlier, rare path).
-    val evictedReplay = TxnCursors.applied(cur, appId).isEmpty &&
-      f.exists(new Path(s"$root/docs")) &&
-      f.listStatus(new Path(s"$root/docs")).exists(st => st.isDirectory &&
-        f.listStatus(st.getPath).exists(_.getPath.getName.startsWith(prefix)))
+    // two replay records: the bounded cursor map (fast path, evictable
+    // at 16 apps) and the append-only applied log, swapped with the
+    // manifest — the log is the durable exactly-once record, so cursor
+    // eviction can NEVER make a committed batch look unapplied (the
+    // ambiguity a rebuild-from-data heuristic cannot resolve once a
+    // second writer has uncommitted files on disk)
+    if (TxnCursors.applied(cur, app).exists(_ >= batchId)) return false
+    val log = readApplied(spark, s"$root/meta")
+    if (log.contains(app -> batchId)) return false
+    val prefix = s"b_${app}_${batchId}_"
 
     // 1. batch files → shard dirs under deterministic replay-safe names
     val tmp = new Path(s"$root/append.tmp")
@@ -130,29 +138,52 @@ object ShardExport {
     }
     f.delete(tmp, true)
 
-    // 2. merged (or, on an evicted replay, rebuilt-from-data) manifest +
-    //    advanced cursor, one atomic meta swap
-    val mergedDf =
-      if (evictedReplay)
-        withSkew(manifestOf(readDocs(spark, outDir)
-          .select("doc_id", "text", "lang", "source", "n_chars")))
-      else withSkew(
-        spark.read.parquet(s"$root/meta/manifest")
-          .select("shard", "n_docs", "n_tokens", "n_chars", "min_doc_id", "max_doc_id")
-          .unionByName(manifestOf(batch))
-          .groupBy("shard")
-          .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
-            sum("n_chars").as("n_chars"),
-            min("min_doc_id").as("min_doc_id"), max("max_doc_id").as("max_doc_id")))
+    // 2. merged manifest + advanced cursor + extended applied log, one
+    //    atomic meta swap — the three commit records can never diverge
+    val mergedDf = withSkew(
+      spark.read.parquet(s"$root/meta/manifest")
+        .select("shard", "n_docs", "n_tokens", "n_chars", "min_doc_id", "max_doc_id")
+        .unionByName(manifestOf(batch))
+        .groupBy("shard")
+        .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+          sum("n_chars").as("n_chars"),
+          min("min_doc_id").as("min_doc_id"), max("max_doc_id").as("max_doc_id")))
     val schema = mergedDf.schema
     val merged = mergedDf.collect() // bounded: N_SHARDS rows — materialized
                                     // BEFORE the swap drops the manifest read
     ArtifactSwap.rewrite(spark, root, "meta") { metaTmp =>
       spark.createDataFrame(spark.sparkContext.parallelize(merged.toSeq, 1), schema)
         .write.mode("overwrite").parquet(s"$metaTmp/manifest")
-      writeCursor(spark, metaTmp, TxnCursors.advance(cur, appId, batchId))
+      writeCursor(spark, metaTmp, TxnCursors.advance(cur, app, batchId))
+      writeText(spark, s"$metaTmp/applied.log",
+        (log + (app -> batchId)).toSeq.sorted.map { case (a, b) => s"$a\t$b" }.mkString("\n"))
     }
     true
+  }
+
+  /** App tokens live in file names and tab-separated logs. */
+  private def sanitize(appId: String): String =
+    appId.replaceAll("[^A-Za-z0-9.-]", "-")
+
+  /** The durable applied-batch set — one "app\tbid" line per committed
+    * append, ~20 bytes each, swapped with the manifest. */
+  private def readApplied(spark: SparkSession, metaDir: String): Set[(String, Long)] = {
+    val f = fs(spark, metaDir)
+    val p = new Path(s"$metaDir/applied.log")
+    if (!f.exists(p)) return Set.empty
+    val in = f.open(p)
+    val s = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+    s.split('\n').filter(_.nonEmpty).flatMap { l =>
+      val i = l.lastIndexOf('\t')
+      if (i < 0) None else l.drop(i + 1).toLongOption.map(l.take(i) -> _)
+    }.toSet
+  }
+
+  private def writeText(spark: SparkSession, path: String, s: String): Unit = {
+    val f = fs(spark, path)
+    val out = f.create(new Path(path), true)
+    out.write(s.getBytes("UTF-8")); out.close()
   }
 
   private def writeCursor(spark: SparkSession, metaDir: String, s: String): Unit = {

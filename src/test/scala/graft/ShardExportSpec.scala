@@ -113,7 +113,7 @@ class ShardExportSpec extends SparkSpec {
     assert(man === want, "manifest counts the batch exactly once after the crash replay")
   }
 
-  test("append replay after cursor eviction rebuilds the manifest from data — no double count") {
+  test("append replay after cursor eviction: the applied log still proves the batch committed") {
     val out = tmpDir("graft-shardexp-e")
     ShardExport.write(spark, sfDir, out)
     val batch = docs.filter(col("doc_id") % 10 === 5)
@@ -122,20 +122,39 @@ class ShardExportSpec extends SparkSpec {
     val want = ShardExport.readManifest(spark, out)
       .select("shard", "n_docs", "n_tokens", "n_chars", "min_doc_id", "max_doc_id")
       .collect().map(_.toSeq).toSet
-    // simulate TxnCursors' 16-app eviction: blank appE's cursor entry
-    // while its batch files remain on disk — the ambiguous state where
-    // a naive merge would double-count
+    // simulate TxnCursors' 16-app eviction: blank appE's cursor entry.
+    // The durable applied log (swapped with the manifest) still names
+    // the batch, so the replay is a NO-OP — never a second merge.
     val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val os = fs.create(new Path(s"$out/shards/meta/cursor"), true)
     os.write("other\t7".getBytes("UTF-8")); os.close()
-    assert(ShardExport.append(spark, batch, out, "appE", 1L),
-      "an evicted cursor cannot prove the batch applied — it must re-apply")
-    assert(ShardExport.readDocs(spark, out).count() ===
-      docs.count() + batch.count(), "file moves stay idempotent")
+    assert(!ShardExport.append(spark, batch, out, "appE", 1L),
+      "the applied log must prove the evicted app's batch committed")
+    assert(ShardExport.readDocs(spark, out).count() === docs.count() + batch.count())
     val after = ShardExport.readManifest(spark, out)
       .select("shard", "n_docs", "n_tokens", "n_chars", "min_doc_id", "max_doc_id")
       .collect().map(_.toSeq).toSet
-    assert(after === want, "the rebuilt-from-data manifest must not double-count the batch")
+    assert(after === want, "no-op replay leaves the manifest untouched")
+    // and a genuinely NEW batch from the evicted app still lands
+    assert(ShardExport.append(spark, batch.withColumn("doc_id", col("doc_id") + 500L),
+      out, "appE", 2L))
+  }
+
+  test("appId sanitization: a checkpoint PATH as appId never leaks '/' into batch file names") {
+    val out = tmpDir("graft-shardexp-p")
+    ShardExport.write(spark, sfDir, out)
+    val batch = docs.filter(col("doc_id") % 20 === 9)
+      .withColumn("doc_id", col("doc_id") + 9500000L)
+    assert(ShardExport.append(spark, batch, out, "/tmp/some/ckpt dir", 3L))
+    assert(!ShardExport.append(spark, batch, out, "/tmp/some/ckpt dir", 3L), "replay no-op")
+    // every batch file is a DIRECT child of its shard dir, flat-named
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shardDirs = fs.listStatus(new Path(s"$out/shards/docs")).filter(_.isDirectory)
+    val batchFiles = shardDirs.flatMap(sd => fs.listStatus(sd.getPath))
+      .filter(_.getPath.getName.startsWith("b_"))
+    assert(batchFiles.nonEmpty && batchFiles.forall(_.isFile),
+      "sanitized app tokens keep batch files flat inside shard dirs")
+    assert(ShardExport.readDocs(spark, out).count() === docs.count() + batch.count())
   }
 
   test("streaming export: micro-batches land exactly once, stream result ≡ batch appends") {
