@@ -1144,9 +1144,71 @@ object TextQueries {
     },
     doc = "X4 Gopher quality rules (Rae et al. 2021): word count, mean word length, alphabetic fraction, stopword presence — first-failing-rule report")
 
+  // -------------------------------------------------------------------
+  // X4/X3 chunk-level embeddings: chunk_split × doc_embed — the vectors
+  // a retrieval index is actually built over (a passage hit, not a
+  // whole-document hit). Same chunk arithmetic as chunk_split (so
+  // chunk_ids line up row-for-row with the splitter's output), same
+  // md5 dim/sign contract as doc_embed (so chunk vectors live in the
+  // SAME space as document vectors and the cosine machinery applies
+  // unchanged). One explode chain (chunks, then tokens) into one
+  // (doc, chunk)-keyed shuffle of D conditional partial sums.
+  // -------------------------------------------------------------------
+  val chunkEmbed: QueryDef = QueryDef(
+    build = (s, d) => {
+      val ex = docs(s, d)
+        .select(col("doc_id"), expr(toksExpr).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("chunk_id", explode(expr(
+          s"sequence(CAST(0 AS BIGINT), (greatest(n - $CS_W, CAST(0 AS BIGINT)) + ${CS_S - 1}) div $CS_S)")))
+        .select(col("doc_id"), col("chunk_id"),
+          explode(slice(col("toks"), (col("chunk_id") * CS_S + 1).cast("int"), lit(CS_W))).as("tok"))
+        .select(col("doc_id"), col("chunk_id"),
+          expr(s"CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % $EMBED_D").as("dim"),
+          expr("CASE WHEN CAST(conv(substring(md5(tok), 9, 1), 16, 10) AS BIGINT) % 2 = 0 " +
+            "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END").as("sgn"))
+      val sums = (0 until EMBED_D).map(i =>
+        sum(when(col("dim") === i, col("sgn")).otherwise(0L)).as(s"v$i"))
+      ex.groupBy("doc_id", "chunk_id").agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"), col("chunk_id"),
+          array((0 until EMBED_D).map(i => col(s"v$i")): _*).as("vec"))
+        .select(col("doc_id"), col("chunk_id"), col("vec"),
+          expr("CAST(floor(sqrt(CAST(aggregate(vec, CAST(0 AS BIGINT), (a, x) -> a + x * x) AS DOUBLE)) * 1000000 + 0.5D) AS BIGINT)").as("norm_micro"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    oracle = Some {
+      val terms = (0 until EMBED_D).map(i =>
+        s"sum(CASE WHEN dim = $i THEN sgn ELSE 0 END)::BIGINT").mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id, ts, len(ts)::BIGINT AS n FROM (
+         |    SELECT doc_id, $toksSql AS ts FROM documents
+         |  ) WHERE len(ts) > 0
+         |), c AS (
+         |  SELECT doc_id, i.ci AS chunk_id,
+         |         ts[i.ci * $CS_S + 1 : i.ci * $CS_S + $CS_W] AS ctoks
+         |  FROM d, LATERAL unnest(range(0, (greatest(n - $CS_W, 0) + ${CS_S - 1}) // $CS_S + 1)) AS i(ci)
+         |), tk AS (
+         |  SELECT doc_id, chunk_id, u.tok FROM c, unnest(ctoks) AS u(tok)
+         |), hx AS (
+         |  SELECT doc_id, chunk_id,
+         |         ('0x' || substring(md5(tok), 1, 8))::BIGINT % $EMBED_D AS dim,
+         |         CASE WHEN ('0x' || substring(md5(tok), 9, 1))::BIGINT % 2 = 0
+         |              THEN 1 ELSE -1 END AS sgn
+         |  FROM tk
+         |), vecs AS (
+         |  SELECT doc_id, chunk_id, [$terms] AS vec FROM hx GROUP BY doc_id, chunk_id
+         |)
+         |SELECT doc_id, chunk_id, vec,
+         |       CAST(floor(sqrt(list_dot_product(vec::DOUBLE[], vec::DOUBLE[])) * 1000000 + 0.5) AS BIGINT) AS norm_micro
+         |FROM vecs ORDER BY doc_id, chunk_id""".stripMargin
+    },
+    doc = "X4 chunk-level hash embeddings (chunk_split × doc_embed) — passage vectors in the document-vector space")
+
   val defs: Map[String, QueryDef] = Map(
     "quality_gate"     -> qualityGate,
     "quality_gopher"   -> qualityGopher,
+    "chunk_embed"      -> chunkEmbed,
     "doc_embed"        -> docEmbed,
     "chunk_split"      -> chunkSplit,
     "vocab_topk"       -> vocabTopK,

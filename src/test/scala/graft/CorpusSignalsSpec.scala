@@ -179,6 +179,26 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(matches.contains((3L, 4L)), "verbatim short copies must share their whole-doc fingerprint")
   }
 
+  test("chunk_embed: single-chunk docs embed identically to doc_embed; chunk ids align with chunk_split") {
+    val d = tmpDir("graft-chunkembed")
+    val shortDoc = (1 to 20).map(i => s"s$i").mkString(" ")   // 1 chunk (≤ 32 toks)
+    val longDoc = (1 to 80).map(i => s"l$i").mkString(" ")    // 3 chunks (strides 0/24/48)
+    spark.createDataFrame(Seq(mk(0L, shortDoc), mk(1L, longDoc)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val ce = SparkEntry.queries("chunk_embed")(spark, d).collect().toSeq
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getSeq[Long](2), r.getLong(3)))).toMap
+    val de = SparkEntry.queries("doc_embed")(spark, d).collect().toSeq
+      .map(r => (r.getLong(0), (r.getSeq[Long](1), r.getLong(3)))).toMap
+    // a document inside one window IS its chunk — same vector, same norm
+    assert(ce((0L, 0L)) === de(0L), "whole-doc chunk must equal the document embedding")
+    // chunk ids line up with the splitter row-for-row
+    val cs = SparkEntry.queries("chunk_split")(spark, d).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ce.keySet === cs, "chunk_embed must emit exactly the splitter's chunks")
+    assert(ce.keySet.count(_._1 == 1L) === 3, "80 tokens at stride 24 → 3 chunks")
+  }
+
   test("quality_gopher: every rule branch fires on its constructed document") {
     val goodWords = Seq("the", "and", "with", "that", "quality", "corpus", "tokens", "letters")
     val pass = (0 until 60).map(i => goodWords(i % goodWords.size)).mkString(" ")
