@@ -54,6 +54,7 @@ object PlanAudit {
     "vocab_topk" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus total"),
     "topic_mixture" -> ("broadcast-nested-loop-join", "broadcast sides = single-row mixture totals + k-means centroids (bounded by k)"),
     "shard_manifest" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus token total"),
+    "chunk_topk" -> ("broadcast-nested-loop-join", "broadcast side = fixed query set (bounded constant)"),
     "pq_recall" -> ("broadcast-nested-loop-join", "broadcast side = fixed query set (bounded constant, the truth leg)"),
     "sim_ivfpq" -> ("broadcast-nested-loop-join", "broadcast side = k-means centroids (bounded by k, the probe leg)"),
   )

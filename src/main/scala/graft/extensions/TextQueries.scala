@@ -1205,10 +1205,97 @@ object TextQueries {
     },
     doc = "X4 chunk-level hash embeddings (chunk_split × doc_embed) — passage vectors in the document-vector space")
 
+  // -------------------------------------------------------------------
+  // X3 passage retrieval: brute-force top-K chunks per query document —
+  // the RAG serving query over the chunk_embed index (query = the
+  // document-level hash vector, candidates = every chunk vector; both
+  // live in the same hashed space by construction). Scoring is the
+  // sim_topk discipline: 6dp-rounded cosine + id tiebreak, query set
+  // broadcast (bounded constant), one partitioned top-K window. Zero
+  // vectors (full sign cancellation) are excluded on both sides — a
+  // 0-norm cosine is undefined, and both engines must agree on the
+  // exclusion rather than on a NaN.
+  // -------------------------------------------------------------------
+  private val CHUNK_QUERIES = 3L
+  private val CHUNK_K = 5
+
+  val chunkTopk: QueryDef = QueryDef(
+    build = (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      def prep(df: DataFrame, keep: Seq[String]): DataFrame =
+        df.withColumn("n2", expr("aggregate(vec, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+          .filter(col("n2") > 0)
+          .withColumn("vd", expr("transform(vec, x -> CAST(x AS DOUBLE))"))
+          .select((keep ++ Seq("vd", "n2")).map(col): _*)
+      val q = prep(hashEmbedVecs(s, d).filter(col("doc_id") < CHUNK_QUERIES)
+        .withColumnRenamed("doc_id", "query_id"), Seq("query_id"))
+        .select(col("query_id"), col("vd").as("qv"), col("n2").as("qn2"))
+      val c = prep(chunkEmbed.build(s, d).select("doc_id", "chunk_id", "vec"), Seq("doc_id", "chunk_id"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("doc_id"), col("chunk_id"))
+      c.crossJoin(broadcast(q))
+        .withColumn("cos_sim", round(
+          call_function("graft_dot", col("vd"), col("qv")) /
+            (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double"))), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= CHUNK_K)
+        .select("query_id", "rank", "doc_id", "chunk_id", "cos_sim")
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some {
+      val terms = (0 until EMBED_D).map(i =>
+        s"sum(CASE WHEN dim = $i THEN sgn ELSE 0 END)::BIGINT").mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id, ts, len(ts)::BIGINT AS n FROM (
+         |    SELECT doc_id, $toksSql AS ts FROM documents
+         |  ) WHERE len(ts) > 0
+         |), c0 AS (
+         |  SELECT doc_id, i.ci AS chunk_id,
+         |         ts[i.ci * $CS_S + 1 : i.ci * $CS_S + $CS_W] AS ctoks
+         |  FROM d, LATERAL unnest(range(0, (greatest(n - $CS_W, 0) + ${CS_S - 1}) // $CS_S + 1)) AS i(ci)
+         |), chx AS (
+         |  SELECT doc_id, chunk_id,
+         |         ('0x' || substring(md5(u.tok), 1, 8))::BIGINT % $EMBED_D AS dim,
+         |         CASE WHEN ('0x' || substring(md5(u.tok), 9, 1))::BIGINT % 2 = 0
+         |              THEN 1 ELSE -1 END AS sgn
+         |  FROM c0, unnest(ctoks) AS u(tok)
+         |), cv AS (
+         |  SELECT doc_id, chunk_id, [$terms] AS vec FROM chx GROUP BY doc_id, chunk_id
+         |), cc AS (
+         |  SELECT doc_id, chunk_id, vec, list_dot_product(vec, vec)::BIGINT AS n2 FROM cv
+         |  WHERE list_dot_product(vec, vec) > 0
+         |), qhx AS (
+         |  SELECT t.doc_id,
+         |         ('0x' || substring(md5(u.tok), 1, 8))::BIGINT % $EMBED_D AS dim,
+         |         CASE WHEN ('0x' || substring(md5(u.tok), 9, 1))::BIGINT % 2 = 0
+         |              THEN 1 ELSE -1 END AS sgn
+         |  FROM (SELECT doc_id, $toksSql AS ts FROM documents WHERE doc_id < $CHUNK_QUERIES) t,
+         |       unnest(t.ts) AS u(tok)
+         |), qv AS (
+         |  SELECT doc_id AS query_id, [$terms] AS vec FROM qhx GROUP BY doc_id
+         |), qq AS (
+         |  SELECT query_id, vec, list_dot_product(vec, vec)::BIGINT AS n2 FROM qv
+         |  WHERE list_dot_product(vec, vec) > 0
+         |), scored AS (
+         |  SELECT q.query_id, c.doc_id, c.chunk_id,
+         |         round(list_dot_product(c.vec, q.vec) /
+         |               (sqrt(c.n2::DOUBLE) * sqrt(q.n2::DOUBLE)), 6) AS cos_sim
+         |  FROM cc c CROSS JOIN qq q
+         |), rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |              ORDER BY cos_sim DESC, doc_id, chunk_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank::BIGINT AS rank, doc_id, chunk_id, cos_sim
+         |FROM rk WHERE rank <= $CHUNK_K ORDER BY query_id, rank""".stripMargin
+    },
+    doc = "X3 passage retrieval: brute-force top-K chunk vectors per query document (RAG serving over chunk_embed)")
+
   val defs: Map[String, QueryDef] = Map(
     "quality_gate"     -> qualityGate,
     "quality_gopher"   -> qualityGopher,
     "chunk_embed"      -> chunkEmbed,
+    "chunk_topk"       -> chunkTopk,
     "doc_embed"        -> docEmbed,
     "chunk_split"      -> chunkSplit,
     "vocab_topk"       -> vocabTopK,

@@ -199,6 +199,29 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(ce.keySet.count(_._1 == 1L) === 3, "80 tokens at stride 24 → 3 chunks")
   }
 
+  test("chunk_topk: each query document retrieves its own passages first") {
+    val d = tmpDir("graft-chunktopk")
+    val rows = Seq(
+      mk(0L, (1 to 40).map(i => s"alpha$i").mkString(" ")), // query 0: 2 chunks
+      mk(1L, (1 to 40).map(i => s"beta$i").mkString(" ")),  // query 1: disjoint vocab
+      mk(2L, (1 to 40).map(i => s"gam$i").mkString(" ")),   // query 2: disjoint vocab
+      mk(3L, (1 to 40).map(i => s"alpha$i").mkString(" "))) // copy of 0 — also retrievable
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("chunk_topk")(spark, d).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    // rank 1 per query is a chunk of the query itself or its verbatim copy
+    got.filter(_._2 == 1L).foreach { case (q, _, doc, cos) =>
+      val own = Set(q) ++ (if (q == 0L) Set(3L) else Set.empty[Long])
+      assert(own.contains(doc), s"query $q rank-1 from doc $doc")
+      assert(cos > 0.6, s"own-passage cosine must be high, got $cos")
+    }
+    // disjoint-vocabulary cross hits score near zero
+    got.filter { case (q, _, doc, _) => q == 1L && doc != 1L }
+      .foreach { case (_, _, _, cos) => assert(math.abs(cos) < 0.5) }
+  }
+
   test("quality_gopher: every rule branch fires on its constructed document") {
     val goodWords = Seq("the", "and", "with", "that", "quality", "corpus", "tokens", "letters")
     val pass = (0 until 60).map(i => goodWords(i % goodWords.size)).mkString(" ")
