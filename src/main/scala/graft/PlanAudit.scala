@@ -57,6 +57,8 @@ object PlanAudit {
     "chunk_topk" -> ("broadcast-nested-loop-join", "broadcast side = fixed query set (bounded constant)"),
     "pq_recall" -> ("broadcast-nested-loop-join", "broadcast side = fixed query set (bounded constant, the truth leg)"),
     "sim_ivfpq" -> ("broadcast-nested-loop-join", "broadcast side = k-means centroids (bounded by k, the probe leg)"),
+    "bm25_topk" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus stats (n_docs, sum_dl)"),
+    "hybrid_rrf" -> ("broadcast-nested-loop-join", "broadcast sides = single-row corpus stats + fixed query set (both bounded constants)"),
   )
 
   // GRAFT_EXPLAIN=name1,name2 (or "all"): print the formatted plan of

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.QueryDef
-import graft.extensions.{DedupQueries, MiscQueries, PipelineQueries, PqQueries, SimilarityQueries, TemporalQueries, TextQueries, TrainingQueries}
+import graft.extensions.{DedupQueries, MiscQueries, PipelineQueries, PqQueries, RetrievalQueries, SimilarityQueries, TemporalQueries, TextQueries, TrainingQueries}
 import graft.operators.CoreQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,7 +18,8 @@ object SparkEntry {
   def all: Map[String, QueryDef] =
     CoreQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
       SimilarityQueries.defs ++ PqQueries.defs ++ MiscQueries.defs ++
-      TrainingQueries.defs ++ TemporalQueries.defs ++ PipelineQueries.defs
+      TrainingQueries.defs ++ TemporalQueries.defs ++ PipelineQueries.defs ++
+      RetrievalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

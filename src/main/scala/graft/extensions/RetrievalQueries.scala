@@ -1,0 +1,212 @@
+package graft.extensions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.QueryDef
+
+/** Keyword + hybrid retrieval over the documents table — the lexical
+  * complement to the vector family (sim_topk / chunk_topk). A corpus
+  * pipeline serves both: embedding recall alone misses exact-term
+  * matches (identifiers, rare names), lexical recall alone misses
+  * paraphrases; production RAG stacks fuse the two ranked lists.
+  *
+  *  - `bm25_topk`: Okapi BM25 (k1 = 1.2, b = 0.75) top-K documents per
+  *    query document ("more-like-this": the query is the doc's distinct
+  *    token set). The plan is inverted-index-shaped — per-term posting
+  *    lists (tf) joined to the broadcast query terms — so the work is
+  *    ∝ postings of QUERY terms, never ∝ corpus × queries.
+  *  - `hybrid_rrf`: reciprocal-rank fusion (Cormack et al. 2009 shape,
+  *    k = 60) of the BM25 leg and a cosine leg over the doc_embed
+  *    hash-embedding vectors. Each leg contributes floor(1e6/(60+rank)
+  *    + 0.5) micro-points over its top-`POOL` list; missing-in-leg
+  *    contributes 0.
+  *
+  * Determinism contract: per-term BM25 contributions are converted to
+  * BIGINT micro-units BEFORE the per-(query, doc) sum — integer sums
+  * are order-free, so Spark's partial aggregation and DuckDB's serial
+  * sum agree bit-for-bit. All double arithmetic (idf, length
+  * normalization, cosine) is written in one fixed operation order and
+  * mirrored verbatim in the oracle.
+  *
+  * Scale: tf/df are one exploded groupBy each (the df leg reuses the
+  * tf exchange); query terms, per-term df, and the corpus-stats row
+  * are broadcast (bounded by the query set, not the corpus); the
+  * scoring join shuffles only matched postings; top-K is a
+  * query_id-partitioned window over ≤ matched-docs rows.
+  */
+object RetrievalQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+
+  /** Query set: the first QUERY_DOCS documents (present at every SF). */
+  private val QUERY_DOCS = 3L
+  private val TOPK = 10
+  /** Per-leg candidate pool fed into the RRF fusion. */
+  private val RRF_POOL = 20
+  private val RRF_K = 60
+
+  /** BM25 ranked lists: (query_id, doc_id, bm25_micro, rank ≤ pool).
+    * k1 = 1.2 and b = 0.75 appear as the literals 2.2 (k1 + 1), 1.2,
+    * 0.25 (1 − b) and 0.75 so both engines run the identical op chain. */
+  private def bm25Ranks(s: SparkSession, d: String, pool: Int): DataFrame = {
+    val t = docs(s, d).select(col("doc_id"), expr(TextQueries.toksExpr).as("toks"))
+    // one exploded pass carries the doc length alongside each posting,
+    // so tf needs no second join back to a doc-length table
+    val ex = t.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+      explode(col("toks")).as("tok"))
+    // persisted (session-scoped memo, deduped by canonicalized plan — the
+    // QueryDef persist contract): both the df branch and the scoring join
+    // read tf, and without the memo the corpus explode+groupBy runs twice
+    val tf = ex.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      .persist()
+    val st = t.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks")).cast("long")).as("sum_dl"))
+    val q = t.filter(col("doc_id") < QUERY_DOCS)
+      .select(col("doc_id").as("query_id"), explode(array_distinct(col("toks"))).as("tok"))
+    // document frequency of QUERY terms only (semi-filter first, off the
+    // tf memo — never a full-vocabulary aggregate)
+    val dfx = tf.join(broadcast(q.select("tok").distinct()), Seq("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * ((col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / avgdl))))
+    val w = Window.partitionBy("query_id").orderBy(col("bm25_micro").desc, col("doc_id"))
+    tf.join(broadcast(q), Seq("tok"))
+      .join(broadcast(dfx), Seq("tok"))
+      .crossJoin(broadcast(st))
+      .withColumn("c_micro", floor(contrib * lit(1000000.0) + lit(0.5)))
+      .groupBy("query_id", "doc_id").agg(sum("c_micro").as("bm25_micro"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= pool)
+  }
+
+  /** BM25 oracle CTE chain ending in `rk_b(query_id, doc_id,
+    * bm25_micro, rank)`. Mirrors [[bm25Ranks]] op-for-op. */
+  private def bm25Ctes: String = {
+    import TextQueries.toksSql
+    s"""t AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents
+       |), ex AS (
+       |  SELECT doc_id, len(toks)::BIGINT AS dl, u.tok FROM t, unnest(toks) AS u(tok)
+       |), tf AS (
+       |  SELECT doc_id, tok, count(*)::BIGINT AS tf, max(dl) AS dl FROM ex GROUP BY doc_id, tok
+       |), st AS (
+       |  SELECT count(*)::BIGINT AS n_docs, sum(len(toks))::BIGINT AS sum_dl FROM t
+       |), q AS (
+       |  SELECT qd.doc_id AS query_id, u.tok
+       |  FROM (SELECT doc_id, list_distinct(toks) AS dts FROM t WHERE doc_id < $QUERY_DOCS) qd,
+       |       unnest(qd.dts) AS u(tok)
+       |), dfx AS (
+       |  SELECT tok, count(*)::BIGINT AS df FROM tf
+       |  WHERE tok IN (SELECT tok FROM q) GROUP BY tok
+       |), sc AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |         sum(CAST(floor(ln(1.0 + (st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+       |             * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (tf.dl / (st.sum_dl::DOUBLE / st.n_docs)))))
+       |             * 1000000.0 + 0.5) AS BIGINT)) AS bm25_micro
+       |  FROM tf JOIN q USING (tok) JOIN dfx USING (tok) CROSS JOIN st
+       |  GROUP BY q.query_id, tf.doc_id
+       |), rk_b AS (
+       |  SELECT query_id, doc_id, bm25_micro,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY bm25_micro DESC, doc_id) AS rank
+       |  FROM sc
+       |)""".stripMargin
+  }
+
+  val bm25Topk: QueryDef = QueryDef(
+    build = (s, d) =>
+      bm25Ranks(s, d, TOPK)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("bm25_micro"))
+        .orderBy("query_id", "rank"),
+    oracle = Some(
+      s"""WITH $bm25Ctes
+         |SELECT query_id, rank::BIGINT AS rank, doc_id, bm25_micro
+         |FROM rk_b WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin),
+    doc = "retrieval: Okapi BM25 top-K per query document (inverted-index-shaped posting join)")
+
+  /** Cosine ranked lists over the doc_embed hash-embedding vectors:
+    * (query_id, doc_id, rank ≤ pool). Same prep/score shapes as
+    * chunk_topk so the fusion legs and the standalone vector queries
+    * rank from bit-identical cosines. */
+  private def vecRanks(s: SparkSession, d: String, pool: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    def prep(df: DataFrame, keep: Seq[String]): DataFrame =
+      df.withColumn("n2", expr("aggregate(vec, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+        .filter(col("n2") > 0)
+        .withColumn("vd", expr("transform(vec, x -> CAST(x AS DOUBLE))"))
+        .select((keep ++ Seq("vd", "n2")).map(col): _*)
+    val vecs = TextQueries.hashEmbedVecs(s, d)
+    val q = prep(vecs.filter(col("doc_id") < QUERY_DOCS)
+      .withColumnRenamed("doc_id", "query_id"), Seq("query_id"))
+      .select(col("query_id"), col("vd").as("qv"), col("n2").as("qn2"))
+    val c = prep(vecs, Seq("doc_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("doc_id"))
+    c.crossJoin(broadcast(q))
+      .withColumn("cos_sim", round(
+        call_function("graft_dot", col("vd"), col("qv")) /
+          (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double"))), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= pool)
+      .select("query_id", "doc_id", "rank")
+  }
+
+  /** RRF micro-points for a (nullable) rank column. */
+  private def rrfPoints(rank: org.apache.spark.sql.Column) =
+    coalesce(floor(lit(1000000.0) / (lit(RRF_K) + rank) + lit(0.5)), lit(0L))
+
+  val hybridRrf: QueryDef = QueryDef(
+    build = (s, d) => {
+      val bm = bm25Ranks(s, d, RRF_POOL)
+        .select(col("query_id"), col("doc_id"), col("rank").as("bm25_rank"))
+      val vr = vecRanks(s, d, RRF_POOL)
+        .select(col("query_id"), col("doc_id"), col("rank").as("vec_rank"))
+      val w = Window.partitionBy("query_id").orderBy(col("rrf_micro").desc, col("doc_id"))
+      bm.join(vr, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf_micro", rrfPoints(col("bm25_rank")) + rrfPoints(col("vec_rank")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TOPK)
+        .select("query_id", "rank", "doc_id", "rrf_micro", "bm25_rank", "vec_rank")
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some(
+      s"""${TextQueries.hashEmbedSql}, $bm25Ctes, cc AS (
+         |  SELECT doc_id, vec, list_dot_product(vec, vec)::BIGINT AS n2 FROM vecs
+         |  WHERE list_dot_product(vec, vec) > 0
+         |), qq AS (
+         |  SELECT doc_id AS query_id, vec, n2 FROM cc WHERE doc_id < $QUERY_DOCS
+         |), vsc AS (
+         |  SELECT qq.query_id, cc.doc_id,
+         |         round(list_dot_product(cc.vec, qq.vec) /
+         |               (sqrt(cc.n2::DOUBLE) * sqrt(qq.n2::DOUBLE)), 6) AS cos_sim
+         |  FROM cc CROSS JOIN qq
+         |), rk_v AS (
+         |  SELECT query_id, doc_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, doc_id) AS rank
+         |  FROM vsc
+         |), pool_b AS (
+         |  SELECT query_id, doc_id, rank AS bm25_rank FROM rk_b WHERE rank <= $RRF_POOL
+         |), pool_v AS (
+         |  SELECT query_id, doc_id, rank AS vec_rank FROM rk_v WHERE rank <= $RRF_POOL
+         |), fused AS (
+         |  SELECT query_id, doc_id, b.bm25_rank, v.vec_rank,
+         |         coalesce(CAST(floor(1000000.0 / ($RRF_K + b.bm25_rank) + 0.5) AS BIGINT), 0) +
+         |         coalesce(CAST(floor(1000000.0 / ($RRF_K + v.vec_rank) + 0.5) AS BIGINT), 0) AS rrf_micro
+         |  FROM pool_b b FULL OUTER JOIN pool_v v USING (query_id, doc_id)
+         |), frk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rank
+         |  FROM fused
+         |)
+         |SELECT query_id, rank::BIGINT AS rank, doc_id, rrf_micro,
+         |       bm25_rank::BIGINT AS bm25_rank, vec_rank::BIGINT AS vec_rank
+         |FROM frk WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin),
+    doc = "retrieval: reciprocal-rank fusion of the BM25 and cosine legs (hybrid lexical+vector ranking)")
+
+  val defs: Map[String, QueryDef] = Map(
+    "bm25_topk"  -> bm25Topk,
+    "hybrid_rrf" -> hybridRrf,
+  )
+}

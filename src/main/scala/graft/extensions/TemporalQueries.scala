@@ -317,11 +317,167 @@ object TemporalQueries {
          |FROM w WHERE is_probe = 1 ORDER BY user_id, purchase_ts, event_id""".stripMargin),
     doc = "temporal: as-of join with a staleness tolerance (match dropped when older than 6h)")
 
+  // -------------------------------------------------------------------
+  // range_join: interval-containment join — each purchase matched to the
+  // click-session attribution window ([first click, last click + 30 min],
+  // sessions split by sessionize's 30-min gap) that contains it. Windows
+  // of one user stay disjoint BY CONSTRUCTION: the gap rule puts the next
+  // session's first click strictly more than 30 min after the previous
+  // session's last, so the +30 min extension never reaches it — each
+  // probe matches at most one interval, no dedup step needed.
+  // The scale-sound plan is bucket decomposition: every
+  // interval is exploded to the hour buckets it covers, the probe carries
+  // its single bucket, and the join is an EQUI-join on (user_id, bucket)
+  // with an exact containment post-filter — never a theta-join. Because a
+  // probe has exactly one bucket, each (probe, interval) pair meets in at
+  // most one task and needs no dedup; because sessions of one user are
+  // gap-disjoint, each probe matches at most one interval. The bucket key
+  // also bounds skew: a heavy user's sessions spread over (user, hour)
+  // keys instead of serializing on the user alone.
+  // -------------------------------------------------------------------
+  /** Session gap for [[rangeJoin]] (mirrors sessionize's 30 min). */
+  private val RJ_GAP_US = 30L * 60L * 1000000L
+
+  val rangeJoin: QueryDef = QueryDef(
+    build = (s, d) => {
+      val ev = EventsSource.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = ev.filter(col("event_type") === "click")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag("us", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_us").isNull
+            || col("us") - col("prev_us") > RJ_GAP_US, 1L).otherwise(0L))
+        .withColumn("session_id", sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(min("ts").as("session_start"),
+          (max("ts") + expr("INTERVAL 30 MINUTES")).as("session_end"),
+          count(lit(1)).as("n_clicks"))
+      val iv = sess.withColumn("bucket", explode(expr(
+        "sequence(date_trunc('hour', session_start), date_trunc('hour', session_end), interval 1 hour)")))
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts").as("purchase_ts"),
+          col("value").as("purchase_value"))
+        .withColumn("bucket", date_trunc("hour", col("purchase_ts")))
+      probes.join(iv, Seq("user_id", "bucket"))
+        .filter(col("purchase_ts").between(col("session_start"), col("session_end")))
+        .select("user_id", "event_id", "purchase_ts", "purchase_value",
+          "session_id", "session_start", "session_end", "n_clicks")
+        .orderBy("user_id", "event_id")
+    },
+    oracle = Some(
+      s"""WITH c AS (
+         |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+         |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         |  FROM events WHERE event_type = 'click'
+         |), m AS (
+         |  SELECT user_id, ts, event_id,
+         |         CASE WHEN prev_us IS NULL OR us - prev_us > $RJ_GAP_US
+         |              THEN 1 ELSE 0 END AS new_session
+         |  FROM c
+         |), s0 AS (
+         |  SELECT user_id, ts,
+         |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                                ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+         |  FROM m
+         |), sess AS (
+         |  SELECT user_id, session_id, min(ts) AS session_start,
+         |         max(ts) + INTERVAL 30 MINUTES AS session_end,
+         |         count(*)::BIGINT AS n_clicks
+         |  FROM s0 GROUP BY user_id, session_id
+         |)
+         |SELECT p.user_id, p.event_id, p.ts AS purchase_ts, p.value AS purchase_value,
+         |       s.session_id, s.session_start, s.session_end, s.n_clicks
+         |FROM events p
+         |JOIN sess s ON p.user_id = s.user_id
+         |           AND p.ts BETWEEN s.session_start AND s.session_end
+         |WHERE p.event_type = 'purchase'
+         |ORDER BY p.user_id, p.event_id""".stripMargin),
+    doc = "temporal: interval-containment join (purchases inside click-session attribution windows) via hour-bucket decomposition")
+
+  // -------------------------------------------------------------------
+  // series_acf: per-series autocorrelation at row lags 1..3 (the
+  // order-of-arrival pairing every TSDB diagnostic uses on its sampled
+  // grid). Determinism: values go to BIGINT milli-units FIRST, the six
+  // correlation sums accumulate as DECIMAL(38,0)/HUGEINT — exact 128-bit
+  // integers, order-free under Spark's partial aggregation — and only
+  // the final closed-form touches doubles, in one mirrored op order.
+  // Milli (not micro) units: with |value| ≤ ~1e6, x·y ≤ ~1e18 per row
+  // keeps the 128-bit sums exact past 1e19 rows per series. One
+  // window sort feeds all three lags; the groupBy rides the window's
+  // hash partitioning (no second exchange).
+  // -------------------------------------------------------------------
+  val seriesAcf: QueryDef = QueryDef(
+    build = (s, d) => {
+      val w = Window.partitionBy("id").orderBy("time", "seq")
+      val lagged = EventsSource.meas(s, d)
+        .withColumn("x", floor(col("value") * lit(1000.0) + lit(0.5)))
+        .select(col("id"), col("x"),
+          lag("x", 1).over(w).as("y1"), lag("x", 2).over(w).as("y2"),
+          lag("x", 3).over(w).as("y3"))
+      val st = lagged
+        .select(col("id"), col("x"), expr("stack(3, 1L, y1, 2L, y2, 3L, y3) AS (lag, y)"))
+        .filter(col("y").isNotNull)
+      val dec = (c: Column) => c.cast("decimal(18,0)")
+      val sums = st.groupBy("id", "lag").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+      val nd = col("n_pairs").cast("double")
+      def dd(c: String) = col(c).cast("double")
+      val num = nd * dd("sxy") - dd("sx") * dd("sy")
+      val den2 = (nd * dd("sxx") - dd("sx") * dd("sx")) * (nd * dd("syy") - dd("sy") * dd("sy"))
+      // BIGINT micro output (floor(x·1e6 + 0.5)), NOT a rounded double:
+      // near-zero correlations can land on -0.0, which the two engines'
+      // round() disagree on (see the verify skill's determinism notes)
+      sums.select(col("id"), col("lag"), col("n_pairs"),
+          when(den2 > 0, floor(num / sqrt(den2) * lit(1000000.0) + lit(0.5)))
+            .as("acf_micro"))
+        .orderBy("id", "lag")
+    },
+    oracle = Some(
+      s"""${Sql.MEAS_CTE}, x0 AS (
+         |  SELECT id, time, seq, CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS x FROM meas
+         |), lg AS (
+         |  SELECT id, x,
+         |         lag(x, 1) OVER w AS y1, lag(x, 2) OVER w AS y2, lag(x, 3) OVER w AS y3
+         |  FROM x0 WINDOW w AS (PARTITION BY id ORDER BY time, seq)
+         |), st AS (
+         |  SELECT id, x, lag, y FROM (
+         |    SELECT id, x, 1::BIGINT AS lag, y1 AS y FROM lg
+         |    UNION ALL SELECT id, x, 2::BIGINT, y2 FROM lg
+         |    UNION ALL SELECT id, x, 3::BIGINT, y3 FROM lg
+         |  ) WHERE y IS NOT NULL
+         |), sums AS (
+         |  SELECT id, lag, count(*)::BIGINT AS n_pairs,
+         |         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+         |         sum(x::HUGEINT * y) AS sxy,
+         |         sum(x::HUGEINT * x) AS sxx,
+         |         sum(y::HUGEINT * y) AS syy
+         |  FROM st GROUP BY id, lag
+         |)
+         |SELECT id, lag, n_pairs,
+         |       CASE WHEN (n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+         |                 * (n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+         |            THEN CAST(floor((n_pairs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+         |                       / sqrt((n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+         |                              * (n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+         |                       * 1000000.0 + 0.5) AS BIGINT)
+         |       END AS acf_micro
+         |FROM sums ORDER BY id, lag""".stripMargin),
+    doc = "temporal: per-series autocorrelation at row lags 1..3 (exact 128-bit integer sums, closed-form Pearson)")
+
   val defs: Map[String, QueryDef] = Map(
     "asof_join"      -> asofJoin,
     "asof_tolerance" -> asofTolerance,
     "series_fill"    -> seriesFill,
     "series_interp"  -> seriesInterp,
     "series_bars"    -> seriesBars,
+    "range_join"     -> rangeJoin,
+    "series_acf"     -> seriesAcf,
   )
 }

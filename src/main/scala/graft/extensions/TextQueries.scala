@@ -19,9 +19,9 @@ import graft.core.QueryDef
 object TextQueries {
 
   /** Spark-side token array (drops empty tokens). */
-  private val toksExpr = "filter(split(text, ' '), t -> t != '')"
+  private[extensions] val toksExpr = "filter(split(text, ' '), t -> t != '')"
   /** DuckDB mirror of [[toksExpr]]. */
-  private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+  private[extensions] val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
 
   /** Per-language stopword lists for the n-gram language-ID heuristic.
     * Tiny by design: language ID at 100 TB must be a map-only scan, so the

@@ -102,4 +102,71 @@ class TemporalSpec extends SparkSpec {
         (r.getTimestamp(5).getTime - r.getTimestamp(3).getTime).toDouble)
     assert(v === 20.0)
   }
+
+  test("range_join: bucket decomposition ≡ brute-force theta join; containment exact; ≤1 match per probe") {
+    import org.apache.spark.sql.functions._
+    val res = TemporalQueries.rangeJoin.build(spark, sfDir).cache()
+    // containment holds row-for-row
+    assert(res.filter(!col("purchase_ts").between(col("session_start"), col("session_end"))).count() === 0L)
+    // gap-disjoint sessions ⇒ at most one interval per purchase
+    val dup = res.groupBy("event_id").count().filter(col("count") > 1).count()
+    assert(dup === 0L)
+    // brute-force theta join (equi on user only, containment filter) agrees exactly
+    val ev = graft.sources.EventsSource.events(spark, sfDir)
+    val sess = res.select("user_id", "session_id", "session_start", "session_end").distinct()
+    val brute = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .join(sess, Seq("user_id"))
+      .filter(col("ts").between(col("session_start"), col("session_end")))
+      .select("event_id", "session_id")
+    val mine = res.select("event_id", "session_id")
+    assert(mine.exceptAll(brute).count() === 0L && brute.exceptAll(mine).count() === 0L)
+    res.unpersist()
+  }
+
+  test("series_acf: alternating series has acf(1) = acf(3) = -1 and acf(2) = +1; constant series is null") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = tmpDir("graft-acf")
+    // user 1 'click' series alternates 10, 12; user 2 'click' is constant
+    val rows = (0 until 12).map { i =>
+      (i.toLong, ts(f"2024-01-01 ${10 + i}%02d:00:00"), 1L, "click",
+        if (i % 2 == 0) 10.0 else 12.0, "{}")
+    } ++ (0 until 8).map { i =>
+      (100L + i, ts(f"2024-01-01 ${10 + i}%02d:00:00"), 2L, "click", 7.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val acf = TemporalQueries.seriesAcf.build(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("lag")) ->
+        Option(r.getAs[java.lang.Long]("acf_micro")).map(_.toLong)).toMap
+    val clickCode = acf.keys.map(_._1).filter(_ / 8 == 1L).head % 8
+    val id1 = 1L * 8 + clickCode; val id2 = 2L * 8 + clickCode
+    assert(acf((id1, 1L)).get === -1000000L)
+    assert(acf((id1, 2L)).get === 1000000L)
+    assert(acf((id1, 3L)).get === -1000000L)
+    assert(acf((id2, 1L)).isEmpty, "zero-variance series must yield null acf")
+  }
+
+  test("series_acf matches Spark's native corr within rounding") {
+    import org.apache.spark.sql.functions._
+    val res = TemporalQueries.seriesAcf.build(spark, sfDir)
+      .filter(col("acf_micro").isNotNull).limit(20).collect()
+    assert(res.nonEmpty)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("time", "seq")
+    val lagged = graft.sources.EventsSource.meas(spark, sfDir)
+      .withColumn("x", floor(col("value") * lit(1000.0) + lit(0.5)))
+    res.groupBy(_.getAs[Long]("lag")).foreach { case (lagN, rows) =>
+      val native = lagged
+        .withColumn("y", lag("x", lagN.toInt).over(w))
+        .filter(col("y").isNotNull)
+        .groupBy("id").agg(corr(col("x").cast("double"), col("y").cast("double")).as("c"))
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("c")).toMap
+      rows.foreach { r =>
+        val mine = r.getAs[Long]("acf_micro") / 1000000.0
+        val ref = native(r.getAs[Long]("id"))
+        assert(math.abs(mine - ref) < 1e-5, s"id=${r.getAs[Long]("id")} lag=$lagN: $mine vs $ref")
+      }
+    }
+  }
 }
