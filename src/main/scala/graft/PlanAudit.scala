@@ -59,6 +59,7 @@ object PlanAudit {
     "sim_ivfpq" -> ("broadcast-nested-loop-join", "broadcast side = k-means centroids (bounded by k, the probe leg)"),
     "bm25_topk" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus stats (n_docs, sum_dl)"),
     "hybrid_rrf" -> ("broadcast-nested-loop-join", "broadcast sides = single-row corpus stats + fixed query set (both bounded constants)"),
+    "knn_graph" -> ("broadcast-nested-loop-join", "broadcast side = k-means centroids (bounded by k)"),
   )
 
   // GRAFT_EXPLAIN=name1,name2 (or "all"): print the formatted plan of

@@ -284,6 +284,36 @@ object MiscQueries {
         |ORDER BY returnflag, linestatus""".stripMargin),
     doc = "relational: rollup / grouping sets")
 
+  // -------------------------------------------------------------------
+  // pivot_revenue: relational PIVOT — revenue and row count per
+  // returnflag, spread over linestatus columns. Values are enumerated
+  // explicitly (F/O), so Spark skips the distinct-values pre-pass job
+  // and the output schema is static; the physical plan is ONE grouped
+  // aggregation (pivot lowers to conditional aggregates — map-side
+  // partials, one shuffle on the groupBy key, no per-value scan).
+  // -------------------------------------------------------------------
+  val pivotRevenue: QueryDef = QueryDef(
+    build = (s, d) => {
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      s.read.parquet(s"$d/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(rev), 4).as("rev"), count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"),
+          col("F_rev").as("rev_f"), col("F_cnt").as("cnt_f"),
+          col("O_rev").as("rev_o"), col("O_cnt").as("cnt_o"))
+        .orderBy("l_returnflag")
+    },
+    oracle = Some(
+      """SELECT l_returnflag,
+        |       round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice * (1 - l_discount) END), 4) AS rev_f,
+        |       count(CASE WHEN l_linestatus = 'F' THEN 1 END)::BIGINT AS cnt_f,
+        |       round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice * (1 - l_discount) END), 4) AS rev_o,
+        |       count(CASE WHEN l_linestatus = 'O' THEN 1 END)::BIGINT AS cnt_o
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
+    doc = "relational: PIVOT over enumerated linestatus values (conditional aggregates, one shuffle)")
+
   val semiAntiJoin: QueryDef = QueryDef(
     build = (s, d) => {
       val c = s.read.parquet(s"$d/customer.parquet").select("c_custkey", "c_mktsegment")
@@ -391,6 +421,7 @@ object MiscQueries {
     "sessionize"      -> sessionize,
     "label_centroids" -> labelCentroids,
     "rollup_revenue"  -> rollupRevenue,
+    "pivot_revenue"   -> pivotRevenue,
     "semi_anti_join"  -> semiAntiJoin,
     "set_ops"         -> setOps,
     "cohort_retention" -> cohortRetention,

@@ -982,6 +982,79 @@ object SimilarityQueries {
          |FROM f GROUP BY band ORDER BY band""".stripMargin),
     doc = "X2 SemDeDup straddle audit: exact ≥-threshold pairs per similarity band, within-cell vs straddling")
 
+  // -------------------------------------------------------------------
+  // X3g kNN graph — each vector's top-K_NN in-cell neighbors by cosine:
+  // the neighbor-graph build step under graph clustering, SemDeDup-style
+  // cluster analysis, and kNN-classification over a corpus. The full
+  // O(N²) all-pairs graph is unbuildable at 100 TB; the IVF-cell bound
+  // (same Σ|cell|² argument as dedup_semantic, same certified-index
+  // resolve rule, same block-key join so a hot cell spreads over
+  // SEM_BLOCKS tasks) makes it linear-ish in the corpus with k as the
+  // knob. Directed edges: the pair join keeps self out and emits (a→b)
+  // and (b→a) separately — each vector ranks its OWN neighborhood.
+  // Boundary caveat: a true neighbor in an adjacent cell is unseen (the
+  // same trade sem_recall measures for dedup_semantic).
+  //
+  // Determinism: rank on the 6dp-rounded cosine with nbr_id tiebreak;
+  // emitted as BIGINT micro (floor(cs·1e6 + 0.5) — cosines can be
+  // negative, and rounded-double output would hit the -0.0 divergence).
+  // -------------------------------------------------------------------
+  private val KNN_K = 3
+
+  val knnGraph: QueryDef = QueryDef(
+    build = (s, d) => {
+      val e = emb(s, d)
+      val assigned = AnnIndex.resolveFor(s, e)
+        .filter(defaultKmeans(s, _)) match {
+        case Some(dir) => AnnIndex.readCodes(s, dir).select(col("vec_id"), col("cell"))
+        case None =>
+          val c = kmeansCentroids(s, s.read.parquet(s"$d/embeddings.parquet").drop("label"))
+          assignCells(e, c)
+      }
+      // persisted: feeds both pair-join sides (QueryDef cache contract)
+      val av = assigned.join(e, "vec_id").persist()
+      val left = av.select(col("cell"), col("vec_id"), col("v"), col("norm"),
+        explode(expr(s"sequence(0, ${SEM_BLOCKS - 1})")).as("blk"))
+      val right = av.select(col("cell"),
+        pmod(col("vec_id"), lit(SEM_BLOCKS)).cast("int").as("blk"),
+        col("vec_id").as("nbr_id"), col("v").as("ov"), col("norm").as("onorm"))
+      val byVec = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("nbr_id"))
+      left.join(right, Seq("cell", "blk"))
+        .filter(col("nbr_id") =!= col("vec_id"))
+        .withColumn("cs", round(
+          call_function("graft_dot", col("v"), col("ov")) / (col("norm") * col("onorm")), 6))
+        .withColumn("rank", row_number().over(byVec).cast("long"))
+        .filter(col("rank") <= KNN_K)
+        .select(col("vec_id"), col("rank"), col("nbr_id"),
+          floor(col("cs") * lit(1000000.0) + lit(0.5)).as("cs_micro"))
+        .orderBy("vec_id", "rank")
+    },
+    oracle = Some(
+      s"""${kmeansOracleCtes(KMEANS_K, KMEANS_ITERS)}, sims AS (
+         |  SELECT e.vec_id, c.clabel,
+         |         round(list_dot_product(e.v, c.cv) / (e.norm * c.cnorm), 6) AS csim
+         |  FROM e CROSS JOIN c$KMEANS_ITERS c
+         |), assigned AS (
+         |  SELECT vec_id, clabel AS cell FROM (
+         |    SELECT vec_id, clabel,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, clabel) AS rk
+         |    FROM sims) WHERE rk = 1
+         |), av AS (
+         |  SELECT a.vec_id, a.cell, e.v, e.norm FROM assigned a JOIN e USING (vec_id)
+         |), pr AS (
+         |  SELECT l.vec_id, r.vec_id AS nbr_id,
+         |         round(list_dot_product(l.v, r.v) / (l.norm * r.norm), 6) AS cs
+         |  FROM av l JOIN av r ON l.cell = r.cell AND r.vec_id <> l.vec_id
+         |), rk AS (
+         |  SELECT vec_id, nbr_id, cs,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, nbr_id) AS rank
+         |  FROM pr
+         |)
+         |SELECT vec_id, rank::BIGINT AS rank, nbr_id,
+         |       CAST(floor(cs * 1000000.0 + 0.5) AS BIGINT) AS cs_micro
+         |FROM rk WHERE rank <= $KNN_K ORDER BY vec_id, rank""".stripMargin),
+    doc = "X3 kNN graph: per-vector top-K in-cell cosine neighbors (IVF-cell-bounded neighbor-graph build)")
+
   val defs: Map[String, QueryDef] = Map(
     "sim_topk"         -> topk,
     "sim_ann"          -> ann,
@@ -993,5 +1066,6 @@ object SimilarityQueries {
     "sem_recall"       -> semStraddle,
     "ivf_cell_stats"   -> cellStats,
     "embed_quantize"   -> quantize,
+    "knn_graph"        -> knnGraph,
   )
 }
