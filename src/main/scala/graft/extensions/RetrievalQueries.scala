@@ -134,16 +134,18 @@ object RetrievalQueries {
     * rank from bit-identical cosines. */
   private def vecRanks(s: SparkSession, d: String, pool: Int): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    def prep(df: DataFrame, keep: Seq[String]): DataFrame =
-      df.withColumn("n2", expr("aggregate(vec, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
-        .filter(col("n2") > 0)
-        .withColumn("vd", expr("transform(vec, x -> CAST(x AS DOUBLE))"))
-        .select((keep ++ Seq("vd", "n2")).map(col): _*)
-    val vecs = TextQueries.hashEmbedVecs(s, d)
-    val q = prep(vecs.filter(col("doc_id") < QUERY_DOCS)
-      .withColumnRenamed("doc_id", "query_id"), Seq("query_id"))
-      .select(col("query_id"), col("vd").as("qv"), col("n2").as("qn2"))
-    val c = prep(vecs, Seq("doc_id"))
+    // VERBATIM dedup_docvec derivation (vd, then n2, then the narrow
+    // select): the canonicalized plans match, so the persist below and
+    // dedup_docvec's resolve to ONE session memo — and within this query
+    // the query/corpus legs share one embedding pass instead of two
+    val e = TextQueries.hashEmbedVecs(s, d)
+      .withColumn("vd", expr("transform(vec, x -> CAST(x AS DOUBLE))"))
+      .withColumn("n2", expr("aggregate(vec, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      .select("doc_id", "vd", "n2")
+      .persist() // session-scoped memo (QueryDef cache contract)
+    val c = e.filter(col("n2") > 0)
+    val q = c.filter(col("doc_id") < QUERY_DOCS)
+      .select(col("doc_id").as("query_id"), col("vd").as("qv"), col("n2").as("qn2"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("doc_id"))
     c.crossJoin(broadcast(q))
       .withColumn("cos_sim", round(

@@ -471,6 +471,77 @@ object TemporalQueries {
          |FROM sums ORDER BY id, lag""".stripMargin),
     doc = "temporal: per-series autocorrelation at row lags 1..3 (exact 128-bit integer sums, closed-form Pearson)")
 
+  // -------------------------------------------------------------------
+  // series_xcorr: lag-0 cross-correlation between every pair of series
+  // OWNED BY THE SAME USER, on the shared hourly grid. The pair space is
+  // bounded by construction — a user owns ≤ 8 series (one per event
+  // type), so the bucket join fans each (user, hour) key into ≤ 28
+  // pairs, never corpus × corpus. Bucket feature = the hourly SUM in
+  // exact BIGINT milli-units (a mean would re-introduce order-dependent
+  // double division before the correlation sums); only buckets where
+  // BOTH series observed data enter the pair (inner join). Same
+  // determinism discipline as series_acf: DECIMAL/HUGEINT sums,
+  // closed-form Pearson in one mirrored double op order, BIGINT micro
+  // output.
+  // -------------------------------------------------------------------
+  val seriesXcorr: QueryDef = QueryDef(
+    build = (s, d) => {
+      val b = EventsSource.meas(s, d)
+        .withColumn("x", floor(col("value") * lit(1000.0) + lit(0.5)))
+        .groupBy(col("id"), date_trunc("hour", col("time")).as("bucket"))
+        .agg(sum("x").as("xs"))
+        .select(expr("id DIV 8").as("u"), pmod(col("id"), lit(8L)).as("code"),
+          col("bucket"), col("xs"))
+      val pairs = b.select(col("u"), col("bucket"), col("code").as("code_a"), col("xs").as("xa"))
+        .join(b.select(col("u"), col("bucket"), col("code").as("code_b"), col("xs").as("xb")),
+          Seq("u", "bucket"))
+        .filter(col("code_a") < col("code_b"))
+      val dec = (c: Column) => c.cast("decimal(18,0)")
+      val sums = pairs.groupBy("u", "code_a", "code_b").agg(
+        count(lit(1)).as("n_buckets"),
+        sum(dec(col("xa"))).as("sx"), sum(dec(col("xb"))).as("sy"),
+        sum(dec(col("xa")) * dec(col("xb"))).as("sxy"),
+        sum(dec(col("xa")) * dec(col("xa"))).as("sxx"),
+        sum(dec(col("xb")) * dec(col("xb"))).as("syy"))
+      val nd = col("n_buckets").cast("double")
+      def dd(c: String) = col(c).cast("double")
+      val num = nd * dd("sxy") - dd("sx") * dd("sy")
+      val den2 = (nd * dd("sxx") - dd("sx") * dd("sx")) * (nd * dd("syy") - dd("sy") * dd("sy"))
+      sums.select(
+          (col("u") * 8 + col("code_a")).as("id_a"),
+          (col("u") * 8 + col("code_b")).as("id_b"),
+          col("n_buckets"),
+          when(den2 > 0, floor(num / sqrt(den2) * lit(1000000.0) + lit(0.5)))
+            .as("xcorr_micro"))
+        .orderBy("id_a", "id_b")
+    },
+    oracle = Some(
+      s"""${Sql.MEAS_CTE}, b AS (
+         |  SELECT id // 8 AS u, id % 8 AS code, date_trunc('hour', time) AS bucket,
+         |         sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))::BIGINT AS xs
+         |  FROM meas GROUP BY 1, 2, 3
+         |), pairs AS (
+         |  SELECT a.u, a.code AS code_a, c.code AS code_b, a.xs AS xa, c.xs AS xb
+         |  FROM b a JOIN b c ON a.u = c.u AND a.bucket = c.bucket AND a.code < c.code
+         |), sums AS (
+         |  SELECT u, code_a, code_b, count(*)::BIGINT AS n_buckets,
+         |         sum(xa::HUGEINT) AS sx, sum(xb::HUGEINT) AS sy,
+         |         sum(xa::HUGEINT * xb) AS sxy,
+         |         sum(xa::HUGEINT * xa) AS sxx,
+         |         sum(xb::HUGEINT * xb) AS syy
+         |  FROM pairs GROUP BY u, code_a, code_b
+         |)
+         |SELECT (u * 8 + code_a)::BIGINT AS id_a, (u * 8 + code_b)::BIGINT AS id_b, n_buckets,
+         |       CASE WHEN (n_buckets::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+         |                 * (n_buckets::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+         |            THEN CAST(floor((n_buckets::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+         |                       / sqrt((n_buckets::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+         |                              * (n_buckets::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+         |                       * 1000000.0 + 0.5) AS BIGINT)
+         |       END AS xcorr_micro
+         |FROM sums ORDER BY id_a, id_b""".stripMargin),
+    doc = "temporal: lag-0 cross-correlation between same-user series pairs on the hourly grid (bounded pair fan-out)")
+
   val defs: Map[String, QueryDef] = Map(
     "asof_join"      -> asofJoin,
     "asof_tolerance" -> asofTolerance,
@@ -479,5 +550,6 @@ object TemporalQueries {
     "series_bars"    -> seriesBars,
     "range_join"     -> rangeJoin,
     "series_acf"     -> seriesAcf,
+    "series_xcorr"   -> seriesXcorr,
   )
 }

@@ -148,6 +148,31 @@ class TemporalSpec extends SparkSpec {
     assert(acf((id2, 1L)).isEmpty, "zero-variance series must yield null acf")
   }
 
+  test("series_xcorr: proportional pair → +1, reflected pair → -1, pairs are ordered and same-user") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = tmpDir("graft-xcorr")
+    // one user, three series on the same hourly grid: view = 2×click
+    // (corr +1), error = 22 − click (corr −1); view vs error also −1
+    val rows = (0 until 10).flatMap { i =>
+      val v = if (i % 2 == 0) 10.0 else 12.0
+      val t = ts(f"2024-01-01 ${10 + i}%02d:00:00")
+      Seq((i * 3L, t, 1L, "click", v, "{}"),
+        (i * 3L + 1L, t, 1L, "view", 2 * v, "{}"),
+        (i * 3L + 2L, t, 1L, "error", 22.0 - v, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val res = TemporalQueries.seriesXcorr.build(spark, dir).collect()
+    assert(res.length === 3, "three series of one user form exactly three pairs")
+    assert(res.forall(_.getAs[Long]("n_buckets") === 10L))
+    assert(res.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    assert(res.forall(r => r.getAs[Long]("id_a") / 8 === r.getAs[Long]("id_b") / 8),
+      "pairs never cross users")
+    assert(res.map(_.getAs[Long]("xcorr_micro")).sorted.toSeq ===
+      Seq(-1000000L, -1000000L, 1000000L))
+  }
+
   test("series_acf matches Spark's native corr within rounding") {
     import org.apache.spark.sql.functions._
     val res = TemporalQueries.seriesAcf.build(spark, sfDir)
