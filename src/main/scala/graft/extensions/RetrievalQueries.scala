@@ -52,24 +52,60 @@ object RetrievalQueries {
     * k1 = 1.2 and b = 0.75 appear as the literals 2.2 (k1 + 1), 1.2,
     * 0.25 (1 − b) and 0.75 so both engines run the identical op chain. */
   private def bm25Ranks(s: SparkSession, d: String, pool: Int): DataFrame = {
-    val t = docs(s, d).select(col("doc_id"), expr(TextQueries.toksExpr).as("toks"))
-    // one exploded pass carries the doc length alongside each posting,
-    // so tf needs no second join back to a doc-length table
-    val ex = t.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-      explode(col("toks")).as("tok"))
-    // persisted (session-scoped memo, deduped by canonicalized plan — the
-    // QueryDef persist contract): both the df branch and the scoring join
-    // read tf, and without the memo the corpus explode+groupBy runs twice
-    val tf = ex.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
-      .persist()
-    val st = t.agg(count(lit(1)).as("n_docs"),
-      sum(size(col("toks")).cast("long")).as("sum_dl"))
-    val q = t.filter(col("doc_id") < QUERY_DOCS)
-      .select(col("doc_id").as("query_id"), explode(array_distinct(col("toks"))).as("tok"))
-    // document frequency of QUERY terms only (semi-filter first, off the
-    // tf memo — never a full-vocabulary aggregate)
-    val dfx = tf.join(broadcast(q.select("tok").distinct()), Seq("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val corpus = docs(s, d)
+    // inverted-index serving (certified + fingerprint-matched TextIndex
+    // with the postings component): tf/dl come from stored posting rows,
+    // df from the dfreq LSM, n_docs from the index meta, Σdl from the
+    // vocab token total — the corpus explode+groupBy (the part that
+    // grows with the corpus) happened once at ingest. Every served
+    // value is the integer a recompute would derive, so served and
+    // recomputed rankings are identical (TextIndexSpec pins it).
+    val served = TextIndex.resolveFor(s, corpus)
+      .filter(TextIndex.hasPostings(s, _))
+    val tf = served match {
+      case Some(dir) => TextIndex.readPostings(s, dir)
+      case None =>
+        val ex = corpus
+          .select(col("doc_id"), expr(TextQueries.toksExpr).as("toks"))
+          .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+            explode(col("toks")).as("tok"))
+        // persisted (session-scoped memo, deduped by canonicalized plan —
+        // the QueryDef persist contract): both the df branch and the
+        // scoring join read tf, and without the memo the corpus
+        // explode+groupBy runs twice
+        ex.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+          .persist()
+    }
+    val st = served match {
+      case Some(dir) =>
+        val nDocs = TextIndex.readMeta(s, dir).corpusRows
+        // Σ over the vocab's per-token totals = Σ over docs of dl
+        TextIndex.readVocab(s, dir).agg(sum("cnt").as("sum_dl"))
+          .select(lit(nDocs).as("n_docs"), col("sum_dl"))
+      case None =>
+        corpus.select(expr(TextQueries.toksExpr).as("toks"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(col("toks")).cast("long")).as("sum_dl"))
+    }
+    // query terms = the query docs' distinct tokens — exactly their
+    // posting rows when served
+    val q = served match {
+      case Some(dir) => TextIndex.readPostings(s, dir)
+        .filter(col("doc_id") < QUERY_DOCS)
+        .select(col("doc_id").as("query_id"), col("tok"))
+      case None => corpus.filter(col("doc_id") < QUERY_DOCS)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(expr(TextQueries.toksExpr))).as("tok"))
+    }
+    // document frequency of QUERY terms only (semi-filter first — never
+    // a full-vocabulary aggregate); served: one probe into the
+    // tok-clustered dfreq LSM
+    val dfx = served match {
+      case Some(dir) => TextIndex.readDfreq(s, dir)
+        .join(broadcast(q.select("tok").distinct()), Seq("tok"))
+      case None => tf.join(broadcast(q.select("tok").distinct()), Seq("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+    }
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val contrib = idf * ((col("tf") * lit(2.2)) /

@@ -65,6 +65,8 @@ object TextIndex {
 
   private def sigsPath(dir: String) = s"$dir/sigs"
   private def vocabPath(dir: String) = s"$dir/vocab"
+  private def postingsPath(dir: String) = s"$dir/postings"
+  private def dfreqPath(dir: String) = s"$dir/dfreq"
 
   /** Tokenizer contract — lockstep with TextQueries/DedupQueries. */
   private val toksExpr = "filter(split(text, ' '), t -> t != '')"
@@ -90,6 +92,46 @@ object TextIndex {
   private def vocabDelta(docs: DataFrame): DataFrame =
     docs.select(explode(expr(toksExpr)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  /** Does this index carry the BM25 inverted-index components
+    * (postings + document frequencies)? Same upgrade rule as the
+    * vocab: older artifacts fall back to corpus recompute; append
+    * never creates the component (a partial posting table would score
+    * pre-upgrade documents as if they had no terms). */
+  def hasPostings(spark: SparkSession, dir: String): Boolean = {
+    val f = fs(spark, dir)
+    f.exists(new Path(postingsPath(dir))) && f.exists(new Path(dfreqPath(dir)))
+  }
+
+  /** Per-batch BM25 posting delta: one row per (doc, token) with the
+    * in-document term frequency and the document length — per-document
+    * deterministic, so appended deltas are exactly the rows a full
+    * rebuild would derive. This is the classic inverted-index payload;
+    * tf and dl are the two corpus-scan-derived inputs of the BM25
+    * formula, computed once at ingest instead of per query. */
+  private def postingsDelta(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+
+  /** Per-batch document-frequency delta (token, df). Each document
+    * lives in exactly one batch, so summed deltas equal the corpus df. */
+  private def dfreqDelta(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(array_distinct(expr(toksExpr))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+
+  /** The stored posting rows (doc_id, tok, tf, dl) — disjoint across
+    * build/append segments, no consolidation read needed. */
+  def readPostings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(postingsPath(dir))
+
+  /** Corpus document frequencies (tok, df), LSM-consolidated like the
+    * vocab — [[compact]] folds append deltas. */
+  def readDfreq(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dfreqPath(dir))
+      .groupBy("tok").agg(sum("df").as("df"))
+
   private def metaPath(dir: String) = s"$dir/_meta"
 
   private def fs(spark: SparkSession, dir: String) =
@@ -214,6 +256,15 @@ object TextIndex {
     // the reference LM the online quality gate (StreamingLm) scores
     // admission batches against — ingest-amortized like the signatures
     vocabDelta(docs).write.mode("overwrite").parquet(vocabPath(dir))
+    // BM25 inverted-index components: postings tok-clustered so a
+    // query-term probe prunes files by parquet min/max; dfreq is
+    // vocab-sized. Together with the meta row count and the vocab
+    // token total they are everything bm25_topk needs — the per-query
+    // corpus explode+groupBy happens at ingest instead.
+    postingsDelta(docs)
+      .repartitionByRange(col("tok")).sortWithinPartitions("tok", "doc_id")
+      .write.mode("overwrite").parquet(postingsPath(dir))
+    dfreqDelta(docs).write.mode("overwrite").parquet(dfreqPath(dir))
     TsdbStorage.markStatsInSync(spark, dir)
   }
 
@@ -255,6 +306,12 @@ object TextIndex {
     // be rebuilt, not silently given a partial LM).
     if (hasVocab(spark, dir))
       vocabDelta(newDocs).write.mode("append").parquet(vocabPath(dir))
+    // BM25 components ride the same exactly-once txn (vocab rule:
+    // only dirs that already have them grow them)
+    if (hasPostings(spark, dir)) {
+      postingsDelta(newDocs).write.mode("append").parquet(postingsPath(dir))
+      dfreqDelta(newDocs).write.mode("append").parquet(dfreqPath(dir))
+    }
     val grown =
       if (n == 0) m // EMPTY append: an all-zero fingerprint must not fold
         // into min/max (idMin = min(real, 0) would corrupt the identity
@@ -277,9 +334,15 @@ object TextIndex {
   def fsck(spark: SparkSession, dir: String, repair: Boolean = false): Seq[String] = locked(spark, dir) {
     ArtifactSwap.recover(spark, dir, "sigs")
     ArtifactSwap.recover(spark, dir, "vocab")
+    ArtifactSwap.recover(spark, dir, "postings")
+    ArtifactSwap.recover(spark, dir, "dfreq")
     val bad = TsdbStorage.probeFiles(spark, sigsPath(dir)) ++
       TsdbStorage.probeFiles(spark, metaPath(dir)) ++
-      (if (hasVocab(spark, dir)) TsdbStorage.probeFiles(spark, vocabPath(dir)) else Nil)
+      (if (hasVocab(spark, dir)) TsdbStorage.probeFiles(spark, vocabPath(dir)) else Nil) ++
+      (if (hasPostings(spark, dir))
+        TsdbStorage.probeFiles(spark, postingsPath(dir)) ++
+          TsdbStorage.probeFiles(spark, dfreqPath(dir))
+      else Nil)
     if (bad.nonEmpty) {
       TsdbStorage.markStatsOutOfSync(spark, dir)
       if (repair) { val f = fs(spark, dir); bad.foreach(p => f.delete(new Path(p), false)) }
@@ -326,6 +389,27 @@ object TextIndex {
       ArtifactSwap.rewrite(spark, dir, "vocab") { tmp =>
         readVocab(spark, dir)
           .repartitionByRange(vFiles, col("token"))
+          .write.parquet(tmp)
+      }
+    }
+    // re-cluster the append-accumulated postings by token (restores
+    // file-level term pruning) and fold the dfreq LSM
+    if (hasPostings(spark, dir)) {
+      ArtifactSwap.recover(spark, dir, "postings")
+      ArtifactSwap.recover(spark, dir, "dfreq")
+      val pRows = spark.read.parquet(postingsPath(dir)).count()
+      val pFiles = math.max(1L, (pRows + rowsPerFile - 1) / rowsPerFile).toInt
+      ArtifactSwap.rewrite(spark, dir, "postings") { tmp =>
+        readPostings(spark, dir)
+          .repartitionByRange(pFiles, col("tok"))
+          .sortWithinPartitions("tok", "doc_id")
+          .write.parquet(tmp)
+      }
+      val dRows = spark.read.parquet(dfreqPath(dir)).count()
+      val dFiles = math.max(1L, (dRows + rowsPerFile - 1) / rowsPerFile).toInt
+      ArtifactSwap.rewrite(spark, dir, "dfreq") { tmp =>
+        readDfreq(spark, dir)
+          .repartitionByRange(dFiles, col("tok"))
           .write.parquet(tmp)
       }
     }

@@ -86,6 +86,7 @@ object TextScaleSmoke {
     val mhRecompute = time("dedup_minhash recompute")(run("dedup_minhash"))
     val ngRecompute = time("dedup_ngram recompute")(run("dedup_ngram"))
     val wnRecompute = time("text_winnow recompute")(run("text_winnow"))
+    val bmRecompute = time("bm25_topk recompute (corpus explode+groupBy per query)")(run("bm25_topk"))
     assert(ngRecompute.length == planted + planted2,
       s"ngram must find exactly the planted pairs of both tranches: " +
         s"${planted + planted2} vs ${ngRecompute.length}")
@@ -145,6 +146,14 @@ object TextScaleSmoke {
       }
       assert(wnServed.map(_.toSeq).toSeq == wnRecompute.map(_.toSeq).toSeq,
         "index-served winnow must be bit-identical to recompute")
+      // BM25 from the inverted-index components: tf/dl from stored
+      // postings, df from the dfreq LSM — the corpus-sized tokenize +
+      // groupBy never runs at query time
+      val bmServed = time("bm25_topk index-served (stored postings + dfreq)") {
+        run("bm25_topk")
+      }
+      assert(bmServed.map(_.toSeq).toSeq == bmRecompute.map(_.toSeq).toSeq,
+        "index-served BM25 must be bit-identical to recompute")
 
       // the match step at scale: unique docs share no k-gram, so every
       // fingerprint's doc-frequency is ≤ 2 (no boilerplate cap hits)

@@ -115,6 +115,28 @@ class TextIndexSpec extends SparkSpec {
       "appended signatures must match a from-scratch build bit-for-bit")
   }
 
+  test("index-served bm25_topk / hybrid_rrf equal the recompute path; appended postings serve identically") {
+    val dir = tmpDir("graft-textidx-bm25")
+    val expectedB = collect("bm25_topk")
+    val expectedH = collect("hybrid_rrf")
+    TextIndex.build(spark, docs, dir)
+    assert(TextIndex.hasPostings(spark, dir), "build creates the BM25 components")
+    withIndex(dir) {
+      assert(TextIndex.resolveFor(spark, docs) === Some(dir))
+      assert(collect("bm25_topk") === expectedB, "served BM25 must equal recompute")
+      assert(collect("hybrid_rrf") === expectedH, "served hybrid must equal recompute")
+    }
+    // postings appended batch-by-batch serve exactly like a full build
+    val dir2 = tmpDir("graft-textidx-bm25-append")
+    TextIndex.build(spark, docs.filter(col("doc_id") >= 50), dir2)
+    TextIndex.append(spark, docs.filter(col("doc_id") < 50), dir2)
+    withIndex(dir2) {
+      assert(TextIndex.resolveFor(spark, docs) === Some(dir2))
+      assert(collect("bm25_topk") === expectedB,
+        "appended postings/dfreq must serve identical rankings")
+    }
+  }
+
   test("streamed maintenance (TextIndexStream) keeps the index exact") {
     val dir = tmpDir("graft-textidx-stream")
     TextIndex.build(spark, docs.filter(col("doc_id") >= 50), dir)
