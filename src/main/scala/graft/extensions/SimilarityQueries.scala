@@ -1055,6 +1055,176 @@ object SimilarityQueries {
          |FROM rk WHERE rank <= $KNN_K ORDER BY vec_id, rank""".stripMargin),
     doc = "X3 kNN graph: per-vector top-K in-cell cosine neighbors (IVF-cell-bounded neighbor-graph build)")
 
+  // -------------------------------------------------------------------
+  // X3h embedding PCA — the top principal direction of the corpus and
+  // the share of total variance it carries (the anisotropy number:
+  // embedding spaces collapse toward a dominant direction, which hurts
+  // cosine retrieval and is what whitening removes; this query is the
+  // gauge). Deterministic power iteration in the kmeans discipline —
+  // every cross-engine comparison happens on exact integers:
+  //
+  //  - components go to BIGINT micro first; the per-dim moments (Σx,
+  //    Σx²) and the per-iteration mat-vec (s_i = xmᵢ·vm, w_j = Σᵢ
+  //    xmᵢⱼ·sᵢ, num_j = n·w_j − Sx_j·m) accumulate as exact 128-bit
+  //    integers (DECIMAL / HUGEINT), order-free under partial agg;
+  //  - num is downscaled by a FIXED integer // 1e6 (truncation toward
+  //    zero — DuckDB's `//` and BigInt `/` agree) so its double view is
+  //    EXACT (< 2^53 at every gate SF) — no 128-bit→double rounding-mode
+  //    dependence anywhere;
+  //  - normalization folds the 64 doubles SEQUENTIALLY (graft_dot /
+  //    list_dot_product order) and re-rounds v to micro each step, so
+  //    the iterate is bit-identical in both engines;
+  //  - a zero Cv keeps the previous iterate (the kmeans emptied-cell
+  //    rule).
+  //
+  // The centering term never materializes the covariance matrix:
+  // C·v ∝ n·Σᵢ xmᵢ(xmᵢ·v) − Sx·(Σᵢ xmᵢ·v) — two corpus aggregates per
+  // iteration, k×D driver-held metadata between them (the Lloyd-loop
+  // shape). Rayleigh share = vᵀCv / (vᵀv · trace C), trace from the
+  // same exact moments. MEMOIZED per (session, corpus fingerprint).
+  // -------------------------------------------------------------------
+  private val PCA_ITERS = 5
+  private val PCA_D = 64
+  private val PCA_DOWN = 1000000L
+
+  private val pcaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[Long], Long)]()
+
+  private def pcaTrain(s: SparkSession, raw: DataFrame): (Seq[Long], Long) = {
+    graft.functions.VectorFunctions.register(s)
+    val xmf = raw.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))").as("xm"))
+      .withColumn("xmd", expr("transform(xm, x -> CAST(x AS DOUBLE))"))
+      .persist()
+    val n = raw.count()
+    val baseRows = xmf.select(posexplode(col("xm")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(
+        sum(col("x").cast("decimal(28,0)")).as("sx"),
+        sum(col("x").cast("decimal(18,0)") * col("x").cast("decimal(18,0)")).as("q"))
+      .collect() // bounded: D rows of driver metadata per pass
+    val sx = Array.ofDim[BigInt](PCA_D); val q = Array.ofDim[BigInt](PCA_D)
+    baseRows.foreach { r =>
+      val d0 = r.getInt(0)
+      sx(d0) = BigInt(r.getDecimal(1).toBigIntegerExact)
+      q(d0) = BigInt(r.getDecimal(2).toBigIntegerExact)
+    }
+    // one corpus pass: s_i map-side (broadcast vm literal), then one
+    // grouped agg carrying BOTH w_j and (per dim, identically) m
+    def applyC(vm: Seq[Long]): Array[BigInt] = {
+      val vmdLit = array(vm.map(v => lit(v.toDouble)): _*)
+      val rows = xmf
+        .withColumn("s", call_function("graft_dot", col("xmd"), vmdLit).cast("long"))
+        .select(col("s"), posexplode(col("xm")).as(Seq("dim", "x")))
+        .groupBy("dim").agg(
+          sum(col("x").cast("decimal(18,0)") * col("s").cast("decimal(20,0)")).as("w"),
+          sum(col("s").cast("decimal(28,0)")).as("ms"))
+        .collect()
+      val w = Array.ofDim[BigInt](PCA_D); var m = BigInt(0)
+      rows.foreach { r =>
+        val d0 = r.getInt(0)
+        w(d0) = BigInt(r.getDecimal(1).toBigIntegerExact)
+        m = BigInt(r.getDecimal(2).toBigIntegerExact) // every dim sums all s_i
+      }
+      Array.tabulate(PCA_D)(j => (BigInt(n) * w(j) - sx(j) * m) / PCA_DOWN)
+    }
+    def seqDot(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    var vm: Seq[Long] = Seq.fill(PCA_D)(125000L) // 1/√64 in micro
+    for (_ <- 1 to PCA_ITERS) {
+      val numd = applyC(vm).map(_.toDouble).toSeq // exact: |num2| < 2^53
+      val norm2 = seqDot(numd, numd)
+      if (norm2 > 0)
+        vm = numd.map(x => math.floor(x / math.sqrt(norm2) * 1000000.0 + 0.5).toLong)
+    }
+    // Rayleigh share off one extra application against the FINAL iterate
+    val numd = applyC(vm).map(_.toDouble).toSeq
+    val vmd = vm.map(_.toDouble)
+    val vn = seqDot(vmd, numd)
+    val vv = seqDot(vmd, vmd)
+    val tr2 = ((BigInt(n) * q.sum - sx.map(x => x * x).sum) / PCA_DOWN).toDouble
+    val share =
+      if (vv * tr2 > 0) math.floor(vn / (vv * tr2) * 1000000.0 + 0.5).toLong else 0L
+    xmf.unpersist()
+    (vm, share)
+  }
+
+  /** The unrolled power-iteration oracle: `v$iters` is the final
+    * iterate, one extra `num` block feeds the Rayleigh share. */
+  private def pcaOracleSql(iters: Int): String = {
+    // every CTE is MATERIALIZED: the unrolled iteration DAG references
+    // each step several times, and DuckDB's default inlining would
+    // re-evaluate the chain combinatorially (the 6-level unroll hung)
+    val head =
+      s"""WITH xm AS MATERIALIZED (
+         |  SELECT vec_id, g.d AS dim,
+         |         CAST(floor(embedding[g.d + 1]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS xm
+         |  FROM embeddings CROSS JOIN generate_series(0, ${PCA_D - 1}) g(d)
+         |), base AS MATERIALIZED (
+         |  SELECT dim, sum(xm) AS sx, sum(xm::HUGEINT * xm) AS q FROM xm GROUP BY dim
+         |), nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM embeddings),
+         |v0 AS MATERIALIZED (SELECT g.d AS dim, 125000::BIGINT AS vm FROM generate_series(0, ${PCA_D - 1}) g(d))""".stripMargin
+    def matVec(i: Int, vFrom: String) =
+      s""", s$i AS MATERIALIZED (
+         |  SELECT x.vec_id, sum(x.xm * v.vm)::BIGINT AS s
+         |  FROM xm x JOIN $vFrom v USING (dim) GROUP BY x.vec_id
+         |), m$i AS MATERIALIZED (SELECT sum(s::HUGEINT) AS m FROM s$i
+         |), w$i AS MATERIALIZED (
+         |  SELECT x.dim, sum(x.xm::HUGEINT * s.s) AS w
+         |  FROM xm x JOIN s$i s USING (vec_id) GROUP BY x.dim
+         |), num$i AS MATERIALIZED (
+         |  SELECT b.dim, ((nn.n * w.w - b.sx * mm.m) // $PCA_DOWN) AS num2
+         |  FROM w$i w JOIN base b USING (dim) CROSS JOIN nn CROSS JOIN m$i mm
+         |)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      matVec(i, s"v${i - 1}") +
+        s""", a$i AS MATERIALIZED (SELECT list(num2::DOUBLE ORDER BY dim) AS arr FROM num$i
+           |), v$i AS MATERIALIZED (
+           |  SELECT n.dim,
+           |         CASE WHEN list_dot_product(a.arr, a.arr) > 0
+           |              THEN CAST(floor(n.num2::DOUBLE / sqrt(list_dot_product(a.arr, a.arr))
+           |                         * 1000000.0 + 0.5) AS BIGINT)
+           |              ELSE p.vm END AS vm
+           |  FROM num$i n CROSS JOIN a$i a JOIN v${i - 1} p USING (dim)
+           |)""".stripMargin
+    }.mkString
+    val f = iters + 1
+    head + steps + matVec(f, s"v$iters") +
+      s""", varr AS (SELECT list(vm::DOUBLE ORDER BY dim) AS arr FROM v$iters
+         |), narr AS (SELECT list(num2::DOUBLE ORDER BY dim) AS arr FROM num$f
+         |), tr AS (
+         |  SELECT ((nn.n * (SELECT sum(q) FROM base) - (SELECT sum(sx * sx) FROM base))
+         |          // $PCA_DOWN)::DOUBLE AS tr2
+         |  FROM nn
+         |), rayl AS (
+         |  SELECT CASE WHEN list_dot_product(v.arr, v.arr) * t.tr2 > 0
+         |              THEN CAST(floor(list_dot_product(v.arr, n.arr)
+         |                         / (list_dot_product(v.arr, v.arr) * t.tr2)
+         |                         * 1000000.0 + 0.5) AS BIGINT)
+         |              ELSE 0 END AS share
+         |  FROM varr v CROSS JOIN narr n CROSS JOIN tr t
+         |)
+         |SELECT v.dim::BIGINT AS dim, v.vm AS loading_micro, r.share AS eig_share_ppm
+         |FROM v$iters v CROSS JOIN rayl r ORDER BY dim""".stripMargin
+  }
+
+  val embedPca: QueryDef = QueryDef(
+    build = (s, d) => {
+      val raw = s.read.parquet(s"$d/embeddings.parquet")
+      val key = s"${System.identityHashCode(s)}:${AnnIndex.fingerprint(raw)}"
+      if (pcaMemo.size > 8) pcaMemo.clear()
+      val (vm, share) = pcaMemo.computeIfAbsent(key, _ => pcaTrain(s, raw))
+      import s.implicits._
+      vm.zipWithIndex
+        .map { case (v0, d0) => (d0.toLong, v0, share) }
+        .toDF("dim", "loading_micro", "eig_share_ppm")
+        .orderBy("dim")
+    },
+    oracle = Some(pcaOracleSql(PCA_ITERS)),
+    doc = "X3 embedding PCA: top principal direction + anisotropy share (deterministic power iteration, exact-integer mat-vec)")
+
   val defs: Map[String, QueryDef] = Map(
     "sim_topk"         -> topk,
     "sim_ann"          -> ann,
@@ -1067,5 +1237,6 @@ object SimilarityQueries {
     "ivf_cell_stats"   -> cellStats,
     "embed_quantize"   -> quantize,
     "knn_graph"        -> knnGraph,
+    "embed_pca"        -> embedPca,
   )
 }
