@@ -1090,7 +1090,7 @@ object SimilarityQueries {
   private val pcaMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (Seq[Long], Long)]()
 
-  private def pcaTrain(s: SparkSession, raw: DataFrame): (Seq[Long], Long) = {
+  private[extensions] def pcaTrain(s: SparkSession, raw: DataFrame): (Seq[Long], Long) = {
     graft.functions.VectorFunctions.register(s)
     val xmf = raw.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))").as("xm"))

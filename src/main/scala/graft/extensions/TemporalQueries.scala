@@ -542,6 +542,71 @@ object TemporalQueries {
          |FROM sums ORDER BY id_a, id_b""".stripMargin),
     doc = "temporal: lag-0 cross-correlation between same-user series pairs on the hourly grid (bounded pair fan-out)")
 
+  // -------------------------------------------------------------------
+  // series_cusum: CUSUM changepoint detection per series — the position
+  // k* maximizing |n·S_k − k·S_n| (S = running sum), the standard
+  // mean-shift statistic with the 1/n normalizations cleared so every
+  // compared value is an exact integer. One window sort per series
+  // yields S_k and k; S_n and n ride the same partitioning (window
+  // aggregates over the unbounded frame — no second shuffle); the
+  // argmax is a row_number with a fixed (|stat| desc, k asc) tiebreak.
+  // Emitted deviation = |stat| // n (truncating integer division,
+  // identical in BigInt and DuckDB `//`) — the mean-shift magnitude in
+  // milli-units × k(n−k)/n, never a rounded double. Products go
+  // through DECIMAL/HUGEINT so the statistic stays exact at any
+  // series length.
+  // -------------------------------------------------------------------
+  val seriesCusum: QueryDef = QueryDef(
+    build = (s, d) => {
+      val byId = Window.partitionBy("id").orderBy("time", "seq")
+      val whole = Window.partitionBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val run = Window.partitionBy("id").orderBy("time", "seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dec = (c: Column) => c.cast("decimal(28,0)")
+      val staged = EventsSource.meas(s, d)
+        .withColumn("x", floor(col("value") * lit(1000.0) + lit(0.5)))
+        .select(col("id"), col("time"), col("seq"),
+          row_number().over(byId).cast("long").as("k"),
+          sum("x").over(run).as("sk"),
+          sum("x").over(whole).as("sn"),
+          count(lit(1)).over(whole).as("n"))
+        .withColumn("stat", dec(col("n")) * dec(col("sk")) - dec(col("k")) * dec(col("sn")))
+        .withColumn("astat", abs(col("stat")))
+      val best = Window.partitionBy("id").orderBy(col("astat").desc, col("k"))
+      staged
+        .withColumn("rk", row_number().over(best))
+        .filter(col("rk") === 1)
+        .select(col("id"), col("n"), col("k").as("cp_pos"), col("time").as("cp_time"),
+          // floor ≡ truncation here (astat ≥ 0) — a decimal→decimal(.,0)
+          // CAST would round HALF_UP and diverge from DuckDB's `//`
+          floor(col("astat") / dec(col("n"))).cast("long").as("dev_milli"))
+        .orderBy("id")
+    },
+    oracle = Some(
+      s"""${Sql.MEAS_CTE}, x0 AS (
+         |  SELECT id, time, seq, CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS x FROM meas
+         |), st AS (
+         |  SELECT id, time, seq,
+         |         row_number() OVER w AS k,
+         |         sum(x) OVER (PARTITION BY id ORDER BY time, seq
+         |                      ROWS UNBOUNDED PRECEDING)::BIGINT AS sk,
+         |         sum(x) OVER (PARTITION BY id)::BIGINT AS sn,
+         |         count(*) OVER (PARTITION BY id)::BIGINT AS n
+         |  FROM x0 WINDOW w AS (PARTITION BY id ORDER BY time, seq)
+         |), scored AS (
+         |  SELECT id, time, k, n,
+         |         abs(n::HUGEINT * sk - k::HUGEINT * sn) AS astat
+         |  FROM st
+         |), best AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY astat DESC, k) AS rk
+         |  FROM scored
+         |)
+         |SELECT id, n, k::BIGINT AS cp_pos, time AS cp_time,
+         |       (astat // n)::BIGINT AS dev_milli
+         |FROM best WHERE rk = 1 ORDER BY id""".stripMargin),
+    doc = "temporal: CUSUM changepoint per series (argmax |n·S_k − k·S_n|, exact integer statistic)")
+
   val defs: Map[String, QueryDef] = Map(
     "asof_join"      -> asofJoin,
     "asof_tolerance" -> asofTolerance,
@@ -551,5 +616,6 @@ object TemporalQueries {
     "range_join"     -> rangeJoin,
     "series_acf"     -> seriesAcf,
     "series_xcorr"   -> seriesXcorr,
+    "series_cusum"   -> seriesCusum,
   )
 }

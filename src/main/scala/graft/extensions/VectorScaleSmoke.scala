@@ -330,6 +330,19 @@ object VectorScaleSmoke {
       SimilarityQueries.kmeansCentroids(spark, raw.drop("label"), k = 100).count()
     }
     println(s"[vscale] k-means cells trained: $kmCells")
+
+    // ---- embedding PCA at scale: 7 exact-integer mat-vec passes over
+    // the corpus (6 power iterations + the Rayleigh application) — the
+    // anisotropy gauge stays linear in rows, D-row driver metadata
+    // between passes (the Lloyd-loop shape)
+    val (pcaV, pcaShare) = time(f"embed_pca power iteration ($rows%,d × 64, 7 passes)") {
+      SimilarityQueries.pcaTrain(spark, raw.drop("label"))
+    }
+    val pnorm2 = pcaV.map(v => (v / 1e6) * (v / 1e6)).sum
+    assert(math.abs(pnorm2 - 1.0) < 1e-3, s"unit-norm loading at scale (norm² $pnorm2)")
+    assert(pcaShare > 0 && pcaShare <= 1000000L, s"share ppm in range: $pcaShare")
+    println(s"[vscale] embed_pca: top-component share $pcaShare ppm")
+
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
     spark.stop()
   }

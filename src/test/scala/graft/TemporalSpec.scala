@@ -173,6 +173,31 @@ class TemporalSpec extends SparkSpec {
       Seq(-1000000L, -1000000L, 1000000L))
   }
 
+  test("series_cusum: planted mean shift found at the step boundary; constant series degenerates to k=1, dev 0") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = tmpDir("graft-cusum")
+    // user 1 'click': 10 values of 10.0 then 10 of 20.0 → argmax at k=10
+    // (|stat| = 1e6 vs 0.9e6 at k=9/11); user 2 'click': constant
+    val rows = (0 until 20).map { i =>
+      (i.toLong, ts(f"2024-01-01 ${i}%02d:10:00"), 1L, "click",
+        if (i < 10) 10.0 else 20.0, "{}")
+    } ++ (0 until 6).map { i =>
+      (100L + i, ts(f"2024-01-01 ${i}%02d:10:00"), 2L, "click", 3.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val res = TemporalQueries.seriesCusum.build(spark, dir).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("cp_pos"), r.getAs[Long]("dev_milli"), r.getAs[Long]("n"))).toMap
+    val clickCode = res.keys.filter(_ / 8 == 1L).head % 8
+    val (pos1, dev1, n1) = res(1L * 8 + clickCode)
+    assert(n1 === 20L && pos1 === 10L, s"changepoint at the step boundary (got $pos1)")
+    assert(dev1 === 50000L, s"dev = |n·S_k − k·S_n|/n = 1e6/20 (got $dev1)")
+    val (pos2, dev2, _) = res(2L * 8 + clickCode)
+    assert(pos2 === 1L && dev2 === 0L, "constant series: zero statistic everywhere, k=1 tiebreak")
+  }
+
   test("series_acf matches Spark's native corr within rounding") {
     import org.apache.spark.sql.functions._
     val res = TemporalQueries.seriesAcf.build(spark, sfDir)
