@@ -314,6 +314,50 @@ object MiscQueries {
         |ORDER BY l_returnflag""".stripMargin),
     doc = "relational: PIVOT over enumerated linestatus values (conditional aggregates, one shuffle)")
 
+  // -------------------------------------------------------------------
+  // customer_quartiles: ranking-window coverage — ntile(4) + percent_rank
+  // of customer revenue within each market segment. The total order
+  // (rev_milli DESC, c_custkey) is exact-integer, so both engines tile
+  // identically; percent_rank's quotient is emitted as BIGINT micro
+  // (floor(x·1e6 + 0.5)), never a rounded double. Revenue aggregates to
+  // exact milli BEFORE ranking (o_totalprice is money-shaped — micro
+  // per order, summed as BIGINT, // 1000 to milli keeps any realistic
+  // customer under int64). One orders-side groupBy, a broadcast-sized
+  // customer join, and one window per segment.
+  // -------------------------------------------------------------------
+  val customerQuartiles: QueryDef = QueryDef(
+    build = (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * lit(1000000.0) + lit(0.5)).as("micro"))
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"), sum("micro").as("sum_micro"))
+        .withColumn("rev_milli", expr("sum_micro DIV 1000"))
+      val cust = s.read.parquet(s"$d/customer.parquet").select("c_custkey", "c_mktsegment")
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("rev_milli").desc, col("c_custkey"))
+      cust.join(rev, col("c_custkey") === col("o_custkey"))
+        .select(col("c_mktsegment"), col("c_custkey"), col("n_orders"), col("rev_milli"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          floor(percent_rank().over(w) * lit(1000000.0) + lit(0.5)).as("pr_micro"))
+        .orderBy("c_mktsegment", "quartile", "c_custkey")
+    },
+    oracle = Some(
+      """WITH rev AS (
+        |  SELECT o_custkey, count(*)::BIGINT AS n_orders,
+        |         sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT))::BIGINT AS sum_micro
+        |  FROM orders GROUP BY o_custkey
+        |), r2 AS (
+        |  SELECT o_custkey, n_orders, sum_micro // 1000 AS rev_milli FROM rev
+        |)
+        |SELECT c.c_mktsegment, c.c_custkey, r.n_orders, r.rev_milli,
+        |       ntile(4) OVER w AS quartile,
+        |       CAST(floor(percent_rank() OVER w * 1000000.0 + 0.5) AS BIGINT) AS pr_micro
+        |FROM customer c JOIN r2 r ON c.c_custkey = r.o_custkey
+        |WINDOW w AS (PARTITION BY c.c_mktsegment ORDER BY r.rev_milli DESC, c.c_custkey)
+        |ORDER BY c.c_mktsegment, quartile, c.c_custkey""".stripMargin),
+    doc = "relational: ntile quartiles + percent_rank of customer revenue per market segment (exact-integer rank keys)")
+
   val semiAntiJoin: QueryDef = QueryDef(
     build = (s, d) => {
       val c = s.read.parquet(s"$d/customer.parquet").select("c_custkey", "c_mktsegment")
@@ -422,6 +466,7 @@ object MiscQueries {
     "label_centroids" -> labelCentroids,
     "rollup_revenue"  -> rollupRevenue,
     "pivot_revenue"   -> pivotRevenue,
+    "customer_quartiles" -> customerQuartiles,
     "semi_anti_join"  -> semiAntiJoin,
     "set_ops"         -> setOps,
     "cohort_retention" -> cohortRetention,

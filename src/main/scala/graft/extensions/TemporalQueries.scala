@@ -472,6 +472,60 @@ object TemporalQueries {
     doc = "temporal: per-series autocorrelation at row lags 1..3 (exact 128-bit integer sums, closed-form Pearson)")
 
   // -------------------------------------------------------------------
+  // asof_forward: the mirror of asof_join — for every probe, the
+  // EARLIEST reference at-or-after its timestamp (the post-event
+  // enrichment: "first click after each purchase"). Same union + one
+  // window formulation, frame flipped to (currentRow, unbounded
+  // FOLLOWING). Sort order (t, is_probe DESC, seq DESC) makes
+  // at-or-after inclusive (equal-t references sort after the probe, so
+  // the future frame sees them) and resolves equal-t reference ties to
+  // the greatest seq — the store's freshness rule, same as asofCore.
+  // -------------------------------------------------------------------
+  def asofForwardCore(probes: DataFrame, refs: DataFrame): DataFrame = {
+    val u = probes.withColumn("is_probe", lit(1))
+      .unionByName(refs.withColumn("is_probe", lit(0)))
+    val win = Window.partitionBy("k")
+      .orderBy(col("t"), col("is_probe").desc, col("seq").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    u.select(col("k"), col("t"), col("seq"), col("v"), col("is_probe"),
+        first(when(col("is_probe") === 0, col("t")), ignoreNulls = true).over(win).as("ref_t"),
+        first(when(col("is_probe") === 0, col("v")), ignoreNulls = true).over(win).as("ref_v"))
+      .filter(col("is_probe") === 1)
+      .select("k", "t", "seq", "v", "ref_t", "ref_v")
+  }
+
+  val asofForward: QueryDef = QueryDef(
+    build = (s, d) => {
+      val ev = EventsSource.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      def shaped(tpe: String) = ev.filter(col("event_type") === tpe)
+        .select(col("user_id").as("k"), col("ts").as("t"),
+          col("event_id").as("seq"), col("value").as("v"))
+      asofForwardCore(shaped("purchase"), shaped("click"))
+        .select(col("k").as("user_id"), col("t").as("purchase_ts"), col("seq").as("event_id"),
+          col("v").as("purchase_value"), col("ref_t").as("click_ts"), col("ref_v").as("click_value"),
+          (unix_micros(col("ref_t")) - unix_micros(col("t"))).as("lead_us"))
+        .orderBy("user_id", "purchase_ts", "event_id")
+    },
+    oracle = Some(
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_probe
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |), w AS (
+        |  SELECT user_id, ts, event_id, value, is_probe,
+        |         first_value(CASE WHEN is_probe = 0 THEN ts END IGNORE NULLS) OVER win AS click_ts,
+        |         first_value(CASE WHEN is_probe = 0 THEN value END IGNORE NULLS) OVER win AS click_value
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, is_probe DESC, event_id DESC
+        |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT user_id, ts AS purchase_ts, event_id, value AS purchase_value,
+        |       click_ts, click_value, epoch_us(click_ts) - epoch_us(ts) AS lead_us
+        |FROM w WHERE is_probe = 1 ORDER BY user_id, purchase_ts, event_id""".stripMargin),
+    doc = "temporal: forward as-of join (earliest click at-or-after each purchase, per user)")
+
+  // -------------------------------------------------------------------
   // series_xcorr: lag-0 cross-correlation between every pair of series
   // OWNED BY THE SAME USER, on the shared hourly grid. The pair space is
   // bounded by construction — a user owns ≤ 8 series (one per event
@@ -610,6 +664,7 @@ object TemporalQueries {
   val defs: Map[String, QueryDef] = Map(
     "asof_join"      -> asofJoin,
     "asof_tolerance" -> asofTolerance,
+    "asof_forward"   -> asofForward,
     "series_fill"    -> seriesFill,
     "series_interp"  -> seriesInterp,
     "series_bars"    -> seriesBars,

@@ -103,6 +103,25 @@ class TemporalSpec extends SparkSpec {
     assert(v === 20.0)
   }
 
+  test("asofForwardCore: at-or-after is inclusive, equal-ts refs resolve to greatest seq, trailing probes get nulls") {
+    val probes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, 1.0), // exactly AT two refs → inclusive, max seq wins
+      (1L, ts("2024-01-01 10:30:00"), 101L, 2.0), // between refs → next ref at 11:00
+      (1L, ts("2024-01-01 12:00:00"), 102L, 3.0), // after every ref → nulls
+    ).toDF("k", "t", "seq", "v")
+    val refs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 10.0),
+      (1L, ts("2024-01-01 10:00:00"), 2L, 20.0), // freshest at 10:00 — must win
+      (1L, ts("2024-01-01 11:00:00"), 3L, 30.0),
+    ).toDF("k", "t", "seq", "v")
+    val r = TemporalQueries.asofForwardCore(probes, refs)
+      .collect().map(x => x.getLong(2) -> (Option(x.get(4)), Option(x.get(5)))).toMap
+    assert(r(100L)._1.contains(ts("2024-01-01 10:00:00")) && r(100L)._2.contains(20.0),
+      "at-or-after includes equal ts; equal-ts ties resolve to greatest seq")
+    assert(r(101L)._2.contains(30.0), "between refs → earliest later ref")
+    assert(r(102L)._1.isEmpty && r(102L)._2.isEmpty, "no later ref → nulls")
+  }
+
   test("range_join: bucket decomposition ≡ brute-force theta join; containment exact; ≤1 match per probe") {
     import org.apache.spark.sql.functions._
     val res = TemporalQueries.rangeJoin.build(spark, sfDir).cache()
