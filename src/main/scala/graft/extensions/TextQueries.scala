@@ -1,6 +1,6 @@
 package graft.extensions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1291,8 +1291,114 @@ object TextQueries {
     },
     doc = "X3 passage retrieval: brute-force top-K chunk vectors per query document (RAG serving over chunk_embed)")
 
+  // -------------------------------------------------------------------
+  // X4 token-distribution entropy per document — the information-density
+  // quality signal (low entropy = repetitive/template text; the
+  // compression-ratio proxy without a codec). Shannon entropy in NATS
+  // over the doc's token histogram. Determinism: each term
+  // −p·ln(p) is a per-row scalar rounded to BIGINT micro BEFORE the
+  // per-doc sum (integer sums are order-free; a double sum would
+  // reassociate under partial aggregation). One exploded groupBy — the
+  // same shuffle shape as text_tokens.
+  // -------------------------------------------------------------------
+  val textEntropy: QueryDef = QueryDef(
+    build = (s, d) => {
+      val ex = docs(s, d)
+        .select(col("doc_id"), expr(toksExpr).as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n"),
+          explode(col("toks")).as("tok"))
+      val p = col("cnt").cast("double") / col("n")
+      ex.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"), max("n").as("n"))
+        .withColumn("tm", floor(-(p * log(p)) * lit(1000000.0) + lit(0.5)))
+        .groupBy("doc_id").agg(max("n").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum("tm").as("entropy_micro"))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH ex AS (
+         |  SELECT doc_id, len(toks)::BIGINT AS n, u.tok
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents), unnest(toks) AS u(tok)
+         |), tf AS (
+         |  SELECT doc_id, tok, count(*)::BIGINT AS cnt, max(n) AS n FROM ex GROUP BY doc_id, tok
+         |), terms AS (
+         |  SELECT doc_id, n,
+         |         CAST(floor(-((cnt::DOUBLE / n) * ln(cnt::DOUBLE / n)) * 1000000.0 + 0.5) AS BIGINT) AS tm
+         |  FROM tf
+         |)
+         |SELECT doc_id, max(n) AS n_tokens, count(*)::BIGINT AS n_distinct,
+         |       sum(tm)::BIGINT AS entropy_micro
+         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    doc = "X4 per-document token entropy (nats, micro-int terms) — the repetitive-text quality signal")
+
+  // -------------------------------------------------------------------
+  // X4 Zipf fit — the log-log rank-frequency slope of the corpus's
+  // top-ZIPF_K vocabulary (natural text sits near slope −1; a corpus of
+  // templates or spam drifts away — a corpus-health number). The rank
+  // window runs over the ZIPF_K-row TakeOrdered result (bounded
+  // constant — the bpe_merges waiver pattern), never the vocabulary.
+  // Determinism: ln(rank)/ln(cnt) go to BIGINT micro per point, the
+  // five regression sums are exact integers, and the closed-form
+  // slope/intercept mirror in one op order (the series_acf discipline).
+  // -------------------------------------------------------------------
+  private val ZIPF_K = 100
+
+  val textZipf: QueryDef = QueryDef(
+    build = (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val top = docs(s, d)
+        .select(explode(expr(toksExpr)).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(ZIPF_K)
+      val w = Window.orderBy(col("cnt").desc, col("token"))
+      val pts = top
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("xm", floor(log(col("rank").cast("double")) * lit(1000000.0) + lit(0.5)))
+        .withColumn("ym", floor(log(col("cnt").cast("double")) * lit(1000000.0) + lit(0.5)))
+      val dec = (c: Column) => c.cast("decimal(28,0)")
+      val sums = pts.agg(count(lit(1)).as("n"),
+        sum(dec(col("xm"))).as("sx"), sum(dec(col("ym"))).as("sy"),
+        sum(dec(col("xm")) * dec(col("ym"))).as("sxy"),
+        sum(dec(col("xm")) * dec(col("xm"))).as("sxx"))
+      val nd = col("n").cast("double")
+      def dd(c: String) = col(c).cast("double")
+      val sl = (nd * dd("sxy") - dd("sx") * dd("sy")) / (nd * dd("sxx") - dd("sx") * dd("sx"))
+      sums.select(col("n").as("n_points"),
+        floor(sl * lit(1000000.0) + lit(0.5)).as("slope_micro"),
+        floor((dd("sy") - sl * dd("sx")) / nd + lit(0.5)).as("intercept_micro"))
+    },
+    oracle = Some(
+      s"""WITH counts AS (
+         |  SELECT u.tok AS token, count(*)::BIGINT AS cnt
+         |  FROM (SELECT $toksSql AS toks FROM documents), unnest(toks) AS u(tok)
+         |  GROUP BY u.tok
+         |), top AS (
+         |  SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT $ZIPF_K
+         |), pts AS (
+         |  SELECT CAST(floor(ln((row_number() OVER (ORDER BY cnt DESC, token))::DOUBLE)
+         |              * 1000000.0 + 0.5) AS BIGINT) AS xm,
+         |         CAST(floor(ln(cnt::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS ym
+         |  FROM top
+         |), sums AS (
+         |  SELECT count(*)::BIGINT AS n,
+         |         sum(xm::HUGEINT) AS sx, sum(ym::HUGEINT) AS sy,
+         |         sum(xm::HUGEINT * ym) AS sxy, sum(xm::HUGEINT * xm) AS sxx
+         |  FROM pts
+         |)
+         |SELECT n AS n_points,
+         |       CAST(floor((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+         |                  / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+         |                  * 1000000.0 + 0.5) AS BIGINT) AS slope_micro,
+         |       CAST(floor((sy::DOUBLE - (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+         |                   / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * sx::DOUBLE)
+         |                  / n::DOUBLE + 0.5) AS BIGINT) AS intercept_micro
+         |FROM sums""".stripMargin),
+    doc = "X4 Zipf rank-frequency fit over the top-100 vocabulary (log-log least squares on exact micro-ints)")
+
   val defs: Map[String, QueryDef] = Map(
     "quality_gate"     -> qualityGate,
+    "text_entropy"     -> textEntropy,
+    "text_zipf"        -> textZipf,
     "quality_gopher"   -> qualityGopher,
     "chunk_embed"      -> chunkEmbed,
     "chunk_topk"       -> chunkTopk,
