@@ -61,6 +61,7 @@ object PlanAudit {
     "hybrid_rrf" -> ("broadcast-nested-loop-join", "broadcast sides = single-row corpus stats + fixed query set (both bounded constants)"),
     "knn_graph" -> ("broadcast-nested-loop-join", "broadcast side = k-means centroids (bounded by k)"),
     "text_zipf" -> ("global-window", "window input = the 100-row TakeOrdered result (bounded constant)"),
+    "source_lang_kl" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus total"),
   )
 
   // GRAFT_EXPLAIN=name1,name2 (or "all"): print the formatted plan of

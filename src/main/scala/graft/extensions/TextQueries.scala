@@ -1395,10 +1395,58 @@ object TextQueries {
          |FROM sums""".stripMargin),
     doc = "X4 Zipf rank-frequency fit over the top-100 vocabulary (log-log least squares on exact micro-ints)")
 
+  // -------------------------------------------------------------------
+  // X4 source language drift — KL(source ‖ corpus) over the labeled
+  // language distribution, per source: the curation signal that flags a
+  // source whose language mix diverges from the corpus (scraper drift,
+  // mislabeled feeds) before it skews the trained mixture. Terms
+  // p_s·ln(p_s/p_c) are per-(source, lang) scalars rounded to BIGINT
+  // micro before the per-source sum; the lang-marginal and corpus-total
+  // sides are broadcast-sized (|langs|, 1). Two grouped aggregates over
+  // one corpus scan.
+  // -------------------------------------------------------------------
+  val sourceLangKl: QueryDef = QueryDef(
+    build = (s, d) => {
+      val doc = docs(s, d).select(col("source"), col("lang"))
+      val sl = doc.groupBy("source", "lang").agg(count(lit(1)).as("cnt_sl"))
+      val srcTot = sl.groupBy("source").agg(sum("cnt_sl").as("n_s"))
+      val langTot = sl.groupBy("lang").agg(sum("cnt_sl").as("cnt_l"))
+      val tot = sl.agg(sum("cnt_sl").as("n"))
+      val ps = col("cnt_sl").cast("double") / col("n_s")
+      val pc = col("cnt_l").cast("double") / col("n")
+      val term = floor(ps * log(ps / pc) * lit(1000000.0) + lit(0.5))
+      sl.join(srcTot, "source")
+        .join(broadcast(langTot), "lang")
+        .crossJoin(broadcast(tot))
+        .withColumn("tm", term)
+        .groupBy("source").agg(max("n_s").as("n_docs"), sum("tm").as("kl_micro"))
+        .orderBy("source")
+    },
+    oracle = Some(
+      """WITH sl AS (
+        |  SELECT source, lang, count(*)::BIGINT AS cnt_sl FROM documents GROUP BY source, lang
+        |), st AS (
+        |  SELECT source, sum(cnt_sl)::BIGINT AS n_s FROM sl GROUP BY source
+        |), lt AS (
+        |  SELECT lang, sum(cnt_sl)::BIGINT AS cnt_l FROM sl GROUP BY lang
+        |), tt AS (
+        |  SELECT sum(cnt_sl)::BIGINT AS n FROM sl
+        |), terms AS (
+        |  SELECT sl.source, st.n_s,
+        |         CAST(floor((sl.cnt_sl::DOUBLE / st.n_s)
+        |              * ln((sl.cnt_sl::DOUBLE / st.n_s) / (lt.cnt_l::DOUBLE / tt.n))
+        |              * 1000000.0 + 0.5) AS BIGINT) AS tm
+        |  FROM sl JOIN st USING (source) JOIN lt USING (lang) CROSS JOIN tt
+        |)
+        |SELECT source, max(n_s) AS n_docs, sum(tm)::BIGINT AS kl_micro
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin),
+    doc = "X4 per-source language-mix drift: KL(source ‖ corpus) in exact micro terms")
+
   val defs: Map[String, QueryDef] = Map(
     "quality_gate"     -> qualityGate,
     "text_entropy"     -> textEntropy,
     "text_zipf"        -> textZipf,
+    "source_lang_kl"   -> sourceLangKl,
     "quality_gopher"   -> qualityGopher,
     "chunk_embed"      -> chunkEmbed,
     "chunk_topk"       -> chunkTopk,
