@@ -154,7 +154,17 @@ class TextIndexSpec extends SparkSpec {
     } finally q.stop()
     assert(TextIndex.usable(spark, dir))
     assert(TextIndex.readSigs(spark, dir).count() === docs.count())
-    withIndex(dir)(assert(TextIndex.resolveFor(spark, docs) === Some(dir)))
+    withIndex(dir) {
+      assert(TextIndex.resolveFor(spark, docs) === Some(dir))
+      // the BM25 components grew inside the same micro-batch txns:
+      // served rankings equal a from-scratch recompute
+      assert(TextIndex.hasPostings(spark, dir))
+      val served = collect("bm25_topk")
+      spark.conf.unset(TextIndex.ConfKey)
+      val recomputed = collect("bm25_topk")
+      spark.conf.set(TextIndex.ConfKey, dir)
+      assert(served === recomputed, "streamed postings must serve identical BM25 rankings")
+    }
   }
 
   test("fsck uncertifies on corruption; compact rewrites without changing contents") {
