@@ -632,9 +632,10 @@ object TemporalQueries {
         .withColumn("rk", row_number().over(best))
         .filter(col("rk") === 1)
         .select(col("id"), col("n"), col("k").as("cp_pos"), col("time").as("cp_time"),
-          // floor ≡ truncation here (astat ≥ 0) — a decimal→decimal(.,0)
-          // CAST would round HALF_UP and diverge from DuckDB's `//`
-          floor(col("astat") / dec(col("n"))).cast("long").as("dev_milli"))
+          // integral DIV (exact decimal division, truncated): both a
+          // decimal→decimal(.,0) CAST and a scale-limited `/`+floor can
+          // round where DuckDB's `//` truncates
+          expr("astat DIV n").as("dev_milli"))
         .orderBy("id")
     },
     oracle = Some(
@@ -661,6 +662,85 @@ object TemporalQueries {
          |FROM best WHERE rk = 1 ORDER BY id""".stripMargin),
     doc = "temporal: CUSUM changepoint per series (argmax |n·S_k − k·S_n|, exact integer statistic)")
 
+  // -------------------------------------------------------------------
+  // anomaly_windows: alert coalescing — the per-point z-score anomaly
+  // flag merged into TIME WINDOWS (gaps-and-islands, 2 h gap), which is
+  // what a pager actually wants (one alert per incident, not one per
+  // sample). The flag is EXACT integer arithmetic: z² > 9 is algebraic-
+  // ally (n·x − S)² > 9·(n·Σx² − S²) with milli-int x — no doubles, no
+  // epsilon, both engines agree by construction (zero-variance series
+  // produce no flags). Emitted peak z² is a truncating HUGEINT micro
+  // quotient. One window sort per series computes the moments; islands
+  // merge with a lag + running sum over the (few) flagged points.
+  // -------------------------------------------------------------------
+  private val AW_GAP_US = 2L * 3600L * 1000000L
+
+  val anomalyWindows: QueryDef = QueryDef(
+    build = (s, d) => {
+      val whole = Window.partitionBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val dec = (c: Column) => c.cast("decimal(28,0)")
+      val staged = EventsSource.meas(s, d)
+        .withColumn("x", floor(col("value") * lit(1000.0) + lit(0.5)))
+        .select(col("id"), col("time"), col("seq"), col("x"),
+          sum("x").over(whole).as("sn"),
+          sum(col("x").cast("decimal(18,0)") * col("x").cast("decimal(18,0)")).over(whole).as("qn"),
+          count(lit(1)).over(whole).as("n"))
+        .withColumn("dev", dec(col("n")) * dec(col("x")) - dec(col("sn")))
+        .withColumn("varn", dec(col("n")) * col("qn") - dec(col("sn")) * dec(col("sn")))
+        .filter(col("varn") > 0 && col("dev") * col("dev") > lit(9) * col("varn"))
+      val byId = Window.partitionBy("id").orderBy("time", "seq")
+      val run = byId.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      staged
+        .withColumn("prev_us", lag(unix_micros(col("time")), 1).over(byId))
+        .withColumn("nw", when(col("prev_us").isNull
+          || unix_micros(col("time")) - col("prev_us") > AW_GAP_US, 1L).otherwise(0L))
+        .withColumn("wid", sum("nw").over(run))
+        // integral DIV (exact decimal division, truncated) — a decimal
+        // `/` rounds at the result scale and can disagree with DuckDB's
+        // `//` when the true quotient sits within 1e-6 of an integer
+        .withColumn("z2m", expr("(dev * dev * 1000000) DIV varn"))
+        .groupBy("id", "wid")
+        .agg(min("time").as("window_start"), max("time").as("window_end"),
+          count(lit(1)).as("n_points"), max("z2m").as("peak_z2_micro"))
+        .select("id", "wid", "window_start", "window_end", "n_points", "peak_z2_micro")
+        .orderBy("id", "wid")
+    },
+    oracle = Some(
+      s"""${Sql.MEAS_CTE}, x0 AS (
+         |  SELECT id, time, seq, CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS x FROM meas
+         |), mo AS (
+         |  SELECT id, time, seq, x,
+         |         sum(x) OVER (PARTITION BY id) AS sn,
+         |         sum(x::HUGEINT * x) OVER (PARTITION BY id) AS qn,
+         |         count(*) OVER (PARTITION BY id)::BIGINT AS n
+         |  FROM x0
+         |), flagged AS (
+         |  SELECT id, time, seq,
+         |         (n::HUGEINT * x - sn) AS dev,
+         |         (n::HUGEINT * qn - sn::HUGEINT * sn) AS varn
+         |  FROM mo
+         |  WHERE (n::HUGEINT * qn - sn::HUGEINT * sn) > 0
+         |    AND (n::HUGEINT * x - sn) * (n::HUGEINT * x - sn)
+         |        > 9 * (n::HUGEINT * qn - sn::HUGEINT * sn)
+         |), marked AS (
+         |  SELECT id, time, seq, dev, varn,
+         |         CASE WHEN lag(epoch_us(time)) OVER w IS NULL
+         |                OR epoch_us(time) - lag(epoch_us(time)) OVER w > $AW_GAP_US
+         |              THEN 1 ELSE 0 END AS nw
+         |  FROM flagged WINDOW w AS (PARTITION BY id ORDER BY time, seq)
+         |), islands AS (
+         |  SELECT id, time, dev, varn,
+         |         sum(nw) OVER (PARTITION BY id ORDER BY time, seq
+         |                       ROWS UNBOUNDED PRECEDING)::BIGINT AS wid
+         |  FROM marked
+         |)
+         |SELECT id, wid, min(time) AS window_start, max(time) AS window_end,
+         |       count(*)::BIGINT AS n_points,
+         |       max((dev * dev * 1000000 // varn))::BIGINT AS peak_z2_micro
+         |FROM islands GROUP BY id, wid ORDER BY id, wid""".stripMargin),
+    doc = "temporal: z-score anomalies coalesced into alert windows (exact-integer z² flag, gaps-and-islands merge)")
+
   val defs: Map[String, QueryDef] = Map(
     "asof_join"      -> asofJoin,
     "asof_tolerance" -> asofTolerance,
@@ -672,5 +752,6 @@ object TemporalQueries {
     "series_acf"     -> seriesAcf,
     "series_xcorr"   -> seriesXcorr,
     "series_cusum"   -> seriesCusum,
+    "anomaly_windows" -> anomalyWindows,
   )
 }

@@ -217,6 +217,29 @@ class TemporalSpec extends SparkSpec {
     assert(pos2 === 1L && dev2 === 0L, "constant series: zero statistic everywhere, k=1 tiebreak")
   }
 
+  test("anomaly_windows: adjacent spikes coalesce into one window, a distant spike opens another") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = tmpDir("graft-aw")
+    // 50 hourly points at 10.0; spikes at hours 20, 21 (adjacent → one
+    // window) and hour 40 (> 2 h later → second window). z ≈ 3.95 for
+    // spikes, −0.25 for baseline.
+    val rows = (0 until 50).map { i =>
+      val day = 1 + i / 24; val hour = i % 24
+      (i.toLong, ts(f"2024-01-$day%02d $hour%02d:00:00"), 1L, "click",
+        if (i == 20 || i == 21 || i == 40) 100.0 else 10.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val res = TemporalQueries.anomalyWindows.build(spark, dir).collect()
+    assert(res.length === 2, s"two alert windows expected, got ${res.length}")
+    val byWid = res.sortBy(_.getAs[Long]("wid"))
+    assert(byWid(0).getAs[Long]("n_points") === 2L, "adjacent spikes coalesce")
+    assert(byWid(1).getAs[Long]("n_points") === 1L)
+    assert(res.forall(_.getAs[Long]("peak_z2_micro") > 9000000L),
+      "peak z² above the 9.0 gate in micro units")
+  }
+
   test("series_acf matches Spark's native corr within rounding") {
     import org.apache.spark.sql.functions._
     val res = TemporalQueries.seriesAcf.build(spark, sfDir)
