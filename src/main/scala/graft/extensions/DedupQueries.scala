@@ -1443,9 +1443,57 @@ object DedupQueries {
     },
     doc = "X2 edit-distance fuzzy dedup (banding candidates, Levenshtein-ratio verification)")
 
+  // -------------------------------------------------------------------
+  // X1d normalized exact dedup — the canonical pre-fuzzy stage: case
+  // fold, trim, collapse whitespace runs, THEN content-hash. Catches
+  // the re-encoded/re-wrapped copies exact dedup misses without paying
+  // any near-dup machinery; pipelines run it before MinHash because a
+  // normalization hit removes the pair from every downstream stage.
+  // Map-side normalization (regexp on ' +' only — no shorthand classes,
+  // the Java/RE2 edge rule), one groupBy on the digest. Reports both
+  // hashes so the delta vs dedup_exact is itself queryable: a group
+  // with n_raw_variants > 1 was invisible to raw exact dedup.
+  // -------------------------------------------------------------------
+  val normDedup: QueryDef = QueryDef(
+    build = (s, d) => {
+      // corpus ∪ a re-encoded copy of itself (upper-cased, space runs
+      // doubled, padded) — the dedup_exact pattern, so the
+      // normalization path is exercised at EVERY SF: raw hashes differ,
+      // normalized hashes collide
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val variant = base.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit(" "), expr("replace(upper(text), ' ', '  ')"), lit(" ")).as("text"))
+      val norm = sha2(regexp_replace(trim(lower(col("text"))), lit("  *"), lit(" ")), 256)
+      base.unionByName(variant)
+        .withColumn("norm_hash", norm)
+        .withColumn("raw_hash", sha2(col("text"), 256))
+        .groupBy("norm_hash")
+        .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("dup_cnt"),
+          countDistinct("raw_hash").as("n_raw_variants"))
+        .filter(col("dup_cnt") > 1)
+        .orderBy("norm_hash")
+    },
+    oracle = Some(
+      """WITH d2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, ' ' || replace(upper(text), ' ', '  ') || ' ' FROM documents
+        |), n AS (
+        |  SELECT doc_id,
+        |         sha256(regexp_replace(trim(lower(text)), '  *', ' ', 'g')) AS norm_hash,
+        |         sha256(text) AS raw_hash
+        |  FROM d2
+        |)
+        |SELECT norm_hash, min(doc_id) AS keep_doc_id, count(*)::BIGINT AS dup_cnt,
+        |       count(DISTINCT raw_hash)::BIGINT AS n_raw_variants
+        |FROM n GROUP BY norm_hash HAVING count(*) > 1
+        |ORDER BY norm_hash""".stripMargin),
+    doc = "X1 normalized exact dedup (fold case/whitespace, then hash) — the pre-fuzzy canonicalization stage")
+
   val defs: Map[String, QueryDef] = Map(
     "dedup_exact"     -> exact,
     "dedup_edit"      -> editDedup,
+    "dedup_norm"      -> normDedup,
     "dedup_bloom"     -> bloomDedup,
     "text_winnow"     -> winnow,
     "winnow_matches"  -> winnowMatches,

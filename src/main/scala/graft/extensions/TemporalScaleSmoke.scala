@@ -139,6 +139,30 @@ object TemporalScaleSmoke {
     phase("naive-depth-1k", 1000000L, 1000L, withNaive = true)
     phase("naive-depth-2k", 1000000L, 500L, withNaive = true)
 
+    // Phase 4 — the series-analytics family THROUGH THE PRODUCTION
+    // REGISTRY at the full row count: all four are one-window-sort-per-
+    // series + grouped-aggregate shapes, so cost must track total rows
+    // (like asofCore), never per-series depth. Alternating event types
+    // per round give every user two series so the xcorr pair join has
+    // real work.
+    val evDir = java.nio.file.Files.createTempDirectory("graft-tscale-ev").toString
+    time(f"materialize $rows%,d events (parquet)") {
+      mkBase(rows, keys)
+        .select(col("seq").as("event_id"), col("t").as("ts"), col("k").as("user_id"),
+          when(floor(col("seq") / lit(keys)) % 2 === 0, lit("click"))
+            .otherwise(lit("view")).as("event_type"),
+          col("v").as("value"), lit("{}").as("props"))
+        .write.parquet(s"$evDir/events.parquet")
+    }
+    Seq("series_acf", "series_cusum", "anomaly_windows", "series_xcorr").foreach { name =>
+      time(s"$name over $rows rows (registry build, noop sink)") {
+        graft.SparkEntry.queries(name)(spark, evDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.sharedState.cacheManager.clearCache()
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(evDir))
+
     spark.stop()
   }
 }
