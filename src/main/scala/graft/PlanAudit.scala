@@ -62,6 +62,7 @@ object PlanAudit {
     "knn_graph" -> ("broadcast-nested-loop-join", "broadcast side = k-means centroids (bounded by k)"),
     "text_zipf" -> ("global-window", "window input = the 100-row TakeOrdered result (bounded constant)"),
     "source_lang_kl" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus total"),
+    "knn_recall" -> ("broadcast-nested-loop-join", "broadcast sides = k-means centroids (bounded by k) + single-row counters"),
   )
 
   // GRAFT_EXPLAIN=name1,name2 (or "all"): print the formatted plan of

@@ -1225,6 +1225,79 @@ object SimilarityQueries {
     oracle = Some(pcaOracleSql(PCA_ITERS)),
     doc = "X3 embedding PCA: top principal direction + anisotropy share (deterministic power iteration, exact-integer mat-vec)")
 
+  // -------------------------------------------------------------------
+  // X3i kNN-graph recall audit — the sem_recall analog for knn_graph:
+  // what fraction of the TRUE global top-K_NN edges does the
+  // cell-bounded graph find? A true top-K neighbor in the SAME cell is
+  // always found (the in-cell candidate set is a subset of the global
+  // one, so its in-cell rank can only improve), hence every miss IS a
+  // boundary straddle — the number this query emits is exactly the
+  // SemDeDup trade measured for the graph. Truth is the all-pairs
+  // block-key join (dedup_embed's exact shape — every pair in one
+  // (blk, row) task) with a per-vector top-K window; the graph leg is
+  // the production knn_graph build itself.
+  // -------------------------------------------------------------------
+  val knnRecall: QueryDef = QueryDef(
+    build = (s, d) => {
+      val e = emb(s, d).persist() // session-scoped memo (QueryDef cache contract)
+      val left = e.select(col("vec_id"), col("v"), col("norm"),
+        explode(expr(s"sequence(0, ${SEM_BLOCKS - 1})")).as("blk"))
+      val right = e.select(pmod(col("vec_id"), lit(SEM_BLOCKS)).cast("int").as("blk"),
+        col("vec_id").as("nbr_id"), col("v").as("ov"), col("norm").as("onorm"))
+      val byVec = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("nbr_id"))
+      val truth = left.join(right, Seq("blk"))
+        .filter(col("nbr_id") =!= col("vec_id"))
+        .withColumn("cs", round(
+          call_function("graft_dot", col("v"), col("ov")) / (col("norm") * col("onorm")), 6))
+        .withColumn("rank", row_number().over(byVec))
+        .filter(col("rank") <= KNN_K)
+        .select("vec_id", "nbr_id")
+      val graph = knnGraph.build(s, d).select("vec_id", "nbr_id")
+      val hits = truth.join(graph, Seq("vec_id", "nbr_id"))
+      truth.agg(count(lit(1)).as("n_truth")).crossJoin(
+          hits.agg(count(lit(1)).as("hits")))
+        .select(col("n_truth"), col("hits"),
+          expr("hits * 1000000 DIV n_truth").as("recall_ppm"))
+    },
+    oracle = Some(
+      s"""${kmeansOracleCtes(KMEANS_K, KMEANS_ITERS)}, sims AS (
+         |  SELECT e.vec_id, c.clabel,
+         |         round(list_dot_product(e.v, c.cv) / (e.norm * c.cnorm), 6) AS csim
+         |  FROM e CROSS JOIN c$KMEANS_ITERS c
+         |), assigned AS (
+         |  SELECT vec_id, clabel AS cell FROM (
+         |    SELECT vec_id, clabel,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, clabel) AS rk
+         |    FROM sims) WHERE rk = 1
+         |), av AS (
+         |  SELECT a.vec_id, a.cell, e.v, e.norm FROM assigned a JOIN e USING (vec_id)
+         |), gpr AS (
+         |  SELECT l.vec_id, r.vec_id AS nbr_id,
+         |         round(list_dot_product(l.v, r.v) / (l.norm * r.norm), 6) AS cs
+         |  FROM av l JOIN av r ON l.cell = r.cell AND r.vec_id <> l.vec_id
+         |), graph AS (
+         |  SELECT vec_id, nbr_id FROM (
+         |    SELECT vec_id, nbr_id,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, nbr_id) AS rank
+         |    FROM gpr) WHERE rank <= $KNN_K
+         |), tpr AS (
+         |  SELECT l.vec_id, r.vec_id AS nbr_id,
+         |         round(list_dot_product(l.v, r.v) / (l.norm * r.norm), 6) AS cs
+         |  FROM e l JOIN e r ON r.vec_id <> l.vec_id
+         |), truth AS (
+         |  SELECT vec_id, nbr_id FROM (
+         |    SELECT vec_id, nbr_id,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, nbr_id) AS rank
+         |    FROM tpr) WHERE rank <= $KNN_K
+         |), agg AS (
+         |  SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+         |         (SELECT count(*) FROM truth t JOIN graph g
+         |            ON t.vec_id = g.vec_id AND t.nbr_id = g.nbr_id)::BIGINT AS hits
+         |)
+         |SELECT n_truth, hits, (hits * 1000000 // n_truth)::BIGINT AS recall_ppm
+         |FROM agg""".stripMargin),
+    doc = "X3 kNN-graph recall audit: cell-bounded edges vs brute-force truth (every miss is a boundary straddle)")
+
   val defs: Map[String, QueryDef] = Map(
     "sim_topk"         -> topk,
     "sim_ann"          -> ann,
@@ -1237,6 +1310,7 @@ object SimilarityQueries {
     "ivf_cell_stats"   -> cellStats,
     "embed_quantize"   -> quantize,
     "knn_graph"        -> knnGraph,
+    "knn_recall"       -> knnRecall,
     "embed_pca"        -> embedPca,
   )
 }
