@@ -1151,47 +1151,16 @@ object SimilarityQueries {
     (vm, share)
   }
 
+  /** The unrolled power-iteration CTE chain up to the final iterate
+    * `v$iters` — shared by the embed_pca and embed_whiten oracles. */
+  private def pcaIterCtes(iters: Int): String = pcaChainParts(iters)
+
   /** The unrolled power-iteration oracle: `v$iters` is the final
     * iterate, one extra `num` block feeds the Rayleigh share. */
   private def pcaOracleSql(iters: Int): String = {
-    // every CTE is MATERIALIZED: the unrolled iteration DAG references
-    // each step several times, and DuckDB's default inlining would
-    // re-evaluate the chain combinatorially (the 6-level unroll hung)
-    val head =
-      s"""WITH xm AS MATERIALIZED (
-         |  SELECT vec_id, g.d AS dim,
-         |         CAST(floor(embedding[g.d + 1]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS xm
-         |  FROM embeddings CROSS JOIN generate_series(0, ${PCA_D - 1}) g(d)
-         |), base AS MATERIALIZED (
-         |  SELECT dim, sum(xm) AS sx, sum(xm::HUGEINT * xm) AS q FROM xm GROUP BY dim
-         |), nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM embeddings),
-         |v0 AS MATERIALIZED (SELECT g.d AS dim, 125000::BIGINT AS vm FROM generate_series(0, ${PCA_D - 1}) g(d))""".stripMargin
-    def matVec(i: Int, vFrom: String) =
-      s""", s$i AS MATERIALIZED (
-         |  SELECT x.vec_id, sum(x.xm * v.vm)::BIGINT AS s
-         |  FROM xm x JOIN $vFrom v USING (dim) GROUP BY x.vec_id
-         |), m$i AS MATERIALIZED (SELECT sum(s::HUGEINT) AS m FROM s$i
-         |), w$i AS MATERIALIZED (
-         |  SELECT x.dim, sum(x.xm::HUGEINT * s.s) AS w
-         |  FROM xm x JOIN s$i s USING (vec_id) GROUP BY x.dim
-         |), num$i AS MATERIALIZED (
-         |  SELECT b.dim, ((nn.n * w.w - b.sx * mm.m) // $PCA_DOWN) AS num2
-         |  FROM w$i w JOIN base b USING (dim) CROSS JOIN nn CROSS JOIN m$i mm
-         |)""".stripMargin
-    val steps = (1 to iters).map { i =>
-      matVec(i, s"v${i - 1}") +
-        s""", a$i AS MATERIALIZED (SELECT list(num2::DOUBLE ORDER BY dim) AS arr FROM num$i
-           |), v$i AS MATERIALIZED (
-           |  SELECT n.dim,
-           |         CASE WHEN list_dot_product(a.arr, a.arr) > 0
-           |              THEN CAST(floor(n.num2::DOUBLE / sqrt(list_dot_product(a.arr, a.arr))
-           |                         * 1000000.0 + 0.5) AS BIGINT)
-           |              ELSE p.vm END AS vm
-           |  FROM num$i n CROSS JOIN a$i a JOIN v${i - 1} p USING (dim)
-           |)""".stripMargin
-    }.mkString
+    val chain = pcaChainParts(iters)
     val f = iters + 1
-    head + steps + matVec(f, s"v$iters") +
+    chain + pcaMatVec(f, s"v$iters") +
       s""", varr AS (SELECT list(vm::DOUBLE ORDER BY dim) AS arr FROM v$iters
          |), narr AS (SELECT list(num2::DOUBLE ORDER BY dim) AS arr FROM num$f
          |), tr AS (
@@ -1210,12 +1179,58 @@ object SimilarityQueries {
          |FROM v$iters v CROSS JOIN rayl r ORDER BY dim""".stripMargin
   }
 
+  private def pcaMatVec(i: Int, vFrom: String): String =
+    s""", s$i AS MATERIALIZED (
+       |  SELECT x.vec_id, sum(x.xm * v.vm)::BIGINT AS s
+       |  FROM xm x JOIN $vFrom v USING (dim) GROUP BY x.vec_id
+       |), m$i AS MATERIALIZED (SELECT sum(s::HUGEINT) AS m FROM s$i
+       |), w$i AS MATERIALIZED (
+       |  SELECT x.dim, sum(x.xm::HUGEINT * s.s) AS w
+       |  FROM xm x JOIN s$i s USING (vec_id) GROUP BY x.dim
+       |), num$i AS MATERIALIZED (
+       |  SELECT b.dim, ((nn.n * w.w - b.sx * mm.m) // $PCA_DOWN) AS num2
+       |  FROM w$i w JOIN base b USING (dim) CROSS JOIN nn CROSS JOIN m$i mm
+       |)""".stripMargin
+
+  private def pcaChainParts(iters: Int): String = {
+    // every CTE is MATERIALIZED: the unrolled iteration DAG references
+    // each step several times, and DuckDB's default inlining would
+    // re-evaluate the chain combinatorially (the 6-level unroll hung)
+    val head =
+      s"""WITH xm AS MATERIALIZED (
+         |  SELECT vec_id, g.d AS dim,
+         |         CAST(floor(embedding[g.d + 1]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS xm
+         |  FROM embeddings CROSS JOIN generate_series(0, ${PCA_D - 1}) g(d)
+         |), base AS MATERIALIZED (
+         |  SELECT dim, sum(xm) AS sx, sum(xm::HUGEINT * xm) AS q FROM xm GROUP BY dim
+         |), nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM embeddings),
+         |v0 AS MATERIALIZED (SELECT g.d AS dim, 125000::BIGINT AS vm FROM generate_series(0, ${PCA_D - 1}) g(d))""".stripMargin
+    val steps = (1 to iters).map { i =>
+      pcaMatVec(i, s"v${i - 1}") +
+        s""", a$i AS MATERIALIZED (SELECT list(num2::DOUBLE ORDER BY dim) AS arr FROM num$i
+           |), v$i AS MATERIALIZED (
+           |  SELECT n.dim,
+           |         CASE WHEN list_dot_product(a.arr, a.arr) > 0
+           |              THEN CAST(floor(n.num2::DOUBLE / sqrt(list_dot_product(a.arr, a.arr))
+           |                         * 1000000.0 + 0.5) AS BIGINT)
+           |              ELSE p.vm END AS vm
+           |  FROM num$i n CROSS JOIN a$i a JOIN v${i - 1} p USING (dim)
+           |)""".stripMargin
+    }.mkString
+    head + steps
+  }
+
+  /** Memoized (loading micro, share ppm) for the corpus at `d`. */
+  private def pcaFor(s: SparkSession, d: String): (Seq[Long], Long) = {
+    val raw = s.read.parquet(s"$d/embeddings.parquet")
+    val key = s"${System.identityHashCode(s)}:${AnnIndex.fingerprint(raw)}"
+    if (pcaMemo.size > 8) pcaMemo.clear()
+    pcaMemo.computeIfAbsent(key, _ => pcaTrain(s, raw))
+  }
+
   val embedPca: QueryDef = QueryDef(
     build = (s, d) => {
-      val raw = s.read.parquet(s"$d/embeddings.parquet")
-      val key = s"${System.identityHashCode(s)}:${AnnIndex.fingerprint(raw)}"
-      if (pcaMemo.size > 8) pcaMemo.clear()
-      val (vm, share) = pcaMemo.computeIfAbsent(key, _ => pcaTrain(s, raw))
+      val (vm, share) = pcaFor(s, d)
       import s.implicits._
       vm.zipWithIndex
         .map { case (v0, d0) => (d0.toLong, v0, share) }
@@ -1224,6 +1239,59 @@ object SimilarityQueries {
     },
     oracle = Some(pcaOracleSql(PCA_ITERS)),
     doc = "X3 embedding PCA: top principal direction + anisotropy share (deterministic power iteration, exact-integer mat-vec)")
+
+  // -------------------------------------------------------------------
+  // X3h2 whitening projection — per-vector decomposition against the
+  // memoized top component: proj = x·u and the residual norm of
+  // x − proj·u, the map-side transform that REMOVES the dominant
+  // direction embed_pca measures (the standard anisotropy fix before
+  // cosine retrieval). u is the 6dp iterate, so the residual formula
+  // keeps the exact |u|² ≠ 1 correction (r² = |x|² − 2p² + p²·|u|²)
+  // rather than assuming unit norm; every fold is the sequential
+  // graft_dot / list_dot_product order, scalars (u, |u|²) are driver
+  // literals from the memo, and the oracle re-derives them through the
+  // same unrolled iteration. Output in BIGINT micro.
+  // -------------------------------------------------------------------
+  val embedWhiten: QueryDef = QueryDef(
+    build = (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val (vm, _) = pcaFor(s, d)
+      val u = vm.map(_.toDouble / 1000000.0)
+      val uu = { var a = 0.0; var i = 0; while (i < u.length) { a += u(i) * u(i); i += 1 }; a }
+      val uLit = array(u.map(lit): _*)
+      s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("xd"))
+        .withColumn("p", call_function("graft_dot", col("xd"), uLit))
+        .withColumn("xx", call_function("graft_dot", col("xd"), col("xd")))
+        .withColumn("r2",
+          col("xx") - lit(2.0) * (col("p") * col("p")) + (col("p") * col("p")) * lit(uu))
+        .select(col("vec_id"),
+          floor(col("p") * lit(1000000.0) + lit(0.5)).as("proj_micro"),
+          when(col("r2") > 0, floor(sqrt(col("r2")) * lit(1000000.0) + lit(0.5)))
+            .otherwise(0L).as("resid_micro"))
+        .orderBy("vec_id")
+    },
+    oracle = Some(
+      s"""${pcaIterCtes(PCA_ITERS)}, uarr AS MATERIALIZED (
+         |  SELECT list(vm::DOUBLE / 1000000.0 ORDER BY dim) AS u FROM v$PCA_ITERS
+         |), ev AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), sc AS (
+         |  SELECT e.vec_id,
+         |         list_dot_product(e.v, a.u) AS p,
+         |         list_dot_product(e.v, e.v) AS xx,
+         |         list_dot_product(a.u, a.u) AS uu
+         |  FROM ev e CROSS JOIN uarr a
+         |)
+         |SELECT vec_id,
+         |       CAST(floor(p * 1000000.0 + 0.5) AS BIGINT) AS proj_micro,
+         |       CASE WHEN xx - 2.0 * (p * p) + (p * p) * uu > 0
+         |            THEN CAST(floor(sqrt(xx - 2.0 * (p * p) + (p * p) * uu)
+         |                       * 1000000.0 + 0.5) AS BIGINT)
+         |            ELSE 0 END AS resid_micro
+         |FROM sc ORDER BY vec_id""".stripMargin),
+    doc = "X3 whitening projection: per-vector top-component projection + residual norm (the anisotropy fix embed_pca gauges)")
 
   // -------------------------------------------------------------------
   // X3i kNN-graph recall audit — the sem_recall analog for knn_graph:
@@ -1312,5 +1380,6 @@ object SimilarityQueries {
     "knn_graph"        -> knnGraph,
     "knn_recall"       -> knnRecall,
     "embed_pca"        -> embedPca,
+    "embed_whiten"     -> embedWhiten,
   )
 }

@@ -36,5 +36,15 @@ class EmbedPcaSpec extends SparkSpec {
     val norm2 = loads.values.map(v => (v / 1e6) * (v / 1e6)).sum
     assert(math.abs(norm2 - 1.0) < 1e-3, s"unit-norm loading, got norm² $norm2")
     assert(shares.head > 900000L, s"planted axis dominates the variance (got ${shares.head} ppm)")
+
+    // whitening against the same memoized component: the projection
+    // carries the dim-5 signal, the residual is only the jitter
+    val wh = SimilarityQueries.embedWhiten.build(spark, dir).collect()
+    assert(wh.length === 200)
+    val projAbs = wh.map(r => math.abs(r.getAs[Long]("proj_micro"))).sorted
+    val resid = wh.map(_.getAs[Long]("resid_micro")).sorted
+    assert(projAbs(projAbs.length / 2) > 4 * resid(resid.length / 2),
+      s"median |proj| ${projAbs(projAbs.length / 2)} must dominate median residual ${resid(resid.length / 2)}")
+    assert(resid.last < 100000L, s"residuals are jitter-sized (max ${resid.last})")
   }
 }
