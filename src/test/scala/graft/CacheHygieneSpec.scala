@@ -13,7 +13,8 @@ class CacheHygieneSpec extends SparkSpec {
     val names = Seq("dedup_minhash", "dedup_simhash", "dedup_ngram",
       "dedup_embed_lsh", "sim_ann", "text_tfidf",
       "jaccard_recall", "lm_score", "lm_calibration", "lm_crossval", "series_lttb",
-      "dedup_docvec", "text_winnow", "winnow_matches", "bm25_topk", "hybrid_rrf")
+      "dedup_docvec", "text_winnow", "winnow_matches", "bm25_topk", "hybrid_rrf",
+      "dedup_edit", "knn_graph", "knn_recall")
     spark.sharedState.cacheManager.clearCache()
     def runAll(): Int = {
       names.foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
