@@ -358,6 +358,48 @@ object MiscQueries {
         |ORDER BY c.c_mktsegment, quartile, c.c_custkey""".stripMargin),
     doc = "relational: ntile quartiles + percent_rank of customer revenue per market segment (exact-integer rank keys)")
 
+  // -------------------------------------------------------------------
+  // events_pathing: the user-journey transition matrix — corpus-wide
+  // counts of (previous event type → event type) steps within each
+  // user's timeline, with the per-origin transition probability (the
+  // first-order Markov model funnels and next-action predictors start
+  // from). One lag window per user, one grouped count; the probability
+  // is truncating integer micro (cnt·1e6 DIV origin total), never a
+  // rounded double. Output is |types|² rows.
+  // -------------------------------------------------------------------
+  val eventsPathing: QueryDef = QueryDef(
+    build = (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val trans = graft.sources.EventsSource.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("from_type", lag("event_type", 1).over(byUser))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val totals = trans.groupBy("from_type").agg(sum("cnt").as("from_total"))
+      trans.join(totals, "from_type")
+        .select(col("from_type"), col("to_type"), col("cnt"),
+          expr("cnt * 1000000 DIV from_total").as("p_micro"))
+        .orderBy("from_type", "to_type")
+    },
+    oracle = Some(
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        |  FROM events
+        |), tr AS (
+        |  SELECT from_type, event_type AS to_type, count(*)::BIGINT AS cnt
+        |  FROM t WHERE from_type IS NOT NULL GROUP BY from_type, event_type
+        |), tot AS (
+        |  SELECT from_type, sum(cnt)::BIGINT AS from_total FROM tr GROUP BY from_type
+        |)
+        |SELECT tr.from_type, tr.to_type, tr.cnt,
+        |       (tr.cnt * 1000000 // tot.from_total)::BIGINT AS p_micro
+        |FROM tr JOIN tot USING (from_type)
+        |ORDER BY tr.from_type, tr.to_type""".stripMargin),
+    doc = "events: first-order transition matrix (prev type → type per user, integer-micro probabilities)")
+
   val semiAntiJoin: QueryDef = QueryDef(
     build = (s, d) => {
       val c = s.read.parquet(s"$d/customer.parquet").select("c_custkey", "c_mktsegment")
@@ -467,6 +509,7 @@ object MiscQueries {
     "rollup_revenue"  -> rollupRevenue,
     "pivot_revenue"   -> pivotRevenue,
     "customer_quartiles" -> customerQuartiles,
+    "events_pathing"  -> eventsPathing,
     "semi_anti_join"  -> semiAntiJoin,
     "set_ops"         -> setOps,
     "cohort_retention" -> cohortRetention,

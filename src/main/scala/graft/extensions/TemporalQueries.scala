@@ -753,5 +753,30 @@ object TemporalQueries {
     "series_xcorr"   -> seriesXcorr,
     "series_cusum"   -> seriesCusum,
     "anomaly_windows" -> anomalyWindows,
+    "series_profile" -> seriesProfile,
   )
+
+  // -------------------------------------------------------------------
+  // series_profile: the hour-of-day calendar profile per series — the
+  // heatmap every TSDB dashboard draws. One grouped aggregation on
+  // (id, hour-of-day); the mean leaves as a truncating integer milli
+  // quotient (sum DIV count — both engines' integer division), so the
+  // gate needs no float discipline at all.
+  // -------------------------------------------------------------------
+  lazy val seriesProfile: QueryDef = QueryDef(
+    build = (s, d) =>
+      EventsSource.meas(s, d)
+        .withColumn("x", floor(col("value") * lit(1000.0) + lit(0.5)))
+        .groupBy(col("id"), hour(col("time")).cast("long").as("hod"))
+        .agg(count(lit(1)).as("n_obs"), sum("x").as("sum_milli"))
+        .withColumn("mean_milli", expr("sum_milli DIV n_obs"))
+        .select("id", "hod", "n_obs", "mean_milli")
+        .orderBy("id", "hod"),
+    oracle = Some(
+      s"""${Sql.MEAS_CTE}
+         |SELECT id, hour(time)::BIGINT AS hod, count(*)::BIGINT AS n_obs,
+         |       (sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) // count(*))::BIGINT AS mean_milli
+         |FROM meas GROUP BY id, hour(time)
+         |ORDER BY id, hod""".stripMargin),
+    doc = "temporal: hour-of-day profile per series (the calendar heatmap; integer-milli means)")
 }
