@@ -274,13 +274,23 @@ object PqQueries {
   // hash-checks the entire training pipeline (seeds, assignments,
   // updates) at M×KSUB rows of output.
   // -------------------------------------------------------------------
+  // The gated projection serializes the centroid as a micro-integer CSV
+  // string (the doc_embed rule: the driver comparator cannot sort array
+  // cells). Each cv element is already rounded to 6dp identically in
+  // both engines, so floor(x*1e6 + 0.5) recovers the same integer —
+  // double→string formatting (which differs cross-engine) never runs.
   val codebooks: QueryDef = QueryDef(
     build = (s, d) =>
       pqCodebooks(s, s.read.parquet(s"$d/embeddings.parquet").drop("label"))
+        .select(col("sub"), col("code"),
+          expr("concat_ws(',', transform(cv, x -> CAST(floor(x * 1000000 + 0.5D) AS BIGINT)))")
+            .as("cv_micro_csv"))
         .orderBy("sub", "code"),
     oracle = Some(
       s"""${pqOracleCtes()}
-         |SELECT sub, code, cv FROM c$ITERS ORDER BY sub, code""".stripMargin),
+         |SELECT sub, code,
+         |       array_to_string(list_transform(cv, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)), ',') AS cv_micro_csv
+         |FROM c$ITERS ORDER BY sub, code""".stripMargin),
     doc = "X3 product-quantization codebooks: per-subspace deterministic Lloyd (M=8 × KSUB=16, 4-bit codes)")
 
   // -------------------------------------------------------------------

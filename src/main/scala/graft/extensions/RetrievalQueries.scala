@@ -98,23 +98,47 @@ object RetrievalQueries {
           explode(array_distinct(expr(TextQueries.toksExpr))).as("tok"))
     }
     // document frequency of QUERY terms only (semi-filter first — never
-    // a full-vocabulary aggregate); served: one probe into the
-    // tok-clustered dfreq LSM
+    // a full-vocabulary aggregate). Served: the query tokens are a
+    // BOUNDED set (distinct tokens of QUERY_DOCS documents — the same
+    // rows the broadcast below ships to every executor), so they go in
+    // as literals and the tok-clustered dfreq LSM prunes files by
+    // parquet min/max BELOW the consolidating groupBy.
     val dfx = served match {
-      case Some(dir) => TextIndex.readDfreq(s, dir)
-        .join(broadcast(q.select("tok").distinct()), Seq("tok"))
+      case Some(dir) =>
+        val qtoks = q.select("tok").distinct()
+          .collect() // bounded: distinct tokens of QUERY_DOCS docs
+          .map(_.getString(0)).toSeq
+        TextIndex.readDfreqFor(s, dir, qtoks)
       case None => tf.join(broadcast(q.select("tok").distinct()), Seq("tok"))
         .groupBy("tok").agg(count(lit(1)).as("df"))
     }
-    val avgdl = col("sum_dl").cast("double") / col("n_docs")
-    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val contrib = idf * ((col("tf") * lit(2.2)) /
-      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / avgdl))))
+    // Cross-engine-stable scoring (the lm_score rounding discipline):
+    // the ONE float op is the idf ln, rounded to BIGINT micro once per
+    // DISTINCT TOKEN (V rows, not postings rows) — JVM Math.log and
+    // DuckDB's libm ln may differ by 1 ulp, but a flip now needs
+    // idf·1e6 within 1 ulp of a .5 boundary instead of compounding
+    // through per-posting double products. The k1/b saturation term is
+    // an EXACT RATIONAL of the integers (tf, dl, sum_dl, n_docs):
+    //   sat = 2.2·tf / (tf + 1.2·(0.25 + 0.75·dl·n_docs/sum_dl))
+    //       = 22·tf·sum_dl / (10·tf·sum_dl + 3·sum_dl + 9·dl·n_docs)
+    // so the per-posting contribution is ONE integer division
+    // (idf_micro · num) div den — deterministic in both engines, and
+    // order-free under the per-(query, doc) BIGINT sum. DECIMAL(38,0)
+    // holds the products exactly to sum_dl ~ 1e13 (10 T corpus tokens).
+    val idfTok = dfx
+      .crossJoin(broadcast(st.select("n_docs")))
+      .withColumn("idf_micro", expr(
+        "CAST(floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000.0 + 0.5) AS BIGINT)"))
+      .select("tok", "idf_micro")
+    val cMicro = expr(
+      "(CAST(idf_micro AS DECIMAL(38,0)) * 22 * tf * sum_dl) div " +
+        "(CAST(10 AS DECIMAL(38,0)) * tf * sum_dl + CAST(3 AS DECIMAL(38,0)) * sum_dl " +
+        "+ CAST(9 AS DECIMAL(38,0)) * dl * n_docs)")
     val w = Window.partitionBy("query_id").orderBy(col("bm25_micro").desc, col("doc_id"))
     tf.join(broadcast(q), Seq("tok"))
-      .join(broadcast(dfx), Seq("tok"))
+      .join(broadcast(idfTok), Seq("tok"))
       .crossJoin(broadcast(st))
-      .withColumn("c_micro", floor(contrib * lit(1000000.0) + lit(0.5)))
+      .withColumn("c_micro", cMicro)
       .groupBy("query_id", "doc_id").agg(sum("c_micro").as("bm25_micro"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= pool)
@@ -139,12 +163,16 @@ object RetrievalQueries {
        |), dfx AS (
        |  SELECT tok, count(*)::BIGINT AS df FROM tf
        |  WHERE tok IN (SELECT tok FROM q) GROUP BY tok
+       |), idfx AS (
+       |  SELECT tok, CAST(floor(ln(1.0 + (st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+       |         * 1000000.0 + 0.5) AS BIGINT) AS idf_micro
+       |  FROM dfx CROSS JOIN st
        |), sc AS (
        |  SELECT q.query_id, tf.doc_id,
-       |         sum(CAST(floor(ln(1.0 + (st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
-       |             * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (tf.dl / (st.sum_dl::DOUBLE / st.n_docs)))))
-       |             * 1000000.0 + 0.5) AS BIGINT)) AS bm25_micro
-       |  FROM tf JOIN q USING (tok) JOIN dfx USING (tok) CROSS JOIN st
+       |         sum((idfx.idf_micro::HUGEINT * 22 * tf.tf * st.sum_dl) //
+       |             (10::HUGEINT * tf.tf * st.sum_dl + 3::HUGEINT * st.sum_dl
+       |              + 9::HUGEINT * tf.dl * st.n_docs))::BIGINT AS bm25_micro
+       |  FROM tf JOIN q USING (tok) JOIN idfx USING (tok) CROSS JOIN st
        |  GROUP BY q.query_id, tf.doc_id
        |), rk_b AS (
        |  SELECT query_id, doc_id, bm25_micro,

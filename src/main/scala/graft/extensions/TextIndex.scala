@@ -132,6 +132,15 @@ object TextIndex {
     spark.read.parquet(dfreqPath(dir))
       .groupBy("tok").agg(sum("df").as("df"))
 
+  /** df for ONLY the given (bounded) token set. The literal filter sits
+    * BELOW the consolidating groupBy, so the tok-range-clustered LSM
+    * files prune by parquet min/max and the aggregate touches matching
+    * rows only — one probe, never a full-vocabulary aggregate. */
+  def readDfreqFor(spark: SparkSession, dir: String, toks: Seq[String]): DataFrame =
+    spark.read.parquet(dfreqPath(dir))
+      .filter(col("tok").isin(toks: _*))
+      .groupBy("tok").agg(sum("df").as("df"))
+
   private def metaPath(dir: String) = s"$dir/_meta"
 
   private def fs(spark: SparkSession, dir: String) =

@@ -1017,16 +1017,22 @@ object TextQueries {
        |)""".stripMargin
   }
 
+  // The gated projection serializes the vector as a CSV string: the
+  // driver's comparator sorts rows via pandas, which cannot hash array
+  // cells (ndarray), so array columns never reach the gate. BIGINT →
+  // string is exact and identical in both engines; downstream consumers
+  // (dedup_docvec, vecRanks) use hashEmbedVecs directly and keep the
+  // typed array.
   val docEmbed: QueryDef = QueryDef(
     build = (s, d) =>
       hashEmbedVecs(s, d)
-        .select(col("doc_id"), col("vec"),
+        .select(col("doc_id"), concat_ws(",", col("vec")).as("vec_csv"),
           expr("CAST(size(filter(vec, x -> x != 0)) AS BIGINT)").as("nnz"),
           expr("CAST(floor(sqrt(CAST(aggregate(vec, CAST(0 AS BIGINT), (a, x) -> a + x * x) AS DOUBLE)) * 1000000 + 0.5D) AS BIGINT)").as("norm_micro"))
         .orderBy("doc_id"),
     oracle = Some(
       s"""$hashEmbedSql
-         |SELECT doc_id, vec,
+         |SELECT doc_id, array_to_string(vec, ',') AS vec_csv,
          |       len(list_filter(vec, x -> x <> 0))::BIGINT AS nnz,
          |       CAST(floor(sqrt(list_dot_product(vec::DOUBLE[], vec::DOUBLE[])) * 1000000 + 0.5) AS BIGINT) AS norm_micro
          |FROM vecs ORDER BY doc_id""".stripMargin),
@@ -1154,29 +1160,37 @@ object TextQueries {
   // unchanged). One explode chain (chunks, then tokens) into one
   // (doc, chunk)-keyed shuffle of D conditional partial sums.
   // -------------------------------------------------------------------
+  /** (doc_id, chunk_id, vec) typed chunk-vector frame — the derivation
+    * behind chunk_embed, shared with chunkTopk's candidate side. */
+  private[extensions] def chunkEmbedVecs(s: SparkSession, d: String): DataFrame = {
+    val ex = docs(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("chunk_id", explode(expr(
+        s"sequence(CAST(0 AS BIGINT), (greatest(n - $CS_W, CAST(0 AS BIGINT)) + ${CS_S - 1}) div $CS_S)")))
+      .select(col("doc_id"), col("chunk_id"),
+        explode(slice(col("toks"), (col("chunk_id") * CS_S + 1).cast("int"), lit(CS_W))).as("tok"))
+      .select(col("doc_id"), col("chunk_id"),
+        expr(s"CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % $EMBED_D").as("dim"),
+        expr("CASE WHEN CAST(conv(substring(md5(tok), 9, 1), 16, 10) AS BIGINT) % 2 = 0 " +
+          "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END").as("sgn"))
+    val sums = (0 until EMBED_D).map(i =>
+      sum(when(col("dim") === i, col("sgn")).otherwise(0L)).as(s"v$i"))
+    ex.groupBy("doc_id", "chunk_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), col("chunk_id"),
+        array((0 until EMBED_D).map(i => col(s"v$i")): _*).as("vec"))
+  }
+
   val chunkEmbed: QueryDef = QueryDef(
-    build = (s, d) => {
-      val ex = docs(s, d)
-        .select(col("doc_id"), expr(toksExpr).as("toks"))
-        .filter(size(col("toks")) > 0)
-        .withColumn("n", size(col("toks")).cast("long"))
-        .withColumn("chunk_id", explode(expr(
-          s"sequence(CAST(0 AS BIGINT), (greatest(n - $CS_W, CAST(0 AS BIGINT)) + ${CS_S - 1}) div $CS_S)")))
+    build = (s, d) =>
+      chunkEmbedVecs(s, d)
+        // CSV-serialized vector in the gated output (the docEmbed rule:
+        // the driver comparator cannot sort array cells)
         .select(col("doc_id"), col("chunk_id"),
-          explode(slice(col("toks"), (col("chunk_id") * CS_S + 1).cast("int"), lit(CS_W))).as("tok"))
-        .select(col("doc_id"), col("chunk_id"),
-          expr(s"CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT) % $EMBED_D").as("dim"),
-          expr("CASE WHEN CAST(conv(substring(md5(tok), 9, 1), 16, 10) AS BIGINT) % 2 = 0 " +
-            "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END").as("sgn"))
-      val sums = (0 until EMBED_D).map(i =>
-        sum(when(col("dim") === i, col("sgn")).otherwise(0L)).as(s"v$i"))
-      ex.groupBy("doc_id", "chunk_id").agg(sums.head, sums.tail: _*)
-        .select(col("doc_id"), col("chunk_id"),
-          array((0 until EMBED_D).map(i => col(s"v$i")): _*).as("vec"))
-        .select(col("doc_id"), col("chunk_id"), col("vec"),
+          concat_ws(",", col("vec")).as("vec_csv"),
           expr("CAST(floor(sqrt(CAST(aggregate(vec, CAST(0 AS BIGINT), (a, x) -> a + x * x) AS DOUBLE)) * 1000000 + 0.5D) AS BIGINT)").as("norm_micro"))
-        .orderBy("doc_id", "chunk_id")
-    },
+        .orderBy("doc_id", "chunk_id"),
     oracle = Some {
       val terms = (0 until EMBED_D).map(i =>
         s"sum(CASE WHEN dim = $i THEN sgn ELSE 0 END)::BIGINT").mkString(", ")
@@ -1199,7 +1213,7 @@ object TextQueries {
          |), vecs AS (
          |  SELECT doc_id, chunk_id, [$terms] AS vec FROM hx GROUP BY doc_id, chunk_id
          |)
-         |SELECT doc_id, chunk_id, vec,
+         |SELECT doc_id, chunk_id, array_to_string(vec, ',') AS vec_csv,
          |       CAST(floor(sqrt(list_dot_product(vec::DOUBLE[], vec::DOUBLE[])) * 1000000 + 0.5) AS BIGINT) AS norm_micro
          |FROM vecs ORDER BY doc_id, chunk_id""".stripMargin
     },
@@ -1230,7 +1244,7 @@ object TextQueries {
       val q = prep(hashEmbedVecs(s, d).filter(col("doc_id") < CHUNK_QUERIES)
         .withColumnRenamed("doc_id", "query_id"), Seq("query_id"))
         .select(col("query_id"), col("vd").as("qv"), col("n2").as("qn2"))
-      val c = prep(chunkEmbed.build(s, d).select("doc_id", "chunk_id", "vec"), Seq("doc_id", "chunk_id"))
+      val c = prep(chunkEmbedVecs(s, d), Seq("doc_id", "chunk_id"))
       val w = Window.partitionBy("query_id")
         .orderBy(col("cos_sim").desc, col("doc_id"), col("chunk_id"))
       c.crossJoin(broadcast(q))

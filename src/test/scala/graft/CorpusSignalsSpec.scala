@@ -88,7 +88,8 @@ class CorpusSignalsSpec extends SparkSpec {
       v.toSeq
     }
     val got = SparkEntry.queries("doc_embed")(spark, d).collect().toSeq
-      .map(r => (r.getLong(0), (r.getSeq[Long](1), r.getLong(2), r.getLong(3)))).toMap
+      .map(r => (r.getLong(0),
+        (r.getString(1).split(",").toSeq.map(_.toLong), r.getLong(2), r.getLong(3)))).toMap
     val texts = Map(0L -> Seq("a", "a", "b"), 1L -> Seq("b", "c", "c", "c"), 2L -> Seq("a"))
     texts.foreach { case (id, toks) =>
       val want = vecOf(toks)
@@ -187,9 +188,11 @@ class CorpusSignalsSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$d/documents.parquet")
     val ce = SparkEntry.queries("chunk_embed")(spark, d).collect().toSeq
-      .map(r => ((r.getLong(0), r.getLong(1)), (r.getSeq[Long](2), r.getLong(3)))).toMap
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getString(2).split(",").toSeq.map(_.toLong), r.getLong(3)))).toMap
     val de = SparkEntry.queries("doc_embed")(spark, d).collect().toSeq
-      .map(r => (r.getLong(0), (r.getSeq[Long](1), r.getLong(3)))).toMap
+      .map(r => (r.getLong(0),
+        (r.getString(1).split(",").toSeq.map(_.toLong), r.getLong(3)))).toMap
     // a document inside one window IS its chunk — same vector, same norm
     assert(ce((0L, 0L)) === de(0L), "whole-doc chunk must equal the document embedding")
     // chunk ids line up with the splitter row-for-row

@@ -95,7 +95,7 @@ class LshSpec extends SparkSpec {
       "a disjoint-vocabulary doc shares no hashed dimension mass — must never pair")
     // the integer predicate is exactly cos >= 0.95 on the real vectors
     val vecs = SparkEntry.queries("doc_embed")(spark, d).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      .map(r => r.getLong(0) -> r.getString(1).split(",").toSeq.map(_.toLong)).toMap
     def cos(a: Seq[Long], b: Seq[Long]): Double = {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
       dot / math.sqrt(a.map(x => x * x).sum.toDouble * b.map(x => x * x).sum.toDouble)
