@@ -63,6 +63,8 @@ object PlanAudit {
     "text_zipf" -> ("global-window", "window input = the 100-row TakeOrdered result (bounded constant)"),
     "source_lang_kl" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus total"),
     "knn_recall" -> ("broadcast-nested-loop-join", "broadcast sides = k-means centroids (bounded by k) + single-row counters"),
+    "knn_recall_sampled" -> ("broadcast-nested-loop-join", "broadcast sides = md5-head audit sample (bounded Q) + k-means centroids + single-row counters"),
+    "sem_recall_sampled" -> ("broadcast-nested-loop-join", "broadcast sides = md5-head audit anchors (bounded Q) + k-means centroids"),
   )
 
   // GRAFT_EXPLAIN=name1,name2 (or "all"): print the formatted plan of

@@ -704,25 +704,56 @@ object DedupQueries {
   private[graft] val COSINE_MIN = 0.45
   private val N_BLOCKS = 16
 
+  // ------------------------------------------------------------------
+  // Corpus-size gate on the exact all-pairs tiers (the O9 hot-series
+  // percentile route in SkewTools/GraftEngine.calculator: the
+  // always-correct plan serves the gated scale, a structurally
+  // different plan takes over past the threshold where the first
+  // plan's cost curve explodes). The block equi-joins here are the
+  // best possible SHAPE for all pairs — even tasks, no cartesian —
+  // but the pair count grows N²: 100k rows is ~5e9 scored pairs (the
+  // honest cluster ceiling); a 100 TB corpus is out of the question.
+  // Past the gate the build routes to SRP-LSH banding at a
+  // scale-advised band width (AnnIndex.advisedBandBits: bucket
+  // occupancy ~targetOccupancy, so candidate count stays ~linear in
+  // N) with the SAME scoring predicate, so every reported pair is
+  // exactly verified — recall < 1 on band-missed pairs is the
+  // documented LSH tradeoff (dedup_embed_lsh's contract). Every
+  // oracle SF is ≤ 5k rows, far under the gate, so gated results are
+  // bit-identical to the ungated round-7 plans; DedupRouteSpec pins
+  // the routed builders, VectorScaleSmoke prices them at 1M rows.
+  // ------------------------------------------------------------------
+  private[graft] val EXACT_TIER_MAX_ROWS = 100000L
+  private[graft] val ROUTED_PLANES = 32
+
+  /** The exact block-partitioned all-pairs plan (the ≤ gate tier). */
+  private def embedCosineExact(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = s.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("norm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+    val left = e
+      .select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"),
+        explode(expr(s"sequence(0, ${N_BLOCKS - 1})")).as("blk"))
+      .repartition(col("blk"), col("vec_a"))
+    val right = e.select(pmod(col("vec_id"), lit(N_BLOCKS)).cast("int").as("blk"),
+      col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
+    left.join(right, Seq("blk"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim",
+        round(call_function("graft_dot", col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= COSINE_MIN)
+      .select("vec_a", "vec_b", "cos_sim")
+      .orderBy("vec_a", "vec_b")
+  }
+
   val embedCosine: QueryDef = QueryDef(
     build = (s, d) => {
-      graft.functions.VectorFunctions.register(s)
-      val e = s.read.parquet(s"$d/embeddings.parquet")
-        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .withColumn("norm", sqrt(call_function("graft_dot", col("v"), col("v"))))
-      val left = e
-        .select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"),
-          explode(expr(s"sequence(0, ${N_BLOCKS - 1})")).as("blk"))
-        .repartition(col("blk"), col("vec_a"))
-      val right = e.select(pmod(col("vec_id"), lit(N_BLOCKS)).cast("int").as("blk"),
-        col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
-      left.join(right, Seq("blk"))
-        .filter(col("vec_a") < col("vec_b"))
-        .withColumn("cos_sim",
-          round(call_function("graft_dot", col("va"), col("vb")) / (col("na") * col("nb")), 6))
-        .filter(col("cos_sim") >= COSINE_MIN)
-        .select("vec_a", "vec_b", "cos_sim")
-        .orderBy("vec_a", "vec_b")
+      // metadata-served row count (parquet footers, no column I/O)
+      val n = s.read.parquet(s"$d/embeddings.parquet").count()
+      if (n > EXACT_TIER_MAX_ROWS)
+        embedCosineLshBuild(s, d, ROUTED_PLANES, AnnIndex.advisedBandBits(n, ROUTED_PLANES))
+      else embedCosineExact(s, d)
     },
     oracle = Some(
       s"""WITH e AS (
@@ -766,41 +797,87 @@ object DedupQueries {
   // -------------------------------------------------------------------
   private val DV_BLOCKS = 16
 
+  /** The (doc_id, vd, n2) double-view frame behind both docvec tiers —
+    * one definition so the session memo (QueryDef persist contract)
+    * and vecRanks' plan-canonicalization sharing keep working. */
+  private def docvecFrame(s: SparkSession, d: String): DataFrame =
+    TextQueries.hashEmbedVecs(s, d)
+      .withColumn("vd", expr("transform(vec, x -> CAST(x AS DOUBLE))"))
+      .withColumn("n2", expr("aggregate(vec, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      .select("doc_id", "vd", "n2")
+      .persist() // session-scoped memo (QueryDef cache contract)
+
+  /** The exact integer τ = 19/20 predicate both docvec tiers share:
+    * cos ≥ τ ⟺ dot > 0 ∧ 400·dot² ≥ 361·|a|²·|b|². Two exact tiers:
+    * when both squared norms are ≤ 1.5e8 (docs ≤ ~12k tokens),
+    * Cauchy-Schwarz gives dot² ≤ na2·nb2 ≤ 2.25e16 so both products
+    * stay inside int64 — the codegen'd long path (decimal math on 25M
+    * pairs measured +35 %); bigger docs take the 128-bit DECIMAL
+    * branch. Identical verdicts either way. */
+  private def docvecPredicate =
+    col("dot") > 0 &&
+      when(col("na2") <= 150000000L && col("nb2") <= 150000000L,
+        lit(400L) * col("dot") * col("dot") >= lit(361L) * col("na2") * col("nb2"))
+      .otherwise(expr(
+        "CAST(400 AS DECIMAL(38,0)) * dot * dot >= CAST(361 AS DECIMAL(38,0)) * na2 * nb2"))
+
+  /** SRP-banded docvec near-dup — the routed > EXACT_TIER_MAX_ROWS
+    * tier: band candidates at scale-advised width over the double view
+    * of the integer hash vectors, then the SAME exact integer predicate
+    * verifies every candidate (reported pairs are never approximate;
+    * band-missed pairs are the recall tradeoff). */
+  private[graft] def docvecPairsLsh(s: SparkSession, d: String, n: Long): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = docvecFrame(s, d)
+    val ev = e.filter(col("n2") > 0)
+      .select(col("doc_id").as("vec_id"), col("vd").as("v"),
+        sqrt(col("n2").cast("double")).as("norm"))
+    val bandBits = AnnIndex.advisedBandBits(n, ROUTED_PLANES)
+    val bands = SimilarityQueries.srpBands(
+      SimilarityQueries.srpCoded(ev, ROUTED_PLANES), ROUTED_PLANES, bandBits).persist()
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .join(e.select(col("doc_id").as("doc_a"), col("vd").as("va"), col("n2").as("na2")), "doc_a")
+      .join(e.select(col("doc_id").as("doc_b"), col("vd").as("vb"), col("n2").as("nb2")), "doc_b")
+      .withColumn("dot", call_function("graft_dot", col("va"), col("vb")).cast("long"))
+      .filter(docvecPredicate)
+      .select("doc_a", "doc_b", "dot", "na2", "nb2")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The exact block-partitioned all-pairs docvec plan (≤ gate tier). */
+  private def docvecPairsExact(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    // the pair dot runs through the codegen'd native graft_dot on a
+    // double view of the integer vectors — every partial sum is an
+    // integer far below 2^53, so the double arithmetic is EXACT and
+    // the cast back to BIGINT loses nothing; an interpreted
+    // zip_with/aggregate lambda here measured 58 s at sf0.1 vs ~2 s
+    // native (higher-order lambdas never enter whole-stage codegen)
+    val e = docvecFrame(s, d)
+    val left = e
+      .select(col("doc_id").as("doc_a"), col("vd").as("va"), col("n2").as("na2"),
+        explode(expr(s"sequence(0, ${DV_BLOCKS - 1})")).as("blk"))
+      .repartition(col("blk"), col("doc_a"))
+    val right = e.select(pmod(col("doc_id"), lit(DV_BLOCKS)).cast("int").as("blk"),
+      col("doc_id").as("doc_b"), col("vd").as("vb"), col("n2").as("nb2"))
+    left.join(right, Seq("blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("dot", call_function("graft_dot", col("va"), col("vb")).cast("long"))
+      .filter(docvecPredicate)
+      .select("doc_a", "doc_b", "dot", "na2", "nb2")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val docvecDedup: QueryDef = QueryDef(
     build = (s, d) => {
-      graft.functions.VectorFunctions.register(s)
-      // the pair dot runs through the codegen'd native graft_dot on a
-      // double view of the integer vectors — every partial sum is an
-      // integer far below 2^53, so the double arithmetic is EXACT and
-      // the cast back to BIGINT loses nothing; an interpreted
-      // zip_with/aggregate lambda here measured 58 s at sf0.1 vs ~2 s
-      // native (higher-order lambdas never enter whole-stage codegen)
-      val e = TextQueries.hashEmbedVecs(s, d)
-        .withColumn("vd", expr("transform(vec, x -> CAST(x AS DOUBLE))"))
-        .withColumn("n2", expr("aggregate(vec, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
-        .select("doc_id", "vd", "n2")
-        .persist() // session-scoped memo (QueryDef cache contract)
-      val left = e
-        .select(col("doc_id").as("doc_a"), col("vd").as("va"), col("n2").as("na2"),
-          explode(expr(s"sequence(0, ${DV_BLOCKS - 1})")).as("blk"))
-        .repartition(col("blk"), col("doc_a"))
-      val right = e.select(pmod(col("doc_id"), lit(DV_BLOCKS)).cast("int").as("blk"),
-        col("doc_id").as("doc_b"), col("vd").as("vb"), col("n2").as("nb2"))
-      left.join(right, Seq("blk"))
-        .filter(col("doc_a") < col("doc_b"))
-        .withColumn("dot", call_function("graft_dot", col("va"), col("vb")).cast("long"))
-        // two exact tiers: when both squared norms are ≤ 1.5e8 (docs ≤
-        // ~12k tokens), Cauchy-Schwarz gives dot² ≤ na2·nb2 ≤ 2.25e16 so
-        // both products stay inside int64 — the codegen'd long path
-        // (decimal math on 25M pairs measured +35 %); bigger docs take
-        // the 128-bit DECIMAL branch. Identical verdicts either way.
-        .filter(col("dot") > 0 &&
-          when(col("na2") <= 150000000L && col("nb2") <= 150000000L,
-            lit(400L) * col("dot") * col("dot") >= lit(361L) * col("na2") * col("nb2"))
-          .otherwise(expr(
-            "CAST(400 AS DECIMAL(38,0)) * dot * dot >= CAST(361 AS DECIMAL(38,0)) * na2 * nb2")))
-        .select("doc_a", "doc_b", "dot", "na2", "nb2")
-        .orderBy("doc_a", "doc_b")
+      // metadata-served row count (parquet footers, no column I/O)
+      val n = docs(s, d).count()
+      if (n > EXACT_TIER_MAX_ROWS) docvecPairsLsh(s, d, n)
+      else docvecPairsExact(s, d)
     },
     oracle = Some(
       s"""${TextQueries.hashEmbedSql}, e AS (
@@ -832,37 +909,49 @@ object DedupQueries {
   private def LSH_PLANES = SimilarityQueries.N_PLANES
   private def LSH_BAND_BITS = SimilarityQueries.BAND_BITS
 
+  /** SRP-banded near-dup, parameterized by scheme: the gated QueryDef
+    * runs the default (oracle-mirrored) 16-plane/4-bit scheme; the
+    * size-gated route from embedCosine passes scale-advised widths.
+    * The persisted AnnIndex serves codes only when it carries exactly
+    * the requested scheme (a foreign scheme would change results). */
+  private[graft] def embedCosineLshBuild(s: SparkSession, d: String,
+      planes: Int = LSH_PLANES, bandBits: Int = LSH_BAND_BITS): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = s.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("norm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+      .persist() // persists here: session-scoped memos (QueryDef cache contract)
+    // Candidate generation runs on SLIM (id, band, bucket) rows — the
+    // 64-double vectors never enter the self-join shuffle or the
+    // pair-dedup; they are joined back only for the surviving pairs.
+    // Coding/banding is the shared SRP scheme in SimilarityQueries;
+    // a certified persisted index (AnnIndex) — fingerprint-matched to
+    // this corpus — serves the codes without the per-query coding
+    // pass; identical hyperplanes either way.
+    val served =
+      if (planes == LSH_PLANES && bandBits == LSH_BAND_BITS) AnnIndex.resolveFor(s, e)
+      else None
+    val bands = (served match {
+      case Some(dir) => AnnIndex.bandsFromIndex(s, dir)
+      case None =>
+        SimilarityQueries.srpBands(SimilarityQueries.srpCoded(e, planes), planes, bandBits)
+    }).persist()
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb")), "vec_b")
+      .withColumn("cos_sim",
+        round(call_function("graft_dot", col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= COSINE_MIN)
+      .select("vec_a", "vec_b", "cos_sim")
+      .orderBy("vec_a", "vec_b")
+  }
+
   val embedCosineLsh: QueryDef = QueryDef(
-    build = (s, d) => {
-      graft.functions.VectorFunctions.register(s)
-      val e = s.read.parquet(s"$d/embeddings.parquet")
-        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .withColumn("norm", sqrt(call_function("graft_dot", col("v"), col("v"))))
-        .persist() // persists here: session-scoped memos (QueryDef cache contract)
-      // Candidate generation runs on SLIM (id, band, bucket) rows — the
-      // 64-double vectors never enter the self-join shuffle or the
-      // pair-dedup; they are joined back only for the surviving pairs.
-      // Coding/banding is the shared SRP scheme in SimilarityQueries;
-      // a certified persisted index (AnnIndex) — fingerprint-matched to
-      // this corpus — serves the codes without the per-query coding
-      // pass; identical hyperplanes either way.
-      val bands = (AnnIndex.resolveFor(s, e) match {
-        case Some(dir) => AnnIndex.bandsFromIndex(s, dir)
-        case None      => SimilarityQueries.srpBands(SimilarityQueries.srpCoded(e))
-      }).persist()
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
-            && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-        .dropDuplicates("vec_a", "vec_b")
-        .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na")), "vec_a")
-        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb")), "vec_b")
-        .withColumn("cos_sim",
-          round(call_function("graft_dot", col("va"), col("vb")) / (col("na") * col("nb")), 6))
-        .filter(col("cos_sim") >= COSINE_MIN)
-        .select("vec_a", "vec_b", "cos_sim")
-        .orderBy("vec_a", "vec_b")
-    },
+    build = (s, d) => embedCosineLshBuild(s, d),
     oracle = Some(
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -1409,7 +1498,12 @@ object DedupQueries {
         .join(base.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
         .join(base.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
         .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
-        .withColumn("ratio_micro", expr("lev * 1000000 DIV greatest(length(ta), length(tb))"))
+        // the , 1 floor: two empty texts would divide by zero, where the
+        // engines DIVERGE (Spark DIV → NULL row silently dropped, DuckDB
+        // // → hard error failing the whole oracle run). Unreachable
+        // today (empty docs produce no shingles → no bands → no
+        // candidates) but the guard keeps the failure mode identical.
+        .withColumn("ratio_micro", expr("lev * 1000000 DIV greatest(length(ta), length(tb), 1)"))
         .filter(col("ratio_micro") <= EDIT_MAX_MICRO)
         .select("doc_a", "doc_b", "lev", "ratio_micro")
         .orderBy("doc_a", "doc_b")
@@ -1434,7 +1528,7 @@ object DedupQueries {
          |), v AS (
          |  SELECT c.doc_a, c.doc_b,
          |         levenshtein(sa.text, sb.text)::BIGINT AS lev,
-         |         greatest(length(sa.text), length(sb.text))::BIGINT AS ml
+         |         greatest(length(sa.text), length(sb.text), 1)::BIGINT AS ml
          |  FROM cand c JOIN s sa ON c.doc_a = sa.doc_id JOIN s sb ON c.doc_b = sb.doc_id
          |)
          |SELECT doc_a, doc_b, lev, (lev * 1000000 // ml) AS ratio_micro
@@ -1461,7 +1555,11 @@ object DedupQueries {
       // normalization path is exercised at EVERY SF: raw hashes differ,
       // normalized hashes collide
       val base = docs(s, d).select(col("doc_id"), col("text"))
-      val variant = base.select((col("doc_id") + 2000000L).as("doc_id"),
+      // 1e12 offset: synthetic variant ids must never collide with real
+      // doc_ids (a 2M-doc corpus would alias a 2e6 offset, silently
+      // corrupting keep/dup counts on BOTH engines — invisible to the
+      // hash gate); 1e12 clears the documented 100 TB corpus ambitions
+      val variant = base.select((col("doc_id") + 1000000000000L).as("doc_id"),
         concat(lit(" "), expr("replace(upper(text), ' ', '  ')"), lit(" ")).as("text"))
       val norm = sha2(regexp_replace(trim(lower(col("text"))), lit("  *"), lit(" ")), 256)
       base.unionByName(variant)
@@ -1477,7 +1575,7 @@ object DedupQueries {
       """WITH d2 AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 2000000, ' ' || replace(upper(text), ' ', '  ') || ' ' FROM documents
+        |  SELECT doc_id + 1000000000000, ' ' || replace(upper(text), ' ', '  ') || ' ' FROM documents
         |), n AS (
         |  SELECT doc_id,
         |         sha256(regexp_replace(trim(lower(text)), '  *', ' ', 'g')) AS norm_hash,

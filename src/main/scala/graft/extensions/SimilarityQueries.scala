@@ -1366,6 +1366,162 @@ object SimilarityQueries {
          |FROM agg""".stripMargin),
     doc = "X3 kNN-graph recall audit: cell-bounded edges vs brute-force truth (every miss is a boundary straddle)")
 
+  // -------------------------------------------------------------------
+  // Sampled-truth audit variants — the 100×-safe forms of the exact
+  // audits above. The full-truth audits (knn_recall, sem_recall) pay an
+  // all-pairs exact leg: priced-in at the gate SFs, the scale-killer at
+  // 100× (the pair count, not the audit, dominates the round). These
+  // variants sample Q anchor vectors DETERMINISTICALLY (md5(vec_id)
+  // head — the kmeans seed rule, so the DuckDB oracle replays the same
+  // sample bit-for-bit) and pay truth only for sample × corpus — linear
+  // in N with Q as the knob. This is how evaluation harnesses audit at
+  // scale: recall over sampled queries estimates recall over all
+  // queries (each anchor's contribution is independent). The full forms
+  // stay registered for the gate SFs but leave the default bench
+  // profile (Bench AUDIT_FULL_EXCLUDED).
+  // -------------------------------------------------------------------
+  private val AUDIT_SAMPLE_Q = 50
+
+  /** The deterministic Q-vector audit sample: md5(vec_id)-ranked head
+    * (TakeOrdered — bounded Q rows, no global sort materialization). */
+  private def auditSample(e: DataFrame): DataFrame =
+    e.select(col("vec_id"))
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h", "vec_id").limit(AUDIT_SAMPLE_Q)
+      .select("vec_id")
+
+  val knnRecallSampled: QueryDef = QueryDef(
+    build = (s, d) => {
+      val e = emb(s, d).persist() // session-scoped memo (QueryDef cache contract)
+      val q = e.join(broadcast(auditSample(e)), "vec_id")
+        .select(col("vec_id"), col("v").as("qv"), col("norm").as("qnorm"))
+      val byVec = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("nbr_id"))
+      // truth = sample × corpus (broadcast the bounded sample, never an
+      // all-pairs join): one linear pass however big the corpus grows
+      val truth = e.select(col("vec_id").as("nbr_id"), col("v").as("ov"), col("norm").as("onorm"))
+        .join(broadcast(q), col("nbr_id") =!= col("vec_id"))
+        .withColumn("cs", round(
+          call_function("graft_dot", col("qv"), col("ov")) / (col("qnorm") * col("onorm")), 6))
+        .withColumn("rank", row_number().over(byVec))
+        .filter(col("rank") <= KNN_K)
+        .select("vec_id", "nbr_id")
+      val graph = knnGraph.build(s, d).select("vec_id", "nbr_id")
+        .join(broadcast(auditSample(e)), Seq("vec_id"), "leftsemi")
+      val hits = truth.join(graph, Seq("vec_id", "nbr_id"))
+      truth.agg(count(lit(1)).as("n_truth")).crossJoin(
+          hits.agg(count(lit(1)).as("hits")))
+        .select(col("n_truth"), col("hits"),
+          expr("hits * 1000000 DIV n_truth").as("recall_ppm"))
+    },
+    oracle = Some(
+      s"""${kmeansOracleCtes(KMEANS_K, KMEANS_ITERS)}, sims AS (
+         |  SELECT e.vec_id, c.clabel,
+         |         round(list_dot_product(e.v, c.cv) / (e.norm * c.cnorm), 6) AS csim
+         |  FROM e CROSS JOIN c$KMEANS_ITERS c
+         |), assigned AS (
+         |  SELECT vec_id, clabel AS cell FROM (
+         |    SELECT vec_id, clabel,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, clabel) AS rk
+         |    FROM sims) WHERE rk = 1
+         |), av AS (
+         |  SELECT a.vec_id, a.cell, e.v, e.norm FROM assigned a JOIN e USING (vec_id)
+         |), qsample AS (
+         |  SELECT vec_id FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $AUDIT_SAMPLE_Q
+         |), gpr AS (
+         |  SELECT l.vec_id, r.vec_id AS nbr_id,
+         |         round(list_dot_product(l.v, r.v) / (l.norm * r.norm), 6) AS cs
+         |  FROM av l JOIN av r ON l.cell = r.cell AND r.vec_id <> l.vec_id
+         |), graph AS (
+         |  SELECT vec_id, nbr_id FROM (
+         |    SELECT vec_id, nbr_id,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, nbr_id) AS rank
+         |    FROM gpr) WHERE rank <= $KNN_K
+         |), graph_s AS (
+         |  SELECT g.vec_id, g.nbr_id FROM graph g JOIN qsample q ON g.vec_id = q.vec_id
+         |), tpr AS (
+         |  SELECT l.vec_id, r.vec_id AS nbr_id,
+         |         round(list_dot_product(l.v, r.v) / (l.norm * r.norm), 6) AS cs
+         |  FROM e l JOIN qsample q ON l.vec_id = q.vec_id
+         |  JOIN e r ON r.vec_id <> l.vec_id
+         |), truth AS (
+         |  SELECT vec_id, nbr_id FROM (
+         |    SELECT vec_id, nbr_id,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, nbr_id) AS rank
+         |    FROM tpr) WHERE rank <= $KNN_K
+         |), agg AS (
+         |  SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+         |         (SELECT count(*) FROM truth t JOIN graph_s g
+         |            ON t.vec_id = g.vec_id AND t.nbr_id = g.nbr_id)::BIGINT AS hits
+         |)
+         |SELECT n_truth, hits, (hits * 1000000 // n_truth)::BIGINT AS recall_ppm
+         |FROM agg""".stripMargin),
+    doc = "X3 sampled kNN-graph recall audit: exact truth for a deterministic md5-head query sample (linear in the corpus)")
+
+  val semStraddleSampled: QueryDef = QueryDef(
+    build = (s, d) => {
+      val e = emb(s, d)
+      val assigned = AnnIndex.resolveFor(s, e)
+        .filter(defaultKmeans(s, _)) match {
+        case Some(dir) => AnnIndex.readCodes(s, dir).select(col("vec_id"), col("cell"))
+        case None =>
+          val c = kmeansCentroids(s, s.read.parquet(s"$d/embeddings.parquet").drop("label"))
+          assignCells(e, c)
+      }
+      val av = assigned.join(e, "vec_id")
+        .persist() // session-scoped memo (QueryDef cache contract)
+      // DIRECTED anchor pairs: each sampled anchor a scores its whole
+      // ≥-threshold neighborhood (sample × corpus, broadcast anchors) —
+      // the sampled estimate of the straddle rate per similarity band
+      val anchors = av.join(broadcast(auditSample(av)), "vec_id")
+        .select(col("vec_id").as("vec_a"), col("cell").as("cell_a"),
+          col("v").as("va"), col("norm").as("na"))
+      av.select(col("vec_id").as("vec_b"), col("cell").as("cell_b"),
+          col("v").as("vb"), col("norm").as("nb"))
+        .join(broadcast(anchors), col("vec_a") =!= col("vec_b"))
+        .withColumn("cs", round(
+          call_function("graft_dot", col("va"), col("vb")) / (col("na") * col("nb")), 6))
+        .filter(col("cs") >= DedupQueries.COSINE_MIN)
+        .withColumn("band", expr("CAST(floor(cs * 1000000 + 0.5D) AS BIGINT) div 100000"))
+        .withColumn("within", (col("cell_a") === col("cell_b")).cast("long"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_pairs"), sum("within").as("n_within"))
+        .select(col("band"), col("n_pairs"), col("n_within"),
+          (col("n_pairs") - col("n_within")).as("n_straddle"),
+          expr("(n_pairs - n_within) * 1000000L div n_pairs").as("straddle_ppm"))
+        .orderBy("band")
+    },
+    oracle = Some(
+      s"""${kmeansOracleCtes(KMEANS_K, KMEANS_ITERS)}, sims AS (
+         |  SELECT e.vec_id, c.clabel,
+         |         round(list_dot_product(e.v, c.cv) / (e.norm * c.cnorm), 6) AS csim
+         |  FROM e CROSS JOIN c$KMEANS_ITERS c
+         |), assigned AS (
+         |  SELECT vec_id, clabel AS cell FROM (
+         |    SELECT vec_id, clabel,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, clabel) AS rk
+         |    FROM sims) WHERE rk = 1
+         |), qsample AS (
+         |  SELECT vec_id FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $AUDIT_SAMPLE_Q
+         |), spr AS (
+         |  SELECT la.cell AS cell_a, lb.cell AS cell_b,
+         |         round(list_dot_product(ea.v, eb.v) / (ea.norm * eb.norm), 6) AS cs
+         |  FROM qsample q JOIN e ea ON ea.vec_id = q.vec_id
+         |  JOIN e eb ON eb.vec_id <> ea.vec_id
+         |  JOIN assigned la ON la.vec_id = ea.vec_id
+         |  JOIN assigned lb ON lb.vec_id = eb.vec_id
+         |), f AS (
+         |  SELECT CAST(floor(cs * 1000000 + 0.5) AS BIGINT) // 100000 AS band,
+         |         (cell_a = cell_b) AS within
+         |  FROM spr WHERE cs >= ${DedupQueries.COSINE_MIN}
+         |)
+         |SELECT band, count(*)::BIGINT AS n_pairs,
+         |       sum(CASE WHEN within THEN 1 ELSE 0 END)::BIGINT AS n_within,
+         |       (count(*) - sum(CASE WHEN within THEN 1 ELSE 0 END))::BIGINT AS n_straddle,
+         |       ((count(*) - sum(CASE WHEN within THEN 1 ELSE 0 END)) * 1000000
+         |          // count(*))::BIGINT AS straddle_ppm
+         |FROM f GROUP BY band ORDER BY band""".stripMargin),
+    doc = "X2 sampled SemDeDup straddle audit: md5-head anchors score their exact neighborhoods (linear in the corpus)")
+
   val defs: Map[String, QueryDef] = Map(
     "sim_topk"         -> topk,
     "sim_ann"          -> ann,
@@ -1379,6 +1535,8 @@ object SimilarityQueries {
     "embed_quantize"   -> quantize,
     "knn_graph"        -> knnGraph,
     "knn_recall"       -> knnRecall,
+    "knn_recall_sampled" -> knnRecallSampled,
+    "sem_recall_sampled" -> semStraddleSampled,
     "embed_pca"        -> embedPca,
     "embed_whiten"     -> embedWhiten,
   )

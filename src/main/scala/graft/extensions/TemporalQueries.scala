@@ -607,8 +607,12 @@ object TemporalQueries {
   // Emitted deviation = |stat| // n (truncating integer division,
   // identical in BigInt and DuckDB `//`) — the mean-shift magnitude in
   // milli-units × k(n−k)/n, never a rounded double. Products go
-  // through DECIMAL/HUGEINT so the statistic stays exact at any
-  // series length.
+  // through DECIMAL(28)/HUGEINT — exact while |n·S_k| < 1e28, i.e.
+  // Σ|x| ≲ 1e28/n (a 1e9-point series of 1e10-milli values still has
+  // 1e9 digits of headroom). Past that bound non-ANSI Spark nulls the
+  // overflowed product (silently dropping the changepoint) while
+  // DuckDB's HUGEINT errors — if series ever approach it, promote to
+  // the two-tier predicate dedup_docvec uses.
   // -------------------------------------------------------------------
   val seriesCusum: QueryDef = QueryDef(
     build = (s, d) => {
@@ -672,6 +676,13 @@ object TemporalQueries {
   // produce no flags). Emitted peak z² is a truncating HUGEINT micro
   // quotient. One window sort per series computes the moments; islands
   // merge with a lag + running sum over the (few) flagged points.
+  // Exactness bound: dev·dev (and dev²·1e6) run in DECIMAL(38)/HUGEINT,
+  // exact while |dev| = |n·x − S| < ~1.3e16 — comfortably past any
+  // realistic series (1e9 points × 1e6-milli values → |dev| ≲ 1e15)
+  // but NOT unconditional: past it non-ANSI Spark nulls the product
+  // (silently un-flagging the point) while DuckDB errors. If series
+  // ever approach the bound, split the flag predicate into the
+  // dedup_docvec two-tier shape.
   // -------------------------------------------------------------------
   private val AW_GAP_US = 2L * 3600L * 1000000L
 

@@ -331,10 +331,10 @@ object VectorScaleSmoke {
     }
     println(s"[vscale] k-means cells trained: $kmCells")
 
-    // ---- embedding PCA at scale: 7 exact-integer mat-vec passes over
-    // the corpus (6 power iterations + the Rayleigh application) — the
-    // anisotropy gauge stays linear in rows, D-row driver metadata
-    // between passes (the Lloyd-loop shape)
+    // ---- embedding PCA at scale: 7 exact-integer corpus passes (the
+    // moments pass + PCA_ITERS = 5 power iterations + the Rayleigh
+    // application) — the anisotropy gauge stays linear in rows, D-row
+    // driver metadata between passes (the Lloyd-loop shape)
     val (pcaV, pcaShare) = time(f"embed_pca power iteration ($rows%,d × 64, 7 passes)") {
       SimilarityQueries.pcaTrain(spark, raw.drop("label"))
     }
@@ -342,6 +342,48 @@ object VectorScaleSmoke {
     assert(math.abs(pnorm2 - 1.0) < 1e-3, s"unit-norm loading at scale (norm² $pnorm2)")
     assert(pcaShare > 0 && pcaShare <= 1000000L, s"share ppm in range: $pcaShare")
     println(s"[vscale] embed_pca: top-component share $pcaShare ppm")
+
+    // ---- the size-gated dedup route END TO END: past
+    // EXACT_TIER_MAX_ROWS the gated dedup_embed QueryDef itself must
+    // pick the SRP-banded plan (advisedBandBits occupancy ~32) instead
+    // of the N² block join — this phase runs the PRODUCT build at 1M
+    // rows, proving the gate fires and the routed plan completes at a
+    // scale where the exact tier would score ~5e11 pairs.
+    //
+    // NOT the `raw` corpus above: its lattice dims have period 2000 in
+    // vec_id, so 1M rows are 2000 distinct vectors × 500 copies — a
+    // degenerate dedup input whose TRUE ≥-threshold pair list is ~2.5e8
+    // all-cos-1 rows in any plan (it filled the disk when tried). Fine
+    // for top-k ranking phases, wrong for an all-pairs operator. Here:
+    // xxhash64 dims (distinct per vec_id, cos tail ~N(0, 1/64)) + 10
+    // planted verbatim duplicates the route must catch.
+    val dedupDir = java.nio.file.Files.createTempDirectory("graft-vscale-dedup").toString
+    val PLANTED = 10L
+    time(f"write $rows%,d-row distinct-vector corpus for the routed dedup") {
+      val hashDims = (0 until DIMS).map { j =>
+        (pmod(xxhash64(col("base"), lit(j)), lit(2000L)) / 1000.0 - 1.0)
+      }
+      spark.range(rows)
+        .select(col("id").as("vec_id"),
+          when(col("id") >= rows - PLANTED, col("id") - (rows - PLANTED))
+            .otherwise(col("id")).as("base"))
+        .select(col("vec_id"), array(hashDims: _*).as("embedding"))
+        .write.parquet(s"$dedupDir/embeddings.parquet")
+    }
+    // clear the certified-index conf: the routed scheme recomputes codes
+    spark.conf.unset(AnnIndex.ConfKey)
+    val routed = graft.extensions.DedupQueries.embedCosine.build(spark, dedupDir).persist()
+    val routedPairs = time(f"dedup_embed routed tier ($rows%,d rows → SRP-banded, advised width)") {
+      routed.count()
+    }
+    println(f"[vscale] routed dedup_embed pairs at cos ≥ ${graft.extensions.DedupQueries.COSINE_MIN}: $routedPairs%,d")
+    val plantedCaught = routed.filter(col("vec_b") >= rows - PLANTED
+      && col("vec_a") === col("vec_b") - (rows - PLANTED)).count()
+    assert(plantedCaught == PLANTED,
+      s"identical vectors share every band bucket — all $PLANTED planted dups must surface (got $plantedCaught)")
+    println(s"[vscale] routed dedup planted-duplicate catch: $plantedCaught/$PLANTED")
+    routed.unpersist()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dedupDir))
 
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
     spark.stop()

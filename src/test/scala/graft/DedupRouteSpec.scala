@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.extensions.DedupQueries
+
+/** The corpus-size gate on the exact all-pairs dedup tiers
+  * (dedup_embed / dedup_docvec): under EXACT_TIER_MAX_ROWS the gated
+  * QueryDef runs the exact block join (every oracle SF), past it the
+  * build routes to SRP-LSH banding at scale-advised band width with
+  * the SAME scoring predicate. These tests pin the routed builders'
+  * contract: reported pairs are exactly verified (⊆ the exact tier's
+  * output) and identical vectors — which share every band bucket by
+  * construction — are never missed.
+  */
+class DedupRouteSpec extends SparkSpec {
+
+  test("the gate sits above every oracle SF and below the smoke scale") {
+    assert(DedupQueries.EXACT_TIER_MAX_ROWS >= 50000L,
+      "gate must clear every oracle SF (sf0.1 ≈ 5k rows) with margin")
+    assert(DedupQueries.EXACT_TIER_MAX_ROWS <= 1000000L,
+      "gate must engage by the 1M-row smoke scale")
+  }
+
+  test("routed embed dedup: pairs are a verified subset of exact; an identical vector pair is always caught") {
+    val d = tmpDir("graft-embedroute")
+    // 60 deterministic vectors + one verbatim copy of vec 0 (id 60)
+    val dimCols = (0 until 64).map { j =>
+      (pmod(col("base") * lit(2654435761L) + lit(j) * lit(40503L), lit(2000L)) / 1000.0 - 1.0)
+    }
+    spark.range(61)
+      .select(col("id").as("vec_id"), when(col("id") === 60L, 0L).otherwise(col("id")).as("base"))
+      .select(col("vec_id"), array(dimCols: _*).as("embedding"))
+      .write.parquet(s"$d/embeddings.parquet")
+    val exact = DedupQueries.embedCosine.build(spark, d).collect() // 61 rows < gate → exact tier
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // force the routed scheme the gate would pick at 1M rows
+    val routed = DedupQueries.embedCosineLshBuild(spark, d,
+        DedupQueries.ROUTED_PLANES,
+        graft.extensions.AnnIndex.advisedBandBits(1000000L, DedupQueries.ROUTED_PLANES))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(exact.contains((0L, 60L)) && exact((0L, 60L)) === 1.0, "exact tier must see the copy")
+    assert(routed.contains((0L, 60L)), "identical vectors share every band bucket — never missed")
+    routed.foreach { case (pair, cos) =>
+      assert(exact.get(pair).contains(cos), s"routed pair $pair must carry the exact tier's score")
+    }
+  }
+
+  test("routed docvec dedup: pairs are a verified subset of exact; a verbatim document copy is always caught") {
+    val d = tmpDir("graft-docvecroute")
+    val mkText = (i: Int) => (1 to 30).map(j => s"w${i}_$j").mkString(" ")
+    val rows = (0 until 20).map(i => (i.toLong, mkText(i), "en", "s", 100L)) :+
+      ((20L, mkText(0), "en", "s", 100L)) // verbatim copy of doc 0
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val exact = DedupQueries.docvecDedup.build(spark, d).collect() // 21 docs < gate → exact tier
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val routed = DedupQueries.docvecPairsLsh(spark, d, 1000000L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(exact.contains((0L, 20L)), "exact tier must pair the verbatim copy")
+    assert(routed.contains((0L, 20L)), "identical hash vectors share every band bucket — never missed")
+    routed.foreach { case (pair, ints) =>
+      assert(exact.get(pair).contains(ints), s"routed pair $pair must carry the exact integer outputs")
+    }
+  }
+}
