@@ -35,6 +35,11 @@ object TextScaleSmoke {
 
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.nonEmpty) args(0).toLong else 200000L
+    // "retrieval" mode: only the BM25/hybrid phases (corpus + index
+    // build + recompute/served timings) — the linearity probe one
+    // decade past the full smoke's 200k default, where the dedup
+    // phases' planted-pair assertions would just re-prove round-7 facts
+    val retrievalOnly = args.length > 1 && args(1) == "retrieval"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -81,6 +86,29 @@ object TextScaleSmoke {
       val r = graft.SparkEntry.queries(name)(spark, dir).collect()
       spark.sharedState.cacheManager.clearCache() // queries persist internally
       r
+    }
+
+    if (retrievalOnly) {
+      val bmRecompute = time("bm25_topk recompute (corpus explode+groupBy per query)")(run("bm25_topk"))
+      val rrfRecompute = time("hybrid_rrf recompute (BM25 + cosine legs)")(run("hybrid_rrf"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-text-smoke-idx").toString
+      time(s"TextIndex.build over $nDocs docs (the once-at-ingest cost)") {
+        TextIndex.build(spark, spark.read.parquet(s"$dir/documents.parquet"), idxDir)
+      }
+      spark.conf.set(TextIndex.ConfKey, idxDir)
+      try {
+        val bmServed = time("bm25_topk index-served (stored postings + dfreq probe)")(run("bm25_topk"))
+        assert(bmServed.map(_.toSeq).toSeq == bmRecompute.map(_.toSeq).toSeq,
+          "index-served BM25 must be bit-identical to recompute")
+        val rrfServed = time("hybrid_rrf index-served (BM25 leg from the index)")(run("hybrid_rrf"))
+        assert(rrfServed.map(_.toSeq).toSeq == rrfRecompute.map(_.toSeq).toSeq,
+          "index-served hybrid must be bit-identical to recompute")
+        println(s"[tscale] RETRIEVAL PASS at $nDocs docs: served ≡ recompute for bm25_topk + hybrid_rrf")
+      } finally spark.conf.unset(TextIndex.ConfKey)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+      spark.stop()
+      return
     }
 
     val mhRecompute = time("dedup_minhash recompute")(run("dedup_minhash"))
