@@ -476,6 +476,63 @@ object DedupQueries {
     doc = "X2 near-dup cluster resolution (connected components, min-id representative)")
 
   // -------------------------------------------------------------------
+  // X2 keep-best cluster dedup — the SELECTION step after clustering:
+  // within each near-dup cluster keep the HIGHEST-QUALITY member, not
+  // the first-seen one (the FineWeb/CCNet canonicalization: a
+  // boilerplate-stripped re-crawl often scores better than the copy
+  // that arrived first; keep-first silently ships the worse text).
+  // Quality is the text_quality composite as ONE BIGINT micro
+  // (TextQueries.qualityMicroFrame — the keep decision orders on an
+  // integer, never a rounded double), ties to the smallest doc_id.
+  // Plan: the bounded near-dup pair list resolves to components, joins
+  // the map-side quality scores once, then ONE grouped max_by per
+  // cluster — no corpus-wide window, no second quality pass; work is
+  // ∝ clustered docs, not the corpus.
+  // -------------------------------------------------------------------
+  val keepBest: QueryDef = QueryDef(
+    build = (s, d) => {
+      val comp = graft.operators.ConnectedComponents.resolve(
+        simhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+      // comp covers exactly the docs that appear in a near-dup pair, so
+      // every row is already in a ≥2-member cluster (singletons never
+      // enter the pair list)
+      comp.join(TextQueries.qualityMicroFrame(s, d), "doc_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          max_by(col("doc_id"), struct(col("q_micro"), -col("doc_id"))).as("kept_doc_id"),
+          max("q_micro").as("kept_q_micro"),
+          min("q_micro").as("min_q_micro"))
+        .select("cluster_id", "n_members", "kept_doc_id", "kept_q_micro", "min_q_micro")
+        .orderBy("cluster_id")
+    },
+    oracle = Some(
+      s"""$simhashPairsSql, edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs
+         |), reach AS (
+         |  SELECT doc_id, doc_id AS label FROM documents
+         |  UNION
+         |  SELECT e.dst AS doc_id, r.label
+         |  FROM reach r JOIN edges e ON e.src = r.doc_id
+         |), comp AS (
+         |  SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
+         |), ${TextQueries.qualityMicroSql}, members AS (
+         |  SELECT c.cluster_id, c.doc_id, qm.q_micro
+         |  FROM comp c JOIN qm ON qm.doc_id = c.doc_id
+         |), ranked AS (
+         |  SELECT cluster_id, doc_id, q_micro,
+         |         count(*) OVER (PARTITION BY cluster_id) AS n_members,
+         |         min(q_micro) OVER (PARTITION BY cluster_id) AS min_q_micro,
+         |         row_number() OVER (PARTITION BY cluster_id ORDER BY q_micro DESC, doc_id) AS rk
+         |  FROM members
+         |)
+         |SELECT cluster_id, n_members::BIGINT AS n_members, doc_id AS kept_doc_id,
+         |       q_micro AS kept_q_micro, min_q_micro
+         |FROM ranked WHERE rk = 1 AND n_members > 1 ORDER BY cluster_id""".stripMargin),
+    doc = "X2 keep-best cluster dedup: highest-quality member survives each near-dup cluster (FineWeb-style canonicalization)")
+
+  // -------------------------------------------------------------------
   // X2c n-gram Jaccard with rare-shingle blocking: candidate pairs share
   // at least one shingle with document frequency ≤ DF_MAX (blocks on
   // discriminative shingles only — the frequent-shingle join explosion
@@ -1602,6 +1659,7 @@ object DedupQueries {
     "dedup_docvec"    -> docvecDedup,
     "dedup_embed_lsh" -> embedCosineLsh,
     "dedup_clusters"  -> clusters,
+    "dedup_keepbest"  -> keepBest,
     "dedup_chunks"    -> chunkDedup,
     "dedup_spans"     -> spans,
     "dedup_span_frac" -> spanFrac,

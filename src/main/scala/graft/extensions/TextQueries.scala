@@ -144,6 +144,35 @@ object TextQueries {
          |FROM m ORDER BY doc_id""".stripMargin),
     doc = "X4 quality scoring (length/diversity/stopword composite)")
 
+  /** (doc_id, q_micro) — the text_quality composite as ONE BIGINT micro
+    * (identical double op order to textQuality, then floor(x·1e6+0.5) —
+    * the same IEEE ops in both engines). Shared with
+    * [[DedupQueries.keepBest]], where the keep decision must order on
+    * an integer, never on a rounded double. */
+  private[extensions] def qualityMicroFrame(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("distinct_ratio", size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio",
+        size(expr(s"filter(toks, t -> t IN ${inList(stopwords("en"))})")).cast("double") / col("n_tokens"))
+      .withColumn("len_score", least(lit(1.0), col("n_tokens").cast("double") / 100.0))
+      .select(col("doc_id"), expr(
+        "CAST(floor((0.4D * len_score + 0.4D * distinct_ratio + 0.2D * stop_ratio) " +
+          "* 1000000 + 0.5D) AS BIGINT)").as("q_micro"))
+
+  /** The qualityMicroFrame derivation as an oracle CTE `qm(doc_id,
+    * q_micro)` (append after a WITH head). */
+  private[extensions] def qualityMicroSql: String =
+    s"""qm AS (
+       |  SELECT doc_id,
+       |         CAST(floor((0.4 * least(1.0, len(toks)::DOUBLE / 100.0)
+       |           + 0.4 * (len(list_distinct(toks))::DOUBLE / len(toks))
+       |           + 0.2 * (len(list_filter(toks, t -> t IN ${inList(stopwords("en"))}))::DOUBLE / len(toks)))
+       |           * 1000000 + 0.5) AS BIGINT) AS q_micro
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+       |)""".stripMargin
+
   // -------------------------------------------------------------------
   // Content fingerprint: md5 over the sorted distinct token set —
   // canonicalizes word order, catches permutation duplicates. Grouped to

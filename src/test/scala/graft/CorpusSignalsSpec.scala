@@ -425,4 +425,31 @@ class CorpusSignalsSpec extends SparkSpec {
     // srcB: 1 doc, clean
     assert(got("srcB") === ((1L, 1L, 41L, 0L, 0L)))
   }
+
+  test("dedup_keepbest: kept member is the cluster's quality argmax, and the choice differs from keep-first") {
+    val clusters = SparkEntry.queries("dedup_clusters")(spark, sfDir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1))) // (doc_id, cluster_id)
+    val multi = clusters.groupBy(_._2).filter(_._2.size > 1)
+    // text_quality's gated `quality` double, re-scaled to the micro the
+    // keep decision orders on (round(x,6)·1e6 is integral, so the floor
+    // recovers the identical integer)
+    val qMicro = SparkEntry.queries("text_quality")(spark, sfDir).collect().toSeq
+      .map(r => r.getLong(0) -> math.floor(r.getDouble(4) * 1e6 + 0.5).toLong).toMap
+    val got = SparkEntry.queries("dedup_keepbest")(spark, sfDir).collect().toSeq
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet === multi.keySet, "one row per multi-member cluster")
+    multi.foreach { case (cid, members) =>
+      val ids = members.map(_._1)
+      val (n, kept, keptQ, minQ) = got(cid)
+      assert(n === ids.size.toLong, s"cluster $cid member count")
+      assert(ids.contains(kept), s"cluster $cid keeper must be a member")
+      val want = ids.map(id => (qMicro(id), -id)).max // q desc, id asc
+      assert((keptQ, -kept) === want, s"cluster $cid keeper must attain (max q, min id)")
+      assert(minQ === ids.map(qMicro).min, s"cluster $cid min quality")
+    }
+    // the operator is not keep-first in disguise: on this corpus some
+    // cluster's best member is NOT its min-id representative
+    assert(got.exists { case (cid, (_, kept, _, _)) => kept != cid },
+      "at least one cluster must keep a non-min-id member")
+  }
 }
