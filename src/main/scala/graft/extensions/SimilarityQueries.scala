@@ -1367,6 +1367,68 @@ object SimilarityQueries {
     doc = "X3 kNN-graph recall audit: cell-bounded edges vs brute-force truth (every miss is a boundary straddle)")
 
   // -------------------------------------------------------------------
+  // X3k label-filtered similarity search — "top-k WHERE label = X",
+  // the composition every production vector store serves
+  // (metadata-filtered ANN). When the filter is selective the right
+  // plan is not prune-then-post-filter but FILTER AS THE JOIN KEY:
+  // candidates arrive through a hash equi-join on the label, so the
+  // scored set is exactly the query's label slice (work ∝ slice size
+  // per query, never corpus × queries) and recall is 1 by
+  // construction — no cross join, no BNLJ, no post-filter discard. At
+  // LOW selectivity (filter matches most of the corpus) compose with
+  // IVF instead — cells ∩ predicate falls out of joining sim_ivf's
+  // cell assignments against this same join — but the selective form
+  // is the contract this gated query pins, and it doubles as the
+  // exact truth for any pruned variant. Scores emit as BIGINT micro
+  // (cosines can be negative; rounded-double output would hit the
+  // -0.0 divergence).
+  // -------------------------------------------------------------------
+  val filteredTopk: QueryDef = QueryDef(
+    build = (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("norm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+      val q = e.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("query_id"), col("label"),
+          col("v").as("qv"), col("norm").as("qnorm"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+      e.join(broadcast(q), Seq("label")) // the filter IS the join key
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos_sim", round(
+          call_function("graft_dot", col("v"), col("qv")) / (col("norm") * col("qnorm")), 6))
+        .withColumn("neighbor_id", col("vec_id"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("label"),
+          floor(col("cos_sim") * lit(1000000.0) + lit(0.5)).as("cs_micro"))
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some(
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+         |  FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS query_id, label, v AS qv, norm AS qnorm
+         |  FROM e WHERE vec_id < $N_QUERIES
+         |), sc AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+         |         round(list_dot_product(e.v, q.qv) / (e.norm * q.qnorm), 6) AS cos_sim
+         |  FROM e JOIN q USING (label)
+         |  WHERE e.vec_id <> q.query_id
+         |), rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |              ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |  FROM sc
+         |)
+         |SELECT query_id, rank::BIGINT AS rank, neighbor_id, label,
+         |       CAST(floor(cos_sim * 1000000.0 + 0.5) AS BIGINT) AS cs_micro
+         |FROM rk WHERE rank <= $K ORDER BY query_id, rank""".stripMargin),
+    doc = "X3 label-filtered top-k: metadata filter as the candidate join key (selective-filter ANN contract, recall 1)")
+
+  // -------------------------------------------------------------------
   // Sampled-truth audit variants — the 100×-safe forms of the exact
   // audits above. The full-truth audits (knn_recall, sem_recall) pay an
   // all-pairs exact leg: priced-in at the gate SFs, the scale-killer at
@@ -1524,6 +1586,7 @@ object SimilarityQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "sim_topk"         -> topk,
+    "sim_filtered"     -> filteredTopk,
     "sim_ann"          -> ann,
     "sim_ivf"          -> ivf,
     "kmeans_centroids" -> kmeansQ,

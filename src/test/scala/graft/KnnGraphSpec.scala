@@ -47,4 +47,30 @@ class KnnGraphSpec extends SparkSpec {
       expected.exceptAll(mine).count() === 0L)
     av.unpersist(); res.unpersist()
   }
+
+  test("sim_filtered: equals an independent brute force over the query's label slice") {
+    val got = SimilarityQueries.filteredTopk.build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getAs[Number](3).longValue, r.getLong(4))).toMap
+    // independent recompute: collected vectors, plain Scala math
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getSeq[Float](2).map(_.toDouble)))
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val n = (v: Seq[Double]) => math.sqrt(v.map(x => x * x).sum)
+      BigDecimal(dot / (n(a) * n(b))).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = rows.filter(_._1 < 10).flatMap { case (qid, qlab, qv) =>
+      rows.filter(c => c._2 == qlab && c._1 != qid)
+        .map(c => (c._1, c._2, cos(qv, c._3)))
+        .sortBy { case (id, _, cs) => (-cs, id) }
+        .take(10).zipWithIndex
+        .map { case ((id, lab, cs), i) =>
+          (qid, i + 1L) -> (id, lab, math.floor(cs * 1e6 + 0.5).toLong) }
+    }.toMap
+    assert(got.keySet === want.keySet, "same (query, rank) coverage")
+    // every neighbor carries the query's label; ranking matches brute force
+    want.foreach { case (k, v) => assert(got(k) === v, s"(query,rank) $k") }
+  }
 }
