@@ -277,74 +277,124 @@ object DedupQueries {
   private val BAND_ROWS = 2
   private val JACCARD_MIN = 0.8
 
+  /** The verified MinHash near-dup pair list (doc_a, doc_b, jaccard ≥
+    * JACCARD_MIN), unsorted — dedup_minhash's whole derivation, shared
+    * with [[sourceOverlap]]. */
+  private def minhashPairsFrame(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    // signature chain (split → shingle → 8 × md5-min) is the expensive
+    // part: compute it ONCE, persist the narrow results, and let the
+    // self-join read the cache instead of re-deriving md5s per side.
+    // graft_minhash emits all NUM_HASHES minima in a single codegen'd
+    // pass over the shingle array (hex-min semantics identical to the
+    // oracle's 8 × list_min(list_transform(md5)) chain).
+    // persists here are session-scoped memos (QueryDef cache contract;
+    // CacheHygieneSpec proves re-runs reuse rather than grow them)
+    val sh = shingled(s, d).persist()
+    // signatures from the persisted text index when one is certified
+    // AND fingerprint-matched (TextIndex) — the corpus-wide md5 pass
+    // happens at ingest, not per query; identical expressions either
+    // way, so index-served results equal recomputed ones. Shingles
+    // are still read for exact-Jaccard verification of the (few)
+    // banding survivors.
+    val sig = TextIndex.resolveFor(s, docs(s, d)) match {
+      case Some(dir) => TextIndex.readSigs(s, dir).select("doc_id", "mhs")
+      case None => sh.select(col("doc_id"),
+        call_function("graft_minhash", col("sh"), lit(NUM_HASHES)).as("mhs"))
+    }
+    val bands = sig.select(col("doc_id"), posexplode(minhashBandArray))
+      .toDF("doc_id", "band", "bucket")
+      .persist()
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni", size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
+      .filter(col("jaccard") >= JACCARD_MIN)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Oracle CTE chain ending in `mpairs(doc_a, doc_b, jaccard)` — the
+    * minhashPairsFrame derivation, shared by the dedup_minhash and
+    * source_overlap oracles. */
+  private val minhashPairsSqlCtes: String = {
+    val sigCols = (0 until NUM_HASHES).map(i =>
+      s"list_min(list_transform(sh, x -> md5('$i|' || x))) AS mh_$i").mkString(",\n         ")
+    val bandSelects = (0 until NUM_HASHES / BAND_ROWS).map(b =>
+      s"SELECT doc_id, sh, $b AS band, md5(mh_${2 * b} || mh_${2 * b + 1}) AS bucket FROM sig").mkString("\n  UNION ALL\n  ")
+    s"""WITH s AS (
+       |  SELECT doc_id, $shinglesSql AS sh FROM documents
+       |), sig AS (
+       |  SELECT doc_id, sh,
+       |         $sigCols
+       |  FROM s
+       |), bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |), verified AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+       |           (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
+       |  FROM cand c JOIN s sa ON c.doc_a = sa.doc_id JOIN s sb ON c.doc_b = sb.doc_id
+       |), mpairs AS (
+       |  SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM verified
+       |  WHERE round(j, 6) >= $JACCARD_MIN
+       |)""".stripMargin
+  }
+
   val minhash: QueryDef = QueryDef(
-    build = (s, d) => {
-      graft.functions.VectorFunctions.register(s)
-      // signature chain (split → shingle → 8 × md5-min) is the expensive
-      // part: compute it ONCE, persist the narrow results, and let the
-      // self-join read the cache instead of re-deriving md5s per side.
-      // graft_minhash emits all NUM_HASHES minima in a single codegen'd
-      // pass over the shingle array (hex-min semantics identical to the
-      // oracle's 8 × list_min(list_transform(md5)) chain).
-      // persists here are session-scoped memos (QueryDef cache contract;
-      // CacheHygieneSpec proves re-runs reuse rather than grow them)
-      val sh = shingled(s, d).persist()
-      // signatures from the persisted text index when one is certified
-      // AND fingerprint-matched (TextIndex) — the corpus-wide md5 pass
-      // happens at ingest, not per query; identical expressions either
-      // way, so index-served results equal recomputed ones. Shingles
-      // are still read for exact-Jaccard verification of the (few)
-      // banding survivors.
-      val sig = TextIndex.resolveFor(s, docs(s, d)) match {
-        case Some(dir) => TextIndex.readSigs(s, dir).select("doc_id", "mhs")
-        case None => sh.select(col("doc_id"),
-          call_function("graft_minhash", col("sh"), lit(NUM_HASHES)).as("mhs"))
-      }
-      val bands = sig.select(col("doc_id"), posexplode(minhashBandArray))
-        .toDF("doc_id", "band", "bucket")
-        .persist()
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .dropDuplicates("doc_a", "doc_b")
-      cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-        .withColumn("uni", size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter"))
-        .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
-        .filter(col("jaccard") >= JACCARD_MIN)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
-    },
-    oracle = Some {
-      val sigCols = (0 until NUM_HASHES).map(i =>
-        s"list_min(list_transform(sh, x -> md5('$i|' || x))) AS mh_$i").mkString(",\n         ")
-      val bandSelects = (0 until NUM_HASHES / BAND_ROWS).map(b =>
-        s"SELECT doc_id, sh, $b AS band, md5(mh_${2 * b} || mh_${2 * b + 1}) AS bucket FROM sig").mkString("\n  UNION ALL\n  ")
-      s"""WITH s AS (
-         |  SELECT doc_id, $shinglesSql AS sh FROM documents
-         |), sig AS (
-         |  SELECT doc_id, sh,
-         |         $sigCols
-         |  FROM s
-         |), bands AS (
-         |  $bandSelects
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |), verified AS (
-         |  SELECT c.doc_a, c.doc_b,
-         |         len(list_intersect(sa.sh, sb.sh))::DOUBLE /
-         |           (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
-         |  FROM cand c JOIN s sa ON c.doc_a = sa.doc_id JOIN s sb ON c.doc_b = sb.doc_id
-         |)
-         |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM verified
-         |WHERE round(j, 6) >= $JACCARD_MIN ORDER BY doc_a, doc_b""".stripMargin
-    },
+    build = (s, d) => minhashPairsFrame(s, d).orderBy("doc_a", "doc_b"),
+    oracle = Some(
+      s"""$minhashPairsSqlCtes
+         |SELECT doc_a, doc_b, jaccard FROM mpairs ORDER BY doc_a, doc_b""".stripMargin),
     doc = "X2 MinHash+LSH near-dup (shingle → minhash → band → bucket-join)")
+
+  // -------------------------------------------------------------------
+  // X2 cross-source overlap matrix — WHICH scrapes duplicate each
+  // other: the verified near-dup pair list joined to each side's
+  // source, grouped to an unordered (source_a ≤ source_b) cell with
+  // the pair count and summed Jaccard micro. The curation read: a hot
+  // off-diagonal cell means two ingestion feeds ship the same
+  // content (drop one, or dedup across them FIRST); a hot diagonal
+  // means a feed re-crawls itself. Work rides the bounded verified
+  // pair list — the matrix is |sources|² at most, the join input is
+  // the pairs, never the corpus.
+  // -------------------------------------------------------------------
+  val sourceOverlap: QueryDef = QueryDef(
+    build = (s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"))
+      minhashPairsFrame(s, d)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"),
+          expr("CAST(floor(jaccard * 1000000 + 0.5D) AS BIGINT)").as("j_micro"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"), sum("j_micro").as("sum_j_micro"))
+        .orderBy("source_a", "source_b")
+    },
+    oracle = Some(
+      s"""$minhashPairsSqlCtes, so AS (
+         |  SELECT least(da.source, db.source) AS source_a,
+         |         greatest(da.source, db.source) AS source_b,
+         |         CAST(floor(p.jaccard * 1000000 + 0.5) AS BIGINT) AS j_micro
+         |  FROM mpairs p
+         |  JOIN documents da ON p.doc_a = da.doc_id
+         |  JOIN documents db ON p.doc_b = db.doc_id
+         |)
+         |SELECT source_a, source_b, count(*)::BIGINT AS n_pairs,
+         |       sum(j_micro)::BIGINT AS sum_j_micro
+         |FROM so GROUP BY source_a, source_b ORDER BY source_a, source_b""".stripMargin),
+    doc = "X2 cross-source overlap matrix: verified near-dup pairs attributed to (source, source) cells — which feeds duplicate each other")
 
   // -------------------------------------------------------------------
   // X2b SimHash: 32-bit signature over shingles (md5-derived bits),
@@ -1653,6 +1703,7 @@ object DedupQueries {
     "text_winnow"     -> winnow,
     "winnow_matches"  -> winnowMatches,
     "dedup_minhash"   -> minhash,
+    "source_overlap"  -> sourceOverlap,
     "dedup_simhash"   -> simhash,
     "dedup_ngram"     -> ngramJaccard,
     "dedup_embed"     -> embedCosine,

@@ -114,4 +114,28 @@ class LshSpec extends SparkSpec {
     assert(res.filter(col("keep_doc_id") >= 1000000L).count() === 0L,
       "keeper must always be the original, not the shifted copy")
   }
+
+  test("source_overlap attributes planted near-dup pairs to the right (source, source) cells") {
+    val d = tmpDir("graft-srcoverlap")
+    val base = (1 to 100).map(i => s"w$i").mkString(" ")
+    val nearDup = ((1 to 98).map(i => s"w$i") ++ Seq("zz1", "zz2")).mkString(" ")
+    val other = (1 to 100).map(i => s"v$i").mkString(" ")
+    val rows = Seq(
+      (0L, base, "en", "feedA", 100L),      // feedA original
+      (1L, nearDup, "en", "feedB", 100L),   // feedB near-copy of 0 (cross-feed)
+      (2L, other, "en", "feedA", 100L),     // feedA original
+      (3L, other, "en", "feedA", 100L),     // feedA verbatim re-crawl (diagonal)
+      (4L, (1 to 100).map(i => s"u$i").mkString(" "), "en", "feedC", 100L)) // clean
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("source_overlap")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet === Set(("feedA", "feedB"), ("feedA", "feedA")),
+      s"exactly the planted cells, got ${got.keySet}")
+    assert(got(("feedA", "feedA")) === ((1L, 1000000L)), "verbatim re-crawl: one pair at J = 1")
+    val (nCross, sumJ) = got(("feedA", "feedB"))
+    assert(nCross === 1L && sumJ >= 800000L && sumJ < 1000000L,
+      s"cross-feed near-dup: one pair at 0.8 ≤ J < 1 (got $sumJ)")
+  }
 }
