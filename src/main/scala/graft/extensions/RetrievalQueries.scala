@@ -76,16 +76,23 @@ object RetrievalQueries {
         ex.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
           .persist()
     }
-    val st = served match {
+    // Corpus stats (n_docs, Σdl) MATERIALIZE as two driver longs — one
+    // bounded 1-row aggregate (or a meta read when served). Folding them
+    // into literals lets Catalyst constant-fold half the saturation
+    // rational's decimal arithmetic AND removes the 1-row crossJoin
+    // (BroadcastNestedLoopJoin) from the scoring plan.
+    val (nDocs, sumDl) = served match {
       case Some(dir) =>
-        val nDocs = TextIndex.readMeta(s, dir).corpusRows
+        val n = TextIndex.readMeta(s, dir).corpusRows
         // Σ over the vocab's per-token totals = Σ over docs of dl
-        TextIndex.readVocab(s, dir).agg(sum("cnt").as("sum_dl"))
-          .select(lit(nDocs).as("n_docs"), col("sum_dl"))
+        val sd = TextIndex.readVocab(s, dir).agg(sum("cnt"))
+          .collect()(0).getLong(0) // bounded: 1 row
+        (n, sd)
       case None =>
-        corpus.select(expr(TextQueries.toksExpr).as("toks"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(size(col("toks")).cast("long")).as("sum_dl"))
+        val r = corpus.select(expr(TextQueries.toksExpr).as("toks"))
+          .agg(count(lit(1)), sum(size(col("toks")).cast("long")))
+          .collect()(0) // bounded: 1 row
+        (r.getLong(0), r.getLong(1))
     }
     // query terms = the query docs' distinct tokens — exactly their
     // posting rows when served
@@ -126,18 +133,20 @@ object RetrievalQueries {
     // order-free under the per-(query, doc) BIGINT sum. DECIMAL(38,0)
     // holds the products exactly to sum_dl ~ 1e13 (10 T corpus tokens).
     val idfTok = dfx
-      .crossJoin(broadcast(st.select("n_docs")))
       .withColumn("idf_micro", expr(
-        "CAST(floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000.0 + 0.5) AS BIGINT)"))
+        s"CAST(floor(ln(1.0 + (CAST($nDocs AS DOUBLE) - df + 0.5) / (df + 0.5)) " +
+          "* 1000000.0 + 0.5) AS BIGINT)"))
       .select("tok", "idf_micro")
+    // constants folded on the driver: 22·Σdl / 10·Σdl / 3·Σdl / 9·N are
+    // exact longs to Σdl ~ 4e17 (a 400 T-token corpus) — far past the
+    // DECIMAL(38) posting arithmetic's own envelope
     val cMicro = expr(
-      "(CAST(idf_micro AS DECIMAL(38,0)) * 22 * tf * sum_dl) div " +
-        "(CAST(10 AS DECIMAL(38,0)) * tf * sum_dl + CAST(3 AS DECIMAL(38,0)) * sum_dl " +
-        "+ CAST(9 AS DECIMAL(38,0)) * dl * n_docs)")
+      s"(CAST(idf_micro AS DECIMAL(38,0)) * tf * ${22L * sumDl}) div " +
+        s"(CAST(tf AS DECIMAL(38,0)) * ${10L * sumDl} + CAST(${3L * sumDl} AS DECIMAL(38,0)) " +
+        s"+ CAST(dl AS DECIMAL(38,0)) * ${9L * nDocs})")
     val w = Window.partitionBy("query_id").orderBy(col("bm25_micro").desc, col("doc_id"))
     tf.join(broadcast(q), Seq("tok"))
       .join(broadcast(idfTok), Seq("tok"))
-      .crossJoin(broadcast(st))
       .withColumn("c_micro", cMicro)
       .groupBy("query_id", "doc_id").agg(sum("c_micro").as("bm25_micro"))
       .withColumn("rank", row_number().over(w).cast("long"))
