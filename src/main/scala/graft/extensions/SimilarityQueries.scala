@@ -902,6 +902,66 @@ object SimilarityQueries {
     doc = "X3 IVF quantizer health check: per-cell occupancy + cohesion (retrain/grow-k signal)")
 
   // -------------------------------------------------------------------
+  // X3f′ per-cell marginal members — ivf_cell_stats names WHICH cells
+  // are unhealthy (min cosine collapsing); this query names WHICH
+  // VECTORS: the K_OUT least-cohesive members of every cell, the
+  // concrete mislabeled/outlier/two-clusters-one-label candidates a
+  // curator inspects before retraining. A cell-partitioned bottom-K
+  // window over one member-scoring pass (the cellStats join, reused
+  // shape) — never a global sort; output rows are k·|cells|.
+  // Determinism: rank on the 6dp cosine with vec_id tiebreak, emit
+  // BIGINT micro (cosines go negative — the -0.0 rule).
+  // -------------------------------------------------------------------
+  private val K_OUT = 3
+
+  val cellOutliers: QueryDef = QueryDef(
+    build = (s, d) => {
+      val e = emb(s, d)
+      val (cent, assigned) = AnnIndex.resolveFor(s, e)
+        .filter(defaultKmeans(s, _)) match {
+        case Some(dir) =>
+          (AnnIndex.readCentroids(s, dir),
+            AnnIndex.readCodes(s, dir).select(col("vec_id"), col("cell")))
+        case None =>
+          val c = kmeansCentroids(s, s.read.parquet(s"$d/embeddings.parquet").drop("label"))
+          (c, assignCells(e, c))
+      }
+      val w = Window.partitionBy("cell").orderBy(col("csim").asc, col("vec_id"))
+      assigned.join(e, "vec_id")
+        .join(broadcast(cent.select(col("clabel").as("cell"), col("cv"), col("cnorm"))), "cell")
+        .withColumn("csim", round(
+          call_function("graft_dot", col("v"), col("cv")) / (col("norm") * col("cnorm")), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= K_OUT)
+        .select(col("cell"), col("rank"), col("vec_id"),
+          floor(col("csim") * lit(1000000.0) + lit(0.5)).as("csim_micro"))
+        .orderBy("cell", "rank")
+    },
+    oracle = Some(
+      s"""${kmeansOracleCtes(KMEANS_K, KMEANS_ITERS)}, sims AS (
+         |  SELECT e.vec_id, c.clabel,
+         |         round(list_dot_product(e.v, c.cv) / (e.norm * c.cnorm), 6) AS csim
+         |  FROM e CROSS JOIN c$KMEANS_ITERS c
+         |), assigned AS (
+         |  SELECT vec_id, clabel AS cell FROM (
+         |    SELECT vec_id, clabel,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, clabel) AS rk
+         |    FROM sims) WHERE rk = 1
+         |), m AS (
+         |  SELECT a.cell, a.vec_id,
+         |         round(list_dot_product(e.v, c.cv) / (e.norm * c.cnorm), 6) AS csim
+         |  FROM assigned a JOIN e USING (vec_id) JOIN c$KMEANS_ITERS c ON a.cell = c.clabel
+         |), rk AS (
+         |  SELECT cell, vec_id, csim,
+         |         row_number() OVER (PARTITION BY cell ORDER BY csim ASC, vec_id) AS rank
+         |  FROM m
+         |)
+         |SELECT cell, rank::BIGINT AS rank, vec_id,
+         |       CAST(floor(csim * 1000000.0 + 0.5) AS BIGINT) AS csim_micro
+         |FROM rk WHERE rank <= $K_OUT ORDER BY cell, rank""".stripMargin),
+    doc = "X3 per-cell marginal members: the K least-cohesive vectors of every IVF cell (the concrete outlier/retrain candidates)")
+
+  // -------------------------------------------------------------------
   // X2g SemDeDup straddle audit — the measured form of dedup_semantic's
   // honest-approximation note. SemDeDup scores pairs only WITHIN a
   // quantizer cell; pairs whose ends land in different cells are never
@@ -1595,6 +1655,7 @@ object SimilarityQueries {
     "dedup_semantic"   -> semanticDedup,
     "sem_recall"       -> semStraddle,
     "ivf_cell_stats"   -> cellStats,
+    "ivf_outliers"     -> cellOutliers,
     "embed_quantize"   -> quantize,
     "knn_graph"        -> knnGraph,
     "knn_recall"       -> knnRecall,
