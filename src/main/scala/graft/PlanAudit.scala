@@ -45,6 +45,7 @@ object PlanAudit {
     "dedup_semantic" -> ("broadcast-nested-loop-join", "broadcast side = k-means centroids (bounded by k)"),
     "ivf_cell_stats" -> ("broadcast-nested-loop-join", "broadcast side = k-means centroids (bounded by k)"),
     "ivf_outliers" -> ("broadcast-nested-loop-join", "broadcast side = k-means centroids (bounded by k, the assignCells probe)"),
+    "corpus_report" -> ("broadcast-nested-loop-join", "broadcast side = two single-row aggregate frames joined for the stack pivot"),
     "bpe_merges" -> ("global-window", "window input = the 40-row TakeOrdered result (bounded constant)"),
     "text_tfidf" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus count"),
     "lm_score" -> ("broadcast-nested-loop-join", "broadcast side = single-row corpus token total"),

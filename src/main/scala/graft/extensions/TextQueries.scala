@@ -1485,6 +1485,85 @@ object TextQueries {
         |FROM terms GROUP BY source ORDER BY source""".stripMargin),
     doc = "X4 per-source language-mix drift: KL(source ‖ corpus) in exact micro terms")
 
+  // -------------------------------------------------------------------
+  // X4 corpus health report — the one-call curation dashboard: the
+  // counts a pipeline owner reads FIRST (size, vocabulary of sources/
+  // langs, exact-dup mass, quality pass rate, mean length), as tidy
+  // (metric, value) rows so it feeds any plotting/alerting layer
+  // without schema work. One corpus scan feeds a single multi-aggregate
+  // (partial-agg friendly); the exact-dup mass adds one sha256 groupBy;
+  // `stack` pivots the 1×N row to N×2 — no per-metric passes, no
+  // collect. All values are exact BIGINTs (ratios as ppm with
+  // truncating integer division).
+  // -------------------------------------------------------------------
+  val corpusReport: QueryDef = QueryDef(
+    build = (s, d) => {
+      val base = docs(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("distinct_ratio", size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+        .withColumn("stop_ratio",
+          size(expr(s"filter(toks, t -> t IN ${inList(stopwords("en"))})")).cast("double") / col("n_tokens"))
+        .withColumn("len_score", least(lit(1.0), col("n_tokens").cast("double") / 100.0))
+        .withColumn("pass", (lit(0.4) * col("len_score") + lit(0.4) * col("distinct_ratio")
+          + lit(0.2) * col("stop_ratio") >= 0.5).cast("long"))
+      val agg = base.agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("n_chars").as("n_chars"),
+        countDistinct("source").as("n_sources"),
+        countDistinct("lang").as("n_langs"),
+        sum("pass").as("n_quality_pass"))
+      val dups = base.select(sha2(col("text"), 256).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(when(col("c") > 1, col("c")).otherwise(0L)), lit(0L)).as("n_exact_dup_docs"))
+      agg.crossJoin(dups) // both sides are single aggregate rows
+        .select(expr(
+          """stack(8,
+            |  'n_docs', n_docs,
+            |  'n_tokens', n_tokens,
+            |  'n_chars', n_chars,
+            |  'n_sources', n_sources,
+            |  'n_langs', n_langs,
+            |  'n_exact_dup_docs', n_exact_dup_docs,
+            |  'quality_pass_ppm', n_quality_pass * 1000000 DIV n_docs,
+            |  'mean_doc_tokens', n_tokens DIV n_docs) AS (metric, value)""".stripMargin))
+        .orderBy("metric")
+    },
+    oracle = Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, text, source, lang, n_chars, $toksSql AS toks FROM documents
+         |), m AS (
+         |  SELECT doc_id, text, source, lang, n_chars,
+         |         len(toks)::BIGINT AS n_tokens,
+         |         (CASE WHEN 0.4 * least(1.0, len(toks)::DOUBLE / 100.0)
+         |             + 0.4 * (len(list_distinct(toks))::DOUBLE / len(toks))
+         |             + 0.2 * (len(list_filter(toks, t -> t IN ${inList(stopwords("en"))}))::DOUBLE / len(toks))
+         |             >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS pass
+         |  FROM t
+         |), a AS (
+         |  SELECT count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+         |         sum(n_chars)::BIGINT AS n_chars,
+         |         count(DISTINCT source)::BIGINT AS n_sources,
+         |         count(DISTINCT lang)::BIGINT AS n_langs,
+         |         sum(pass)::BIGINT AS n_quality_pass
+         |  FROM m
+         |), dd AS (
+         |  SELECT coalesce(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0)::BIGINT AS n_exact_dup_docs
+         |  FROM (SELECT sha256(text) AS h, count(*)::BIGINT AS c FROM m GROUP BY 1)
+         |)
+         |SELECT metric, value FROM (
+         |  SELECT 'n_docs' AS metric, n_docs AS value FROM a
+         |  UNION ALL SELECT 'n_tokens', n_tokens FROM a
+         |  UNION ALL SELECT 'n_chars', n_chars FROM a
+         |  UNION ALL SELECT 'n_sources', n_sources FROM a
+         |  UNION ALL SELECT 'n_langs', n_langs FROM a
+         |  UNION ALL SELECT 'n_exact_dup_docs', n_exact_dup_docs FROM dd
+         |  UNION ALL SELECT 'quality_pass_ppm', a.n_quality_pass * 1000000 // a.n_docs FROM a
+         |  UNION ALL SELECT 'mean_doc_tokens', a.n_tokens // a.n_docs FROM a
+         |) ORDER BY metric""".stripMargin),
+    doc = "X4 corpus health report: one-call (metric, value) dashboard — size, source/lang vocabulary, exact-dup mass, quality pass rate")
+
   val defs: Map[String, QueryDef] = Map(
     "quality_gate"     -> qualityGate,
     "text_entropy"     -> textEntropy,
@@ -1502,6 +1581,7 @@ object TextQueries {
     "text_bigrams"     -> topBigrams,
     "text_lang"        -> textLang,
     "text_quality"     -> textQuality,
+    "corpus_report"    -> corpusReport,
     "text_fingerprint" -> fingerprint,
     "text_tfidf"       -> tfidf,
     "text_redact"      -> redact,
