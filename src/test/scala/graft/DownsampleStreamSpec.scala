@@ -21,7 +21,9 @@ class DownsampleStreamSpec extends SparkSpec {
       Meas(1L, ts("2024-03-01 10:55:00"), 3.0, Flags.CLICK, 2),
       Meas(1L, ts("2024-03-01 11:05:00"), 5.0, Flags.CLICK, 3),
       Meas(2L, ts("2024-03-01 10:30:00"), 7.0, Flags.ERROR, 4))
-    spark.createDataset(ms).toDF().write.mode("append").parquet(dir)
+    // one file per logical batch: multi-file appends can split across
+    // triggers when the source listing races the commit renames
+    spark.createDataset(ms).toDF().coalesce(1).write.mode("append").parquet(dir)
 
     val q = Subscribe.downsampleStream(spark, dir).writeStream
       .format("memory").queryName("ds_stream")
@@ -52,7 +54,9 @@ class DownsampleStreamSpec extends SparkSpec {
       Meas(1L, ts("2024-03-01 10:55:00"), 6.0, Flags.CLICK, 4), // equal-ts pair:
       Meas(1L, ts("2024-03-01 10:55:00"), 7.0, Flags.CLICK, 5), //  higher seq = close
       Meas(1L, ts("2024-03-01 11:10:00"), 8.0, Flags.CLICK, 6)) // next bucket
-    spark.createDataset(ms).toDF().write.mode("append").parquet(dir)
+    // one file per logical batch: multi-file appends can split across
+    // triggers when the source listing races the commit renames
+    spark.createDataset(ms).toDF().coalesce(1).write.mode("append").parquet(dir)
 
     val q = Subscribe.barsStream(spark, dir).writeStream
       .format("memory").queryName("bars_stream")

@@ -11,8 +11,14 @@ class StatefulStreamSpec extends SparkSpec {
   import spark.implicits._
 
   private def ts(s: String) = Timestamp.valueOf(s)
+  // coalesce(1): each logical test batch must land as ONE file. A
+  // multi-file append can race the FileStreamSource listing (commit
+  // renames are per-file), splitting the batch across two triggers —
+  // under full-suite load this flipped the sessionizer case (the 12:05
+  // extender landing a trigger AFTER the 14:00 closer). One file is
+  // atomic w.r.t. listing: a trigger sees the whole batch or none.
   private def write(dir: String, ms: Seq[Meas]): Unit =
-    spark.createDataset(ms).toDF().write.mode("append").parquet(dir)
+    spark.createDataset(ms).toDF().coalesce(1).write.mode("append").parquet(dir)
 
   test("stateful current-value stream tracks freshest measurement and running count across batches") {
     val dir = tmpDir("graft-state-src")
@@ -52,8 +58,8 @@ class StatefulStreamSpec extends SparkSpec {
     import graft.streaming.StatefulStreams.TaggedRow
     val dir = tmpDir("graft-asof-src")
     val ckpt = tmpDir("graft-asof-ckpt")
-    def writeTagged(rows: Seq[TaggedRow]): Unit =
-      spark.createDataset(rows).toDF().write.mode("append").parquet(dir)
+    def writeTagged(rows: Seq[TaggedRow]): Unit = // one file = one trigger (see write)
+      spark.createDataset(rows).toDF().coalesce(1).write.mode("append").parquet(dir)
 
     // batch 1: a probe BEFORE the batch's ref gets no enrichment (rows
     // are time-ordered within a batch); a probe after it gets enriched
