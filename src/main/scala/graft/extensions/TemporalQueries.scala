@@ -765,6 +765,7 @@ object TemporalQueries {
     "series_cusum"   -> seriesCusum,
     "anomaly_windows" -> anomalyWindows,
     "series_profile" -> seriesProfile,
+    "series_seasonal" -> seriesSeasonal,
   )
 
   // -------------------------------------------------------------------
@@ -790,4 +791,42 @@ object TemporalQueries {
          |FROM meas GROUP BY id, hour(time)
          |ORDER BY id, hod""".stripMargin),
     doc = "temporal: hour-of-day profile per series (the calendar heatmap; integer-milli means)")
+
+  // -------------------------------------------------------------------
+  // series_seasonal: hour-of-day seasonal ADJUSTMENT — series_profile
+  // names the calendar shape, this removes it: every point minus its
+  // (id, hour) profile mean, the residual being the deseasonalized
+  // signal anomaly scoring should run on (a "spike" at the daily peak
+  // hour is often just the season). Integer-milli throughout — the
+  // profile mean is the same truncating `DIV`/`//` series_profile
+  // gates, the residual an exact BIGINT difference. Plan: the profile
+  // groupBy and the join back share the (id, hod) partitioning — one
+  // exchange feeds both sides, no second corpus shuffle.
+  // -------------------------------------------------------------------
+  lazy val seriesSeasonal: QueryDef = QueryDef(
+    build = (s, d) => {
+      val m = EventsSource.meas(s, d)
+        .withColumn("x", floor(col("value") * lit(1000.0) + lit(0.5)).cast("long"))
+        .withColumn("hod", hour(col("time")).cast("long"))
+      val prof = m.groupBy("id", "hod")
+        .agg(expr("sum(x) DIV count(1)").as("seasonal_milli"))
+      m.join(prof, Seq("id", "hod"))
+        .select(col("id"), col("time"), col("seq"), col("x").as("x_milli"),
+          col("seasonal_milli"), (col("x") - col("seasonal_milli")).as("resid_milli"))
+        .orderBy("id", "time", "seq")
+    },
+    oracle = Some(
+      s"""${Sql.MEAS_CTE}, x0 AS (
+         |  SELECT id, time, seq, CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS x,
+         |         hour(time)::BIGINT AS hod
+         |  FROM meas
+         |), prof AS (
+         |  SELECT id, hod, (sum(x) // count(*))::BIGINT AS seasonal_milli
+         |  FROM x0 GROUP BY id, hod
+         |)
+         |SELECT x0.id, x0.time, x0.seq, x0.x AS x_milli, prof.seasonal_milli,
+         |       (x0.x - prof.seasonal_milli)::BIGINT AS resid_milli
+         |FROM x0 JOIN prof ON x0.id = prof.id AND x0.hod = prof.hod
+         |ORDER BY x0.id, x0.time, x0.seq""".stripMargin),
+    doc = "temporal: hour-of-day seasonal adjustment (profile mean removed per point; residual = the deseasonalized signal)")
 }

@@ -261,4 +261,24 @@ class TemporalSpec extends SparkSpec {
       }
     }
   }
+
+  test("series_seasonal: residuals per (id, hour) sum to the truncation remainder; adjustment is consistent with series_profile") {
+    val res = graft.extensions.TemporalQueries.seriesSeasonal.build(spark, sfDir).collect()
+    val prof = SparkEntry.queries("series_profile")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // seasonal_milli must be exactly the profile's mean for the point's hour
+    val byCell = res.groupBy { r =>
+      (r.getLong(0), r.getTimestamp(1).toLocalDateTime.getHour.toLong) }
+    assert(byCell.keySet === prof.keySet, "every profile cell is adjusted")
+    byCell.foreach { case (cell, rows) =>
+      val (nObs, meanMilli) = prof(cell)
+      assert(rows.length.toLong === nObs, s"cell $cell point count")
+      rows.foreach(r => assert(r.getLong(4) === meanMilli, s"cell $cell seasonal"))
+      // x = seasonal + resid exactly; Σresid = Σx − n·floor-div mean ∈ [0, n)
+      rows.foreach(r => assert(r.getLong(3) === r.getLong(4) + r.getLong(5)))
+      val sumResid = rows.map(_.getLong(5)).sum
+      assert(sumResid >= 0 && sumResid < nObs,
+        s"cell $cell residual sum $sumResid must be the division remainder")
+    }
+  }
 }
