@@ -68,6 +68,7 @@ object PlanAudit {
     "knn_recall" -> ("broadcast-nested-loop-join", "broadcast sides = k-means centroids (bounded by k) + single-row counters"),
     "knn_recall_sampled" -> ("broadcast-nested-loop-join", "broadcast sides = md5-head audit sample (bounded Q) + k-means centroids + single-row counters"),
     "sem_recall_sampled" -> ("broadcast-nested-loop-join", "broadcast sides = md5-head audit anchors (bounded Q) + k-means centroids"),
+    "jaccard_recall_sampled" -> ("broadcast-nested-loop-join", "broadcast sides = md5-head anchor docs' shingle arrays + their band buckets (both bounded Q)"),
   )
 
   // GRAFT_EXPLAIN=name1,name2 (or "all"): print the formatted plan of

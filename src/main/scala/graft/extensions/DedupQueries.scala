@@ -790,6 +790,142 @@ object DedupQueries {
     doc = "X2 banding-recall audit: measured vs theoretical MinHash-band catch rate per Jaccard decile")
 
   // -------------------------------------------------------------------
+  // X2g-s sampled banding-recall audit — jaccard_recall's 100×-safe
+  // form, the text-tier twin of knn_recall_sampled / sem_recall_sampled
+  // (SimilarityQueries): Q anchor documents are sampled
+  // DETERMINISTICALLY (md5(doc_id) head — the kmeans seed rule, so the
+  // DuckDB oracle replays the identical sample bit-for-bit), and exact
+  // Jaccard truth is paid only for anchor × corpus — LINEAR in N with
+  // Q as the knob, vs the full audit's blocked-all-pairs truth whose
+  // pair mass still grows with corpus pairs. Anchor pairs are DIRECTED
+  // (each anchor scores its whole ≥-threshold neighborhood — the
+  // semStraddleSampled precedent); both the anchors' shingle arrays
+  // and their band buckets BROADCAST, so the corpus side of either leg
+  // never shuffles. The full jaccard_recall stays registered and
+  // correctness-gated but leaves the default bench profile (Bench
+  // auditFullExcluded, SPARK_GRAFT_BENCH_FULL=1 restores it) — at 100×
+  // its truth leg would dominate the suite.
+  // -------------------------------------------------------------------
+  private val JR_SAMPLE_Q = 50
+
+  val bandingRecallSampled: QueryDef = QueryDef(
+    build = (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      // same signature sources as bandingRecall/ngramPairs: a certified
+      // TextIndex serves stored minhash sigs + hashed shingles; without
+      // one, ONE persisted string-shingle scan feeds both legs
+      val (resolved, shStr) = TextIndex.resolveFor(s, docs(s, d)) match {
+        case some @ Some(_) => (some, None)
+        case None => (None, Some(shingled(s, d)
+          .persist())) // session-scoped memo (QueryDef cache contract)
+      }
+      val sh = (resolved match {
+        case Some(dir) if TextIndex.readSigs(s, dir).columns.contains("shn") =>
+          TextIndex.readSigs(s, dir).select(col("doc_id"), col("shn").as("sh"))
+        case _ => shStr.getOrElse(shingled(s, d))
+          .select(col("doc_id"), expr("transform(sh, x -> graft_md5_prefix(x, 15))").as("sh"))
+      }).withColumn("n", size(col("sh")).cast("long"))
+      val sample = sh.select(col("doc_id"))
+        .withColumn("h", md5(col("doc_id").cast("string")))
+        .orderBy("h", "doc_id").limit(JR_SAMPLE_Q)
+        .select("doc_id")
+      // exact truth, anchor × corpus: the Q anchors' shingle arrays
+      // broadcast; the corpus side intersects in place — no shuffle,
+      // one linear pass however big the corpus grows
+      val anchors = sh.join(broadcast(sample), "doc_id")
+        .select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a"))
+      val truth = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b"))
+        .join(broadcast(anchors), col("doc_a") =!= col("doc_b"))
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("jaccard", round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")), 6))
+        .filter(col("jaccard") >= NGRAM_JACCARD_MIN)
+        .select("doc_a", "doc_b", "jaccard")
+      // banding-candidate leg: the anchors' band buckets broadcast
+      // against the corpus's buckets — candidate generation restricted
+      // to the sample without shuffling the corpus bands
+      val sig = resolved match {
+        case Some(dir) => TextIndex.readSigs(s, dir).select("doc_id", "mhs")
+        case None => shStr.get.select(col("doc_id"),
+          call_function("graft_minhash", col("sh"), lit(NUM_HASHES)).as("mhs"))
+      }
+      val bands = sig.select(col("doc_id"), posexplode(minhashBandArray))
+        .toDF("doc_id", "band", "bucket")
+      val abands = bands.join(broadcast(sample), "doc_id")
+        .select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+      val cand = bands.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+        .join(broadcast(abands), Seq("band", "bucket"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+        .withColumn("caught", lit(1L))
+      val qPow = Seq.fill(NUM_HASHES / BAND_ROWS)("q").mkString(" * ")
+      truth
+        .join(cand, Seq("doc_a", "doc_b"), "left")
+        .withColumn("caught", coalesce(col("caught"), lit(0L)))
+        .withColumn("j_band",
+          expr("CAST(floor(jaccard * 1000000 + 0.5D) AS BIGINT) DIV 100000"))
+        .groupBy("j_band")
+        .agg(count(lit(1)).as("n_pairs"), sum("caught").as("n_caught"))
+        .withColumn("miss_ppm",
+          expr("(n_pairs - n_caught) * 1000000 DIV n_pairs"))
+        .withColumn("jm", least(
+          (col("j_band") * 100000L + 50000L).cast("double") / 1000000.0, lit(1.0)))
+        .withColumn("q", lit(1.0) - col("jm") * col("jm"))
+        .withColumn("theory_ppm", expr(
+          s"CAST(floor((1.0D - $qPow) * 1000000 + 0.5D) AS BIGINT)"))
+        .select("j_band", "n_pairs", "n_caught", "miss_ppm", "theory_ppm")
+        .orderBy("j_band")
+    },
+    oracle = Some {
+      val sigCols = (0 until NUM_HASHES).map(i =>
+        s"list_min(list_transform(sh, x -> md5('$i|' || x))) AS mh_$i").mkString(",\n         ")
+      val bandSelects = (0 until NUM_HASHES / BAND_ROWS).map(b =>
+        s"SELECT doc_id, $b AS band, md5(mh_${2 * b} || mh_${2 * b + 1}) AS bucket FROM msig").mkString("\n  UNION ALL\n  ")
+      val qPow = Seq.fill(NUM_HASHES / BAND_ROWS)("q").mkString(" * ")
+      s"""WITH s AS (
+         |  SELECT doc_id, $shinglesSql AS sh FROM documents
+         |), qsample AS (
+         |  SELECT doc_id FROM s ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT $JR_SAMPLE_Q
+         |), truth AS (
+         |  SELECT * FROM (
+         |    SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+         |           round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+         |             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+         |    FROM s sa JOIN qsample q ON sa.doc_id = q.doc_id
+         |    JOIN s sb ON sb.doc_id <> sa.doc_id
+         |  ) WHERE jaccard >= $NGRAM_JACCARD_MIN
+         |), msig AS (
+         |  SELECT doc_id,
+         |         $sigCols
+         |  FROM s
+         |), mbands AS (
+         |  $bandSelects
+         |), acand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM mbands a JOIN qsample qs ON a.doc_id = qs.doc_id
+         |  JOIN mbands b ON a.band = b.band AND a.bucket = b.bucket AND b.doc_id <> a.doc_id
+         |), marked AS (
+         |  SELECT t.doc_a, t.doc_b,
+         |         CAST(floor(t.jaccard * 1000000 + 0.5) AS BIGINT) // 100000 AS j_band,
+         |         (CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END)::BIGINT AS caught
+         |  FROM truth t LEFT JOIN acand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+         |), g AS (
+         |  SELECT j_band, count(*)::BIGINT AS n_pairs, sum(caught)::BIGINT AS n_caught
+         |  FROM marked GROUP BY j_band
+         |), t AS (
+         |  SELECT *, least((j_band * 100000 + 50000)::DOUBLE / 1000000.0, 1.0) AS jm
+         |  FROM g
+         |), t2 AS (
+         |  SELECT *, 1.0 - jm * jm AS q FROM t
+         |)
+         |SELECT j_band, n_pairs, n_caught,
+         |       (n_pairs - n_caught) * 1000000 // n_pairs AS miss_ppm,
+         |       CAST(floor((1.0 - $qPow) * 1000000 + 0.5) AS BIGINT) AS theory_ppm
+         |FROM t2 ORDER BY j_band""".stripMargin
+    },
+    doc = "X2 sampled banding-recall audit: md5-head anchor docs pay exact Jaccard truth against the corpus only (linear in N)")
+
+  // -------------------------------------------------------------------
   // X2d embedding-cosine near-dup over `embeddings` — EXACT contract
   // (every pair with cos ≥ COSINE_MIN), planned as a block-partitioned
   // equi-join, not a nested-loop cross join.
@@ -833,6 +969,26 @@ object DedupQueries {
   private[graft] val EXACT_TIER_MAX_ROWS = 100000L
   private[graft] val ROUTED_PLANES = 32
 
+  /** Conf override for the size-gated dedup route (the TextIndex /
+    * AnnIndex ConfKey pattern): `"exact"` forces the all-pairs tier at
+    * ANY corpus size — the knob an oracle/verification run needs,
+    * because the registered oracles for dedup_embed / dedup_docvec ARE
+    * the exact all-pairs SQL and a silently-banded result past the gate
+    * would hash-mismatch (or worse, silently under-report pairs to a
+    * consumer who read "exact" in the doc). `"lsh"` forces the banded
+    * route (pricing the scale path at a small SF); unset routes by
+    * corpus size. [[graft.Verify]] pins `"exact"` so the correctness
+    * gate always compares the tier the oracle describes. */
+  private[graft] val RouteKey = "spark.graft.dedup.route"
+
+  /** True ⇒ serve the exact all-pairs tier (see [[RouteKey]]). */
+  private def exactTier(s: SparkSession, n: Long): Boolean =
+    s.conf.get(RouteKey, "") match {
+      case "exact" => true
+      case "lsh"   => false
+      case _       => n <= EXACT_TIER_MAX_ROWS
+    }
+
   /** The exact block-partitioned all-pairs plan (the ≤ gate tier). */
   private def embedCosineExact(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
@@ -858,7 +1014,7 @@ object DedupQueries {
     build = (s, d) => {
       // metadata-served row count (parquet footers, no column I/O)
       val n = s.read.parquet(s"$d/embeddings.parquet").count()
-      if (n > EXACT_TIER_MAX_ROWS)
+      if (!exactTier(s, n))
         embedCosineLshBuild(s, d, ROUTED_PLANES, AnnIndex.advisedBandBits(n, ROUTED_PLANES))
       else embedCosineExact(s, d)
     },
@@ -873,7 +1029,8 @@ object DedupQueries {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= $COSINE_MIN
          |ORDER BY vec_a, vec_b""".stripMargin),
-    doc = "X2 embedding-cosine near-dup (exact, block-partitioned equi-join)")
+    doc = "X2 embedding-cosine near-dup — SIZE-GATED route: exact block-partitioned all-pairs ≤ 100k rows (every oracle SF), " +
+      "SRP-LSH banding past the gate (recall < 1 on band-missed pairs; spark.graft.dedup.route=exact forces the exact tier)")
 
   // -------------------------------------------------------------------
   // X2h cosine near-dup over the MODEL-FREE doc_embed vectors — near-
@@ -983,7 +1140,7 @@ object DedupQueries {
     build = (s, d) => {
       // metadata-served row count (parquet footers, no column I/O)
       val n = docs(s, d).count()
-      if (n > EXACT_TIER_MAX_ROWS) docvecPairsLsh(s, d, n)
+      if (!exactTier(s, n)) docvecPairsLsh(s, d, n)
       else docvecPairsExact(s, d)
     },
     oracle = Some(
@@ -997,7 +1154,8 @@ object DedupQueries {
          |SELECT doc_a, doc_b, dot, na2, nb2 FROM p
          |WHERE dot > 0 AND 400::HUGEINT * dot * dot >= 361::HUGEINT * na2 * nb2
          |ORDER BY doc_a, doc_b""".stripMargin),
-    doc = "X2 cosine near-dup over model-free hash embeddings (exact integer threshold test, block-partitioned join)")
+    doc = "X2 cosine near-dup over model-free hash embeddings — SIZE-GATED route: exact integer-threshold block join ≤ 100k docs " +
+      "(every oracle SF), SRP banding past the gate (spark.graft.dedup.route=exact forces the exact tier)")
 
   // -------------------------------------------------------------------
   // X2e SRP-LSH-bucketed embedding near-dup — the sub-quadratic 100 TB
@@ -1426,34 +1584,49 @@ object DedupQueries {
   // -------------------------------------------------------------------
   private val WINNOW_W = 4
 
-  /** Run-compressed winnow selections (doc_id, q, m) — shared by
+  /** Run-compressed winnow selections (doc_id, q, m, mx) — shared by
     * text_winnow and winnow_matches. Documents with fewer than W
     * k-grams (8–10 tokens at the defaults) get the degenerate
     * whole-document window — one fingerprint, the global minimum —
     * exactly as in the original scheme; without it a short boilerplate
-    * document copied verbatim would be invisible to the match step. */
-  /** Per-doc window stats (max position + min hash) — ONE aggregation
-    * feeding both the short-doc degenerate window and text_winnow's
-    * n_kgrams column (two separate groupBys would shuffle the full
-    * (doc, p, h) rowset twice). */
-  private def winnowStats(wins: DataFrame): DataFrame =
-    wins.groupBy("doc_id").agg(max("p").as("mx"), min("h").as("mnh"))
-
-  private def winnowFingerprints(wins: DataFrame, stats: DataFrame): DataFrame = {
+    * document copied verbatim would be invisible to the match step.
+    *
+    * SINGLE-PASS shape (round 9): the windows rowset is consumed
+    * exactly ONCE. One Window operator (one sort) hosts all three
+    * frames — the W-row running min, the per-doc max position `mx`
+    * (short-doc gate AND text_winnow's n_kgrams, carried through so
+    * the caller needs no stats join), and the per-doc global min (the
+    * degenerate whole-document fingerprint) — and the short-doc leg is
+    * a conditional projection on the same stream, not a union branch.
+    * The previous shape (a separate groupBy stats pass + union + join)
+    * read the cached windows 2–3×: fine when the memory store holds,
+    * but an end-of-suite cache eviction re-ran the corpus-sized
+    * text-scan+hash derivation per consumer (the prime suspect for the
+    * round-8 driver-env winnow_matches outlier — 11.2 s vs 1.5–1.8 s
+    * in nine clean runs). One consumer caps the worst case at one
+    * recompute. */
+  private def winnowFingerprints(wins: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byP = Window.partitionBy("doc_id").orderBy("p")
-    val byQ = Window.partitionBy("doc_id").orderBy("q")
-    val full = wins
+    val whole = byP.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wins
       .select(col("doc_id"), col("p"),
-        min("h").over(byP.rowsBetween(-(WINNOW_W - 1), 0)).as("m"))
-      .withColumn("q", col("p") - (WINNOW_W - 1))
-      .filter(col("q") >= 0)
-      .withColumn("prev", lag("m", 1).over(byQ))
-      .filter(col("prev").isNull || col("m") =!= col("prev"))
-      .select(col("doc_id"), col("q"), col("m"))
-    val short = stats.filter(col("mx") < WINNOW_W - 1)
-      .select(col("doc_id"), lit(0L).as("q"), col("mnh").as("m"))
-    full.unionByName(short)
+        min("h").over(byP.rowsBetween(-(WINNOW_W - 1), 0)).as("m"),
+        max("p").over(whole).as("mx"),
+        min("h").over(whole).as("mnh"))
+      .withColumn("short_doc", col("mx") < WINNOW_W - 1)
+      // short docs keep only their p=0 row; full docs keep complete
+      // windows (p ≥ W−1). The lag below runs AFTER this filter, so it
+      // ranges over kept rows only — identical to the old by-q lag
+      // (q = p − (W−1) preserves the p order), and the filter preserves
+      // the Window's output ordering so no second sort is planned.
+      .filter((col("short_doc") && col("p") === 0) ||
+        (!col("short_doc") && col("p") >= WINNOW_W - 1))
+      .withColumn("prev", lag("m", 1).over(byP))
+      .withColumn("q", when(col("short_doc"), lit(0L)).otherwise(col("p") - (WINNOW_W - 1)))
+      .withColumn("m", when(col("short_doc"), col("mnh")).otherwise(col("m")))
+      .filter(col("short_doc") || col("prev").isNull || col("m") =!= col("prev"))
+      .select(col("doc_id"), col("q"), col("m"), col("mx"))
   }
 
   /** The winnow chain as oracle CTEs ending in `fp(doc_id, q, m)` —
@@ -1485,17 +1658,16 @@ object DedupQueries {
 
   val winnow: QueryDef = QueryDef(
     build = (s, d) => {
-      val wins = spanWindows(s, d)
-      val stats = winnowStats(wins).persist() // feeds shorts AND n_kgrams
-      val sel = winnowFingerprints(wins, stats)
-      val nk = stats.select(col("doc_id"), (col("mx") + 1).as("n_kgrams"))
-      sel.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_fp"),
+      // mx rides the fingerprint rows (constant per doc), so n_kgrams
+      // needs no stats join — ONE groupBy over the already-winnowed
+      // (≈1/W-sized) selection is the whole aggregation
+      winnowFingerprints(spanWindows(s, d))
+        .groupBy("doc_id")
+        .agg(max("mx").as("mx"), count(lit(1)).as("n_fp"),
           md5(concat_ws(",",
             array_sort(collect_list(concat_ws(":", col("q"), col("m")))))).as("fp_digest"))
-        .join(nk, "doc_id")
-        .select(col("doc_id"), col("n_kgrams"),
-          greatest(col("n_kgrams") - (WINNOW_W - 1), lit(1L)).as("n_windows"),
+        .select(col("doc_id"), (col("mx") + 1).as("n_kgrams"),
+          greatest(col("mx") + 1 - (WINNOW_W - 1), lit(1L)).as("n_windows"),
           col("n_fp"), col("fp_digest"))
         .orderBy("doc_id")
     },
@@ -1528,8 +1700,7 @@ object DedupQueries {
 
   val winnowMatches: QueryDef = QueryDef(
     build = (s, d) => {
-      val wins = spanWindows(s, d)
-      val fp = winnowFingerprints(wins, winnowStats(wins))
+      val fp = winnowFingerprints(spanWindows(s, d))
         .select(col("doc_id"), col("m")).dropDuplicates("doc_id", "m")
       val boiler = fp.groupBy("m")
         .agg(countDistinct(col("doc_id")).as("nd"))
@@ -1716,5 +1887,6 @@ object DedupQueries {
     "dedup_span_frac" -> spanFrac,
     "dedup_scrub"     -> scrub,
     "jaccard_recall"  -> bandingRecall,
+    "jaccard_recall_sampled" -> bandingRecallSampled,
   )
 }

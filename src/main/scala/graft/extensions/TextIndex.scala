@@ -261,10 +261,6 @@ object TextIndex {
     writeMeta(spark, dir, TextMeta(numHashes, n, idMin, idMax, idSum, cxor, "", -1L))
     DedupQueries.signatures(spark, docs, numHashes)
       .write.mode("overwrite").parquet(sigsPath(dir))
-    // round-7 vocabulary component: the owned corpus's unigram counts,
-    // the reference LM the online quality gate (StreamingLm) scores
-    // admission batches against — ingest-amortized like the signatures
-    vocabDelta(docs).write.mode("overwrite").parquet(vocabPath(dir))
     // BM25 inverted-index components: postings tok-clustered so a
     // query-term probe prunes files by parquet min/max; dfreq is
     // vocab-sized. Together with the meta row count and the vocab
@@ -273,7 +269,21 @@ object TextIndex {
     postingsDelta(docs)
       .repartitionByRange(col("tok")).sortWithinPartitions("tok", "doc_id")
       .write.mode("overwrite").parquet(postingsPath(dir))
-    dfreqDelta(docs).write.mode("overwrite").parquet(dfreqPath(dir))
+    // vocab + dfreq DERIVE from the just-written postings (round 9):
+    // cnt = Σtf and df = count of (doc, tok) rows per token — exactly
+    // what vocabDelta/dfreqDelta compute from the raw text, but off a
+    // column-pruned read of the tok-clustered parquet instead of two
+    // more corpus-wide tokenize+explode passes. Build went from FOUR
+    // tokenizer scans of the corpus (sigs, vocab, postings, dfreq) to
+    // TWO (sigs, postings); the derivation aggregates are vocab-sized
+    // shuffles over already-clustered columns. (append() keeps the
+    // from-text deltas: batches are small and a vocab-only dir — no
+    // postings component — must still be able to grow.)
+    val postings = spark.read.parquet(postingsPath(dir))
+    postings.groupBy(col("tok").as("token")).agg(sum("tf").as("cnt"))
+      .write.mode("overwrite").parquet(vocabPath(dir))
+    postings.groupBy("tok").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(dfreqPath(dir))
     TsdbStorage.markStatsInSync(spark, dir)
   }
 

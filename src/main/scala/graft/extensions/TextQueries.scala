@@ -153,9 +153,14 @@ object TextQueries {
     docs(s, d)
       .withColumn("toks", expr(toksExpr))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .withColumn("distinct_ratio", size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+      // greatest(n, 1) denominators: a zero-token document must score
+      // q_micro = 0, not 0.0/0 — Spark's NaN→NULL cast and DuckDB's
+      // floor(NaN) hard error would otherwise diverge (the dedup_edit
+      // ", 1" guard precedent; both engines get the identical guard)
+      .withColumn("nd", greatest(col("n_tokens"), lit(1L)))
+      .withColumn("distinct_ratio", size(array_distinct(col("toks"))).cast("double") / col("nd"))
       .withColumn("stop_ratio",
-        size(expr(s"filter(toks, t -> t IN ${inList(stopwords("en"))})")).cast("double") / col("n_tokens"))
+        size(expr(s"filter(toks, t -> t IN ${inList(stopwords("en"))})")).cast("double") / col("nd"))
       .withColumn("len_score", least(lit(1.0), col("n_tokens").cast("double") / 100.0))
       .select(col("doc_id"), expr(
         "CAST(floor((0.4D * len_score + 0.4D * distinct_ratio + 0.2D * stop_ratio) " +
@@ -167,8 +172,8 @@ object TextQueries {
     s"""qm AS (
        |  SELECT doc_id,
        |         CAST(floor((0.4 * least(1.0, len(toks)::DOUBLE / 100.0)
-       |           + 0.4 * (len(list_distinct(toks))::DOUBLE / len(toks))
-       |           + 0.2 * (len(list_filter(toks, t -> t IN ${inList(stopwords("en"))}))::DOUBLE / len(toks)))
+       |           + 0.4 * (len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1))
+       |           + 0.2 * (len(list_filter(toks, t -> t IN ${inList(stopwords("en"))}))::DOUBLE / greatest(len(toks), 1)))
        |           * 1000000 + 0.5) AS BIGINT) AS q_micro
        |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
        |)""".stripMargin
@@ -1498,15 +1503,23 @@ object TextQueries {
   // -------------------------------------------------------------------
   val corpusReport: QueryDef = QueryDef(
     build = (s, d) => {
+      // pass predicate = text_quality's keep EXACTLY: the same micro-int
+      // rounding (floor(x·1e6+0.5) ≥ 500000, qualityMicroFrame's rule) —
+      // an unrounded ≥ 0.5 here would let a doc with quality in
+      // [0.4999995, 0.5) disagree with the gate this dashboard
+      // summarizes. greatest(n, 1) denominators: zero-token docs score
+      // 0, never NaN (both engines, same guard).
       val base = docs(s, d)
         .withColumn("toks", expr(toksExpr))
         .withColumn("n_tokens", size(col("toks")).cast("long"))
-        .withColumn("distinct_ratio", size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+        .withColumn("nd", greatest(col("n_tokens"), lit(1L)))
+        .withColumn("distinct_ratio", size(array_distinct(col("toks"))).cast("double") / col("nd"))
         .withColumn("stop_ratio",
-          size(expr(s"filter(toks, t -> t IN ${inList(stopwords("en"))})")).cast("double") / col("n_tokens"))
+          size(expr(s"filter(toks, t -> t IN ${inList(stopwords("en"))})")).cast("double") / col("nd"))
         .withColumn("len_score", least(lit(1.0), col("n_tokens").cast("double") / 100.0))
-        .withColumn("pass", (lit(0.4) * col("len_score") + lit(0.4) * col("distinct_ratio")
-          + lit(0.2) * col("stop_ratio") >= 0.5).cast("long"))
+        .withColumn("pass", (expr(
+          "CAST(floor((0.4D * len_score + 0.4D * distinct_ratio + 0.2D * stop_ratio) " +
+            "* 1000000 + 0.5D) AS BIGINT)") >= lit(500000L)).cast("long"))
       val agg = base.agg(
         count(lit(1)).as("n_docs"),
         sum("n_tokens").as("n_tokens"),
@@ -1536,10 +1549,10 @@ object TextQueries {
          |), m AS (
          |  SELECT doc_id, text, source, lang, n_chars,
          |         len(toks)::BIGINT AS n_tokens,
-         |         (CASE WHEN 0.4 * least(1.0, len(toks)::DOUBLE / 100.0)
-         |             + 0.4 * (len(list_distinct(toks))::DOUBLE / len(toks))
-         |             + 0.2 * (len(list_filter(toks, t -> t IN ${inList(stopwords("en"))}))::DOUBLE / len(toks))
-         |             >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS pass
+         |         (CASE WHEN CAST(floor((0.4 * least(1.0, len(toks)::DOUBLE / 100.0)
+         |             + 0.4 * (len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1))
+         |             + 0.2 * (len(list_filter(toks, t -> t IN ${inList(stopwords("en"))}))::DOUBLE / greatest(len(toks), 1)))
+         |             * 1000000 + 0.5) AS BIGINT) >= 500000 THEN 1 ELSE 0 END)::BIGINT AS pass
          |  FROM t
          |), a AS (
          |  SELECT count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,

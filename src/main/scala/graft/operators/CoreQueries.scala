@@ -865,6 +865,11 @@ object CoreQueries {
     "series_lttb"     -> seriesLttb,
     "series_zscore"   -> seriesZscore,
     "series_gaps"     -> seriesGaps,
+    // sketch_stats is the registry's ONE intentional no-oracle entry:
+    // HLL / approx-percentile estimates are engine-specific by design,
+    // so the driver records a rows-only check (err: no_oracle). Its
+    // deterministic companion sketch_stats_exact hash-gates the exact
+    // parts (distinct, count) — together they are the full gate.
     "sketch_stats"    -> sketchStats,
     "sketch_stats_exact" -> sketchStatsExact,
   )

@@ -274,11 +274,19 @@ class TemporalSpec extends SparkSpec {
       val (nObs, meanMilli) = prof(cell)
       assert(rows.length.toLong === nObs, s"cell $cell point count")
       rows.foreach(r => assert(r.getLong(4) === meanMilli, s"cell $cell seasonal"))
-      // x = seasonal + resid exactly; Σresid = Σx − n·floor-div mean ∈ [0, n)
+      // x = seasonal + resid exactly; Σresid = Σx − n·mean where mean is
+      // the TRUNCATING division Σx DIV n (Spark DIV and DuckDB // both
+      // truncate toward zero), so the remainder's magnitude is < n and
+      // its SIGN follows Σx — a negative-mean cell legitimately yields a
+      // negative remainder (the old 0 ≤ Σresid < n form assumed a
+      // non-negative cell sum and failed spuriously on negative means)
       rows.foreach(r => assert(r.getLong(3) === r.getLong(4) + r.getLong(5)))
       val sumResid = rows.map(_.getLong(5)).sum
-      assert(sumResid >= 0 && sumResid < nObs,
-        s"cell $cell residual sum $sumResid must be the division remainder")
+      val sumX = rows.map(_.getLong(3)).sum
+      assert(math.abs(sumResid) < nObs,
+        s"cell $cell residual sum $sumResid magnitude must be under n=$nObs")
+      assert(sumResid === sumX - nObs * meanMilli,
+        s"cell $cell residual sum $sumResid must equal sumX - n*mean = ${sumX - nObs * meanMilli}")
     }
   }
 }
