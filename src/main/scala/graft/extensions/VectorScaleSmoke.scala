@@ -43,6 +43,132 @@ object VectorScaleSmoke {
       r
     }
 
+    // ---- "ivfpq" mode: the IVF-PQ serving chain one decade past the
+    // full smoke's 1M evidence (runMain … VectorScaleSmoke 10000000 ivfpq).
+    // Corpus: CLUSTERS deterministic hash centers + per-vector noise —
+    // genuine ANN geometry (a query's true top-k live in its cluster at
+    // graded cosines, cross-cluster pairs are near-orthogonal), unlike
+    // the lattice corpus below whose 1M rows are 2000 distinct vectors.
+    // The mode runs ONLY ingest (AnnIndex.build: label quantizer +
+    // 4-bit PQ codebooks + packed codes) and the production read path
+    // (probe-N centroid scan → cell candidates → ADC over packed codes
+    // → shortlist rerank on true vectors), so each wall-clock line is a
+    // component of the serving story: at 10⁹ vectors the 8-byte codes
+    // column is what fits in memory, and candidate volume stays
+    // ∝ nprobe/CLUSTERS of the corpus.
+    if (args.length > 1 && args(1) == "ivfpq") {
+      // 250 cells, not √N: build-time cell assignment is a broadcast
+      // corpus×centroids join (rows × CLUSTERS pairs — 2.5e9 here; the
+      // FAISS-style fix at 10⁹ rows is assigning against a coarse ANN
+      // of the centroids, not brute force), while serving cost is
+      // candidates ∝ nprobe/CLUSTERS — 40k vectors/cell keeps both ends
+      // honest at this scale
+      val CLUSTERS = 250
+      val SUBS = 100000L // fine structure: ~100 members each at 10M rows
+      // three-level hierarchy: cell-sized clusters (the IVF partition),
+      // ~100-member subclusters INSIDE each cluster (sub % CLUSTERS =
+      // cluster, so a subcluster never straddles cells), per-vector
+      // noise. Weights put a query's true top-k in its subcluster
+      // (cos ≈ .9) over in-cluster strangers (≈ .6) over cross-cluster
+      // (≈ 0) — geometry the 4-bit ADC codes must RESOLVE, not a
+      // single dominant center they would collapse on (a first cut
+      // with one level measured recall 0.13: every in-cell code
+      // quantized to the shared center — PQ-without-residuals'
+      // documented blind spot, not a pipeline bug)
+      val subCol = pmod(col("vec_id"), lit(SUBS))
+      val clusterCol = pmod(subCol, lit(CLUSTERS.toLong))
+      val vDims = (0 until DIMS).map { j =>
+        lit(0.7) * (pmod(xxhash64(lit("c"), clusterCol, lit(j)), lit(2000L)) / 1000.0 - 1.0) +
+          lit(0.5) * (pmod(xxhash64(lit("s"), subCol, lit(j)), lit(2000L)) / 1000.0 - 1.0) +
+          lit(0.25) * (pmod(xxhash64(lit("n"), col("vec_id"), lit(j)), lit(2000L)) / 1000.0 - 1.0)
+      }
+      val e = spark.range(rows)
+        .select(col("id").as("vec_id"), array(vDims: _*).as("v"))
+        .withColumn("norm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+        .persist()
+      time(f"materialize $rows%,d clustered vectors ($CLUSTERS clusters × ${SUBS / CLUSTERS} subclusters)")(e.count())
+      val q = e.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+      val brute = time(s"brute-force top-$K for $N_QUERIES queries (${rows * N_QUERIES} dots — the no-index baseline)") {
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cos_sim",
+            call_function("graft_dot", col("v"), col("qv")) / (col("norm") * col("qnorm")))
+          .withColumn("neighbor_id", col("vec_id"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K)
+          .select("query_id", "neighbor_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-vscale-ivfpq").toString
+      val raw = spark.range(rows).select(col("id").as("vec_id"), array(vDims: _*).as("embedding"),
+        clusterCol.cast("int").as("label"))
+      time(f"AnnIndex.build at $rows%,d vectors ($CLUSTERS label cells + PQ codebooks + packed codes — once at ingest)")(
+        AnnIndex.build(spark, raw, idxDir))
+      val cent = AnnIndex.readCentroids(spark, idxDir)
+      val assigned = AnnIndex.readCodes(spark, idxDir).select(col("vec_id"), col("cell"))
+      val packed = AnnIndex.readCodes(spark, idxDir).select(col("vec_id"), col("pq"))
+      val cb = AnnIndex.readPqCodebooks(spark, idxDir)
+      val lut = PqQueries.subvectors(e.filter(col("vec_id") < N_QUERIES))
+        .join(broadcast(cb), "sub")
+        .withColumn("lut_micro",
+          expr("CAST(floor(graft_dot(sv, cv) * 1000000 + 0.5D) AS BIGINT)"))
+        .select(col("vec_id").as("query_id"), col("sub"), col("code"), col("lut_micro"))
+      val byQ = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cell"))
+      val probeSims = e.filter(col("vec_id") < N_QUERIES).crossJoin(broadcast(cent))
+        .withColumn("csim",
+          call_function("graft_dot", col("v"), col("cv")) / (col("norm") * col("cnorm")))
+        .select(col("vec_id").as("query_id"), col("clabel").as("cell"), col("csim"))
+        .persist()
+      probeSims.count()
+      val wAdc = Window.partitionBy("query_id").orderBy(col("adc_micro").desc, col("neighbor_id"))
+      // (nprobe, shortlist) sweep: nprobe buys cell coverage, shortlist
+      // buys ADC-resolution headroom (4-bit codes blur subcluster
+      // boundaries — rerank depth is the FAISS-style recall knob, and
+      // its cost is exactly shortlist/corpus of the vector I/O)
+      var best = 0.0
+      for ((nprobe, shortlist) <- Seq((1, 1000), (2, 1000), (2, 4000), (4, 4000))) {
+        val probes = probeSims.withColumn("rk", row_number().over(byQ))
+          .filter(col("rk") <= nprobe).select("query_id", "cell")
+        val got = time(s"IVF-PQ probe-$nprobe + ADC + shortlist-$shortlist rerank top-$K (full serving chain)") {
+          // candidate-bounded throughout: unpack PQ codes only for
+          // probed-cell members (nprobe/CLUSTERS of the corpus), read
+          // true vectors only for the 1000-row shortlist
+          probes.join(assigned, "cell")
+            .filter(col("vec_id") =!= col("query_id"))
+            .join(packed, "vec_id")
+            .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              explode(expr(s"sequence(0L, ${PqQueries.M - 1}L)")).as("sub"),
+              col("pq"))
+            .withColumn("code", expr("(pq div CAST(pow(16, sub) AS BIGINT)) % 16"))
+            .join(broadcast(lut), Seq("query_id", "sub", "code"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(sum("lut_micro").as("adc_micro"))
+            .withColumn("arank", row_number().over(wAdc))
+            .filter(col("arank") <= shortlist)
+            .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("norm")), "neighbor_id")
+            .join(broadcast(q), "query_id")
+            .withColumn("cos_sim",
+              call_function("graft_dot", col("v"), col("qv")) / (col("norm") * col("qnorm")))
+            .withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= K)
+            .select("query_id", "neighbor_id")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        }
+        val recall = got.intersect(brute).size.toDouble / brute.size
+        best = math.max(best, recall)
+        println(f"[vscale] IVF-PQ probe-$nprobe shortlist-$shortlist recall@$K at $rows%,d vectors: $recall%.3f " +
+          f"(cells ${nprobe.toDouble / CLUSTERS}%.3f, vector I/O ${shortlist.toDouble / rows * 100}%.3f %% of corpus per query)")
+      }
+      assert(best >= 0.9,
+        f"the deep config (probe-4, shortlist-4000) must hold ≥0.9 recall on the clustered corpus: $best%.3f")
+      probeSims.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+      spark.stop()
+      return
+    }
+
     // deterministic synthetic vectors via integer hashing — 64 codegen'd
     // column expressions, no RNG, no interpreted lambdas in the hot path
     val dimCols = (0 until DIMS).map { j =>

@@ -75,8 +75,87 @@ object CleanScaleSmoke {
         .write.parquet(s"$ownedDir/docs.parquet")
     }
     val idxDir = java.nio.file.Files.createTempDirectory("graft-cscale-idx").toString
+    spark.conf.set(TextIndex.TimingConfKey, "true")
     timed("TextIndex.build over the owned corpus (once at ingest)") {
       TextIndex.build(spark, spark.read.parquet(s"$ownedDir/docs.parquet"), idxDir)
+    }
+    spark.conf.unset(TextIndex.TimingConfKey)
+
+    // ---- "loop" mode: the RefCache steady-state demonstration at a
+    // segment count where the LSM consolidation ACTUALLY TRIGGERS.
+    // Default nBatches = MaxSegments + 4: each admitting batch extends
+    // the cached generation's segment lists by one; at extend #32 the
+    // lists exceed the ceiling and consolidate to one merged segment
+    // (the amortized O(corpus / MaxSegments) merge), then growth
+    // resumes — extends ≫ consolidations, and buildCount moves ONCE
+    // (batch 1 derives the seed generation; nothing afterwards re-bands
+    // the grown corpus). Batch b: half copies of batch b-1's admitted
+    // novel segment (batch 1 copies owned seeds) → near_dup against the
+    // ROLLED-FORWARD reference, proving the loop stays closed across
+    // every extension and through the consolidation; half novel → kept.
+    //   runMain graft.streaming.CleanScaleSmoke <owned> <batch> loop [nBatches]
+    if (args.length > 2 && args(2) == "loop") {
+      val nBatches = if (args.length > 3) args(3).toInt else RefCache.MaxSegments + 4
+      val half = nBatch / 2
+      val src = java.nio.file.Files.createTempDirectory("graft-cscale-lsrc").toString
+      val ckptL = java.nio.file.Files.createTempDirectory("graft-cscale-lckpt").toString
+      val vdir = java.nio.file.Files.createTempDirectory("graft-cscale-lverd").toString
+      val owned = s"$ownedDir/docs.parquet"
+      // batch b's rows: doc_id disjoint per batch; copy leg reproduces
+      // the TEXT of batch b-1's novel srcs (admitted last batch), novel
+      // leg draws fresh src ids above the owned id space
+      def batchOf(b: Int) = {
+        val novelSrcBase = nOwned + b.toLong * nBatch        // this batch's fresh texts
+        val prevNovelBase = nOwned + (b - 1).toLong * nBatch // last batch's admitted texts
+        spark.range(nBatch).select(
+            (lit(10000000L) + lit(b.toLong) * nBatch + col("id")).as("doc_id"),
+            when(col("id") < half,
+              if (b == 1) toksOf("id") // copies of owned seeds
+              else toksOf(s"id + $prevNovelBase + $half"))
+              .otherwise(toksOf(s"id + $novelSrcBase")).as("text"),
+            lit("en").as("lang"),
+            timestamp_seconds(lit(b.toLong * 1000L) + col("id") / lit(100000.0)).as("ingest_ts"))
+          .coalesce(4)
+      }
+      val (b0, e0, c0) = (RefCache.buildCount.get(), RefCache.extendCount.get(),
+        RefCache.consolidateCount.get())
+      val q = StreamingClean.admitStream(spark, src, owned, idxDir, vdir, ckptL)
+      val times = new scala.collection.mutable.ArrayBuffer[Double]
+      try {
+        for (b <- 1 to nBatches) {
+          batchOf(b).write.mode("append").parquet(src)
+          val consBefore = RefCache.consolidateCount.get()
+          times += timed(f"loop batch $b%2d ($nBatch%,d docs)") { q.processAllAvailable() }
+          if (RefCache.consolidateCount.get() > consBefore)
+            println(f"[cscale]   ^ consolidation fired in batch $b (segment lists merged)")
+        }
+      } finally q.stop()
+      val v = spark.read.option("recursiveFileLookup", "true").parquet(vdir)
+        .groupBy("verdict").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      println(s"[cscale] loop verdicts: $v")
+      assert(v("near_dup") == nBatches.toLong * half,
+        s"every batch's copy leg flags near_dup against the rolled-forward reference: ${v.get("near_dup")}")
+      assert(v("kept") == nBatches.toLong * (nBatch - half),
+        s"every batch's novel leg admits: ${v.get("kept")}")
+      assert(RefCache.buildCount.get() == b0 + 1,
+        s"exactly ONE O(corpus) generation build (batch 1); extensions cover the rest: ${RefCache.buildCount.get() - b0}")
+      assert(RefCache.extendCount.get() == e0 + nBatches,
+        s"every admitting batch extended the cached generation: ${RefCache.extendCount.get() - e0}")
+      val cons = RefCache.consolidateCount.get() - c0
+      assert(cons >= 2, s"the segment-list consolidation must trigger in a $nBatches-batch run: $cons")
+      val sigsN = TextIndex.readSigs(spark, idxDir).count()
+      assert(sigsN == nOwned + nBatches.toLong * (nBatch - half),
+        s"index covers seed + every admission exactly once: $sigsN")
+      val post = times.drop(1).sorted
+      val steady = post(post.size / 2)
+      val consBatchCost = post.last
+      println(f"[cscale] LOOP PASS: $nBatches batches, steady-state median ${nBatch / steady}%,.0f docs/s " +
+        f"(${steady}%.2f s/batch), slowest post-warm batch $consBatchCost%.2f s, " +
+        f"$cons consolidations, builds=1, owned corpus $nOwned%,d docs")
+      Seq(ownedDir, idxDir, src, ckptL, vdir).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+      spark.stop()
+      return
     }
 
     // batch b covers owned range [(b-1)·nBatch, …) so stages stay

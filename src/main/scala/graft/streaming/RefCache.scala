@@ -49,6 +49,11 @@ private[graft] object RefCache {
   /** Incremental extends that hit a cached predecessor (spec-pinned). */
   private[graft] val extendCount = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Segment-list consolidations (the amortized LSM merge) — the
+    * observable CleanScaleSmoke's loop mode asserts on: steady-state
+    * admission must show extends ≫ consolidations and ZERO rebuilds. */
+  private[graft] val consolidateCount = new java.util.concurrent.atomic.AtomicLong()
+
   /** Keyed by the CONTEXT, not the session: foreachBatch hands its
     * callback a cloned streaming session (MicroBatchExecution's
     * sparkSessionForStream), and a session-identity key would give the
@@ -107,6 +112,7 @@ private[graft] object RefCache {
     val next = prev.zip(deltas).map { case (segs, d) =>
       val grown = segs :+ d.localCheckpoint(true)
       if (grown.size > MaxSegments) {
+        consolidateCount.incrementAndGet()
         val merged = grown.reduce(_ unionByName _).localCheckpoint(true)
         grown.foreach(_.unpersist())
         Vector(merged)

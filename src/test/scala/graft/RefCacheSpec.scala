@@ -21,6 +21,7 @@ class RefCacheSpec extends SparkSpec {
     RefCache.MaxSegments = 3
     try {
       val builds0 = RefCache.buildCount.get()
+      val cons0 = RefCache.consolidateCount.get()
       val Seq(g0) = RefCache.get(spark, dir, "gen0")(Seq(frame(0 until 10)))
       assert(g0.count() === 10L)
       assert(RefCache.buildCount.get() === builds0 + 1)
@@ -45,6 +46,12 @@ class RefCacheSpec extends SparkSpec {
       }
       assert(unions.map(_.children.size).sum <= RefCache.MaxSegments + 1,
         s"consolidation bounds the plan: ${unions.map(_.children.size)}")
+      // the consolidation observable moved: segment lists 1→2→3→4(>3,
+      // merge)→… across ten extends trip the ceiling MORE than once,
+      // and every merge was counted (CleanScaleSmoke's loop mode
+      // asserts on this counter at scale)
+      assert(RefCache.consolidateCount.get() >= cons0 + 2,
+        s"ten extends past a ceiling of 3 consolidate repeatedly: ${RefCache.consolidateCount.get() - cons0}")
       // an unknown predecessor refuses (next get derives fresh), and the
       // refused generation's cache entry is NOT destroyed
       assert(!RefCache.extend(spark, dir, "no-such-gen", "genX", Seq(frame(0 until 1))))
