@@ -1866,10 +1866,133 @@ object DedupQueries {
         |ORDER BY norm_hash""".stripMargin),
     doc = "X1 normalized exact dedup (fold case/whitespace, then hash) — the pre-fuzzy canonicalization stage")
 
+  // -------------------------------------------------------------------
+  // X1/X2 dedup cascade — the production TIERING as one accountable
+  // operator: exact (raw sha256) → normalized (case/whitespace-folded
+  // sha256) → near (SimHash-banded, Hamming-verified components), each
+  // tier consuming only the previous tier's survivors, with per-tier
+  // document AND TOKEN accounting — tokens are the currency a training
+  // run budgets in, so "which tier saves how many tokens" is the number
+  // that decides whether the expensive near tier is worth running on a
+  // given source. Planted variants (the dedup_norm pattern, disjoint
+  // 1e12 id spaces) make every tier demonstrably non-trivial at every
+  // SF: id%5=0 docs gain a verbatim copy (caught at tier 1), id%5=1 a
+  // re-encoded copy (tier 2), id%5=2 a one-token-prefixed copy (a true
+  // near-dup for tier 3's banding to catch — not guaranteed by
+  // construction, but both engines replay the identical SimHash
+  // pipeline, so the measured catch IS the gated value).
+  //
+  // 100 TB: tiers 1–2 are hash-partitioned windows (the dedup_exact
+  // shuffle); tier 3 pays banding on tier-2 survivors ONLY — each
+  // stage's work is bounded by its input's survivor count, and the
+  // output is 3 dashboard rows.
+  // -------------------------------------------------------------------
+  val cascade: QueryDef = QueryDef(
+    build = (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.VectorFunctions.register(s)
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val corpus = base
+        .unionByName(base.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+          .select((col("doc_id") + 1000000000000L).as("doc_id"), col("text")))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(5L)) === 1L)
+          .select((col("doc_id") + 2000000000000L).as("doc_id"),
+            concat(lit(" "), expr("replace(upper(text), ' ', '  ')"), lit(" ")).as("text")))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(5L)) === 2L)
+          .select((col("doc_id") + 3000000000000L).as("doc_id"),
+            concat(lit("zq "), col("text")).as("text")))
+        .withColumn("n_tokens", expr(s"size($toksExpr)").cast("long"))
+        .persist() // session-scoped memo (QueryDef cache contract): three tier passes share it
+      val t1 = corpus.withColumn("rk", row_number().over(
+        Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")))
+      val s1 = t1.filter(col("rk") === 1).select("doc_id", "text", "n_tokens")
+      val t2 = s1.withColumn("rk", row_number().over(
+        Window.partitionBy(
+          sha2(regexp_replace(trim(lower(col("text"))), lit("  *"), lit(" ")), 256))
+          .orderBy("doc_id")))
+      val s2 = t2.filter(col("rk") === 1).select("doc_id", "text", "n_tokens")
+        .persist() // feeds pair generation AND the tier-3 accounting pass
+      val comp = graft.operators.ConnectedComponents.resolve(
+        simhashPairsFor(s, s2, useIndex = false).select(col("doc_a"), col("doc_b")))
+      // min-id representative survives; everything labeled below its
+      // cluster head is the tier's removal set (isolated docs never
+      // enter the pair graph — the left join's null coalesces to kept)
+      val m3 = s2.join(comp, Seq("doc_id"), "left")
+        .withColumn("rm", coalesce(col("cluster_id") < col("doc_id"), lit(false)))
+      def tierRow(no: Int, name: String, marked: DataFrame, removed: org.apache.spark.sql.Column) =
+        marked.agg(
+            count(lit(1)).as("docs_in"),
+            sum(removed.cast("long")).as("docs_removed"),
+            coalesce(sum(when(removed, col("n_tokens"))), lit(0L)).as("tokens_removed"))
+          .select(lit(no.toLong).as("tier_no"), lit(name).as("tier"),
+            col("docs_in"), col("docs_removed"), col("tokens_removed"),
+            (col("docs_in") - col("docs_removed")).as("survivors"))
+      tierRow(1, "exact", t1, col("rk") > 1)
+        .unionByName(tierRow(2, "norm", t2, col("rk") > 1))
+        .unionByName(tierRow(3, "near", m3, col("rm")))
+        .orderBy("tier_no")
+    },
+    oracle = Some(
+      s"""WITH RECURSIVE d3 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000000, text FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000000000, ' ' || replace(upper(text), ' ', '  ') || ' '
+         |  FROM documents WHERE doc_id % 5 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 3000000000000, 'zq ' || text FROM documents WHERE doc_id % 5 = 2
+         |), tok AS (
+         |  SELECT doc_id, text, len($toksSql)::BIGINT AS n_tokens FROM d3
+         |), t1 AS (
+         |  SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rk1 FROM tok
+         |), s1 AS (
+         |  SELECT doc_id, text, n_tokens FROM t1 WHERE rk1 = 1
+         |), t2 AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY sha256(regexp_replace(trim(lower(text)), '  *', ' ', 'g'))
+         |    ORDER BY doc_id) AS rk2 FROM s1
+         |), s2 AS (
+         |  SELECT doc_id, text, n_tokens FROM t2 WHERE rk2 = 1
+         |), ${simhashPairsCtes("s2")}, edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs
+         |), reach AS (
+         |  SELECT doc_id, doc_id AS label FROM s2
+         |  UNION
+         |  SELECT e.dst AS doc_id, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+         |), comp AS (
+         |  SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
+         |), m3 AS (
+         |  SELECT t.doc_id, t.n_tokens, (c.cluster_id < t.doc_id) AS rm
+         |  FROM s2 t JOIN comp c USING (doc_id)
+         |)
+         |SELECT 1::BIGINT AS tier_no, 'exact' AS tier, count(*)::BIGINT AS docs_in,
+         |       sum(CASE WHEN rk1 > 1 THEN 1 ELSE 0 END)::BIGINT AS docs_removed,
+         |       coalesce(sum(CASE WHEN rk1 > 1 THEN n_tokens END), 0)::BIGINT AS tokens_removed,
+         |       (count(*) - sum(CASE WHEN rk1 > 1 THEN 1 ELSE 0 END))::BIGINT AS survivors
+         |FROM t1
+         |UNION ALL
+         |SELECT 2::BIGINT, 'norm', count(*)::BIGINT,
+         |       sum(CASE WHEN rk2 > 1 THEN 1 ELSE 0 END)::BIGINT,
+         |       coalesce(sum(CASE WHEN rk2 > 1 THEN n_tokens END), 0)::BIGINT,
+         |       (count(*) - sum(CASE WHEN rk2 > 1 THEN 1 ELSE 0 END))::BIGINT
+         |FROM t2
+         |UNION ALL
+         |SELECT 3::BIGINT, 'near', count(*)::BIGINT,
+         |       sum(CASE WHEN rm THEN 1 ELSE 0 END)::BIGINT,
+         |       coalesce(sum(CASE WHEN rm THEN n_tokens END), 0)::BIGINT,
+         |       (count(*) - sum(CASE WHEN rm THEN 1 ELSE 0 END))::BIGINT
+         |FROM m3
+         |ORDER BY tier_no""".stripMargin),
+    doc = "X1/X2 dedup cascade: exact → normalized → SimHash-near tiers with per-tier doc + token-budget accounting")
+
   val defs: Map[String, QueryDef] = Map(
     "dedup_exact"     -> exact,
     "dedup_edit"      -> editDedup,
     "dedup_norm"      -> normDedup,
+    "dedup_cascade"   -> cascade,
     "dedup_bloom"     -> bloomDedup,
     "text_winnow"     -> winnow,
     "winnow_matches"  -> winnowMatches,

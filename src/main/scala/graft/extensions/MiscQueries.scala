@@ -498,7 +498,43 @@ object MiscQueries {
   // constant declared after `defs` would still read 0.
   private val FUNNEL_US = 24L * 3600L * 1000000L
 
+  // -------------------------------------------------------------------
+  // Market-basket affinity: part pairs co-occurring in the same order,
+  // ranked by support — the classic co-occurrence mine (the
+  // data-mixing / recommender analog of "what appears with what" at
+  // fact scale). The self-join key is l_orderkey, so the pair fan-out
+  // per order is bounded by BASKET size (≤7 lines in TPC-H-shaped
+  // data): pair volume is Σ k(k-1)/2 per order — ∝ lineitem, never
+  // |parts|². Plan: one co-partitioned self-join shuffle on orderkey,
+  // one grouped shuffle on the pair key, TakeOrdered for the top-25
+  // (total deterministic order: support desc, then both keys).
+  // -------------------------------------------------------------------
+  val basketPairs: QueryDef = QueryDef(
+    build = (s, d) => {
+      val l = s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .dropDuplicates("ok", "pk")
+      l.as("a").join(l.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+        .limit(25)
+    },
+    oracle = Some(
+      """WITH lp AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), p AS (
+        |  SELECT a.pk AS part_a, b.pk AS part_b
+        |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
+        |)
+        |SELECT part_a, part_b, count(*)::BIGINT AS n_orders
+        |FROM p GROUP BY part_a, part_b
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 25""".stripMargin),
+    doc = "relational: market-basket co-occurrence (orderkey self-join, basket-bounded fan-out, top-25 by support)")
+
   val defs: Map[String, QueryDef] = Map(
+    "basket_pairs"    -> basketPairs,
     "multimodal_meta" -> multimodalMeta,
     "dedup_phash" -> phashDedup,
     "events_props"    -> eventsProps,
