@@ -511,8 +511,14 @@ object MiscQueries {
   // -------------------------------------------------------------------
   val basketPairs: QueryDef = QueryDef(
     build = (s, d) => {
+      // repartition on the JOIN key before the (ok, pk) dedup: a
+      // HashPartitioning(ok) satisfies the dedup's ClusteredDistribution
+      // (ok is a subset of its keys) AND the self-join's requirement, so
+      // ONE lineitem exchange serves both — the (ok, pk)-keyed dedup
+      // shape would re-exchange on ok for the sort-merge join at scale
       val l = s.read.parquet(s"$d/lineitem.parquet")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .repartition(col("ok"))
         .dropDuplicates("ok", "pk")
       l.as("a").join(l.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
