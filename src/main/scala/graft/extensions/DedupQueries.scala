@@ -280,7 +280,23 @@ object DedupQueries {
   /** The verified MinHash near-dup pair list (doc_a, doc_b, jaccard ≥
     * JACCARD_MIN), unsorted — dedup_minhash's whole derivation, shared
     * with [[sourceOverlap]]. */
-  private def minhashPairsFrame(s: SparkSession, d: String): DataFrame = {
+  private def minhashPairsFrame(s: SparkSession, d: String): DataFrame =
+    minhashPairsFor(s, docs(s, d))
+
+  /** The verified pair list over ANY documents-shaped frame — the
+    * [[simhashPairsFor]] analog, shared with [[cascade]] whose near
+    * tier runs on the exact/norm SURVIVORS (a derived subset: pass
+    * `useIndex = false`, a subset can never fingerprint-match and the
+    * content probe would evaluate the upstream just to reject).
+    * MinHash banding is the SCALE-SAFE candidate generator: unrelated
+    * documents share no shingle, so their band buckets are md5s of
+    * different strings and collide with probability ~0 — unlike the
+    * 32-bit SimHash byte-banding, whose 1024-bucket space floods with
+    * ~n²·1.8e-4 false candidates past ~10⁵ docs (measured: a 240k-doc
+    * cascade tier collapsed 239,999 docs into ONE component before
+    * this tier switched to verified MinHash pairs). */
+  private[extensions] def minhashPairsFor(s: SparkSession, corpus: DataFrame,
+                                          useIndex: Boolean = true): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     // signature chain (split → shingle → 8 × md5-min) is the expensive
     // part: compute it ONCE, persist the narrow results, and let the
@@ -290,14 +306,14 @@ object DedupQueries {
     // oracle's 8 × list_min(list_transform(md5)) chain).
     // persists here are session-scoped memos (QueryDef cache contract;
     // CacheHygieneSpec proves re-runs reuse rather than grow them)
-    val sh = shingled(s, d).persist()
+    val sh = shingleDocs(corpus).persist()
     // signatures from the persisted text index when one is certified
     // AND fingerprint-matched (TextIndex) — the corpus-wide md5 pass
     // happens at ingest, not per query; identical expressions either
     // way, so index-served results equal recomputed ones. Shingles
     // are still read for exact-Jaccard verification of the (few)
     // banding survivors.
-    val sig = TextIndex.resolveFor(s, docs(s, d)) match {
+    val sig = (if (useIndex) TextIndex.resolveFor(s, corpus) else None) match {
       case Some(dir) => TextIndex.readSigs(s, dir).select("doc_id", "mhs")
       case None => sh.select(col("doc_id"),
         call_function("graft_minhash", col("sh"), lit(NUM_HASHES)).as("mhs"))
@@ -320,16 +336,16 @@ object DedupQueries {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** Oracle CTE chain ending in `mpairs(doc_a, doc_b, jaccard)` — the
-    * minhashPairsFrame derivation, shared by the dedup_minhash and
-    * source_overlap oracles. */
-  private val minhashPairsSqlCtes: String = {
+  /** CTE chain ending in `mpairs(doc_a, doc_b, jaccard)` over source
+    * relation `src` — the minhashPairsFor derivation, embeddable in
+    * composed oracles (the [[simhashPairsCtes]] analog). */
+  private def minhashPairsCtes(src: String): String = {
     val sigCols = (0 until NUM_HASHES).map(i =>
       s"list_min(list_transform(sh, x -> md5('$i|' || x))) AS mh_$i").mkString(",\n         ")
     val bandSelects = (0 until NUM_HASHES / BAND_ROWS).map(b =>
       s"SELECT doc_id, sh, $b AS band, md5(mh_${2 * b} || mh_${2 * b + 1}) AS bucket FROM sig").mkString("\n  UNION ALL\n  ")
-    s"""WITH s AS (
-       |  SELECT doc_id, $shinglesSql AS sh FROM documents
+    s"""s AS (
+       |  SELECT doc_id, $shinglesSql AS sh FROM $src
        |), sig AS (
        |  SELECT doc_id, sh,
        |         $sigCols
@@ -350,6 +366,9 @@ object DedupQueries {
        |  WHERE round(j, 6) >= $JACCARD_MIN
        |)""".stripMargin
   }
+
+  /** The corpus-wide chain — dedup_minhash's and source_overlap's form. */
+  private val minhashPairsSqlCtes: String = "WITH " + minhashPairsCtes("documents")
 
   val minhash: QueryDef = QueryDef(
     build = (s, d) => minhashPairsFrame(s, d).orderBy("doc_a", "doc_b"),
@@ -480,7 +499,7 @@ object DedupQueries {
     oracle = Some(
       s"""$simhashPairsSql
          |SELECT doc_a, doc_b, hamming FROM pairs ORDER BY doc_a, doc_b""".stripMargin),
-    doc = "X2 SimHash near-dup (bit-vote signature, byte-banded)")
+    doc = "X2 SimHash near-dup (bit-vote signature, byte-banded). Scale note: the 32-bit pair list is definitionally this operator's output and floods with ~1.8e-4 n^2/2 false Hamming-<=6 pairs on weakly-correlated corpora past ~10^5 docs (measured, TextScaleSmoke cascade mode) - cluster consumers route to verified MinHash pairs via nearPairsRouted; the 64-bit signature is the at-scale answer for the raw pair list itself")
 
   // -------------------------------------------------------------------
   // X2f cluster resolution — what a production dedup pipeline runs AFTER
@@ -501,10 +520,30 @@ object DedupQueries {
   // components via a recursive CTE, gating the whole pairs →
   // components → representatives pipeline.
   // -------------------------------------------------------------------
+  /** Near-dup pair source for CLUSTER consumers (dedup_clusters,
+    * dedup_keepbest, the corpus_clean near_dup verdicts): the
+    * oracle-described SimHash tier at ≤-gate scale, VERIFIED MinHash
+    * pairs past it. Measured basis (TextScaleSmoke `cascade` mode): the
+    * 32-bit SimHash byte-banding's 1024-bucket space floods with
+    * ~1.8e-4·n²/2 false Hamming-≤6 pairs on weakly-correlated corpora —
+    * at 240k docs that is ~5M false edges, whose components collapsed
+    * 239,999 docs into ONE cluster. MinHash buckets are md5s of actual
+    * shingles (collision-free across unrelated documents) and every
+    * surviving pair is exact-Jaccard re-checked, so the routed tier's
+    * edge list stays ∝ true near-dup mass at any corpus size. `n` =
+    * corpus row count (metadata-served; derived-frame callers pass
+    * their base table's count as the conservative upper bound).
+    * [[RouteKey]]: "exact" pins the SimHash tier (what the oracles
+    * replay — Verify pins this), "lsh" forces the verified route. */
+  private[extensions] def nearPairsRouted(s: SparkSession, corpus: DataFrame, n: Long,
+                                          useIndex: Boolean = true): DataFrame =
+    if (exactTier(s, n)) simhashPairsFor(s, corpus, useIndex).select("doc_a", "doc_b")
+    else minhashPairsFor(s, corpus, useIndex).select("doc_a", "doc_b")
+
   val clusters: QueryDef = QueryDef(
     build = (s, d) => {
       val comp = graft.operators.ConnectedComponents.resolve(
-        simhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+        nearPairsRouted(s, docs(s, d), docs(s, d).count()))
       docs(s, d).select(col("doc_id"))
         .join(comp, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
@@ -523,7 +562,7 @@ object DedupQueries {
          |)
          |SELECT doc_id, min(label) AS cluster_id FROM reach
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-    doc = "X2 near-dup cluster resolution (connected components, min-id representative)")
+    doc = "X2 near-dup cluster resolution (connected components, min-id representative) - SIZE-GATED pair source: SimHash tier <= 100k docs (every oracle SF), verified MinHash pairs past the gate (spark.graft.dedup.route=exact forces the SimHash tier)")
 
   // -------------------------------------------------------------------
   // X2 keep-best cluster dedup — the SELECTION step after clustering:
@@ -542,7 +581,7 @@ object DedupQueries {
   val keepBest: QueryDef = QueryDef(
     build = (s, d) => {
       val comp = graft.operators.ConnectedComponents.resolve(
-        simhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+        nearPairsRouted(s, docs(s, d), docs(s, d).count()))
       // comp covers exactly the docs that appear in a near-dup pair, so
       // every row is already in a ≥2-member cluster (singletons never
       // enter the pair list)
@@ -580,7 +619,7 @@ object DedupQueries {
          |SELECT cluster_id, n_members::BIGINT AS n_members, doc_id AS kept_doc_id,
          |       q_micro AS kept_q_micro, min_q_micro
          |FROM ranked WHERE rk = 1 AND n_members > 1 ORDER BY cluster_id""".stripMargin),
-    doc = "X2 keep-best cluster dedup: highest-quality member survives each near-dup cluster (FineWeb-style canonicalization)")
+    doc = "X2 keep-best cluster dedup: highest-quality member survives each near-dup cluster (FineWeb-style canonicalization) - SIZE-GATED pair source: SimHash tier <= 100k docs (every oracle SF), verified MinHash pairs past the gate (spark.graft.dedup.route=exact forces the SimHash tier)")
 
   // -------------------------------------------------------------------
   // X2c n-gram Jaccard with rare-shingle blocking: candidate pairs share
@@ -1869,8 +1908,8 @@ object DedupQueries {
   // -------------------------------------------------------------------
   // X1/X2 dedup cascade — the production TIERING as one accountable
   // operator: exact (raw sha256) → normalized (case/whitespace-folded
-  // sha256) → near (SimHash-banded, Hamming-verified components), each
-  // tier consuming only the previous tier's survivors, with per-tier
+  // sha256) → near (MinHash-banded, exact-Jaccard-VERIFIED components),
+  // each tier consuming only the previous tier's survivors, with per-tier
   // document AND TOKEN accounting — tokens are the currency a training
   // run budgets in, so "which tier saves how many tokens" is the number
   // that decides whether the expensive near tier is worth running on a
@@ -1883,9 +1922,16 @@ object DedupQueries {
   // pipeline, so the measured catch IS the gated value).
   //
   // 100 TB: tiers 1–2 are hash-partitioned windows (the dedup_exact
-  // shuffle); tier 3 pays banding on tier-2 survivors ONLY — each
-  // stage's work is bounded by its input's survivor count, and the
-  // output is 3 dashboard rows.
+  // shuffle); tier 3 pays MinHash banding + Jaccard verification on
+  // tier-2 survivors ONLY — each stage's work is bounded by its input's
+  // survivor count, and the output is 3 dashboard rows. The near tier
+  // deliberately rides the VERIFIED MinHash pairs, not SimHash: the
+  // 32-bit SimHash byte-banding floods with false candidates past ~10⁵
+  // docs (a 240k-doc run collapsed 239,999 docs into one Hamming-≤6
+  // component — TextScaleSmoke `cascade` mode is the regression gate),
+  // while MinHash buckets are md5s of actual shingles, collision-free
+  // across unrelated docs, and every surviving pair is exact-Jaccard
+  // re-checked.
   // -------------------------------------------------------------------
   val cascade: QueryDef = QueryDef(
     build = (s, d) => {
@@ -1913,7 +1959,7 @@ object DedupQueries {
       val s2 = t2.filter(col("rk") === 1).select("doc_id", "text", "n_tokens")
         .persist() // feeds pair generation AND the tier-3 accounting pass
       val comp = graft.operators.ConnectedComponents.resolve(
-        simhashPairsFor(s, s2, useIndex = false).select(col("doc_a"), col("doc_b")))
+        minhashPairsFor(s, s2, useIndex = false).select(col("doc_a"), col("doc_b")))
       // min-id representative survives; everything labeled below its
       // cluster head is the tier's removal set (isolated docs never
       // enter the pair graph — the left join's null coalesces to kept)
@@ -1954,10 +2000,10 @@ object DedupQueries {
          |    ORDER BY doc_id) AS rk2 FROM s1
          |), s2 AS (
          |  SELECT doc_id, text, n_tokens FROM t2 WHERE rk2 = 1
-         |), ${simhashPairsCtes("s2")}, edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |), ${minhashPairsCtes("s2")}, edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM mpairs
          |  UNION ALL
-         |  SELECT doc_b, doc_a FROM pairs
+         |  SELECT doc_b, doc_a FROM mpairs
          |), reach AS (
          |  SELECT doc_id, doc_id AS label FROM s2
          |  UNION
@@ -1986,7 +2032,7 @@ object DedupQueries {
          |       (count(*) - sum(CASE WHEN rm THEN 1 ELSE 0 END))::BIGINT
          |FROM m3
          |ORDER BY tier_no""".stripMargin),
-    doc = "X1/X2 dedup cascade: exact → normalized → SimHash-near tiers with per-tier doc + token-budget accounting")
+    doc = "X1/X2 dedup cascade: exact → normalized → verified-MinHash-near tiers with per-tier doc + token-budget accounting")
 
   val defs: Map[String, QueryDef] = Map(
     "dedup_exact"     -> exact,

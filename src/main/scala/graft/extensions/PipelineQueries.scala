@@ -61,9 +61,14 @@ object PipelineQueries {
       // representative. useIndex=false: a derived subset can never
       // fingerprint-match a TextIndex, and the resolve probe would
       // re-evaluate the whole upstream pipeline just to reject it
+      // size-gated pair source (DedupQueries.nearPairsRouted): SimHash
+      // tier at oracle scale, verified MinHash pairs past the gate —
+      // the survivor frame is derived, so the gate reads the BASE
+      // table's metadata count (+ plants) as the conservative bound
+      // instead of evaluating the pipeline to count survivors
       val comp = graft.operators.ConnectedComponents.resolve(
-        DedupQueries.simhashPairsFor(s, s3, useIndex = false)
-          .select(col("doc_a"), col("doc_b")))
+        DedupQueries.nearPairsRouted(s, s3,
+          docs(s, d).count() + PLANT, useIndex = false))
       // verdict = first failing stage; WHEN order guarantees each
       // stage's column is only consulted for docs that reached it
       q.select(col("doc_id"), col("lang"), col("reasons"))

@@ -40,6 +40,19 @@ object TextScaleSmoke {
     // decade past the full smoke's 200k default, where the dedup
     // phases' planted-pair assertions would just re-prove round-7 facts
     val retrievalOnly = args.length > 1 && args(1) == "retrieval"
+    // "cascade" mode: dedup_cascade through the PRODUCTION REGISTRY at
+    // corpus scale — the operator plants its own variants (verbatim /
+    // re-encoded / one-token-prefixed at id%5 = 0/1/2), growing the
+    // corpus 1.6×, and each tier must remove exactly its plant
+    // population: this corpus's docs are near-dup-related ONLY inside
+    // the id%50 tranches, which the prefix plants never touch, so
+    // tier-1/2 counts are exact and tier 3 is bounded below by the
+    // prefixed plants (118/119 shared shingles) and above by plants +
+    // the verified near-dup tranche. This mode is ALSO the regression
+    // gate for the near tier's candidate generator: the SimHash form
+    // it replaced collapsed 239,999 of 240,000 survivors into one
+    // false component here.
+    val cascadeOnly = args.length > 1 && args(1) == "cascade"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -86,6 +99,33 @@ object TextScaleSmoke {
       val r = graft.SparkEntry.queries(name)(spark, dir).collect()
       spark.sharedState.cacheManager.clearCache() // queries persist internally
       r
+    }
+
+    if (cascadeOnly) {
+      val t0 = System.nanoTime()
+      val rows = run("dedup_cascade").map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      val sec = (System.nanoTime() - t0) / 1e9
+      rows.foreach { case (no, tier, in, rm, tok, surv) =>
+        println(f"[tscale] cascade tier $no ($tier%5s): in=$in%,d removed=$rm%,d tokens_removed=$tok%,d survivors=$surv%,d") }
+      val Seq(t1, t2, t3) = rows.toSeq
+      val plants = nDocs / 5
+      assert(t1._3 == nDocs + 3 * plants, s"corpus grows by the three plant populations: ${t1._3}")
+      assert(t1._4 == plants, s"tier 1 removes exactly the verbatim plants: ${t1._4}")
+      assert(t2._4 == plants, s"tier 2 removes exactly the re-encoded plants: ${t2._4}")
+      assert(t2._3 == t1._6 && t3._3 == t2._6, "tier chaining")
+      // zq plants share 118 of 119 shingles with their source (J≈.992
+      // — verified ≥.8, banding miss odds ≤(2/119)⁴ per doc); the
+      // near-dup tranche (id%50=1, J=.84375, disjoint from id%5=2 by
+      // arithmetic) can only ADD catches, and the mid tranche (J≈.55)
+      // is excluded by the exact-Jaccard verification
+      assert(t3._4 >= plants * 99 / 100 && t3._4 <= plants + planted,
+        s"tier 3 = prefixed plants + verified tranche extras: ${t3._4} vs [${plants} * 0.99, ${plants + planted}]")
+      println(f"[tscale] CASCADE PASS at ${t1._3}%,d docs (incl. plants): $sec%.1f s end-to-end, " +
+        f"tier-3 removed ${t3._4}%,d (zq plants $plants%,d + tranche extras)")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      spark.stop()
+      return
     }
 
     if (retrievalOnly) {

@@ -20,9 +20,9 @@ class CascadeSpec extends SparkSpec {
   // 10 docs, ids 0..9 — plants: ids 0,5 verbatim copies (tier 1),
   // ids 1,6 re-encoded copies (tier 2), ids 2,7 'zq '-prefixed copies
   // (tier 3). Texts are long (120 tokens) and pairwise unrelated, so
-  // the near tier's banding has exactly the two planted pairs to find
-  // and the prefixed copy shares all but one shingle with its source
-  // (SimHash Hamming ≈ 0 — inside the ≤6 verification gate).
+  // the near tier's MinHash banding has exactly the two planted pairs
+  // to find, and the prefixed copy shares 118 of 119 shingles with its
+  // source (J ≈ 0.992 — far above the 0.8 verification gate).
   private val TOKENS = 120
   private def text(seed: Long): String =
     (0 until TOKENS).map(j => s"t${seed * 131 + j * 7919}").mkString(" ")

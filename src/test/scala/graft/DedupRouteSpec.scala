@@ -64,4 +64,27 @@ class DedupRouteSpec extends SparkSpec {
       assert(exact.get(pair).contains(ints), s"routed pair $pair must carry the exact integer outputs")
     }
   }
+
+  test("routed cluster pair source: verified MinHash route resolves the same clusters as the SimHash tier") {
+    val d = tmpDir("graft-clusterroute")
+    // 8 mutually-unrelated 120-token docs + a one-token-prefixed copy
+    // of doc 0 (id 8, J ≈ 0.992) — the only true near-dup pair
+    def text(seed: Long) = (0 until 120).map(j => s"t${seed * 131 + j * 7919}").mkString(" ")
+    val rows = (0L until 8L).map(i => (i, text(i))) :+ ((8L, "zq " + text(0)))
+    import spark.implicits._
+    rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("src0")).withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$d/documents.parquet")
+    def clustersUnder(route: String) = {
+      spark.conf.set(DedupQueries.RouteKey, route)
+      try graft.SparkEntry.queries("dedup_clusters")(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      finally spark.conf.unset(DedupQueries.RouteKey)
+    }
+    val exact = clustersUnder("exact") // the oracle-replayed SimHash tier
+    val routed = clustersUnder("lsh")  // the >100k-doc verified-MinHash route
+    assert(exact === routed, "both routes resolve the identical components on true near-dups")
+    assert(routed.count { case (id, c) => c != id } === 1L, "exactly the planted copy is clustered away")
+    assert(routed.contains((8L, 0L)), "the prefixed copy labels to its source")
+  }
 }
