@@ -534,7 +534,17 @@ object DedupQueries {
     * corpus row count (metadata-served; derived-frame callers pass
     * their base table's count as the conservative upper bound).
     * [[RouteKey]]: "exact" pins the SimHash tier (what the oracles
-    * replay — Verify pins this), "lsh" forces the verified route. */
+    * replay — Verify pins this), "lsh" forces the verified route.
+    *
+    * CRITERION NOTE (the routed tier is a different near-dup RELATION,
+    * not just a different candidate generator): the SimHash tier admits
+    * Hamming-≤6 signature pairs, the routed tier admits exact-Jaccard-
+    * ≥0.8 verified pairs. The sets overlap but are unequal — a
+    * Hamming-≤6 pair with exact Jaccard <0.8 exists only on the SimHash
+    * side — so cluster membership can change discontinuously when a
+    * corpus crosses the gate. Intended: DedupRouteSpec pins a planted
+    * divergent pair; the alternative (keeping the Hamming criterion at
+    * scale) is exactly the measured flood this route exists to avoid. */
   private[extensions] def nearPairsRouted(s: SparkSession, corpus: DataFrame, n: Long,
                                           useIndex: Boolean = true): DataFrame =
     if (exactTier(s, n)) simhashPairsFor(s, corpus, useIndex).select("doc_a", "doc_b")

@@ -96,6 +96,10 @@ object CleanScaleSmoke {
     //   runMain graft.streaming.CleanScaleSmoke <owned> <batch> loop [nBatches]
     if (args.length > 2 && args(2) == "loop") {
       val nBatches = if (args.length > 3) args(3).toInt else RefCache.MaxSegments + 4
+      // the mode measures steady-state cost AFTER the warm-up batch, so
+      // a single-batch run has no steady state to report (and would
+      // index into an empty post-warm list below)
+      require(nBatches >= 2, s"loop mode needs nBatches >= 2 (got $nBatches)")
       val half = nBatch / 2
       val src = java.nio.file.Files.createTempDirectory("graft-cscale-lsrc").toString
       val ckptL = java.nio.file.Files.createTempDirectory("graft-cscale-lckpt").toString
@@ -133,9 +137,12 @@ object CleanScaleSmoke {
       val v = spark.read.option("recursiveFileLookup", "true").parquet(vdir)
         .groupBy("verdict").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       println(s"[cscale] loop verdicts: $v")
-      assert(v("near_dup") == nBatches.toLong * half,
+      // getOrElse so a missing verdict class (e.g. zero near_dups on a
+      // regression) fails with the informative message, not a
+      // NoSuchElementException ahead of it
+      assert(v.getOrElse("near_dup", 0L) == nBatches.toLong * half,
         s"every batch's copy leg flags near_dup against the rolled-forward reference: ${v.get("near_dup")}")
-      assert(v("kept") == nBatches.toLong * (nBatch - half),
+      assert(v.getOrElse("kept", 0L) == nBatches.toLong * (nBatch - half),
         s"every batch's novel leg admits: ${v.get("kept")}")
       assert(RefCache.buildCount.get() == b0 + 1,
         s"exactly ONE O(corpus) generation build (batch 1); extensions cover the rest: ${RefCache.buildCount.get() - b0}")

@@ -87,4 +87,37 @@ class DedupRouteSpec extends SparkSpec {
     assert(routed.count { case (id, c) => c != id } === 1L, "exactly the planted copy is clustered away")
     assert(routed.contains((8L, 0L)), "the prefixed copy labels to its source")
   }
+
+  test("INTENDED route divergence: a Hamming<=6-but-Jaccard<0.8 pair clusters under the SimHash tier only") {
+    // The two routes apply DIFFERENT near-dup criteria, not just
+    // different candidate generators: the <=100k SimHash tier admits
+    // Hamming-<=6 signature pairs, the routed tier admits exact-Jaccard-
+    // >=0.8 verified pairs. The sets overlap but are unequal — this pair
+    // (doc B = doc A + 10 appended tokens; J ~= 0.737, 32-bit Hamming 4
+    // with a shared byte band so the banding join surfaces it,
+    // found by exhaustive search over seeded token streams) exists on
+    // the SimHash side only, so cluster membership CAN change when a
+    // growing corpus crosses the gate. That discontinuity is the
+    // documented contract (see nearPairsRouted's scaladoc), priced
+    // against the alternative: the SimHash criterion itself floods past
+    // ~10^5 docs (measured: 240k docs -> one component).
+    val d = tmpDir("graft-divroute")
+    val a = (0 until 30).map(j => s"s3x$j").mkString(" ")
+    val b = a + " " + (0 until 10).map(j => s"e3y$j").mkString(" ")
+    import spark.implicits._
+    Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$d/documents.parquet")
+    def clustersUnder(route: String) = {
+      spark.conf.set(DedupQueries.RouteKey, route)
+      try graft.SparkEntry.queries("dedup_clusters")(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      finally spark.conf.unset(DedupQueries.RouteKey)
+    }
+    assert(clustersUnder("exact") === Seq((0L, 0L), (1L, 0L)),
+      "SimHash tier: Hamming 4 <= 6 clusters the pair")
+    assert(clustersUnder("lsh") === Seq((0L, 0L), (1L, 1L)),
+      "verified-Jaccard route: J ~= 0.737 < 0.8 keeps them apart — the intended criterion difference")
+  }
 }
