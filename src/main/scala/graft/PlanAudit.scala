@@ -59,6 +59,7 @@ object PlanAudit {
     "chunk_topk" -> ("broadcast-nested-loop-join", "broadcast side = fixed query set (bounded constant)"),
     "pq_recall" -> ("broadcast-nested-loop-join", "broadcast side = fixed query set (bounded constant, the truth leg)"),
     "sim_ivfpq" -> ("broadcast-nested-loop-join", "broadcast side = k-means centroids (bounded by k, the probe leg)"),
+    "sim_ivfpq_res" -> ("broadcast-nested-loop-join", "broadcast side = k-means centroids (bounded by k, the probe leg + the exact query×centroid term of the residual decomposition)"),
     // bm25_topk's single-row corpus-stats BNLJ was removed in round 8
     // (stats fold to driver literals) — no waiver, a new BNLJ flags
     "hybrid_rrf" -> ("broadcast-nested-loop-join", "broadcast sides = single-row corpus stats + fixed query set (both bounded constants)"),

@@ -98,15 +98,29 @@ object DedupQueries {
     * longs instead of re-tokenizing + re-hashing the corpus), and the
     * token count `ntk` (dedup_span_frac's denominator). */
   private[graft] def signatures(s: SparkSession, docsDf: DataFrame,
+      numHashes: Int = NUM_HASHES): DataFrame =
+    signaturesFromToks(s, tokenized(docsDf), numHashes)
+
+  /** The shared tokenized view (doc_id, text, toks) — text kept for the
+    * short-document shingle fallback. [[graft.extensions.TextIndex]]
+    * persists this frame once per build so the signature AND posting
+    * derivations read ONE tokenizer pass (round-9 measured the
+    * duplicate pass at ~⅓ of the 2M-doc build wall). */
+  private[graft] def tokenized(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"), col("text"), expr(toksExpr).as("toks"))
+
+  /** [[signatures]] over a pre-tokenized (doc_id, text, toks) frame. */
+  private[graft] def signaturesFromToks(s: SparkSession, toksDf: DataFrame,
       numHashes: Int = NUM_HASHES): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    docsDf
-      .select(col("doc_id"), col("text"), expr(toksExpr).as("toks"))
+    toksDf
       .select(col("doc_id"), col("toks"), expr(shinglesFromToks).as("sh"))
       .select(col("doc_id"),
         call_function("graft_minhash", col("sh"), lit(numHashes)).as("mhs"),
         call_function("graft_simhash",
           expr("transform(sh, x -> graft_md5_prefix(x, 8))")).as("simhash"),
+        call_function("graft_simhash64",
+          expr("transform(sh, x -> xxhash64(x))")).as("simhash64"),
         expr("transform(sh, x -> graft_md5_prefix(x, 15))").as("shn"),
         expr(spanHashesFromToks).as("swh"),
         size(col("toks")).cast("long").as("ntk"))
@@ -277,6 +291,68 @@ object DedupQueries {
   private val BAND_ROWS = 2
   private val JACCARD_MIN = 0.8
 
+  // ------------------------------------------------------------------
+  // Hot-bucket guard for the banding self-joins. A band bucket of size
+  // B contributes B²/2 candidate pairs BEFORE verification, so one
+  // template-heavy bucket (100k boilerplate docs that survive the
+  // exact/norm tiers — e.g. differing only in a timestamp) turns a
+  // linear candidate stage into 5e9 Levenshtein/Jaccard calls. The
+  // production MinHash practice is to CAP: buckets past the threshold
+  // are dropped from candidate generation, with the dropped mass
+  // queryable via [[hotBuckets]]. Correctness envelope: a pair lost in
+  // a capped bucket can still surface through any of its OTHER bands
+  // (a template family this hot is exactly what the exact/norm tiers
+  // catch first — dedup_cascade runs them before banding). Every
+  // oracle-SF bucket is a true dup family (md5 band keys collide only
+  // on shared signature rows), orders of magnitude below the default
+  // cap, so gated results stay bit-identical to uncapped ones —
+  // HotBucketSpec pins capped ≡ uncapped below the threshold and
+  // bounded candidate work on a planted hot-template corpus.
+  // ------------------------------------------------------------------
+  /** Session conf: band-bucket size cap for the banding self-joins
+    * (minhash pairs, edit-distance candidates, 64-bit simhash bands).
+    * `0` disables the guard. */
+  private[graft] val MaxBucketKey = "spark.graft.dedup.maxBandBucket"
+  private[graft] val DefaultMaxBucket = 2000
+
+  private def maxBucket(s: SparkSession): Int =
+    s.conf.get(MaxBucketKey, DefaultMaxBucket.toString).toInt
+
+  /** `banded` minus every row of a bucket larger than the cap. The
+    * over-cap key set is bounded (≤ |banded| / cap keys, each a few
+    * dozen bytes), so the prune is a broadcast anti-join — the big side
+    * is never re-shuffled; the count aggregate map-side-combines over
+    * the (persisted) banded frame. */
+  private[extensions] def capHotBuckets(s: SparkSession, banded: DataFrame,
+                                        keys: Seq[String]): DataFrame = {
+    val cap = maxBucket(s)
+    if (cap <= 0) banded
+    else banded.join(
+      broadcast(hotBuckets(s, banded, keys).select(keys.map(col): _*)),
+      keys, "left_anti")
+  }
+
+  /** Dropped-mass accounting: (bucket keys, bucket_size) for every
+    * bucket past the cap — what [[capHotBuckets]] removed. Smokes and
+    * operators surface this so a capped run is never silent about the
+    * mass it skipped. */
+  private[graft] def hotBuckets(s: SparkSession, banded: DataFrame,
+                                keys: Seq[String]): DataFrame =
+    banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket(s))
+
+  /** The MinHash banding's dropped-mass view over a corpus: (band,
+    * bucket, bucket_size) for every band bucket [[capHotBuckets]] would
+    * drop at the current cap. Diagnostic companion to dedup_minhash /
+    * dedup_edit — a capped run reports what it skipped (HotBucketSpec,
+    * TextScaleSmoke `hot` mode). */
+  private[graft] def minhashHotBuckets(s: SparkSession, corpus: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val bands = withMinhash(corpus).select(col("doc_id"), posexplode(minhashBandArray))
+      .toDF("doc_id", "band", "bucket")
+    hotBuckets(s, bands, Seq("band", "bucket"))
+  }
+
   /** The verified MinHash near-dup pair list (doc_a, doc_b, jaccard ≥
     * JACCARD_MIN), unsorted — dedup_minhash's whole derivation, shared
     * with [[sourceOverlap]]. */
@@ -321,7 +397,11 @@ object DedupQueries {
     val bands = sig.select(col("doc_id"), posexplode(minhashBandArray))
       .toDF("doc_id", "band", "bucket")
       .persist()
-    val cand = bands.as("a").join(bands.as("b"),
+    // hot-bucket guard: a template flood puts every copy in the same
+    // band buckets → |bucket|² candidates; capped buckets are dropped
+    // from candidate generation (accounting via hotBuckets)
+    val keep = capHotBuckets(s, bands, Seq("band", "bucket"))
+    val cand = keep.as("a").join(keep.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -463,6 +543,56 @@ object DedupQueries {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  // -------------------------------------------------------------------
+  // X2b' 64-bit SimHash — the AT-SCALE signature (Manku, Jain & Das
+  // Sarma, "Detecting Near-Duplicates for Web Crawling", WWW'07: 64-bit
+  // fingerprints with Hamming ≤ 3 at 8B-page scale). The 32-bit tier's
+  // measured failure is its verified OUTPUT: P(Hamming ≤ 6) ≈ 1.8e-4
+  // for unrelated docs → ~n²·9e-5 false pairs (240k docs collapsed to
+  // one component). At 64 bits P(Hamming ≤ 3) ≈ 2.4e-15 — the pair
+  // list is bounded by TRUE near-dup mass at any corpus size. Banding:
+  // 4 bands × 16 bits; by pigeonhole 3 differing bits touch ≤ 3 bands,
+  // so every Hamming-≤3 pair shares a band — recall is exactly 1.
+  // False-candidate mass is n²·2^-17·4 ≈ 3e-5·n² on uniform sigs
+  // (6× below the byte-banding) and the hot-bucket cap bounds the
+  // biased-corpus worst case. NOTE the tier tightens the criterion
+  // (H≤3/64 ≈ cosine 0.99 of the shingle-vote vector vs H≤6/32 ≈ 0.83)
+  // — the published at-scale operating point, same intended-divergence
+  // contract as nearPairsRouted's Jaccard tier.
+  // -------------------------------------------------------------------
+  private[graft] val HAMMING_MAX_64 = 3L
+
+  /** 64-bit SimHash near-dup pairs (doc_a, doc_b, hamming ≤ 3) over any
+    * documents-shaped frame — dedup_simhash's > EXACT_TIER_MAX_ROWS
+    * route. Serves the stored `simhash64` column of a certified,
+    * fingerprint-matched TextIndex (indexes predating the column fall
+    * back to recompute; rebuild to upgrade). */
+  private[extensions] def simhashPairs64For(s: SparkSession, corpus: DataFrame,
+                                            useIndex: Boolean = true): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val sig = (if (useIndex) TextIndex.resolveFor(s, corpus) else None) match {
+      case Some(dir) if TextIndex.readSigs(s, dir).columns.contains("simhash64") =>
+        TextIndex.readSigs(s, dir).select("doc_id", "simhash64")
+      case _ => shingleDocs(corpus).select(col("doc_id"),
+        call_function("graft_simhash64",
+          expr("transform(sh, x -> xxhash64(x))")).as("simhash64"))
+    }
+    val bands = sig.select(col("doc_id"), col("simhash64"),
+        explode(expr("sequence(0, 3)")).as("k"))
+      .withColumn("band", expr("shiftright(simhash64, k * 16) & 65535"))
+      .persist() // session-scoped memo (QueryDef cache contract)
+    val keep = capHotBuckets(s, bands, Seq("k", "band"))
+    keep.as("a").join(keep.as("b"),
+        col("a.k") === col("b.k") && col("a.band") === col("b.band")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash64").as("sh_a"), col("b.simhash64").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(expr("sh_a ^ sh_b")).cast("long"))
+      .filter(col("hamming") <= HAMMING_MAX_64)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** CTE chain producing the identical pair set as [[simhashPairsFor]]
     * over source relation `src`; terminal CTE is `pairs(doc_a, doc_b,
     * hamming)` — embeddable in composed oracles ([[PipelineQueries]]). */
@@ -495,11 +625,22 @@ object DedupQueries {
   private val simhashPairsSql: String = "WITH RECURSIVE " + simhashPairsCtes("documents")
 
   val simhash: QueryDef = QueryDef(
-    build = (s, d) => simhashPairs(s, d).orderBy("doc_a", "doc_b"),
+    build = (s, d) => {
+      // SIZE-GATED (the nearPairsRouted/embedCosine pattern): ≤ 100k
+      // docs serves the oracle-replayed 32-bit byte-banded tier; past
+      // the gate the 64-bit Manku-style tier (4 × 16-bit bands,
+      // Hamming ≤ 3) whose pair list is bounded by true near-dup mass
+      // instead of flooding ∝ n² (measured: 32-bit collapsed 240k docs
+      // into one component). RouteKey "exact" pins the 32-bit tier
+      // (Verify does), "lsh" forces the 64-bit tier at any size.
+      val c = docs(s, d)
+      (if (exactTier(s, c.count())) simhashPairs(s, d) else simhashPairs64For(s, c))
+        .orderBy("doc_a", "doc_b")
+    },
     oracle = Some(
       s"""$simhashPairsSql
          |SELECT doc_a, doc_b, hamming FROM pairs ORDER BY doc_a, doc_b""".stripMargin),
-    doc = "X2 SimHash near-dup (bit-vote signature, byte-banded). Scale note: the 32-bit pair list is definitionally this operator's output and floods with ~1.8e-4 n^2/2 false Hamming-<=6 pairs on weakly-correlated corpora past ~10^5 docs (measured, TextScaleSmoke cascade mode) - cluster consumers route to verified MinHash pairs via nearPairsRouted; the 64-bit signature is the at-scale answer for the raw pair list itself")
+    doc = "X2 SimHash near-dup - SIZE-GATED: 32-bit byte-banded Hamming<=6 tier <= 100k docs (every oracle SF; what the oracle replays), 64-bit 4x16-banded Hamming<=3 tier past the gate (WWW'07 at-scale operating point - pair list bounded by true near-dup mass; spark.graft.dedup.route=exact forces the 32-bit tier)")
 
   // -------------------------------------------------------------------
   // X2f cluster resolution — what a production dedup pipeline runs AFTER
@@ -1816,7 +1957,10 @@ object DedupQueries {
       val bands = sig.select(col("doc_id"), posexplode(minhashBandArray))
         .toDF("doc_id", "band", "bucket")
         .persist() // session-scoped memo (QueryDef cache contract)
-      val cand = bands.as("a").join(bands.as("b"),
+      // hot-bucket guard: the O(|a|·|b|) Levenshtein verification makes
+      // an uncapped template bucket catastrophically expensive here
+      val keep = capHotBuckets(s, bands, Seq("band", "bucket"))
+      val cand = keep.as("a").join(keep.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -126,6 +126,27 @@ object PqQueries {
         (cb, assignCodes(subvectors(e), cb))
     }
 
+  /** (vec_id, sub, sv) RESIDUAL subvectors: û − centroid(assigned cell),
+    * sliced — the IVFADC encoding input (Jégou et al. 2011 §III:
+    * quantize the residual, not the vector). Residuals concentrate near
+    * the origin per cell, so one shared 4-bit codebook can resolve
+    * SUBCLUSTER structure that direct coding collapses onto the cell
+    * center — the measured recall-0.13 blind spot on single-level
+    * clustered corpora (BASELINE.md round-9 IVF-PQ row). `cent` is the
+    * coarse quantizer (clabel, cv, cnorm); `assigned` maps vec_id →
+    * cell. The decomposition is EXACT: û = c + r, so q̂·û = q̂·c + q̂·r
+    * — scoring adds the (query, cell) centroid term to the residual
+    * ADC sum, both in integer micro-units. */
+  private[graft] def residualSubvectors(e: DataFrame, cent: DataFrame,
+                                        assigned: DataFrame): DataFrame =
+    e.withColumn("u", expr("transform(v, x -> x / norm)"))
+      .join(assigned, "vec_id")
+      .join(broadcast(cent.select(col("clabel").as("cell"), col("cv"))), "cell")
+      .withColumn("r", expr("zip_with(u, cv, (a, b) -> a - b)"))
+      .select(col("vec_id"), explode(expr(s"sequence(0, ${M - 1})")).as("sub"), col("r"))
+      .withColumn("sv", expr(s"slice(r, sub * $DSUB + 1, $DSUB)"))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("sv"))
+
   /** Training invocations — the memo's observable (spec-pinned). */
   private[graft] val pqTrainCount = new java.util.concurrent.atomic.AtomicLong()
 
@@ -143,6 +164,21 @@ object PqQueries {
     cbFrame(s, pqMemo.computeIfAbsent(key, _ => trainPq(s, raw)))
   }
 
+  /** RESIDUAL codebooks — the same deterministic Lloyd over
+    * [[residualSubvectors]] instead of the direct unit subvectors.
+    * Memoized like [[pqCodebooks]]; `cent`/`assigned` derive
+    * deterministically from the corpus (the kmeans memo), so the
+    * corpus fingerprint alone keys the cache. */
+  private[graft] def pqResCodebooks(s: SparkSession, raw: DataFrame,
+                                    cent: DataFrame, assigned: DataFrame): DataFrame = {
+    val key = s"${System.identityHashCode(s)}:res:${AnnIndex.fingerprint(raw)}"
+    if (pqMemo.size > 8) pqMemo.clear()
+    cbFrame(s, pqMemo.computeIfAbsent(key, _ => {
+      val e = SimilarityQueries.prep(s, raw)
+      trainPqOn(s, e, residualSubvectors(e, cent, assigned))
+    }))
+  }
+
   /** Per-subspace deterministic Lloyd. Seeds: the SAME KSUB vectors for
     * every subspace — the md5(vec_id)-ranked head, the kmeans_centroids
     * seed rule — each subspace seeding from its own slice of them.
@@ -151,9 +187,18 @@ object PqQueries {
     * doubles to the driver (bounded metadata, like the engine's day
     * lists). */
   private def trainPq(s: SparkSession, raw: DataFrame): Seq[(Long, Long, Seq[Double])] = {
-    pqTrainCount.incrementAndGet()
     val e = SimilarityQueries.prep(s, raw)
-    val sv = subvectors(e).persist()
+    trainPqOn(s, e, subvectors(e))
+  }
+
+  /** The Lloyd core over ANY (vec_id, sub, sv) frame — direct subvectors
+    * (the round-9 scheme) or residuals (IVFADC). Seeds stay the
+    * md5(vec_id)-ranked head of `e` either way, each subspace seeding
+    * from its own slice of the SOURCE frame. */
+  private def trainPqOn(s: SparkSession, e: DataFrame,
+                        svIn: DataFrame): Seq[(Long, Long, Seq[Double])] = {
+    pqTrainCount.incrementAndGet()
+    val sv = svIn.persist()
     try {
       val seedIds = e.select(col("vec_id"))
         .withColumn("h", md5(col("vec_id").cast("string")))
@@ -192,7 +237,8 @@ object PqQueries {
   // (sim_ivfpq appends it to the k-means chain); `lead=false` drops the
   // WITH head and reuses the existing `e` (identical definition).
   // -------------------------------------------------------------------
-  private def pqOracleCtes(px: String = "", lead: Boolean = true): String = {
+  private def pqOracleCtes(px: String = "", lead: Boolean = true,
+                           svSource: Option[String] = None): String = {
     val eHead = if (lead)
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -200,13 +246,24 @@ object PqQueries {
         |  FROM embeddings
         |), """.stripMargin
     else ", "
+    // svSource: an EXISTING (vec_id, sub, sv) CTE (the residual chain)
+    // replaces the direct unit-subvector derivation; training steps and
+    // codesCte reference ${px}sv either way
+    val svCtes = svSource match {
+      case Some(src) =>
+        s"""${px}sv AS (
+           |  SELECT vec_id, sub, sv FROM $src
+           |)""".stripMargin
+      case None =>
+        s"""${px}u AS (
+           |  SELECT vec_id, list_transform(v, x -> x / norm) AS u FROM e
+           |), ${px}sv AS (
+           |  SELECT u.vec_id, g.s AS sub, (u.u)[(g.s * $DSUB + 1):(g.s * $DSUB + $DSUB)] AS sv
+           |  FROM ${px}u u CROSS JOIN generate_series(0, ${M - 1}) g(s)
+           |)""".stripMargin
+    }
     val head =
-      s"""$eHead${px}u AS (
-         |  SELECT vec_id, list_transform(v, x -> x / norm) AS u FROM e
-         |), ${px}sv AS (
-         |  SELECT u.vec_id, g.s AS sub, (u.u)[(g.s * $DSUB + 1):(g.s * $DSUB + $DSUB)] AS sv
-         |  FROM ${px}u u CROSS JOIN generate_series(0, ${M - 1}) g(s)
-         |), ${px}seeds AS (
+      s"""$eHead$svCtes, ${px}seeds AS (
          |  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS code, vec_id
          |  FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $KSUB
          |), ${px}c0 AS (
@@ -518,6 +575,128 @@ object PqQueries {
     doc = "X3 IVF-PQ: coarse-cell pruning (probe-2) + ADC code scoring — the FAISS-layout composition")
 
   // -------------------------------------------------------------------
+  // X3k' sim_ivfpq_res — IVF-PQ with RESIDUAL encoding (the actual
+  // IVFADC of Jégou et al. 2011 §III, what FAISS IndexIVFPQ ships by
+  // default): codes quantize û − centroid(cell) instead of û. Why it
+  // exists: on clustered corpora every in-cell vector sits near the
+  // shared center, so direct 4-bit codes collapse onto it — measured
+  // recall 0.13 (BASELINE.md round-9 IVF-PQ row). Residuals re-center
+  // each cell's mass at the origin, spending the codebook's 16 levels
+  // on the within-cell structure. Scoring uses the exact decomposition
+  // q̂·û = q̂·c + q̂·r̂: the (query, probed-cell) centroid term is
+  // computed exactly (|queries| × k dots) and added to the residual ADC
+  // sum — both integer micro, so the ranking is order-free and the
+  // oracle replays the entire kmeans → residual → Lloyd → ADC chain.
+  // -------------------------------------------------------------------
+  val ivfPqRes: QueryDef = QueryDef(
+    build = (s, d) => {
+      val e = emb(s, d).persist() // session-scoped memo (QueryDef cache contract)
+      val raw = s.read.parquet(s"$d/embeddings.parquet").drop("label")
+      // coarse quantizer: the sim_ivfpq resolve rule
+      val (cent, assigned) = AnnIndex.resolveFor(s, e)
+        .filter(SimilarityQueries.defaultKmeans(s, _)) match {
+        case Some(dir) =>
+          (AnnIndex.readCentroids(s, dir),
+            AnnIndex.readCodes(s, dir).select(col("vec_id"), col("cell")))
+        case None =>
+          val c = SimilarityQueries.kmeansCentroids(s, raw)
+          (c, SimilarityQueries.assignCells(e, c))
+      }
+      val rcb = pqResCodebooks(s, raw, cent, assigned)
+      val rcodes = assignCodes(residualSubvectors(e, cent, assigned), rcb)
+        .withColumnRenamed("vec_id", "neighbor_id")
+      val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("clabel"))
+      val probes = SimilarityQueries.cellSims(e.filter(col("vec_id") < N_QUERIES), cent)
+        .withColumn("rk", row_number().over(byVec))
+        .filter(col("rk") <= SimilarityQueries.N_PROBE)
+        .select(col("vec_id").as("query_id"), col("clabel").as("cell"))
+      // a vector lives in exactly one cell, so (query, neighbor)
+      // determines cell — no dedup needed, the pair set matches the
+      // oracle's DISTINCT
+      val cand = probes.join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "cell")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select("query_id", "neighbor_id", "cell")
+      val lut = subvectors(e.filter(col("vec_id") < N_QUERIES))
+        .join(broadcast(rcb), "sub")
+        .withColumn("lut_micro",
+          expr("CAST(floor(graft_dot(sv, cv) * 1000000 + 0.5D) AS BIGINT)"))
+        .select(col("vec_id").as("query_id"), col("sub"), col("code"), col("lut_micro"))
+      val qcell = e.filter(col("vec_id") < N_QUERIES)
+        .withColumn("u", expr("transform(v, x -> x / norm)"))
+        .select(col("vec_id").as("query_id"), col("u"))
+        .crossJoin(broadcast(cent))
+        .withColumn("qc_micro",
+          expr("CAST(floor(graft_dot(u, cv) * 1000000 + 0.5D) AS BIGINT)"))
+        .select(col("query_id"), col("clabel").as("cell"), col("qc_micro"))
+      val w = Window.partitionBy("query_id").orderBy(col("adc_micro").desc, col("neighbor_id"))
+      cand.join(rcodes, "neighbor_id")
+        .join(broadcast(lut), Seq("query_id", "sub", "code"))
+        .groupBy("query_id", "neighbor_id", "cell")
+        .agg(sum("lut_micro").as("radc_micro"))
+        .join(broadcast(qcell), Seq("query_id", "cell"))
+        .withColumn("adc_micro", col("qc_micro") + col("radc_micro"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= K)
+        .select("query_id", "rank", "neighbor_id", "adc_micro")
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some {
+      val ki = SimilarityQueries.KMEANS_ITERS
+      s"""${SimilarityQueries.kmeansOracleCtes(SimilarityQueries.KMEANS_K, ki)}, sims AS (
+         |  SELECT e.vec_id, c.clabel,
+         |         round(list_dot_product(e.v, c.cv) / (e.norm * c.cnorm), 6) AS csim
+         |  FROM e CROSS JOIN c$ki c
+         |), rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, clabel) AS rk FROM sims
+         |), assigned AS (
+         |  SELECT vec_id, clabel AS cell FROM rk WHERE rk = 1
+         |), ru AS (
+         |  SELECT e.vec_id,
+         |         list_transform(generate_series(1, ${M * DSUB}), i -> (e.v[i] / e.norm) - c.cv[i]) AS r
+         |  FROM e JOIN assigned a ON a.vec_id = e.vec_id JOIN c$ki c ON c.clabel = a.cell
+         |), rsv0 AS (
+         |  SELECT vec_id, g.s AS sub, (r)[(g.s * $DSUB + 1):(g.s * $DSUB + $DSUB)] AS sv
+         |  FROM ru CROSS JOIN generate_series(0, ${M - 1}) g(s)
+         |)${pqOracleCtes("r", lead = false, svSource = Some("rsv0"))}${codesCte("r")}, qu AS (
+         |  SELECT vec_id AS query_id, list_transform(v, x -> x / norm) AS u
+         |  FROM e WHERE vec_id < $N_QUERIES
+         |), qsv AS (
+         |  SELECT query_id, g.s AS sub, (u)[(g.s * $DSUB + 1):(g.s * $DSUB + $DSUB)] AS sv
+         |  FROM qu CROSS JOIN generate_series(0, ${M - 1}) g(s)
+         |), rlut AS (
+         |  SELECT q.query_id, c.sub, c.code,
+         |         CAST(floor(list_dot_product(q.sv, c.cv) * 1000000 + 0.5) AS BIGINT) AS lut_micro
+         |  FROM qsv q JOIN rc$ITERS c ON q.sub = c.sub
+         |), qcell AS (
+         |  SELECT u.query_id, c.clabel AS cell,
+         |         CAST(floor(list_dot_product(u.u, c.cv) * 1000000 + 0.5) AS BIGINT) AS qc_micro
+         |  FROM qu u CROSS JOIN c$ki c
+         |), probes AS (
+         |  SELECT vec_id AS query_id, clabel AS cell FROM rk
+         |  WHERE rk <= ${SimilarityQueries.N_PROBE} AND vec_id < $N_QUERIES
+         |), cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id, a.cell
+         |  FROM probes p JOIN assigned a ON p.cell = a.cell
+         |  WHERE a.vec_id <> p.query_id
+         |), radc AS (
+         |  SELECT c.query_id, c.neighbor_id, c.cell, sum(l.lut_micro)::BIGINT AS radc_micro
+         |  FROM cand c
+         |  JOIN rcodes k ON k.vec_id = c.neighbor_id
+         |  JOIN rlut l ON l.query_id = c.query_id AND l.sub = k.sub AND l.code = k.code
+         |  GROUP BY 1, 2, 3
+         |), scored AS (
+         |  SELECT r.query_id, r.neighbor_id, q.qc_micro + r.radc_micro AS adc_micro
+         |  FROM radc r JOIN qcell q ON q.query_id = r.query_id AND q.cell = r.cell
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_micro DESC, neighbor_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank::BIGINT AS rank, neighbor_id, adc_micro
+         |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+    },
+    doc = "X3 IVF-PQ with residual encoding (IVFADC, the FAISS IndexIVFPQ default): codes quantize u - centroid(cell); score = exact (query, cell) centroid term + residual ADC - fixes the measured direct-coding collapse on clustered corpora")
+
+  // -------------------------------------------------------------------
   // X3l sim_pq_rerank — the production serving pattern (how FAISS-style
   // deployments actually answer queries): ADC ranks the WHOLE corpus
   // from code bytes, only the top-R shortlist ever touches float
@@ -580,6 +759,7 @@ object PqQueries {
     "sim_pq"        -> simPq,
     "pq_recall"     -> recall,
     "sim_ivfpq"     -> ivfPq,
+    "sim_ivfpq_res" -> ivfPqRes,
     "sim_pq_rerank" -> rerank,
   )
 }

@@ -388,12 +388,34 @@ object SimilarityQueries {
   /** Nearest-centroid cell per vector (deterministic: rounded sim +
     * lowest-label tiebreak). Shared by the live ivf path and AnnIndex,
     * so cells persisted at build/append time are exactly the cells the
-    * live path would assign against the same centroids. Partial-
-    * aggregating max_by, not a window: per-vector row_number would
-    * shuffle every (vector × cell) sim row into single-vector
-    * partitions; max_by reduces map-side and shuffles one candidate
-    * per (partition × vector) — the current_value lesson. */
-  private[graft] def assignCells(vecs: DataFrame, cent: DataFrame): DataFrame =
+    * live path would assign against the same centroids.
+    *
+    * ONE map-side pass via the codegen'd [[graft.functions
+    * .NearestCellExpr]] — bit-identical to the former
+    * corpus × centroids broadcast-NLJ + max_by form ([[assignCellsJoin]],
+    * kept for the AssignCellsSpec cross-check), which materialized
+    * n·k intermediate rows just to reduce them again: 869 s of the
+    * round-9 10M-vector AnnIndex.build was this join. The centroid
+    * table is k driver-held rows by construction (it IS the quantizer),
+    * shipped into the expression as literals — the broadcast analog
+    * with zero join machinery. */
+  private[graft] def assignCells(vecs: DataFrame, cent: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(vecs.sparkSession)
+    val rows = cent.select(col("clabel").cast("long"), col("cv"), col("cnorm").cast("double"))
+      .collect() // bounded: k centroid rows (the quantizer is driver-sized)
+    val labels = rows.map(_.getLong(0))
+    val cvs = rows.map(_.getSeq[Double](1).toArray)
+    val cnorms = rows.map(_.getDouble(2))
+    val labelType = cent.schema("clabel").dataType
+    vecs.select(col("vec_id"),
+      call_function("graft_nearest_cell", col("v"), col("norm"),
+        typedlit(labels), typedlit(cvs.map(_.toSeq)), typedlit(cnorms))
+        .cast(labelType).as("cell"))
+  }
+
+  /** The round-9 join form of [[assignCells]] — the equivalence
+    * reference AssignCellsSpec pins the expression against. */
+  private[graft] def assignCellsJoin(vecs: DataFrame, cent: DataFrame): DataFrame =
     cellSims(vecs, cent).groupBy("vec_id")
       .agg(max_by(col("clabel"), struct(col("csim"), -col("clabel"))).as("cell"))
       .select(col("vec_id"), col("cell"))

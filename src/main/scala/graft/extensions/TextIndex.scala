@@ -110,8 +110,13 @@ object TextIndex {
     * tf and dl are the two corpus-scan-derived inputs of the BM25
     * formula, computed once at ingest instead of per query. */
   private def postingsDelta(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), expr(toksExpr).as("toks"))
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+    postingsDeltaFromToks(docs.select(col("doc_id"), expr(toksExpr).as("toks")))
+
+  /** [[postingsDelta]] over a pre-tokenized (doc_id, …, toks) frame —
+    * the build path passes the shared tokenized view so sigs and
+    * postings ride ONE tokenizer pass. */
+  private def postingsDeltaFromToks(toksDf: DataFrame): DataFrame =
+    toksDf.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
 
@@ -274,20 +279,32 @@ object TextIndex {
     val (n, idMin, idMax, idSum, cxor) = timed("fingerprint (1 hash scan)")(fingerprint(docs))
     TsdbStorage.markStatsOutOfSync(spark, dir)
     writeMeta(spark, dir, TextMeta(numHashes, n, idMin, idMax, idSum, cxor, "", -1L))
-    timed("sigs (tokenize + minhash/simhash/swh, map-side write)") {
-      DedupQueries.signatures(spark, docs, numHashes)
-        .write.mode("overwrite").parquet(sigsPath(dir))
-    }
-    // BM25 inverted-index components: postings tok-clustered so a
-    // query-term probe prunes files by parquet min/max; dfreq is
-    // vocab-sized. Together with the meta row count and the vocab
-    // token total they are everything bm25_topk needs — the per-query
-    // corpus explode+groupBy happens at ingest instead.
-    timed("postings (tokenize + groupBy(doc,tok) + range-cluster)") {
-      postingsDelta(docs)
-        .repartitionByRange(col("tok")).sortWithinPartitions("tok", "doc_id")
-        .write.mode("overwrite").parquet(postingsPath(dir))
-    }
+    // ONE tokenizer pass serves both corpus-scan components (round-10):
+    // sigs and postings each re-tokenized the corpus before (two of the
+    // four round-9 components' cost at 2M docs — ~115 s + ~81 s stages
+    // both paying the split+filter). The shared tokenized view is
+    // persisted MEMORY_AND_DISK for the duration of the two writes —
+    // the working set is the corpus + its token arrays, disk-backed and
+    // dropped before the vocab/dfreq derivation (which reads the
+    // just-written postings, not the text).
+    val toksDf = DedupQueries.tokenized(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      timed("sigs (shared tokenize + minhash/simhash/swh, map-side write)") {
+        DedupQueries.signaturesFromToks(spark, toksDf, numHashes)
+          .write.mode("overwrite").parquet(sigsPath(dir))
+      }
+      // BM25 inverted-index components: postings tok-clustered so a
+      // query-term probe prunes files by parquet min/max; dfreq is
+      // vocab-sized. Together with the meta row count and the vocab
+      // token total they are everything bm25_topk needs — the per-query
+      // corpus explode+groupBy happens at ingest instead.
+      timed("postings (cached toks + groupBy(doc,tok) + range-cluster)") {
+        postingsDeltaFromToks(toksDf)
+          .repartitionByRange(col("tok")).sortWithinPartitions("tok", "doc_id")
+          .write.mode("overwrite").parquet(postingsPath(dir))
+      }
+    } finally toksDf.unpersist()
     // vocab + dfreq DERIVE from the just-written postings (round 9):
     // cnt = Σtf and df = count of (doc, tok) rows per token — exactly
     // what vocabDelta/dfreqDelta compute from the raw text, but off a
@@ -405,23 +422,36 @@ object TextIndex {
   }
 
   /** Append-accumulation signature — the [[AnnIndex.fragmented]] analog
-    * over the sigs table. */
+    * over the sigs table. `minFiles` raises the trigger floor for
+    * callers that amortize compaction against many small appends (the
+    * closed admission loop: a 1M-row store's size target is a handful
+    * of files, so the bare 2×-target rule would fire an O(corpus)
+    * rewrite every couple of batches — the floor lets ~a dozen batches
+    * accumulate first). */
   def fragmented(spark: SparkSession, dir: String,
-                 rowsPerFile: Long = AnnIndex.DefaultRowsPerFile): Boolean = {
+                 rowsPerFile: Long = AnnIndex.DefaultRowsPerFile,
+                 minFiles: Int = 0): Boolean = {
     val p = new Path(sigsPath(dir))
     val f = fs(spark, dir)
     if (!f.exists(p) || !usable(spark, dir)) return false
     val m = readMeta(spark, dir)
     val rows = if (m.corpusRows >= 0) m.corpusRows else readSigs(spark, dir).count()
     val target = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile)
-    f.listStatus(p).count(_.getPath.getName.endsWith(".parquet")) > 2 * target
+    f.listStatus(p).count(_.getPath.getName.endsWith(".parquet")) >
+      math.max(2 * target, minFiles.toLong)
   }
+
+  /** Compaction invocations — the RefCache-counter pattern: the
+    * closed-loop smoke asserts maintenance actually fired (and how
+    * often) instead of inferring it from wall-clock shape. */
+  private[graft] val compactCount = new java.util.concurrent.atomic.AtomicLong()
 
   /** Rewrite append-accumulated sigs into size-targeted files,
     * doc_id-range-clustered — same shape as AnnIndex.compact, same
     * shared swap discipline. */
   def compact(spark: SparkSession, dir: String,
               rowsPerFile: Long = AnnIndex.DefaultRowsPerFile): Unit = locked(spark, dir) {
+    compactCount.incrementAndGet()
     ArtifactSwap.recover(spark, dir, "sigs")
     require(usable(spark, dir), s"text index at $dir is absent or uncertified")
     val m = readMeta(spark, dir)

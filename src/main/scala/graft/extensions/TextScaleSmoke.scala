@@ -69,6 +69,62 @@ object TextScaleSmoke {
       r
     }
 
+    // "hot" mode: the template-flood worst case for the banding
+    // self-joins — 90 % of the corpus is ONE template family (shared
+    // 120-token boilerplate + a distinct per-doc stamp token, so the
+    // copies survive BOTH the exact and normalized tiers and all land
+    // in the same band buckets). Uncapped, that bucket contributes
+    // (0.9·n)²/2 candidate pairs — 1.6e10 at the 200k default, a run
+    // that never finishes; the hot-bucket guard
+    // (spark.graft.dedup.maxBandBucket) must drop the flooded buckets,
+    // account the dropped mass, and leave control pairs intact.
+    if (args.length > 1 && args(1) == "hot") {
+      val hotDir = java.nio.file.Files.createTempDirectory("graft-text-hot").toString
+      val nFam = nDocs * 9 / 10
+      val template = (0 until TOKENS).map(j => s"tpl$j").mkString(" ")
+      time(f"materialize $nDocs%,d docs ($nFam%,d-copy template family + controls)") {
+        val fam = spark.range(nFam).select(col("id").as("doc_id"),
+          concat(lit(template + " stamp"), col("id")).as("text"))
+        val ctl = spark.range(nFam, nDocs).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until TOKENS).map(j =>
+            concat(lit("c"), pmod(col("id") * 2654435761L + lit(j * 40503), lit(1000000000000L)))): _*).as("text"))
+        val verb = ctl.filter(col("doc_id") === nFam) // verbatim control pair
+          .withColumn("doc_id", lit(nDocs))
+        fam.union(ctl).union(verb)
+          .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .write.parquet(s"$hotDir/documents.parquet")
+      }
+      val corpus = spark.read.parquet(s"$hotDir/documents.parquet")
+      val hot = DedupQueries.minhashHotBuckets(spark, corpus).collect()
+        .map(r => r.getLong(r.fieldIndex("bucket_size")))
+      println(s"[tscale] hot-bucket accounting: ${hot.length} capped buckets, " +
+        f"sizes ${hot.sorted.reverse.take(6).mkString(", ")} (cap ${DedupQueries.DefaultMaxBucket})")
+      assert(hot.length >= 4 && hot.max >= nFam * 8 / 10,
+        s"the template family floods its band buckets past the cap: ${hot.sorted.reverse.take(6).toSeq}")
+      val mh = time(f"dedup_minhash CAPPED over the flood (uncapped would be ${nFam.toDouble * nFam / 2}%.1e candidates)") {
+        graft.SparkEntry.queries("dedup_minhash")(spark, hotDir).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+      }
+      spark.sharedState.cacheManager.clearCache()
+      assert(mh.contains((nFam, nDocs)),
+        "the verbatim control pair (bucket size 2) survives the guard")
+      assert(!mh.exists { case (a, b) => a < nFam && b < nFam },
+        s"every template pair lives in capped buckets only: ${mh.length} pairs")
+      val ed = time("dedup_edit CAPPED over the flood (no O(len²) DP on the family)") {
+        graft.SparkEntry.queries("dedup_edit")(spark, hotDir).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+      }
+      spark.sharedState.cacheManager.clearCache()
+      assert(ed.contains((nFam, nDocs)) && !ed.exists { case (a, b) => a < nFam && b < nFam },
+        s"edit candidates ride the same capped buckets: ${ed.length} pairs")
+      println(f"[tscale] HOT PASS at $nDocs%,d docs: template family ($nFam%,d copies) dropped with accounting, " +
+        s"controls caught (minhash ${mh.length} pairs, edit ${ed.length} pairs)")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(hotDir))
+      spark.stop()
+      return
+    }
+
     // copies derive their shared prefix from the BASE doc id (their
     // predecessor) and their replaced tail from their OWN id, so the
     // corpus is reproducible from ids alone; tail prefixes ('x'/'y')
@@ -123,6 +179,33 @@ object TextScaleSmoke {
         s"tier 3 = prefixed plants + verified tranche extras: ${t3._4} vs [${plants} * 0.99, ${plants + planted}]")
       println(f"[tscale] CASCADE PASS at ${t1._3}%,d docs (incl. plants): $sec%.1f s end-to-end, " +
         f"tier-3 removed ${t3._4}%,d (zq plants $plants%,d + tranche extras)")
+
+      // ---- 64-bit SimHash tier at scale: dedup_simhash's own raw
+      // pair list past the gate must be BOUNDED by true near-dup mass.
+      // Corpus ∪ verbatim re-id'd copies of id%5=0 (guaranteed
+      // Hamming-0 partners — the recall floor); the corpus size
+      // (1.2·nDocs) is past EXACT_TIER_MAX_ROWS, so the unset route
+      // serves the 64-bit 4×16-band Hamming-≤3 tier. The replaced
+      // 32-bit tier measured ~1.8e-4·n²/2 false pairs here (5M+ at
+      // this scale); the 64-bit list must stay ∝ plants.
+      val vplants = (nDocs - 1) / 5 + 1 // ids 0, 5, 10, … < nDocs
+      val d64 = s"$dir/sh64"
+      val baseDocs = spark.read.parquet(s"$dir/documents.parquet")
+      baseDocs.union(
+          baseDocs.filter(col("doc_id") % 5 === 0)
+            .withColumn("doc_id", col("doc_id") + 100000000L))
+        .write.parquet(s"$d64/documents.parquet")
+      val t64 = System.nanoTime()
+      val n64 = graft.SparkEntry.queries("dedup_simhash")(spark, d64).count()
+      val sec64 = (System.nanoTime() - t64) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      println(f"[tscale] 64-bit simhash tier at ${(nDocs * 6) / 5}%,d docs: $n64%,d pairs in $sec64%.1f s " +
+        f"(verbatim floor $vplants%,d; 32-bit form would flood ~${(nDocs * 1.2 * nDocs * 1.2 * 9e-5).toLong}%,d)")
+      assert(n64 >= vplants,
+        s"every verbatim copy is a Hamming-0 pair the 4x16 banding cannot miss: $n64 < $vplants")
+      assert(n64 <= vplants + 2 * (planted + planted2),
+        s"the 64-bit pair list stays bounded by true near-dup mass: $n64")
+
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       spark.stop()
       return

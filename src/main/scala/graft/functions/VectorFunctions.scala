@@ -173,6 +173,168 @@ object SimHash32 {
   }
 }
 
+/** 64-bit SimHash over an array of 64-bit hash values — the at-scale
+  * signature (Manku, Jain & Das Sarma, "Detecting Near-Duplicates for
+  * Web Crawling", WWW'07: 64-bit fingerprints at 8B-page scale). Bit b
+  * of the result is the majority vote of bit b over all input hashes,
+  * identical semantics to [[SimHash32]] at twice the width: for
+  * unrelated documents P(Hamming ≤ 3) ≈ 2.4e-15 vs the 32-bit form's
+  * measured ~1.8e-4 P(Hamming ≤ 6) — the difference between a pair
+  * list bounded by true near-dup mass and one that floods ∝ n².
+  * Input hashes come from xxhash64 (full 64 well-mixed bits, codegen'd
+  * in Spark); the oracle-replayed 32-bit tier keeps its md5 derivation.
+  */
+case class SimHash64Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(s"graft_simhash64 expects array<bigint>, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    SimHash64Expr.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = SimHash64Expr.getClass.getName // graft.functions.SimHash64Expr$
+    defineCodeGen(ctx, ev, c => s"$cls.MODULE$$.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "graft_simhash64"
+}
+
+object SimHash64Expr {
+  def compute(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 64) {
+        counts(b) += ((h >>> b) & 1L).toInt
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (2 * counts(b) > n) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** Exact nearest-centroid assignment in ONE map-side pass — replaces
+  * the corpus × centroids broadcast-NLJ + max_by that dominated
+  * AnnIndex.build at 10M vectors (869 s, of which the assignment join
+  * materialized 2.5e9 intermediate rows just to reduce them again).
+  * Per row: k in-register dot products, argmax by (csim rounded to
+  * 6dp, lowest-label tiebreak) — BIT-IDENTICAL to
+  * `max_by(clabel, struct(round(dot/(norm·cnorm), 6), -clabel))`,
+  * including Spark's NaN-greatest total order (a degenerate zero-norm
+  * centroid still wins exactly as the join form would have it).
+  * Rounding runs only on the few candidates within 1e-6 of the raw
+  * maximum (round is monotone, so no other centroid can tie at the
+  * rounded level) — the BigDecimal HALF_UP step that would cost more
+  * than the dot products never touches the cold candidates.
+  * Centroids arrive as literal arrays (the broadcast analog: k·dims
+  * doubles shipped once per task in the plan).
+  */
+case class NearestCellExpr(vec: Expression, norm: Expression,
+                           labels: Array[Long], cvs: Array[Array[Double]],
+                           cnorms: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = vec
+  override def right: Expression = norm
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (vec.dataType, norm.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.DoubleType, _), org.apache.spark.sql.types.DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_nearest_cell expects (array<double>, double), got $t")
+    }
+
+  override def nullSafeEval(v: Any, n: Any): Any =
+    NearestCellExpr.compute(v.asInstanceOf[ArrayData], n.asInstanceOf[Double],
+      labels, cvs, cnorms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = ctx.addReferenceObj("ncLabels", labels, "long[]")
+    val c = ctx.addReferenceObj("ncCvs", cvs, "double[][]")
+    val n = ctx.addReferenceObj("ncNorms", cnorms, "double[]")
+    val cls = NearestCellExpr.getClass.getName // graft.functions.NearestCellExpr$
+    defineCodeGen(ctx, ev, (v, nm) => s"$cls.MODULE$$.compute($v, $nm, $l, $c, $n)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(vec = newLeft, norm = newRight)
+  override def prettyName: String = "graft_nearest_cell"
+}
+
+object NearestCellExpr {
+  /** Spark's round(x, 6): BigDecimal HALF_UP on the canonical repr. */
+  private def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Spark total-order compare for doubles: NaN greatest, NaN == NaN. */
+  private def gt(a: Double, b: Double): Boolean = {
+    val an = java.lang.Double.isNaN(a); val bn = java.lang.Double.isNaN(b)
+    if (an || bn) an && !bn else a > b
+  }
+  private def eq6(a: Double, b: Double): Boolean = {
+    val an = java.lang.Double.isNaN(a); val bn = java.lang.Double.isNaN(b)
+    if (an || bn) an && bn else a == b
+  }
+
+  def compute(arr: ArrayData, norm: Double, labels: Array[Long],
+              cvs: Array[Array[Double]], cnorms: Array[Double]): Long = {
+    val v = arr.toDoubleArray()
+    val k = labels.length
+    val sims = new Array[Double](k)
+    var rawMax = Double.NegativeInfinity
+    var sawNaN = false
+    var i = 0
+    while (i < k) {
+      val cv = cvs(i)
+      var dot = 0.0
+      var j = 0
+      while (j < v.length) { dot += v(j) * cv(j); j += 1 }
+      val sim = dot / (norm * cnorms(i))
+      sims(i) = sim
+      if (java.lang.Double.isNaN(sim)) sawNaN = true
+      else if (sim > rawMax) rawMax = sim
+      i += 1
+    }
+    // only candidates whose ROUNDED sim can reach the rounded maximum
+    // need the BigDecimal step: round(x) == round(rawMax) ⇒
+    // |x − rawMax| < 1e-6 (NaN candidates always qualify — they are
+    // greatest in Spark's ordering)
+    val floor = rawMax - 1.1e-6
+    var bestLabel = Long.MaxValue
+    var bestSim = Double.NegativeInfinity
+    var first = true
+    i = 0
+    while (i < k) {
+      val s = sims(i)
+      if (java.lang.Double.isNaN(s) || (!sawNaN && s >= floor)) {
+        val r = round6(s)
+        if (first || gt(r, bestSim) || (eq6(r, bestSim) && labels(i) < bestLabel)) {
+          bestSim = r; bestLabel = labels(i); first = false
+        }
+      }
+      i += 1
+    }
+    bestLabel
+  }
+}
+
 /** Single-pass MinHash signature over an array of shingle strings:
   * element i of the result is `min(md5(concat(i, '|', shingle)))` over
   * all shingles — hex-lexicographic min, exactly what the HOF chain
@@ -276,8 +438,19 @@ object VectorFunctions {
     "graft_md5_prefix" -> (exprs =>
       Md5Prefix64(exprs(0), exprs(1).eval(null).asInstanceOf[Number].intValue())),
     "graft_simhash" -> (exprs => SimHash32(exprs(0))),
+    "graft_simhash64" -> (exprs => SimHash64Expr(exprs(0))),
     "graft_minhash" -> (exprs =>
       MinHashSig(exprs(0), exprs(1).eval(null).asInstanceOf[Number].intValue())),
+    // (v, norm, labels-lit, cvs-lit, cnorms-lit) — the literal tails
+    // are folded into the expression at build time (the Md5Prefix64
+    // pattern), so the per-row signature is just (vec, norm)
+    "graft_nearest_cell" -> (exprs => {
+      val labels = exprs(2).eval(null).asInstanceOf[ArrayData].toLongArray()
+      val cvsAd = exprs(3).eval(null).asInstanceOf[ArrayData]
+      val cvs = Array.tabulate(cvsAd.numElements())(i => cvsAd.getArray(i).toDoubleArray())
+      val cnorms = exprs(4).eval(null).asInstanceOf[ArrayData].toDoubleArray()
+      NearestCellExpr(exprs(0), exprs(1), labels, cvs, cnorms)
+    }),
   )
 
   def register(spark: SparkSession): Unit = {

@@ -123,15 +123,19 @@ object CleanScaleSmoke {
       }
       val (b0, e0, c0) = (RefCache.buildCount.get(), RefCache.extendCount.get(),
         RefCache.consolidateCount.get())
+      val cpt0 = TextIndex.compactCount.get()
       val q = StreamingClean.admitStream(spark, src, owned, idxDir, vdir, ckptL)
       val times = new scala.collection.mutable.ArrayBuffer[Double]
       try {
         for (b <- 1 to nBatches) {
           batchOf(b).write.mode("append").parquet(src)
           val consBefore = RefCache.consolidateCount.get()
+          val cptBefore = TextIndex.compactCount.get()
           times += timed(f"loop batch $b%2d ($nBatch%,d docs)") { q.processAllAvailable() }
           if (RefCache.consolidateCount.get() > consBefore)
             println(f"[cscale]   ^ consolidation fired in batch $b (segment lists merged)")
+          if (TextIndex.compactCount.get() > cptBefore)
+            println(f"[cscale]   ^ self-triggered artifact compaction in batch $b (sigs LSM folded)")
         }
       } finally q.stop()
       val v = spark.read.option("recursiveFileLookup", "true").parquet(vdir)
@@ -150,6 +154,9 @@ object CleanScaleSmoke {
         s"every admitting batch extended the cached generation: ${RefCache.extendCount.get() - e0}")
       val cons = RefCache.consolidateCount.get() - c0
       assert(cons >= 2, s"the segment-list consolidation must trigger in a $nBatches-batch run: $cons")
+      val cpts = TextIndex.compactCount.get() - cpt0
+      assert(cpts >= 1,
+        s"the loop must self-trigger artifact compaction past the file floor in a $nBatches-batch run: $cpts")
       val sigsN = TextIndex.readSigs(spark, idxDir).count()
       assert(sigsN == nOwned + nBatches.toLong * (nBatch - half),
         s"index covers seed + every admission exactly once: $sigsN")
@@ -158,7 +165,7 @@ object CleanScaleSmoke {
       val consBatchCost = post.last
       println(f"[cscale] LOOP PASS: $nBatches batches, steady-state median ${nBatch / steady}%,.0f docs/s " +
         f"(${steady}%.2f s/batch), slowest post-warm batch $consBatchCost%.2f s, " +
-        f"$cons consolidations, builds=1, owned corpus $nOwned%,d docs")
+        f"$cons consolidations, $cpts self-triggered compactions, builds=1, owned corpus $nOwned%,d docs")
       Seq(ownedDir, idxDir, src, ckptL, vdir).foreach(d =>
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
       spark.stop()

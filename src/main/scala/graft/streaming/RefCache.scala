@@ -77,7 +77,16 @@ private[graft] object RefCache {
     stale.foreach(k => Option(memo.remove(k)).foreach(_.foreach(_.foreach(_.unpersist()))))
     memo.computeIfAbsent(key, _ => {
       buildCount.incrementAndGet()
-      build.map(f => Vector(f.persist()))
+      // localCheckpoint (eager, lineage TRUNCATED), not persist: a
+      // lazily-persisted generation keeps a plan that re-reads the
+      // index's parquet files on any unmaterialized/evicted partition —
+      // and the round-10 self-triggering compaction REWRITES those
+      // files mid-stream (measured: FAILED_READ_FILE on the batch after
+      // a fold). Truncation makes the cached generation independent of
+      // artifact layout, the same contract extend() already gives the
+      // deltas; the first join would have materialized the frames
+      // anyway.
+      build.map(f => Vector(f.localCheckpoint(true)))
     }).map(_.reduce(_ unionByName _))
   }
 

@@ -120,4 +120,29 @@ class DedupRouteSpec extends SparkSpec {
     assert(clustersUnder("lsh") === Seq((0L, 0L), (1L, 1L)),
       "verified-Jaccard route: J ~= 0.737 < 0.8 keeps them apart — the intended criterion difference")
   }
+
+  test("dedup_simhash routed 64-bit tier: verbatim copy caught at Hamming 0, unrelated docs pair-free, bounded list") {
+    val d = tmpDir("graft-sh64route")
+    // 12 mutually-unrelated 120-token docs + a verbatim re-id'd copy of
+    // doc 0 (id 12) — identical shingle set ⇒ identical 64-bit sig ⇒
+    // Hamming 0, caught with probability 1 (shares every band)
+    def text(seed: Long) = (0 until 120).map(j => s"u${seed * 131 + j * 7919}").mkString(" ")
+    val rows = (0L until 12L).map(i => (i, text(i))) :+ ((12L, text(0)))
+    import spark.implicits._
+    rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("src0")).withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$d/documents.parquet")
+    def pairsUnder(route: String) = {
+      spark.conf.set(DedupQueries.RouteKey, route)
+      try graft.SparkEntry.queries("dedup_simhash")(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      finally spark.conf.unset(DedupQueries.RouteKey)
+    }
+    val routed = pairsUnder("lsh") // forces the > 100k-doc 64-bit tier
+    assert(routed === Seq((0L, 12L, 0L)),
+      "the 64-bit tier reports exactly the verbatim pair — no false Hamming-<=3 edges among unrelated docs")
+    val exact = pairsUnder("exact") // the oracle-replayed 32-bit tier
+    assert(exact.exists { case (a, b, h) => a == 0L && b == 12L && h == 0L },
+      "the 32-bit tier also sees the verbatim pair at Hamming 0")
+  }
 }

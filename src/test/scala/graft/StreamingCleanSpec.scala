@@ -228,6 +228,43 @@ class StreamingCleanSpec extends SparkSpec {
       "…and the txn cursor advanced — the empty commit is still a commit")
   }
 
+  test("self-triggering compaction: the admit loop folds the sigs LSM past the file floor, exactly-once intact") {
+    val owned = tmpDir("graft-admit-cpt-owned")
+    baseCorpus.toDF("doc_id", "text").write.mode("overwrite").parquet(owned)
+    val idx = tmpDir("graft-admit-cpt-idx")
+    TextIndex.build(spark, StreamingClean.ownedCorpus(spark, owned), idx)
+    val vdir = tmpDir("graft-admit-cpt-verdicts")
+    def sigsFiles(): Int = new java.io.File(s"$idx/sigs")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val before = graft.extensions.TextIndex.compactCount.get()
+    spark.conf.set(StreamingClean.CompactMinFilesKey, "3")
+    try {
+      // six 1-file novel batches: the sigs table accumulates append
+      // deltas until the floor (3 files) is crossed, then admitBatch
+      // itself folds the LSM — no nightly cron involved
+      for (b <- 0 until 6) {
+        StreamingClean.admitBatch(spark,
+          Seq((1000L + b, goodText(s"cpt$b"), "en", new java.sql.Timestamp(b * 1000L)))
+            .toDF("doc_id", "text", "lang", "ingest_ts").coalesce(1),
+          owned, idx, vdir, "cpt-app", b.toLong)
+      }
+    } finally spark.conf.unset(StreamingClean.CompactMinFilesKey)
+    assert(graft.extensions.TextIndex.compactCount.get() > before,
+      "the loop self-triggered at least one compaction")
+    assert(sigsFiles() <= 4, s"the folded sigs table is back near its size target: ${sigsFiles()} files")
+    // the compaction preserved content + certification: every admitted
+    // doc is still indexed exactly once and the fingerprint matches
+    assert(TextIndex.readSigs(spark, idx).count() === 26L, "20 seed + 6 admitted, no loss, no dup")
+    assert(TextIndex.verify(spark, idx, StreamingClean.ownedCorpus(spark, owned)),
+      "fingerprint still matches the grown corpus after the fold")
+    // replay of an already-compacted batch is still a no-op
+    StreamingClean.admitBatch(spark,
+      Seq((1000L, goodText("cpt0"), "en", new java.sql.Timestamp(0L)))
+        .toDF("doc_id", "text", "lang", "ingest_ts"),
+      owned, idx, vdir, "cpt-app", 0L)
+    assert(TextIndex.readSigs(spark, idx).count() === 26L, "exactly-once survives the fold")
+  }
+
   test("an absent or uncertified index is a hard error, not a silent pass-through") {
     val err = intercept[IllegalArgumentException] {
       StreamingClean.verdicts(spark, tmpDir("graft-sclean-nosrc"),
