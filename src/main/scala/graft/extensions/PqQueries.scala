@@ -80,11 +80,46 @@ object PqQueries {
     "CAST(floor(((graft_dot(sv, sv) - 2 * graft_dot(sv, cv)) + graft_dot(cv, cv)) " +
       "* 1000000 + 0.5D) AS BIGINT)")
 
+  /** The codebook frame as the nested [sub][code] literal the one-pass
+    * expressions consume — None when the frame is not the contiguous
+    * default scheme (callers fall back to the join form, which handles
+    * any (sub, code) set). Bounded: M×KSUB rows. */
+  private def cbLiteral(cb: DataFrame): Option[org.apache.spark.sql.Column] = {
+    val rows = cb.select("sub", "code", "cv").collect()
+    val bySub = rows.groupBy(_.getLong(0))
+    if (bySub.keySet != (0L until M).map(identity).toSet) return None
+    val nested = (0 until M).map { s =>
+      val entries = bySub(s.toLong).map(r => r.getLong(1) -> r.getSeq[Double](2)).toMap
+      if (entries.keySet != (0L until KSUB).map(identity).toSet) return None
+      (0 until KSUB).map(c => entries(c.toLong).toSeq)
+    }
+    Some(typedlit(nested))
+  }
+
+  /** (vec_id, sub, sv, code) — the training shape: the code column is
+    * ONE codegen'd per-row argmin ([[graft.functions.PqCodeOps]]),
+    * bit-identical to the broadcast-join + max_by form (same integer
+    * micro-distances, same lowest-code tiebreak — PqSpec pins it), with
+    * no n·M-row shuffle and no join back to sv for the update step. */
+  private def withCode(sv: DataFrame, cb: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(sv.sparkSession)
+    cbLiteral(cb) match {
+      case Some(l) =>
+        sv.withColumn("code", call_function("graft_pq_code", col("sv"), col("sub"), l))
+      case None =>
+        assignCodesJoin(sv, cb).join(sv, Seq("vec_id", "sub"))
+    }
+  }
+
   /** Nearest-code assignment per (vector, subspace): min micro-distance,
-    * lowest-code tiebreak. Partial-aggregating max_by, not a window
-    * (the assignCells lesson — one candidate per map partition reaches
-    * the shuffle, not KSUB rows per vector). */
+    * lowest-code tiebreak — the one-pass expression form. */
   private[graft] def assignCodes(sv: DataFrame, cb: DataFrame): DataFrame =
+    withCode(sv, cb).select("vec_id", "sub", "code")
+
+  /** The round-9 broadcast-join + partial-aggregating max_by form — the
+    * equivalence reference PqSpec pins the expression against, and the
+    * fallback for non-default codebook schemes. */
+  private[graft] def assignCodesJoin(sv: DataFrame, cb: DataFrame): DataFrame =
     sv.join(broadcast(cb), "sub")
       .withColumn("d2m", d2micro)
       .groupBy("vec_id", "sub")
@@ -92,11 +127,22 @@ object PqQueries {
 
   /** Packed per-vector PQ code (vec_id, pq): the 8 four-bit codes as one
     * BIGINT — the 4-byte artifact the AnnIndex persists per vector.
-    * 16^sub is exact in double, so the CAST is exact in both engines. */
-  private[graft] def packedCodes(e: DataFrame, cb: DataFrame): DataFrame =
-    assignCodes(subvectors(e), cb)
-      .groupBy("vec_id")
-      .agg(expr("sum(code * CAST(pow(16, sub) AS BIGINT))").as("pq"))
+    * 16^sub is exact in double, so the CAST is exact in both engines.
+    * One map-side expression per vector (normalize, slice, 8 argmins,
+    * integer pack) — the ingest path that wrote 80M exploded rows
+    * through two shuffles at 10M vectors now writes none. */
+  private[graft] def packedCodes(e: DataFrame, cb: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(e.sparkSession)
+    cbLiteral(cb) match {
+      case Some(l) =>
+        e.select(col("vec_id"),
+          call_function("graft_pq_pack", col("v"), col("norm"), l).as("pq"))
+      case None =>
+        assignCodesJoin(subvectors(e), cb)
+          .groupBy("vec_id")
+          .agg(expr("sum(code * CAST(pow(16, sub) AS BIGINT))").as("pq"))
+    }
+  }
 
   /** Packed → (vec_id, sub, code) rows — the shape ADC consumes.
     * Map-side arithmetic only (PqSpec pins the round-trip). */
@@ -134,15 +180,22 @@ object PqQueries {
     * center — the measured recall-0.13 blind spot on single-level
     * clustered corpora (BASELINE.md round-9 IVF-PQ row). `cent` is the
     * coarse quantizer (clabel, cv, cnorm); `assigned` maps vec_id →
-    * cell. The decomposition is EXACT: û = c + r, so q̂·û = q̂·c + q̂·r
-    * — scoring adds the (query, cell) centroid term to the residual
-    * ADC sum, both in integer micro-units. */
+    * cell. The decomposition is EXACT: û = ĉ + r with the UNIT
+    * centroid ĉ = cv/cnorm, so q̂·û = q̂·ĉ + q̂·r — scoring adds the
+    * (query, cell) unit-centroid term to the residual ADC sum, both in
+    * integer micro-units. */
   private[graft] def residualSubvectors(e: DataFrame, cent: DataFrame,
                                         assigned: DataFrame): DataFrame =
     e.withColumn("u", expr("transform(v, x -> x / norm)"))
       .join(assigned, "vec_id")
-      .join(broadcast(cent.select(col("clabel").as("cell"), col("cv"))), "cell")
-      .withColumn("r", expr("zip_with(u, cv, (a, b) -> a - b)"))
+      // residual against the UNIT centroid ĉ = cv/cnorm — û lives on
+      // the unit sphere, so only the normalized centroid leaves a
+      // per-cell-small residual (against raw cv the residual is
+      // ≈ −(1 − 1/‖cv‖)·cv: cell-sized again, measured no-lift in
+      // VectorScaleSmoke respq before this normalization)
+      .join(broadcast(cent.select(col("clabel").as("cell"),
+        expr("transform(cv, x -> x / cnorm)").as("chat"))), "cell")
+      .withColumn("r", expr("zip_with(u, chat, (a, b) -> a - b)"))
       .select(col("vec_id"), explode(expr(s"sequence(0, ${M - 1})")).as("sub"), col("r"))
       .withColumn("sv", expr(s"slice(r, sub * $DSUB + 1, $DSUB)"))
       .select(col("vec_id"), col("sub").cast("long").as("sub"), col("sv"))
@@ -214,7 +267,8 @@ object PqQueries {
           r.getSeq[Double](r.fieldIndex("sv"))))
         .sortBy(c => (c._1, c._2))
       for (_ <- 1 to ITERS) {
-        val means = assignCodes(sv, cbFrame(s, cb)).join(sv, Seq("vec_id", "sub"))
+        // one-pass code column — no assign-shuffle, no join back to sv
+        val means = withCode(sv, cbFrame(s, cb))
           .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
           .groupBy("sub", "code", "dim").agg(round(avg("x"), 6).as("cx"))
           .groupBy("sub", "code")
@@ -625,8 +679,8 @@ object PqQueries {
         .withColumn("u", expr("transform(v, x -> x / norm)"))
         .select(col("vec_id").as("query_id"), col("u"))
         .crossJoin(broadcast(cent))
-        .withColumn("qc_micro",
-          expr("CAST(floor(graft_dot(u, cv) * 1000000 + 0.5D) AS BIGINT)"))
+        .withColumn("qc_micro", // q̂ · ĉ = q̂·cv / cnorm — the exact term of û = ĉ + r
+          expr("CAST(floor(graft_dot(u, cv) / cnorm * 1000000 + 0.5D) AS BIGINT)"))
         .select(col("query_id"), col("clabel").as("cell"), col("qc_micro"))
       val w = Window.partitionBy("query_id").orderBy(col("adc_micro").desc, col("neighbor_id"))
       cand.join(rcodes, "neighbor_id")
@@ -652,7 +706,7 @@ object PqQueries {
          |  SELECT vec_id, clabel AS cell FROM rk WHERE rk = 1
          |), ru AS (
          |  SELECT e.vec_id,
-         |         list_transform(generate_series(1, ${M * DSUB}), i -> (e.v[i] / e.norm) - c.cv[i]) AS r
+         |         list_transform(generate_series(1, ${M * DSUB}), i -> (e.v[i] / e.norm) - (c.cv[i] / c.cnorm)) AS r
          |  FROM e JOIN assigned a ON a.vec_id = e.vec_id JOIN c$ki c ON c.clabel = a.cell
          |), rsv0 AS (
          |  SELECT vec_id, g.s AS sub, (r)[(g.s * $DSUB + 1):(g.s * $DSUB + $DSUB)] AS sv
@@ -669,7 +723,7 @@ object PqQueries {
          |  FROM qsv q JOIN rc$ITERS c ON q.sub = c.sub
          |), qcell AS (
          |  SELECT u.query_id, c.clabel AS cell,
-         |         CAST(floor(list_dot_product(u.u, c.cv) * 1000000 + 0.5) AS BIGINT) AS qc_micro
+         |         CAST(floor(list_dot_product(u.u, c.cv) / c.cnorm * 1000000 + 0.5) AS BIGINT) AS qc_micro
          |  FROM qu u CROSS JOIN c$ki c
          |), probes AS (
          |  SELECT vec_id AS query_id, clabel AS cell FROM rk

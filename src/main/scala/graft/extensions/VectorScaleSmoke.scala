@@ -174,6 +174,143 @@ object VectorScaleSmoke {
       return
     }
 
+    // ---- "respq" mode: residual vs direct PQ raw-ADC recall A/B on
+    // the SINGLE-LEVEL clustered geometry that collapsed direct 4-bit
+    // ADC to recall 0.13 (BASELINE.md round-9 IVF-PQ row) — every
+    // vector = its cluster center + small noise, so direct codes all
+    // quantize onto the shared center while residual codes (IVFADC:
+    // quantize û − centroid) spend the 16 levels on the within-cell
+    // noise structure. Both sides score the WHOLE corpus by ADC (no
+    // IVF pruning, no rerank) — isolating exactly the encoding's
+    // resolution. runMain … VectorScaleSmoke 1000000 respq
+    if (args.length > 1 && args(1) == "respq") {
+      val CLUSTERS = 250
+      // THE round-9 blind-spot geometry: single-level clusters + noise.
+      // Every in-cell vector direct-codes onto the shared center, so
+      // direct ADC carries the cluster-level quantization error in
+      // every score AND cannot rank within a cell. Residual encoding
+      // removes the cluster term exactly (score = exact q̂·ĉ + ADC of
+      // the noise-scale residual) — the A/B below measures both the
+      // DISTORTION (mean |ADC − exact| over all query×corpus pairs,
+      // the number a deployment reads before trusting compressed
+      // scores) and top-10 recall.
+      val clusterCol = pmod(col("vec_id"), lit(CLUSTERS.toLong))
+      val vDims = (0 until DIMS).map { j =>
+        lit(0.8) * (pmod(xxhash64(lit("c"), clusterCol, lit(j)), lit(2000L)) / 1000.0 - 1.0) +
+          lit(0.3) * (pmod(xxhash64(lit("n"), col("vec_id"), lit(j)), lit(2000L)) / 1000.0 - 1.0)
+      }
+      val raw = spark.range(rows)
+        .select(col("id").as("vec_id"), array(vDims: _*).as("embedding"),
+          clusterCol.cast("int").as("label"))
+      val e = SimilarityQueries.prep(spark, raw).persist()
+      time(f"materialize $rows%,d single-level clustered vectors ($CLUSTERS clusters)")(e.count())
+      val q = e.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+      // exact cosine for EVERY (query, vector) pair — the truth surface
+      // both the recall sets and the distortion averages read
+      val exactAll = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("exact_micro", expr(
+          "CAST(floor(graft_dot(v, qv) / (norm * qnorm) * 1000000 + 0.5D) AS BIGINT)"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("exact_micro"))
+        .persist()
+      val brute = time(s"brute-force top-$K truth for $N_QUERIES queries (${rows * N_QUERIES} dots)") {
+        exactAll
+          .withColumn("cos_sim", col("exact_micro"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K)
+          .select("query_id", "neighbor_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      // coarse quantizer: label centroids (cheap, deterministic — the
+      // ivfpq-mode precedent); cells via the one-pass expression
+      val cent = SimilarityQueries.quantizer(spark, raw).persist()
+      cent.count()
+      val assigned = time("assignCells over the corpus (one-pass NearestCellExpr)") {
+        val a = SimilarityQueries.assignCells(e, cent).persist(); a.count(); a
+      }
+      val wAdc = Window.partitionBy("query_id").orderBy(col("adc_micro").desc, col("neighbor_id"))
+      // (recall@K, mean |ADC − exact| in micro) of a full-corpus ADC frame
+      def statsOf(adc: org.apache.spark.sql.DataFrame): (Double, Double) = {
+        val a = adc.persist()
+        try {
+          val got = a.withColumn("rank", row_number().over(wAdc))
+            .filter(col("rank") <= K)
+            .select("query_id", "neighbor_id")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          val err = a.join(exactAll, Seq("query_id", "neighbor_id"))
+            .agg(avg(abs(col("adc_micro") - col("exact_micro")))).head().getDouble(0)
+          (got.intersect(brute).size.toDouble / brute.size, err)
+        } finally a.unpersist()
+      }
+      // DIRECT PQ: unit-subvector codebooks + whole-corpus ADC
+      val dcb = time("direct PQ training (per-subspace Lloyd)")(
+        PqQueries.pqCodebooks(spark, raw.drop("label")))
+      val dcodes = PqQueries.assignCodes(PqQueries.subvectors(e), dcb)
+        .withColumnRenamed("vec_id", "neighbor_id")
+      val dlut = PqQueries.subvectors(e.filter(col("vec_id") < N_QUERIES))
+        .join(broadcast(dcb), "sub")
+        .withColumn("lut_micro",
+          expr("CAST(floor(graft_dot(sv, cv) * 1000000 + 0.5D) AS BIGINT)"))
+        .select(col("vec_id").as("query_id"), col("sub"), col("code"), col("lut_micro"))
+      val (directRecall, directErr) = time(s"direct raw-ADC top-$K + distortion over the whole corpus") {
+        statsOf(dcodes
+          .join(broadcast(dlut), Seq("sub", "code"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .groupBy("query_id", "neighbor_id")
+          .agg(sum("lut_micro").as("adc_micro")))
+      }
+      println(f"[vscale] DIRECT raw-ADC at $rows%,d clustered vectors: recall@$K $directRecall%.3f, " +
+        f"mean |ADC − exact| ${directErr / 1e6}%.6f")
+      // RESIDUAL PQ: codebooks over û − centroid(cell); score = exact
+      // (query, cell) term + residual ADC (the sim_ivfpq_res math)
+      val rcb = time("residual PQ training (Lloyd over û − centroid)")(
+        PqQueries.pqResCodebooks(spark, raw.drop("label"), cent, assigned))
+      val rcodes = PqQueries.assignCodes(
+          PqQueries.residualSubvectors(e, cent, assigned), rcb)
+        .withColumnRenamed("vec_id", "neighbor_id")
+      val rlut = PqQueries.subvectors(e.filter(col("vec_id") < N_QUERIES))
+        .join(broadcast(rcb), "sub")
+        .withColumn("lut_micro",
+          expr("CAST(floor(graft_dot(sv, cv) * 1000000 + 0.5D) AS BIGINT)"))
+        .select(col("vec_id").as("query_id"), col("sub"), col("code"), col("lut_micro"))
+      val qcell = e.filter(col("vec_id") < N_QUERIES)
+        .withColumn("u", expr("transform(v, x -> x / norm)"))
+        .select(col("vec_id").as("query_id"), col("u"))
+        .crossJoin(broadcast(cent))
+        .withColumn("qc_micro", // q̂ · ĉ — the exact term of û = ĉ + r
+          expr("CAST(floor(graft_dot(u, cv) / cnorm * 1000000 + 0.5D) AS BIGINT)"))
+        .select(col("query_id"), col("clabel").as("cell"), col("qc_micro"))
+      val (residualRecall, residualErr) = time(s"residual raw-ADC top-$K + distortion over the whole corpus") {
+        statsOf(rcodes
+          .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+          .join(broadcast(rlut), Seq("sub", "code"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .groupBy("query_id", "neighbor_id", "cell")
+          .agg(sum("lut_micro").as("radc_micro"))
+          .join(broadcast(qcell), Seq("query_id", "cell"))
+          .select(col("query_id"), col("neighbor_id"),
+            (col("qc_micro") + col("radc_micro")).as("adc_micro")))
+      }
+      println(f"[vscale] RESIDUAL raw-ADC at $rows%,d clustered vectors: recall@$K $residualRecall%.3f, " +
+        f"mean |ADC − exact| ${residualErr / 1e6}%.6f")
+      println(f"[vscale] RESPQ A/B: distortion ${directErr / residualErr}%.1f× lower with residuals " +
+        f"(${directErr / 1e6}%.6f → ${residualErr / 1e6}%.6f), recall $directRecall%.3f → $residualRecall%.3f")
+      // The distortion gate is the primary contract: the exact cell
+      // term removes the cluster-level quantization error from every
+      // score. Top-10 recall on this geometry is noise-ranking inside a
+      // ~rows/250-member cell — hard for ANY 4-bit code — so it gates
+      // only on "residuals never regress it".
+      assert(residualErr * 2 <= directErr,
+        f"residual encoding must at least halve ADC distortion on the clustered geometry: " +
+          f"direct ${directErr / 1e6}%.6f vs residual ${residualErr / 1e6}%.6f")
+      assert(residualRecall >= directRecall - 0.02,
+        f"residuals must not regress recall: $residualRecall%.3f vs $directRecall%.3f")
+      spark.stop()
+      return
+    }
+
     // deterministic synthetic vectors via integer hashing — 64 codegen'd
     // column expressions, no RNG, no interpreted lambdas in the hot path
     val dimCols = (0 until DIMS).map { j =>

@@ -246,9 +246,19 @@ object SimHash64Expr {
   * doubles shipped once per task in the plan).
   */
 case class NearestCellExpr(vec: Expression, norm: Expression,
-                           labels: Array[Long], cvs: Array[Array[Double]],
-                           cnorms: Array[Double])
+                           labels: Seq[Long], cvs: Seq[Seq[Double]],
+                           cnorms: Seq[Double])
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  // Seq fields, NOT arrays: case-class equality on Array compares
+  // references, so two builds of the same query would never
+  // canonicalize equal and the cacheManager would re-persist every
+  // downstream memo per invocation (measured: CacheHygieneSpec grew
+  // 2 entries per pass). Structural Seq equality keeps plan dedupe;
+  // the transient lazy arrays below keep the per-row loop allocation-free.
+  @transient private lazy val labelsArr: Array[Long] = labels.toArray
+  @transient private lazy val cvsArr: Array[Array[Double]] = cvs.map(_.toArray).toArray
+  @transient private lazy val cnormsArr: Array[Double] = cnorms.toArray
+
   override def left: Expression = vec
   override def right: Expression = norm
   override def dataType: DataType = org.apache.spark.sql.types.LongType
@@ -262,12 +272,12 @@ case class NearestCellExpr(vec: Expression, norm: Expression,
 
   override def nullSafeEval(v: Any, n: Any): Any =
     NearestCellExpr.compute(v.asInstanceOf[ArrayData], n.asInstanceOf[Double],
-      labels, cvs, cnorms)
+      labelsArr, cvsArr, cnormsArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val l = ctx.addReferenceObj("ncLabels", labels, "long[]")
-    val c = ctx.addReferenceObj("ncCvs", cvs, "double[][]")
-    val n = ctx.addReferenceObj("ncNorms", cnorms, "double[]")
+    val l = ctx.addReferenceObj("ncLabels", labelsArr, "long[]")
+    val c = ctx.addReferenceObj("ncCvs", cvsArr, "double[][]")
+    val n = ctx.addReferenceObj("ncNorms", cnormsArr, "double[]")
     val cls = NearestCellExpr.getClass.getName // graft.functions.NearestCellExpr$
     defineCodeGen(ctx, ev, (v, nm) => s"$cls.MODULE$$.compute($v, $nm, $l, $c, $n)")
   }
@@ -333,6 +343,148 @@ object NearestCellExpr {
     }
     bestLabel
   }
+}
+
+/** Product-quantization code assignment in ONE map-side pass — the
+  * [[NearestCellExpr]] of the PQ family. The join form (explode M
+  * subvector rows per vector → broadcast-join M×KSUB codebook rows →
+  * per-(vector, subspace) micro-distance argmin → shuffle) moves
+  * n·M rows through an exchange just to reduce them; at 10M vectors
+  * that is 80M-row shuffles in AnnIndex.build AND per Lloyd iteration.
+  * These helpers compute the identical integer-micro argmin
+  * (`floor(((sv·sv − 2·sv·cv) + cv·cv)·1e6 + 0.5)`, lowest-code
+  * tiebreak — exact integer comparisons, no rounding subtleties) in a
+  * per-row loop. [[PqCodeExpr]] yields one subspace's code for
+  * (sv, sub) rows (the training/update shape); [[PqPackExpr]] yields
+  * the whole packed BIGINT (Σ code·16^sub) straight from (v, norm) —
+  * the ingest path never explodes at all.
+  */
+object PqCodeOps {
+  /** d2-micro argmin over one subspace's codebook; `sv` is the raw
+    * 8-dim slice. cvs(code) = centroid, cvv(code) = its precomputed
+    * self-dot (the same deterministic double the join form computes
+    * per row). */
+  def codeFor(sv: Array[Double], cvs: Array[Array[Double]], cvv: Array[Double]): Long = {
+    var svv = 0.0
+    var j = 0
+    while (j < sv.length) { svv += sv(j) * sv(j); j += 1 }
+    var best = Long.MaxValue
+    var bestCode = 0
+    var c = 0
+    while (c < cvs.length) {
+      val cv = cvs(c)
+      var dot = 0.0
+      j = 0
+      while (j < sv.length) { dot += sv(j) * cv(j); j += 1 }
+      val d2m = math.floor(((svv - 2 * dot) + cvv(c)) * 1000000 + 0.5).toLong
+      if (d2m < best) { best = d2m; bestCode = c } // ascending c ⇒ ties keep the lowest code
+      c += 1
+    }
+    bestCode.toLong
+  }
+
+  def code(sv: ArrayData, sub: Long,
+           cvs: Array[Array[Array[Double]]], cvv: Array[Array[Double]]): Long =
+    codeFor(sv.toDoubleArray(), cvs(sub.toInt), cvv(sub.toInt))
+
+  /** Literal array<array<array<double>>> → nested Seqs (the structural-
+    * equality form the expressions hold — see [[NearestCellExpr]]'s
+    * Array-equality note). */
+  def fromLiteral(e: Expression): Seq[Seq[Seq[Double]]] = {
+    val outer = e.eval(null).asInstanceOf[ArrayData]
+    (0 until outer.numElements()).map { s =>
+      val mid = outer.getArray(s)
+      (0 until mid.numElements()).map(c => mid.getArray(c).toDoubleArray().toSeq)
+    }
+  }
+
+  /** cvv(s)(c) = the sequential self-dot — the identical double
+    * graft_dot(cv, cv) yields. */
+  def selfDots(cvs: Array[Array[Array[Double]]]): Array[Array[Double]] =
+    cvs.map(_.map { cv =>
+      var d = 0.0; var j = 0
+      while (j < cv.length) { d += cv(j) * cv(j); j += 1 }
+      d
+    })
+
+  def pack(v: ArrayData, norm: Double,
+           cvs: Array[Array[Array[Double]]], cvv: Array[Array[Double]]): Long = {
+    val raw = v.toDoubleArray()
+    val u = new Array[Double](raw.length)
+    var i = 0
+    while (i < raw.length) { u(i) = raw(i) / norm; i += 1 }
+    val m = cvs.length
+    val dsub = raw.length / m
+    val sv = new Array[Double](dsub)
+    var packed = 0L
+    var s = 0
+    while (s < m) {
+      System.arraycopy(u, s * dsub, sv, 0, dsub)
+      packed += codeFor(sv, cvs(s), cvv(s)) << (4 * s) // 16^s exact
+      s += 1
+    }
+    packed
+  }
+}
+
+/** (sv, sub) → 4-bit code against literal codebooks. */
+case class PqCodeExpr(sv: Expression, sub: Expression,
+                      cvs: Seq[Seq[Seq[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  @transient private lazy val cvsArr: Array[Array[Array[Double]]] =
+    cvs.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val cvvArr: Array[Array[Double]] = PqCodeOps.selfDots(cvsArr)
+  override def left: Expression = sv
+  override def right: Expression = sub
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (sv.dataType, sub.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.DoubleType, _), org.apache.spark.sql.types.LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_code expects (array<double>, bigint), got $t")
+    }
+  override def nullSafeEval(s: Any, b: Any): Any =
+    PqCodeOps.code(s.asInstanceOf[ArrayData], b.asInstanceOf[Long], cvsArr, cvvArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = ctx.addReferenceObj("pqCvs", cvsArr, "double[][][]")
+    val n = ctx.addReferenceObj("pqCvv", cvvArr, "double[][]")
+    val cls = PqCodeOps.getClass.getName // graft.functions.PqCodeOps$
+    defineCodeGen(ctx, ev, (s, b) => s"$cls.MODULE$$.code($s, $b, $c, $n)")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(sv = newLeft, sub = newRight)
+  override def prettyName: String = "graft_pq_code"
+}
+
+/** (v, norm) → packed BIGINT of all M codes against literal codebooks. */
+case class PqPackExpr(vec: Expression, norm: Expression,
+                      cvs: Seq[Seq[Seq[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  @transient private lazy val cvsArr: Array[Array[Array[Double]]] =
+    cvs.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val cvvArr: Array[Array[Double]] = PqCodeOps.selfDots(cvsArr)
+  override def left: Expression = vec
+  override def right: Expression = norm
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (vec.dataType, norm.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.DoubleType, _), org.apache.spark.sql.types.DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_pack expects (array<double>, double), got $t")
+    }
+  override def nullSafeEval(v: Any, n: Any): Any =
+    PqCodeOps.pack(v.asInstanceOf[ArrayData], n.asInstanceOf[Double], cvsArr, cvvArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = ctx.addReferenceObj("pqCvs", cvsArr, "double[][][]")
+    val n = ctx.addReferenceObj("pqCvv", cvvArr, "double[][]")
+    val cls = PqCodeOps.getClass.getName
+    defineCodeGen(ctx, ev, (v, nm) => s"$cls.MODULE$$.pack($v, $nm, $c, $n)")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(vec = newLeft, norm = newRight)
+  override def prettyName: String = "graft_pq_pack"
 }
 
 /** Single-pass MinHash signature over an array of shingle strings:
@@ -445,12 +597,16 @@ object VectorFunctions {
     // are folded into the expression at build time (the Md5Prefix64
     // pattern), so the per-row signature is just (vec, norm)
     "graft_nearest_cell" -> (exprs => {
-      val labels = exprs(2).eval(null).asInstanceOf[ArrayData].toLongArray()
+      val labels = exprs(2).eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
       val cvsAd = exprs(3).eval(null).asInstanceOf[ArrayData]
-      val cvs = Array.tabulate(cvsAd.numElements())(i => cvsAd.getArray(i).toDoubleArray())
-      val cnorms = exprs(4).eval(null).asInstanceOf[ArrayData].toDoubleArray()
+      val cvs = (0 until cvsAd.numElements()).map(i => cvsAd.getArray(i).toDoubleArray().toSeq)
+      val cnorms = exprs(4).eval(null).asInstanceOf[ArrayData].toDoubleArray().toSeq
       NearestCellExpr(exprs(0), exprs(1), labels, cvs, cnorms)
     }),
+    "graft_pq_code" -> (exprs =>
+      PqCodeExpr(exprs(0), exprs(1), PqCodeOps.fromLiteral(exprs(2)))),
+    "graft_pq_pack" -> (exprs =>
+      PqPackExpr(exprs(0), exprs(1), PqCodeOps.fromLiteral(exprs(2)))),
   )
 
   def register(spark: SparkSession): Unit = {

@@ -29,6 +29,21 @@ class PqSpec extends SparkSpec {
     assert(bad.count() === 0L, "an assigned code must attain the minimal micro-distance")
   }
 
+  test("one-pass code expression ≡ broadcast-join + max_by form, codes AND packed") {
+    val cb = PqQueries.pqCodebooks(spark, rawEmb)
+    val sv = PqQueries.subvectors(prepped)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m(PqQueries.assignCodes(sv, cb)) === m(PqQueries.assignCodesJoin(sv, cb)),
+      "expression codes must be bit-identical to the join form (same micro argmin + tiebreak)")
+    val packedExpr = PqQueries.packedCodes(prepped, cb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val packedJoin = PqQueries.assignCodesJoin(sv, cb)
+      .groupBy("vec_id").agg(expr("sum(code * CAST(pow(16, sub) AS BIGINT))").as("pq"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packedExpr === packedJoin, "one-pass packing equals the exploded sum")
+  }
+
   test("trained codebooks strictly reduce total distortion vs the seed codebook (Lloyd monotonicity)") {
     val sv = PqQueries.subvectors(prepped).cache()
     // the seed codebook, rebuilt by the training rule: md5(vec_id)-ranked head
