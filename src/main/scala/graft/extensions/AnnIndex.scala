@@ -455,17 +455,34 @@ object AnnIndex {
     * the oracle-gated queries reproduce); an explicit value is the
     * retune knob ([[quantizerHealth]] → grown k). Ignored for labeled
     * corpora (their cell count IS the label count). */
+  /** Session conf key: when "true", [[build]] prints a per-component
+    * wall-clock breakdown (fingerprint / quantizer / PQ training /
+    * codes pass) — the [[TextIndex.TimingConfKey]] analog, so scale
+    * smokes can attribute the ingest cost. */
+  val TimingConfKey = "spark.graft.ann.buildTiming"
+
   def build(spark: SparkSession, raw: DataFrame, dir: String,
             planes: Int = SimilarityQueries.N_PLANES,
             bandBits: Int = 0, kCells: Int = 0): Unit = locked(spark, dir) {
+    val timing = spark.conf.get(TimingConfKey, "false") == "true"
+    def timed[T](name: String)(f: => T): T =
+      if (!timing) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[aindex-build] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
     recoverCompact(spark, dir)
-    val (n, idMin, idMax, idSum, cxor) = fingerprint(raw)
+    val (n, idMin, idMax, idSum, cxor) = timed("fingerprint (1 hash scan)")(fingerprint(raw))
     val bb = if (bandBits > 0) bandBits else advisedBandBits(n, planes)
     require(planes % bb == 0, s"planes ($planes) must be a multiple of bandBits ($bb)")
     val kind = if (raw.columns.contains("label")) "label" else "kmeans"
     TsdbStorage.markStatsOutOfSync(spark, dir)
-    val cent = SimilarityQueries.quantizer(spark, raw, kCells).coalesce(1)
-    cent.write.mode("overwrite").parquet(centroidsPath(dir))
+    timed(s"quantizer ($kind centroids, corpus aggregation + write)") {
+      val cent = SimilarityQueries.quantizer(spark, raw, kCells).coalesce(1)
+      cent.write.mode("overwrite").parquet(centroidsPath(dir))
+    }
     // cell count from the WRITTEN centroids (k rows), not a second
     // evaluation of the quantizer frame — on the label path that frame
     // is a full-corpus aggregation and counting it first would pay the
@@ -475,16 +492,42 @@ object AnnIndex {
     // PQ component: per-subspace codebooks trained from this corpus
     // (the memoized deterministic Lloyd — label-independent), frozen
     // like the centroids; per-vector packed codes ride the codes table
-    PqQueries.pqCodebooks(spark, raw.drop("label"))
-      .coalesce(1).write.mode("overwrite").parquet(pqPath(dir))
+    timed(s"PQ codebooks (${PqQueries.ITERS}-iter per-subspace Lloyd + write)") {
+      PqQueries.pqCodebooks(spark, raw.drop("label"))
+        .coalesce(1).write.mode("overwrite").parquet(pqPath(dir))
+    }
     writeMeta(spark, dir, AnnMeta(planes, bb, n, idMin, idMax, idSum, cxor, kind, "", -1L, k,
       pqM = PqQueries.M))
     val e = SimilarityQueries.prep(spark, raw)
-    SimilarityQueries.srpCoded(e, planes).select("vec_id", "code")
-      .join(SimilarityQueries.assignCells(e, readCentroids(spark, dir)), "vec_id")
-      .join(PqQueries.packedCodes(e, readPqCodebooks(spark, dir)), "vec_id")
-      .write.mode("overwrite").parquet(codesPath(dir))
+    timed("codes (ONE projection: SRP + cell + packed PQ, map-side write)") {
+      codesFrame(e, planes, readCentroids(spark, dir), Some(readPqCodebooks(spark, dir)))
+        .write.mode("overwrite").parquet(codesPath(dir))
+    }
     TsdbStorage.markStatsInSync(spark, dir)
+  }
+
+  /** The per-vector code table (vec_id, code, cell[, pq]) in ONE
+    * corpus projection — SRP code, nearest cell, and packed PQ are all
+    * map-side expressions now, so the round-9 three-frame join (two
+    * corpus-sized shuffles at 10M vectors) reduces to a single pass
+    * over (v, norm). Falls back to the join form only for a foreign
+    * (non-default) PQ scheme, where the pack column is unavailable. */
+  private def codesFrame(e: DataFrame, planes: Int, cents: DataFrame,
+                         cb: Option[DataFrame]): DataFrame = {
+    val coded = SimilarityQueries.srpCoded(e, planes)
+    val cellCol = SimilarityQueries.nearestCellCol(cents)
+    cb match {
+      case Some(b) => PqQueries.packCol(b) match {
+        case Some(p) =>
+          coded.select(col("vec_id"), col("code"), cellCol.as("cell"), p.as("pq"))
+        case None => // foreign scheme: the always-correct join form
+          coded.select("vec_id", "code")
+            .join(SimilarityQueries.assignCells(e, cents), "vec_id")
+            .join(PqQueries.packedCodes(e, b), "vec_id")
+      }
+      case None =>
+        coded.select(col("vec_id"), col("code"), cellCol.as("cell"))
+    }
   }
 
   /** Incrementally index appended vectors: SRP codes are per-vector
@@ -512,15 +555,11 @@ object AnnIndex {
     val planes = m.planes // code with the index's own scheme
     TsdbStorage.markStatsOutOfSync(spark, dir)
     val e = SimilarityQueries.prep(spark, rawNew)
-    val base = SimilarityQueries.srpCoded(e, planes).select("vec_id", "code")
-      .join(SimilarityQueries.assignCells(e, readCentroids(spark, dir)), "vec_id")
     // PQ codes against the FROZEN codebooks (the centroid rule); a
     // legacy pre-PQ index keeps its schema — mixing would corrupt reads
-    val withPq =
-      if (m.pqM == PqQueries.M)
-        base.join(PqQueries.packedCodes(e, readPqCodebooks(spark, dir)), "vec_id")
-      else base
-    withPq.write.mode("append").parquet(codesPath(dir))
+    codesFrame(e, planes, readCentroids(spark, dir),
+        if (m.pqM == PqQueries.M) Some(readPqCodebooks(spark, dir)) else None)
+      .write.mode("append").parquet(codesPath(dir))
     val grown =
       if (n == 0) m // EMPTY append: an all-zero fingerprint must not fold
         // into min/max (the TextIndex.append rule) — only the cursor moves

@@ -131,17 +131,22 @@ object PqQueries {
     * One map-side expression per vector (normalize, slice, 8 argmins,
     * integer pack) — the ingest path that wrote 80M exploded rows
     * through two shuffles at 10M vectors now writes none. */
-  private[graft] def packedCodes(e: DataFrame, cb: DataFrame): DataFrame = {
-    graft.functions.VectorFunctions.register(e.sparkSession)
-    cbLiteral(cb) match {
-      case Some(l) =>
-        e.select(col("vec_id"),
-          call_function("graft_pq_pack", col("v"), col("norm"), l).as("pq"))
+  private[graft] def packedCodes(e: DataFrame, cb: DataFrame): DataFrame =
+    packCol(cb) match {
+      case Some(p) => e.select(col("vec_id"), p.as("pq"))
       case None =>
         assignCodesJoin(subvectors(e), cb)
           .groupBy("vec_id")
           .agg(expr("sum(code * CAST(pow(16, sub) AS BIGINT))").as("pq"))
     }
+
+  /** The packed code as a COLUMN over any frame carrying (v, norm) —
+    * None for non-default codebook schemes (callers fall back to the
+    * join form). The AnnIndex one-projection codes derivation rides
+    * this next to [[SimilarityQueries.nearestCellCol]]. */
+  private[graft] def packCol(cb: DataFrame): Option[org.apache.spark.sql.Column] = {
+    graft.functions.VectorFunctions.register(cb.sparkSession)
+    cbLiteral(cb).map(l => call_function("graft_pq_pack", col("v"), col("norm"), l))
   }
 
   /** Packed → (vec_id, sub, code) rows — the shape ADC consumes.

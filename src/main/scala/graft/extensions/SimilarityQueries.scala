@@ -399,18 +399,23 @@ object SimilarityQueries {
     * table is k driver-held rows by construction (it IS the quantizer),
     * shipped into the expression as literals — the broadcast analog
     * with zero join machinery. */
-  private[graft] def assignCells(vecs: DataFrame, cent: DataFrame): DataFrame = {
-    graft.functions.VectorFunctions.register(vecs.sparkSession)
+  private[graft] def assignCells(vecs: DataFrame, cent: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), nearestCellCol(cent).as("cell"))
+
+  /** The assignment as a COLUMN over any frame carrying (v, norm) —
+    * what lets AnnIndex derive its whole codes table in one projection
+    * (SRP code + cell + packed PQ are all map-side expressions). */
+  private[graft] def nearestCellCol(cent: DataFrame): org.apache.spark.sql.Column = {
+    graft.functions.VectorFunctions.register(cent.sparkSession)
     val rows = cent.select(col("clabel").cast("long"), col("cv"), col("cnorm").cast("double"))
       .collect() // bounded: k centroid rows (the quantizer is driver-sized)
-    val labels = rows.map(_.getLong(0))
-    val cvs = rows.map(_.getSeq[Double](1).toArray)
-    val cnorms = rows.map(_.getDouble(2))
+    val labels = rows.map(_.getLong(0)).toSeq
+    val cvs = rows.map(_.getSeq[Double](1)).toSeq
+    val cnorms = rows.map(_.getDouble(2)).toSeq
     val labelType = cent.schema("clabel").dataType
-    vecs.select(col("vec_id"),
-      call_function("graft_nearest_cell", col("v"), col("norm"),
-        typedlit(labels), typedlit(cvs.map(_.toSeq)), typedlit(cnorms))
-        .cast(labelType).as("cell"))
+    call_function("graft_nearest_cell", col("v"), col("norm"),
+      typedlit(labels), typedlit(cvs), typedlit(cnorms))
+      .cast(labelType)
   }
 
   /** The round-9 join form of [[assignCells]] — the equivalence

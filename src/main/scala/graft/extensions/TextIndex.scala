@@ -279,32 +279,33 @@ object TextIndex {
     val (n, idMin, idMax, idSum, cxor) = timed("fingerprint (1 hash scan)")(fingerprint(docs))
     TsdbStorage.markStatsOutOfSync(spark, dir)
     writeMeta(spark, dir, TextMeta(numHashes, n, idMin, idMax, idSum, cxor, "", -1L))
-    // ONE tokenizer pass serves both corpus-scan components (round-10):
-    // sigs and postings each re-tokenized the corpus before (two of the
-    // four round-9 components' cost at 2M docs — ~115 s + ~81 s stages
-    // both paying the split+filter). The shared tokenized view is
-    // persisted MEMORY_AND_DISK for the duration of the two writes —
-    // the working set is the corpus + its token arrays, disk-backed and
-    // dropped before the vocab/dfreq derivation (which reads the
-    // just-written postings, not the text).
-    val toksDf = DedupQueries.tokenized(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      timed("sigs (shared tokenize + minhash/simhash/swh, map-side write)") {
-        DedupQueries.signaturesFromToks(spark, toksDf, numHashes)
-          .write.mode("overwrite").parquet(sigsPath(dir))
-      }
-      // BM25 inverted-index components: postings tok-clustered so a
-      // query-term probe prunes files by parquet min/max; dfreq is
-      // vocab-sized. Together with the meta row count and the vocab
-      // token total they are everything bm25_topk needs — the per-query
-      // corpus explode+groupBy happens at ingest instead.
-      timed("postings (cached toks + groupBy(doc,tok) + range-cluster)") {
-        postingsDeltaFromToks(toksDf)
-          .repartitionByRange(col("tok")).sortWithinPartitions("tok", "doc_id")
-          .write.mode("overwrite").parquet(postingsPath(dir))
-      }
-    } finally toksDf.unpersist()
+    // Each corpus-scan component TOKENIZES FOR ITSELF — a recorded
+    // round-10 negative, not an oversight: caching the shared tokenized
+    // view to serve both writes measured WORSE at every unfriendly
+    // point. MEMORY_AND_DISK at 2M docs (~6 GB of token-array batches)
+    // pinned storage past the storageFraction floor and threw
+    // AGGREGATE_OUT_OF_MEMORY in the postings aggregation on the 16g
+    // default heap; DISK_ONLY avoided the OOM at 48g but the disk
+    // round-trip of the token arrays cost 180 s where re-tokenizing
+    // costs 81 s (the tokenizer is one split+filter over text the
+    // stage reads anyway — CPU far cheaper than double I/O of its
+    // output). The real ingest win stays where round 9 put it: vocab +
+    // dfreq derive from the WRITTEN postings (one shared aggregate),
+    // never from a third/fourth text pass.
+    timed("sigs (tokenize + minhash/simhash/swh, map-side write)") {
+      DedupQueries.signatures(spark, docs, numHashes)
+        .write.mode("overwrite").parquet(sigsPath(dir))
+    }
+    // BM25 inverted-index components: postings tok-clustered so a
+    // query-term probe prunes files by parquet min/max; dfreq is
+    // vocab-sized. Together with the meta row count and the vocab
+    // token total they are everything bm25_topk needs — the per-query
+    // corpus explode+groupBy happens at ingest instead.
+    timed("postings (tokenize + groupBy(doc,tok) + range-cluster)") {
+      postingsDelta(docs)
+        .repartitionByRange(col("tok")).sortWithinPartitions("tok", "doc_id")
+        .write.mode("overwrite").parquet(postingsPath(dir))
+    }
     // vocab + dfreq DERIVE from the just-written postings (round 9):
     // cnt = Σtf and df = count of (doc, tok) rows per token — exactly
     // what vocabDelta/dfreqDelta compute from the raw text, but off a

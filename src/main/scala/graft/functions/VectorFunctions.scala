@@ -293,7 +293,12 @@ object NearestCellExpr {
     if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
     else java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  /** Spark total-order compare for doubles: NaN greatest, NaN == NaN. */
+  /** max_by's double comparison semantics, replicated: NaN greatest,
+    * NaN == NaN, and — measured, AssignCellsSpec's signed-zero case —
+    * −0.0 == +0.0 (primitive IEEE equality, NOT Double.compare's total
+    * order: the join form ties two centroids whose cosines round to
+    * ±0.0 and hands the tie to the lower label; a Double.compare
+    * implementation here diverged). */
   private def gt(a: Double, b: Double): Boolean = {
     val an = java.lang.Double.isNaN(a); val bn = java.lang.Double.isNaN(b)
     if (an || bn) an && !bn else a > b

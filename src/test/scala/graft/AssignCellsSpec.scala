@@ -68,6 +68,24 @@ class AssignCellsSpec extends SparkSpec {
     assert(fast === join)
   }
 
+  test("signed-zero knife edge: cosines rounding to ±0.0 TIE under max_by — the expression must tie identically") {
+    graft.functions.VectorFunctions.register(spark)
+    // centroid 9's cosine to v0 rounds to +0.0, centroid 2's to −0.0,
+    // centroid 5 is clearly negative. MEASURED max_by semantics: ±0.0
+    // compare EQUAL (primitive IEEE equality, not Double.compare's
+    // total order — a total-order implementation of the expression
+    // diverged here), so the tie goes to the LOWER label 2. This pins
+    // the subtlest corner of the bit-identity contract.
+    val cent = centFrame(Seq(
+      9L -> Seq(1.0e-9, 1.0, 0.0),
+      2L -> Seq(-1.0e-9, 1.0, 0.0),
+      5L -> Seq(-1.0, 0.1, 0.0)))
+    val vecs = vecFrame(Seq(0L -> Seq(1.0, 0.0, 0.0)))
+    val (fast, join) = both(vecs, cent)
+    assert(fast === join)
+    assert(fast === Seq((0L, 2L)), "±0.0 tie resolves to the lower label in BOTH forms")
+  }
+
   test("expression ≡ join form on the sf0.001 embeddings against the kmeans quantizer") {
     val raw = spark.read.parquet(s"$sfDir/embeddings.parquet").drop("label")
     val e = SimilarityQueries.prep(spark, raw)

@@ -68,6 +68,23 @@ class FunctionsSpec extends SparkSpec {
       .filter(col("sig") =!= col("ref_sig")).count() === 0L)
   }
 
+  test("graft_simhash64 equals the explode/majority-vote SQL formulation over all 64 bits") {
+    val hashes = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        expr("transform(filter(split(text, ' '), t -> t != ''), x -> xxhash64(x))").as("hs"))
+    val fast = hashes.select(col("doc_id"), expr("graft_simhash64(hs)").as("sig"))
+    // reference: per-bit vote with UNSIGNED bit extraction (bit 63 of a
+    // negative hash must read as 1, hence the shiftrightunsigned)
+    val ref = hashes.select(col("doc_id"), explode(col("hs")).as("h"))
+      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 63)")).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(sum(expr("shiftrightunsigned(h, b) & 1")).as("c"), count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN c * 2 > n THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END")).as("sig"))
+    assert(fast.join(ref.withColumnRenamed("sig", "ref_sig"), "doc_id")
+      .filter(col("sig") =!= col("ref_sig")).count() === 0L)
+  }
+
   test("GraftExtensions injects the full SQL surface (spark.sql.extensions path)") {
     // a session built via withExtensions on the shared context — the
     // cluster deployment path, no VectorFunctions.register call. The
