@@ -101,11 +101,13 @@ object DedupQueries {
       numHashes: Int = NUM_HASHES): DataFrame =
     signaturesFromToks(s, tokenized(docsDf), numHashes)
 
-  /** The shared tokenized view (doc_id, text, toks) — text kept for the
-    * short-document shingle fallback. [[graft.extensions.TextIndex]]
-    * persists this frame once per build so the signature AND posting
-    * derivations read ONE tokenizer pass (round-9 measured the
-    * duplicate pass at ~⅓ of the 2M-doc build wall). */
+  /** The tokenized view (doc_id, text, toks) — text kept for the
+    * short-document shingle fallback. NOTE: callers evaluate this
+    * lazily per consumer; round 10 measured that PERSISTING it to share
+    * one tokenizer pass across TextIndex.build's writes is a net loss
+    * (OOM at 16g / 180 s disk round-trip vs 81 s re-tokenize at 2M
+    * docs — see TextIndex.build's comment), so each stage tokenizes
+    * for itself. */
   private[graft] def tokenized(docsDf: DataFrame): DataFrame =
     docsDf.select(col("doc_id"), col("text"), expr(toksExpr).as("toks"))
 
@@ -455,7 +457,7 @@ object DedupQueries {
     oracle = Some(
       s"""$minhashPairsSqlCtes
          |SELECT doc_a, doc_b, jaccard FROM mpairs ORDER BY doc_a, doc_b""".stripMargin),
-    doc = "X2 MinHash+LSH near-dup (shingle → minhash → band → bucket-join)")
+    doc = "X2 MinHash+LSH near-dup (shingle → minhash → band → bucket-join). HOT-BUCKET CAP: band buckets past spark.graft.dedup.maxBandBucket (default 2000; 0 disables) are dropped from candidate generation — a >cap-member template family yields NO pairs here (run the exact/norm tiers first, as dedup_cascade does, or query minhashHotBuckets for the dropped mass)")
 
   // -------------------------------------------------------------------
   // X2 cross-source overlap matrix — WHICH scrapes duplicate each
@@ -2006,7 +2008,7 @@ object DedupQueries {
          |FROM v WHERE lev * 1000000 // ml <= $EDIT_MAX_MICRO
          |ORDER BY doc_a, doc_b""".stripMargin
     },
-    doc = "X2 edit-distance fuzzy dedup (banding candidates, Levenshtein-ratio verification)")
+    doc = "X2 edit-distance fuzzy dedup (banding candidates, Levenshtein-ratio verification). HOT-BUCKET CAP: shares dedup_minhash's band-bucket cap (spark.graft.dedup.maxBandBucket) — a >cap-member template family is dropped from candidates, never DP-verified")
 
   // -------------------------------------------------------------------
   // X1d normalized exact dedup — the canonical pre-fuzzy stage: case

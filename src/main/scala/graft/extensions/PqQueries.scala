@@ -224,12 +224,19 @@ object PqQueries {
 
   /** RESIDUAL codebooks — the same deterministic Lloyd over
     * [[residualSubvectors]] instead of the direct unit subvectors.
-    * Memoized like [[pqCodebooks]]; `cent`/`assigned` derive
-    * deterministically from the corpus (the kmeans memo), so the
-    * corpus fingerprint alone keys the cache. */
+    * Memoized like [[pqCodebooks]], but the key folds in the COARSE
+    * QUANTIZER's content too: residual codebooks are trained against a
+    * specific centroid set, and one session can legitimately hold two
+    * quantizers for the same corpus (the label quantizer in a scale
+    * smoke, the kmeans one in sim_ivfpq_res) — a corpus-only key would
+    * silently serve codebooks trained against the other one. The
+    * centroid term is a driver-side hash of the collected k rows
+    * (bounded — the quantizer is driver-sized by construction). */
   private[graft] def pqResCodebooks(s: SparkSession, raw: DataFrame,
                                     cent: DataFrame, assigned: DataFrame): DataFrame = {
-    val key = s"${System.identityHashCode(s)}:res:${AnnIndex.fingerprint(raw)}"
+    val centKey = cent.select(col("clabel").cast("long"), col("cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq.hashCode()
+    val key = s"${System.identityHashCode(s)}:res:${AnnIndex.fingerprint(raw)}:$centKey"
     if (pqMemo.size > 8) pqMemo.clear()
     cbFrame(s, pqMemo.computeIfAbsent(key, _ => {
       val e = SimilarityQueries.prep(s, raw)

@@ -112,9 +112,10 @@ object TextIndex {
   private def postingsDelta(docs: DataFrame): DataFrame =
     postingsDeltaFromToks(docs.select(col("doc_id"), expr(toksExpr).as("toks")))
 
-  /** [[postingsDelta]] over a pre-tokenized (doc_id, …, toks) frame —
-    * the build path passes the shared tokenized view so sigs and
-    * postings ride ONE tokenizer pass. */
+  /** [[postingsDelta]] over a pre-tokenized (doc_id, …, toks) frame.
+    * (Sharing one PERSISTED tokenized view across the build's writes
+    * was measured a net loss and reverted — see [[build]]'s comment;
+    * the indirection stays for call sites that already hold tokens.) */
   private def postingsDeltaFromToks(toksDf: DataFrame): DataFrame =
     toksDf.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("tok"))

@@ -389,8 +389,15 @@ object PqCodeOps {
   }
 
   def code(sv: ArrayData, sub: Long,
-           cvs: Array[Array[Array[Double]]], cvv: Array[Array[Double]]): Long =
-    codeFor(sv.toDoubleArray(), cvs(sub.toInt), cvv(sub.toInt))
+           cvs: Array[Array[Array[Double]]], cvv: Array[Array[Double]]): Long = {
+    val arr = sv.toDoubleArray()
+    // a subvector wider than its trained codebook entry would read past
+    // cv's end (or silently score a truncated window) — the join form
+    // degrades to NULL distances there; this path fails loudly instead
+    require(arr.length == cvs(sub.toInt)(0).length,
+      s"graft_pq_code: subvector dim ${arr.length} != trained dim ${cvs(sub.toInt)(0).length}")
+    codeFor(arr, cvs(sub.toInt), cvv(sub.toInt))
+  }
 
   /** Literal array<array<array<double>>> → nested Seqs (the structural-
     * equality form the expressions hold — see [[NearestCellExpr]]'s
@@ -415,11 +422,17 @@ object PqCodeOps {
   def pack(v: ArrayData, norm: Double,
            cvs: Array[Array[Array[Double]]], cvv: Array[Array[Double]]): Long = {
     val raw = v.toDoubleArray()
+    val m = cvs.length
+    // the TRAINED width, never raw.length / m: a 72-dim vector against
+    // 8-dim codebooks must fail loudly, not slice 9-dim windows that
+    // read past the codebook entries (and a 32-dim one must not
+    // silently pack 4-dim windows the join form never scored)
+    val dsub = cvs(0)(0).length
+    require(raw.length == m * dsub,
+      s"graft_pq_pack: vector dim ${raw.length} != trained M×DSUB = ${m * dsub}")
     val u = new Array[Double](raw.length)
     var i = 0
     while (i < raw.length) { u(i) = raw(i) / norm; i += 1 }
-    val m = cvs.length
-    val dsub = raw.length / m
     val sv = new Array[Double](dsub)
     var packed = 0L
     var s = 0

@@ -85,7 +85,13 @@ private[graft] object RefCache {
       // a fold). Truncation makes the cached generation independent of
       // artifact layout, the same contract extend() already gives the
       // deltas; the first join would have materialized the frames
-      // anyway.
+      // anyway. Tradeoff (applies to the delta segments too): a
+      // localCheckpoint block lost with its executor is unrecoverable —
+      // the stream fails and restarts with a fresh get() build. On a
+      // multi-executor cluster with preemption, prefer reliable
+      // checkpointing (sparkContext.setCheckpointDir + checkpoint())
+      // for the generation frames; local mode — this deployment — has
+      // no partial-executor-loss failure mode short of process death.
       build.map(f => Vector(f.localCheckpoint(true)))
     }).map(_.reduce(_ unionByName _))
   }
