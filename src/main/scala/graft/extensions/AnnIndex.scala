@@ -441,6 +441,12 @@ object AnnIndex {
   def rebuildGrown(spark: SparkSession, corpus: DataFrame, dir: String): Unit =
     build(spark, corpus, dir, kCells = grownK(readMeta(spark, dir)))
 
+  /** Session conf key: when "true", [[build]] prints a per-component
+    * wall-clock breakdown (fingerprint / quantizer / PQ training /
+    * codes pass) — the [[TextIndex.TimingConfKey]] analog, so scale
+    * smokes can attribute the ingest cost. */
+  val TimingConfKey = "spark.graft.ann.buildTiming"
+
   /** Build (or rebuild) the index from a full corpus: derive the
     * quantizer (label centroids when the corpus carries labels, else
     * deterministic k-means), code + assign every vector, fingerprint the
@@ -455,12 +461,6 @@ object AnnIndex {
     * the oracle-gated queries reproduce); an explicit value is the
     * retune knob ([[quantizerHealth]] → grown k). Ignored for labeled
     * corpora (their cell count IS the label count). */
-  /** Session conf key: when "true", [[build]] prints a per-component
-    * wall-clock breakdown (fingerprint / quantizer / PQ training /
-    * codes pass) — the [[TextIndex.TimingConfKey]] analog, so scale
-    * smokes can attribute the ingest cost. */
-  val TimingConfKey = "spark.graft.ann.buildTiming"
-
   def build(spark: SparkSession, raw: DataFrame, dir: String,
             planes: Int = SimilarityQueries.N_PLANES,
             bandBits: Int = 0, kCells: Int = 0): Unit = locked(spark, dir) {

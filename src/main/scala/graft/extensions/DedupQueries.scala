@@ -1,6 +1,6 @@
 package graft.extensions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.QueryDef
@@ -320,18 +320,51 @@ object DedupQueries {
   private def maxBucket(s: SparkSession): Int =
     s.conf.get(MaxBucketKey, DefaultMaxBucket.toString).toInt
 
-  /** `banded` minus every row of a bucket larger than the cap. The
-    * over-cap key set is bounded (≤ |banded| / cap keys, each a few
-    * dozen bytes), so the prune is a broadcast anti-join — the big side
-    * is never re-shuffled; the count aggregate map-side-combines over
-    * the (persisted) banded frame. */
+  /** Buckets actually DROPPED by [[capHotBuckets]] since JVM start —
+    * the runtime signal (the compactCount pattern) that a capped run is
+    * never silent: a production operator can alert on growth here
+    * without re-running the accounting query. */
+  private[graft] val hotBucketDropCount = new java.util.concurrent.atomic.AtomicLong()
+
+  /** `banded` minus every row of a bucket larger than the cap.
+    *
+    * Cost shape: the over-cap KEY set is bounded (≤ |banded| / cap
+    * keys, each a few dozen bytes), so it is collected to the driver —
+    * when EMPTY (every healthy corpus) the input frame is returned
+    * untouched, with zero plan change and no join; when non-empty the
+    * prune is a broadcast anti-join over the driver-held keys and the
+    * drop is self-reported (one WARN line naming bucket count + row
+    * mass, plus [[hotBucketDropCount]]) so a capped run always leaves a
+    * runtime signal, not just the on-demand [[hotBuckets]] accounting.
+    *
+    * `n` is the caller's corpus row count when it has one (route gates
+    * already count the corpus): at or below [[EXACT_TIER_MAX_ROWS]]
+    * with the cap UNSET the guard is skipped outright — every
+    * exact-tier bucket is a true dup family orders of magnitude below
+    * the default cap (HotBucketSpec pins capped ≡ uncapped there), and
+    * the worst uncapped case is bounded by the exact tier's own n² ≤
+    * gate² envelope. An EXPLICITLY configured cap is enforced at any
+    * size (the knob a template-flooded small corpus reaches for, and
+    * what HotBucketSpec's planted-family cases exercise). */
   private[extensions] def capHotBuckets(s: SparkSession, banded: DataFrame,
-                                        keys: Seq[String]): DataFrame = {
+                                        keys: Seq[String], n: Long = -1L): DataFrame = {
     val cap = maxBucket(s)
-    if (cap <= 0) banded
-    else banded.join(
-      broadcast(hotBuckets(s, banded, keys).select(keys.map(col): _*)),
-      keys, "left_anti")
+    val explicitCap = s.conf.getOption(MaxBucketKey).isDefined
+    if (cap <= 0) return banded
+    if (n >= 0 && n <= EXACT_TIER_MAX_ROWS && !explicitCap) return banded
+    val hot = hotBuckets(s, banded, keys)
+      .collect() // bounded: ≤ |banded| / cap rows (each bucket past the cap)
+    if (hot.isEmpty) return banded
+    hotBucketDropCount.addAndGet(hot.length)
+    val mass = hot.map(_.getLong(hot.head.fieldIndex("bucket_size"))).sum
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"capHotBuckets: dropping ${hot.length} band bucket(s) past cap=$cap " +
+        s"($mass banded rows) from candidate generation - dropped mass queryable " +
+        s"via hotBuckets/minhashHotBuckets, salvageable via hotBucketClusters")
+    val hotKeys = s.createDataFrame(
+      java.util.Arrays.asList(hot.map(r => Row.fromSeq(keys.map(k => r.get(r.fieldIndex(k))))): _*),
+      org.apache.spark.sql.types.StructType(keys.map(k => banded.schema(k))))
+    banded.join(broadcast(hotKeys), keys, "left_anti")
   }
 
   /** Dropped-mass accounting: (bucket keys, bucket_size) for every
@@ -355,11 +388,66 @@ object DedupQueries {
     hotBuckets(s, bands, Seq("band", "bucket"))
   }
 
+  /** OPT-IN salvage of the capped mass: every document in an over-cap
+    * MinHash band bucket, resolved to components as (doc_id,
+    * cluster_id) WITHOUT the |bucket|² pair join — each capped bucket
+    * contributes a STAR (min member ↔ every other member, |bucket| − 1
+    * edges, linear) and [[graft.operators.ConnectedComponents]] merges
+    * buckets that share members. A >cap template family thus surfaces
+    * as ONE actionable cluster row instead of silently-dropped pairs.
+    *
+    * The star edge is NOT Jaccard-verified — members of a capped bucket
+    * share only a band signature, so this is a coarser relation than
+    * the verified pair list by design (the alternative IS the |bucket|²
+    * verification the cap exists to avoid); consumers treat it as
+    * "likely one template family, inspect/keep-best", not as verified
+    * near-dup pairs. Empty at any healthy cap (HotBucketSpec pins the
+    * planted-family case; default query behavior is unchanged — nothing
+    * calls this unless asked). */
+  private[graft] def hotBucketClusters(s: SparkSession, corpus: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val bands = withMinhash(corpus).select(col("doc_id"), posexplode(minhashBandArray))
+      .toDF("doc_id", "band", "bucket").persist()
+    val members = bands.join(
+      broadcast(hotBuckets(s, bands, Seq("band", "bucket")).select("band", "bucket")),
+      Seq("band", "bucket"), "left_semi")
+    val hub = members.groupBy("band", "bucket").agg(min("doc_id").as("hub"))
+    val edges = members.join(hub, Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    graft.operators.ConnectedComponents.resolve(edges)
+  }
+
+  /** Session-scoped route-count memo: the size-gated operators (simhash
+    * / clusters / keepbest / embedCosine / docvecDedup / the banding
+    * guards) each take one `count()` of their input corpus per CALL to
+    * pick a tier — over a bench/Verify session that is dozens of
+    * identical metadata aggregates against the same immutable SF
+    * tables. Keyed by (session, canonicalized analyzed plan): two
+    * frames over the same files share one count; a DIFFERENT corpus
+    * (other path, other filters) never aliases. Contract: registry
+    * query inputs are immutable within a session (the QueryDef cache
+    * contract — the same assumption every session persist() in this
+    * file already makes); writer paths that mutate a corpus mid-session
+    * (the streaming folds) count their own batch frames and never route
+    * through this memo. Bounded: cleared past 64 plans (counts are
+    * cheap to re-take; nothing trained is lost). */
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), java.lang.Long]()
+
+  private[graft] def corpusRows(df: DataFrame): Long = {
+    val key = (System.identityHashCode(df.sparkSession),
+      df.queryExecution.analyzed.canonicalized)
+    if (countMemo.size > 64) countMemo.clear()
+    countMemo.computeIfAbsent(key, _ => java.lang.Long.valueOf(df.count())).longValue()
+  }
+
   /** The verified MinHash near-dup pair list (doc_a, doc_b, jaccard ≥
     * JACCARD_MIN), unsorted — dedup_minhash's whole derivation, shared
     * with [[sourceOverlap]]. */
   private def minhashPairsFrame(s: SparkSession, d: String): DataFrame =
-    minhashPairsFor(s, docs(s, d))
+    minhashPairsFor(s, docs(s, d), n = corpusRows(docs(s, d)))
 
   /** The verified pair list over ANY documents-shaped frame — the
     * [[simhashPairsFor]] analog, shared with [[cascade]] whose near
@@ -374,7 +462,8 @@ object DedupQueries {
     * cascade tier collapsed 239,999 docs into ONE component before
     * this tier switched to verified MinHash pairs). */
   private[extensions] def minhashPairsFor(s: SparkSession, corpus: DataFrame,
-                                          useIndex: Boolean = true): DataFrame = {
+                                          useIndex: Boolean = true,
+                                          n: Long = -1L): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     // signature chain (split → shingle → 8 × md5-min) is the expensive
     // part: compute it ONCE, persist the narrow results, and let the
@@ -402,7 +491,7 @@ object DedupQueries {
     // hot-bucket guard: a template flood puts every copy in the same
     // band buckets → |bucket|² candidates; capped buckets are dropped
     // from candidate generation (accounting via hotBuckets)
-    val keep = capHotBuckets(s, bands, Seq("band", "bucket"))
+    val keep = capHotBuckets(s, bands, Seq("band", "bucket"), n)
     val cand = keep.as("a").join(keep.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.doc_id") < col("b.doc_id"))
@@ -570,7 +659,8 @@ object DedupQueries {
     * fingerprint-matched TextIndex (indexes predating the column fall
     * back to recompute; rebuild to upgrade). */
   private[extensions] def simhashPairs64For(s: SparkSession, corpus: DataFrame,
-                                            useIndex: Boolean = true): DataFrame = {
+                                            useIndex: Boolean = true,
+                                            n: Long = -1L): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val sig = (if (useIndex) TextIndex.resolveFor(s, corpus) else None) match {
       case Some(dir) if TextIndex.readSigs(s, dir).columns.contains("simhash64") =>
@@ -583,7 +673,7 @@ object DedupQueries {
         explode(expr("sequence(0, 3)")).as("k"))
       .withColumn("band", expr("shiftright(simhash64, k * 16) & 65535"))
       .persist() // session-scoped memo (QueryDef cache contract)
-    val keep = capHotBuckets(s, bands, Seq("k", "band"))
+    val keep = capHotBuckets(s, bands, Seq("k", "band"), n)
     keep.as("a").join(keep.as("b"),
         col("a.k") === col("b.k") && col("a.band") === col("b.band")
           && col("a.doc_id") < col("b.doc_id"))
@@ -636,7 +726,8 @@ object DedupQueries {
       // into one component). RouteKey "exact" pins the 32-bit tier
       // (Verify does), "lsh" forces the 64-bit tier at any size.
       val c = docs(s, d)
-      (if (exactTier(s, c.count())) simhashPairs(s, d) else simhashPairs64For(s, c))
+      val n = corpusRows(c) // memoized — one metadata count per session, not per call
+      (if (exactTier(s, n)) simhashPairs(s, d) else simhashPairs64For(s, c, n = n))
         .orderBy("doc_a", "doc_b")
     },
     oracle = Some(
@@ -691,12 +782,12 @@ object DedupQueries {
   private[extensions] def nearPairsRouted(s: SparkSession, corpus: DataFrame, n: Long,
                                           useIndex: Boolean = true): DataFrame =
     if (exactTier(s, n)) simhashPairsFor(s, corpus, useIndex).select("doc_a", "doc_b")
-    else minhashPairsFor(s, corpus, useIndex).select("doc_a", "doc_b")
+    else minhashPairsFor(s, corpus, useIndex, n).select("doc_a", "doc_b")
 
   val clusters: QueryDef = QueryDef(
     build = (s, d) => {
       val comp = graft.operators.ConnectedComponents.resolve(
-        nearPairsRouted(s, docs(s, d), docs(s, d).count()))
+        nearPairsRouted(s, docs(s, d), corpusRows(docs(s, d))))
       docs(s, d).select(col("doc_id"))
         .join(comp, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
@@ -734,7 +825,7 @@ object DedupQueries {
   val keepBest: QueryDef = QueryDef(
     build = (s, d) => {
       val comp = graft.operators.ConnectedComponents.resolve(
-        nearPairsRouted(s, docs(s, d), docs(s, d).count()))
+        nearPairsRouted(s, docs(s, d), corpusRows(docs(s, d))))
       // comp covers exactly the docs that appear in a near-dup pair, so
       // every row is already in a ≥2-member cluster (singletons never
       // enter the pair list)
@@ -1204,8 +1295,8 @@ object DedupQueries {
 
   val embedCosine: QueryDef = QueryDef(
     build = (s, d) => {
-      // metadata-served row count (parquet footers, no column I/O)
-      val n = s.read.parquet(s"$d/embeddings.parquet").count()
+      // metadata-served row count (parquet footers), memoized per session
+      val n = corpusRows(s.read.parquet(s"$d/embeddings.parquet"))
       if (!exactTier(s, n))
         embedCosineLshBuild(s, d, ROUTED_PLANES, AnnIndex.advisedBandBits(n, ROUTED_PLANES))
       else embedCosineExact(s, d)
@@ -1330,8 +1421,8 @@ object DedupQueries {
 
   val docvecDedup: QueryDef = QueryDef(
     build = (s, d) => {
-      // metadata-served row count (parquet footers, no column I/O)
-      val n = docs(s, d).count()
+      // metadata-served row count (parquet footers), memoized per session
+      val n = corpusRows(docs(s, d))
       if (!exactTier(s, n)) docvecPairsLsh(s, d, n)
       else docvecPairsExact(s, d)
     },
@@ -1961,7 +2052,7 @@ object DedupQueries {
         .persist() // session-scoped memo (QueryDef cache contract)
       // hot-bucket guard: the O(|a|·|b|) Levenshtein verification makes
       // an uncapped template bucket catastrophically expensive here
-      val keep = capHotBuckets(s, bands, Seq("band", "bucket"))
+      val keep = capHotBuckets(s, bands, Seq("band", "bucket"), corpusRows(docs(s, d)))
       val cand = keep.as("a").join(keep.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
             && col("a.doc_id") < col("b.doc_id"))
@@ -2114,8 +2205,11 @@ object DedupQueries {
           .orderBy("doc_id")))
       val s2 = t2.filter(col("rk") === 1).select("doc_id", "text", "n_tokens")
         .persist() // feeds pair generation AND the tier-3 accounting pass
+      // n: conservative upper bound on |s2| — the planted corpus is
+      // base + three partial copies (< 2x base), and s2 is its subset
       val comp = graft.operators.ConnectedComponents.resolve(
-        minhashPairsFor(s, s2, useIndex = false).select(col("doc_a"), col("doc_b")))
+        minhashPairsFor(s, s2, useIndex = false, n = 2 * corpusRows(docs(s, d)))
+          .select(col("doc_a"), col("doc_b")))
       // min-id representative survives; everything labeled below its
       // cluster head is the tier's removal set (isolated docs never
       // enter the pair graph — the left join's null coalesces to kept)

@@ -68,7 +68,7 @@ object PipelineQueries {
       // instead of evaluating the pipeline to count survivors
       val comp = graft.operators.ConnectedComponents.resolve(
         DedupQueries.nearPairsRouted(s, s3,
-          docs(s, d).count() + PLANT, useIndex = false))
+          DedupQueries.corpusRows(docs(s, d)) + PLANT, useIndex = false))
       // verdict = first failing stage; WHEN order guarantees each
       // stage's column is only consulted for docs that reached it
       q.select(col("doc_id"), col("lang"), col("reasons"))

@@ -214,12 +214,20 @@ object PqQueries {
     * M×KSUB×DSUB driver-held doubles (8 KiB). Bounded at 8 corpora
     * (the CacheHygiene discipline). */
   private val pqMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Long, Seq[Double])]]()
+    new java.util.LinkedHashMap[String, Seq[(Long, Long, Seq[Double])]](16, 0.75f, false) {
+      // oldest-first eviction past the bound — a ninth corpus must not
+      // wipe the live codebooks other queries are mid-session reusing
+      // (a full clear() forced silent O(corpus) Lloyd retrains)
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[(Long, Long, Seq[Double])]]): Boolean = size > 8
+    }
+
+  private def pqMemoized(key: String)(train: => Seq[(Long, Long, Seq[Double])]): Seq[(Long, Long, Seq[Double])] =
+    pqMemo.synchronized(pqMemo.computeIfAbsent(key, _ => train))
 
   private[graft] def pqCodebooks(s: SparkSession, raw: DataFrame): DataFrame = {
     val key = s"${System.identityHashCode(s)}:${AnnIndex.fingerprint(raw)}"
-    if (pqMemo.size > 8) pqMemo.clear()
-    cbFrame(s, pqMemo.computeIfAbsent(key, _ => trainPq(s, raw)))
+    cbFrame(s, pqMemoized(key)(trainPq(s, raw)))
   }
 
   /** RESIDUAL codebooks — the same deterministic Lloyd over
@@ -230,18 +238,28 @@ object PqQueries {
     * quantizers for the same corpus (the label quantizer in a scale
     * smoke, the kmeans one in sim_ivfpq_res) — a corpus-only key would
     * silently serve codebooks trained against the other one. The
-    * centroid term is a driver-side hash of the collected k rows
-    * (bounded — the quantizer is driver-sized by construction). */
+    * centroid term is a driver-side CONTENT DIGEST (md5 over the
+    * serialized, label-sorted rows) of the collected k rows — bounded
+    * (the quantizer is driver-sized by construction), and
+    * collision-free in any realistic session, unlike a 32-bit
+    * Seq.hashCode whose collision would silently serve codebooks
+    * trained against the wrong centroid set. */
   private[graft] def pqResCodebooks(s: SparkSession, raw: DataFrame,
                                     cent: DataFrame, assigned: DataFrame): DataFrame = {
-    val centKey = cent.select(col("clabel").cast("long"), col("cv")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq.hashCode()
+    val centKey = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      cent.select(col("clabel").cast("long"), col("cv")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+        .foreach { case (l, cv) =>
+          md.update(s"$l:${cv.mkString(",")};".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      md.digest().map("%02x".format(_)).mkString
+    }
     val key = s"${System.identityHashCode(s)}:res:${AnnIndex.fingerprint(raw)}:$centKey"
-    if (pqMemo.size > 8) pqMemo.clear()
-    cbFrame(s, pqMemo.computeIfAbsent(key, _ => {
+    cbFrame(s, pqMemoized(key) {
       val e = SimilarityQueries.prep(s, raw)
       trainPqOn(s, e, residualSubvectors(e, cent, assigned))
-    }))
+    })
   }
 
   /** Per-subspace deterministic Lloyd. Seeds: the SAME KSUB vectors for

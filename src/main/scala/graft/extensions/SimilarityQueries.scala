@@ -298,13 +298,18 @@ object SimilarityQueries {
     * discipline). The certified-AnnIndex path still skips even the
     * first train. */
   private val kmeansMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
+    new java.util.LinkedHashMap[String, Seq[(Long, Seq[Double])]](16, 0.75f, false) {
+      // oldest-first eviction past the bound (the pqMemo discipline) —
+      // never a full clear that drops live quantizers mid-session
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[(Long, Seq[Double])]]): Boolean = size > 8
+    }
 
   private[graft] def kmeansCentroids(s: SparkSession, raw: DataFrame,
       k: Int = KMEANS_K, iters: Int = KMEANS_ITERS): DataFrame = {
     val key = s"${System.identityHashCode(s)}:${AnnIndex.fingerprint(raw)}:$k:$iters"
-    if (kmeansMemo.size > 8) kmeansMemo.clear()
-    centFrame(s, kmeansMemo.computeIfAbsent(key, _ => trainKmeans(s, raw, k, iters)))
+    centFrame(s, kmeansMemo.synchronized(
+      kmeansMemo.computeIfAbsent(key, _ => trainKmeans(s, raw, k, iters))))
   }
 
   /** Training invocations — the memo's observable (spec-pinned). */
@@ -409,6 +414,10 @@ object SimilarityQueries {
     graft.functions.VectorFunctions.register(cent.sparkSession)
     val rows = cent.select(col("clabel").cast("long"), col("cv"), col("cnorm").cast("double"))
       .collect() // bounded: k centroid rows (the quantizer is driver-sized)
+    // fail LOUDLY on an empty quantizer: the expression would otherwise
+    // assign cell = Long.MaxValue to every vector while the join form
+    // (assignCellsJoin) emits no rows — a silent bit-identity divergence
+    require(rows.nonEmpty, "nearestCellCol: empty centroid frame (no quantizer cells)")
     val labels = rows.map(_.getLong(0)).toSeq
     val cvs = rows.map(_.getSeq[Double](1)).toSeq
     val cnorms = rows.map(_.getDouble(2)).toSeq

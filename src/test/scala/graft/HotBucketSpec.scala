@@ -96,6 +96,53 @@ class HotBucketSpec extends SparkSpec {
     }
   }
 
+  test("unset cap on an exact-tier corpus: guard skipped, results identical to unguarded") {
+    val d = tmpDir("graft-hotbucket-skip")
+    writeDocs(d, (0L until 10L).map(i => (i, uniqueText(i))) :+ ((10L, uniqueText(0))))
+    // no MaxBucketKey conf set — corpus is far below EXACT_TIER_MAX_ROWS,
+    // so capHotBuckets short-circuits without the groupBy-count pass;
+    // semantics must match the disabled-guard run bit for bit
+    val skipped = minhashPairs(d)
+    val unguarded = withCap(0)(minhashPairs(d))
+    assert(skipped === unguarded)
+  }
+
+  test("a capping run self-reports: drop counter grows, healthy runs leave it untouched") {
+    val d = tmpDir("graft-hotbucket-signal")
+    writeDocs(d, hotRows(60) ++ (0L until 4L).map(i => (i, uniqueText(i))))
+    val before = DedupQueries.hotBucketDropCount.get()
+    withCap(20)(minhashPairs(d))
+    val dropped = DedupQueries.hotBucketDropCount.get() - before
+    assert(dropped >= 4L, s"each band's crowd bucket registers a drop (got $dropped)")
+    // healthy corpus under an explicit cap: guard RUNS but drops nothing
+    val d2 = tmpDir("graft-hotbucket-quiet")
+    writeDocs(d2, (0L until 10L).map(i => (i, uniqueText(i))))
+    val b2 = DedupQueries.hotBucketDropCount.get()
+    withCap(20)(minhashPairs(d2))
+    assert(DedupQueries.hotBucketDropCount.get() === b2, "no drop, no signal")
+  }
+
+  test("opt-in salvage: a capped template family surfaces as ONE cluster with its members") {
+    val d = tmpDir("graft-hotbucket-salvage")
+    writeDocs(d, hotRows(30) ++ (0L until 5L).map(i => (i, uniqueText(i))))
+    withCap(20) {
+      // default pair path drops the family entirely...
+      assert(!minhashPairs(d).exists { case (a, b) => a >= 100L && b >= 100L })
+      // ...salvage recovers it as one component, |bucket| star edges per
+      // band instead of the |bucket|^2 pair join
+      val clusters = DedupQueries.hotBucketClusters(spark,
+          spark.read.parquet(s"$d/documents.parquet")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val byCluster = clusters.groupBy(_._2)
+      assert(byCluster.size === 1, s"one template family -> one cluster: ${byCluster.keySet}")
+      val members = byCluster.head._2.map(_._1).toSet
+      assert(members.size >= 25 && members.forall(_ >= 100L),
+        s"the capped crowd-bucket members are all template docs: ${members.size}")
+      // unrelated docs never enter a hot bucket -> absent from salvage
+      assert(members.forall(_ >= 100L))
+    }
+  }
+
   test("default cap clears every oracle-SF bucket by orders of magnitude") {
     // dedup_minhash's oracle replays the UNCAPPED SQL, so hash-green
     // requires the guard to be a no-op at oracle SFs: measure the
