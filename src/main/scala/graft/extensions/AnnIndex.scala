@@ -48,7 +48,8 @@ import graft.sources.TsdbStorage
 case class AnnMeta(planes: Int, bandBits: Int, corpusRows: Long,
                    idMin: Long, idMax: Long, idSum: Long, contentXor: Long,
                    quantizer: String, lastAppId: String, lastBatchId: Long,
-                   kCells: Int, txnCursors: String = "", pqM: Int = 0) {
+                   kCells: Int, txnCursors: String = "", pqM: Int = 0,
+                   pqResM: Int = 0) {
   /** Per-app replay check ([[TxnCursors]]): the last applied batchId
     * for `app`, if any. */
   def appliedBatch(app: String): Option[Long] = TxnCursors.applied(txnCursors, app)
@@ -129,6 +130,7 @@ object AnnIndex {
   private def codesPath(dir: String) = s"$dir/codes"
   private def centroidsPath(dir: String) = s"$dir/centroids"
   private def pqPath(dir: String) = s"$dir/pq"
+  private def pqResPath(dir: String) = s"$dir/pqres"
   private def metaPath(dir: String) = s"$dir/_meta"
 
   private def fs(spark: SparkSession, dir: String) =
@@ -259,6 +261,12 @@ object AnnIndex {
   def readPqCodebooks(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(pqPath(dir))
 
+  /** The frozen RESIDUAL (IVFADC) codebooks — present iff the meta says
+    * pq_res_m > 0 (indexes predating the residual component have
+    * neither the dir nor the codes column). */
+  def readPqResCodebooks(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(pqResPath(dir))
+
   /** The vector content in its canonical (double-array) form, whichever
     * shape the frame is in: prepped frames carry it as `v`, raw
     * embeddings frames derive it with the exact `prep` cast — so build
@@ -321,7 +329,8 @@ object AnnIndex {
           TxnCursors.render(Vector(
             strOr(r, "last_app_id", "") -> longOr(r, "last_batch_id", -1L)))
         else "",
-        longOr(r, "pq_m", 0L).toInt) // pre-PQ metas: no pq component
+        longOr(r, "pq_m", 0L).toInt, // pre-PQ metas: no pq component
+        longOr(r, "pq_res_m", 0L).toInt) // pre-residual metas: direct only
     }
   }
 
@@ -329,10 +338,10 @@ object AnnIndex {
     import spark.implicits._
     Seq((m.planes, m.bandBits, m.corpusRows, m.idMin, m.idMax, m.idSum,
         m.contentXor, m.quantizer, m.lastAppId, m.lastBatchId, m.kCells.toLong,
-        m.txnCursors, m.pqM.toLong))
+        m.txnCursors, m.pqM.toLong, m.pqResM.toLong))
       .toDF("planes", "band_bits", "corpus_rows", "id_min", "id_max", "id_sum",
         "content_xor", "quantizer", "last_app_id", "last_batch_id", "k_cells",
-        "txn_cursors", "pq_m")
+        "txn_cursors", "pq_m", "pq_res_m")
       .coalesce(1).write.mode("overwrite").parquet(metaPath(dir))
   }
 
@@ -496,30 +505,59 @@ object AnnIndex {
       PqQueries.pqCodebooks(spark, raw.drop("label"))
         .coalesce(1).write.mode("overwrite").parquet(pqPath(dir))
     }
+    // residual (IVFADC) codebooks against the JUST-FROZEN centroids —
+    // measured 2.7× lower ADC distortion than direct coding on
+    // clustered corpora (VectorScaleSmoke respq), so the index persists
+    // both: direct codes serve sim_pq/sim_ivfpq (the oracle-replayed
+    // scheme), residual codes serve sim_ivfpq_res. Training joins the
+    // md5-head sample only (assignCells over the sampled frame —
+    // pqResCodebooks re-derives the same sample internally).
+    timed(s"residual PQ codebooks (${PqQueries.ITERS}-iter Lloyd over residuals + write)") {
+      val cent = readCentroids(spark, dir)
+      val eS = SimilarityQueries.trainSampleOf(
+        SimilarityQueries.prep(spark, raw.drop("label")), n,
+        SimilarityQueries.trainSampleTarget(spark, PqQueries.KSUB.toLong))
+      PqQueries.pqResCodebooks(spark, raw.drop("label"), cent,
+          SimilarityQueries.assignCells(eS, cent))
+        .coalesce(1).write.mode("overwrite").parquet(pqResPath(dir))
+    }
     writeMeta(spark, dir, AnnMeta(planes, bb, n, idMin, idMax, idSum, cxor, kind, "", -1L, k,
-      pqM = PqQueries.M))
+      pqM = PqQueries.M, pqResM = PqQueries.M))
     val e = SimilarityQueries.prep(spark, raw)
-    timed("codes (ONE projection: SRP + cell + packed PQ, map-side write)") {
-      codesFrame(e, planes, readCentroids(spark, dir), Some(readPqCodebooks(spark, dir)))
+    timed("codes (ONE projection: SRP + cell + packed PQ + residual PQ, map-side write)") {
+      codesFrame(e, planes, readCentroids(spark, dir), Some(readPqCodebooks(spark, dir)),
+          Some(readPqResCodebooks(spark, dir)))
         .write.mode("overwrite").parquet(codesPath(dir))
     }
     TsdbStorage.markStatsInSync(spark, dir)
   }
 
-  /** The per-vector code table (vec_id, code, cell[, pq]) in ONE
-    * corpus projection — SRP code, nearest cell, and packed PQ are all
-    * map-side expressions now, so the round-9 three-frame join (two
-    * corpus-sized shuffles at 10M vectors) reduces to a single pass
-    * over (v, norm). Falls back to the join form only for a foreign
+  /** The per-vector code table (vec_id, code, cell[, pq[, pqr]]) in ONE
+    * corpus projection — SRP code, nearest cell, packed direct PQ and
+    * packed RESIDUAL PQ are all map-side expressions now, so the
+    * round-9 three-frame join (two corpus-sized shuffles at 10M
+    * vectors) reduces to a single pass over (v, norm). The residual
+    * pack consumes the cell column the same projection just computed
+    * (a chained select Catalyst collapses — the coarse argmin runs
+    * once). Falls back to the join form only for a foreign
     * (non-default) PQ scheme, where the pack column is unavailable. */
   private def codesFrame(e: DataFrame, planes: Int, cents: DataFrame,
-                         cb: Option[DataFrame]): DataFrame = {
+                         cb: Option[DataFrame],
+                         rcb: Option[DataFrame] = None): DataFrame = {
     val coded = SimilarityQueries.srpCoded(e, planes)
     val cellCol = SimilarityQueries.nearestCellCol(cents)
     cb match {
       case Some(b) => PqQueries.packCol(b) match {
         case Some(p) =>
-          coded.select(col("vec_id"), col("code"), cellCol.as("cell"), p.as("pq"))
+          rcb.flatMap(rb => PqQueries.resPackCol(cents, rb)) match {
+            case Some(rc) =>
+              coded.select(col("vec_id"), col("code"), cellCol.as("cell"),
+                  p.as("pq"), col("v"), col("norm"))
+                .withColumn("pqr", rc)
+                .select("vec_id", "code", "cell", "pq", "pqr")
+            case None =>
+              coded.select(col("vec_id"), col("code"), cellCol.as("cell"), p.as("pq"))
+          }
         case None => // foreign scheme: the always-correct join form
           coded.select("vec_id", "code")
             .join(SimilarityQueries.assignCells(e, cents), "vec_id")
@@ -558,7 +596,9 @@ object AnnIndex {
     // PQ codes against the FROZEN codebooks (the centroid rule); a
     // legacy pre-PQ index keeps its schema — mixing would corrupt reads
     codesFrame(e, planes, readCentroids(spark, dir),
-        if (m.pqM == PqQueries.M) Some(readPqCodebooks(spark, dir)) else None)
+        if (m.pqM == PqQueries.M) Some(readPqCodebooks(spark, dir)) else None,
+        // residual codes against the FROZEN residual books (same rule)
+        if (m.pqResM == PqQueries.M) Some(readPqResCodebooks(spark, dir)) else None)
       .write.mode("append").parquet(codesPath(dir))
     val grown =
       if (n == 0) m // EMPTY append: an all-zero fingerprint must not fold
@@ -586,6 +626,7 @@ object AnnIndex {
     val bad = TsdbStorage.probeFiles(spark, codesPath(dir)) ++
       TsdbStorage.probeFiles(spark, centroidsPath(dir)) ++
       TsdbStorage.probeFiles(spark, pqPath(dir)) ++
+      TsdbStorage.probeFiles(spark, pqResPath(dir)) ++
       TsdbStorage.probeFiles(spark, metaPath(dir))
     if (bad.nonEmpty) {
       TsdbStorage.markStatsOutOfSync(spark, dir)

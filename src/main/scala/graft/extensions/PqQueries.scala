@@ -149,6 +149,28 @@ object PqQueries {
     cbLiteral(cb).map(l => call_function("graft_pq_pack", col("v"), col("norm"), l))
   }
 
+  /** The packed RESIDUAL code as a COLUMN over any frame carrying
+    * (v, norm, cell) — [[packCol]]'s IVFADC sibling, what lets the
+    * AnnIndex persist residual codes in the same one-projection codes
+    * pass (the cell column it already computed feeds the residual —
+    * the coarse argmin never runs twice). None for a non-default
+    * residual codebook scheme. */
+  private[graft] def resPackCol(cent: DataFrame,
+                                rcb: DataFrame): Option[org.apache.spark.sql.Column] = {
+    graft.functions.VectorFunctions.register(cent.sparkSession)
+    cbLiteral(rcb).map { books =>
+      val rows = cent.select(col("clabel").cast("long"), col("cv"), col("cnorm").cast("double"))
+        .collect() // bounded: k centroid rows (the quantizer is driver-sized)
+        .sortBy(_.getLong(0)) // the expression binary-searches labels
+      val labels = rows.map(_.getLong(0)).toSeq
+      // unit centroids ĉ = cv/cnorm — the same IEEE division
+      // `transform(cv, x -> x / cnorm)` performs per element
+      val chats = rows.map(r => r.getSeq[Double](1).map(_ / r.getDouble(2))).toSeq
+      call_function("graft_pq_pack_res", col("v"), col("norm"), col("cell"),
+        typedlit(labels), typedlit(chats), books)
+    }
+  }
+
   /** Packed → (vec_id, sub, code) rows — the shape ADC consumes.
     * Map-side arithmetic only (PqSpec pins the round-trip). */
   private[extensions] def unpackCodes(codes: DataFrame): DataFrame =
@@ -226,8 +248,9 @@ object PqQueries {
     pqMemo.synchronized(pqMemo.computeIfAbsent(key, _ => train))
 
   private[graft] def pqCodebooks(s: SparkSession, raw: DataFrame): DataFrame = {
-    val key = s"${System.identityHashCode(s)}:${AnnIndex.fingerprint(raw)}"
-    cbFrame(s, pqMemoized(key)(trainPq(s, raw)))
+    val fp = AnnIndex.fingerprint(raw)
+    val key = s"${System.identityHashCode(s)}:$fp"
+    cbFrame(s, pqMemoized(key)(trainPq(s, raw, fp._1)))
   }
 
   /** RESIDUAL codebooks — the same deterministic Lloyd over
@@ -255,9 +278,15 @@ object PqQueries {
         }
       md.digest().map("%02x".format(_)).mkString
     }
-    val key = s"${System.identityHashCode(s)}:res:${AnnIndex.fingerprint(raw)}:$centKey"
+    val fp = AnnIndex.fingerprint(raw)
+    val key = s"${System.identityHashCode(s)}:res:$fp:$centKey"
     cbFrame(s, pqMemoized(key) {
-      val e = SimilarityQueries.prep(s, raw)
+      // sampled past the gate like [[trainPq]] — residuals of the
+      // md5-head sample against the SAME frozen centroids train the
+      // same-quality codebooks at a bounded cost (assigned joins down
+      // to the sample's rows)
+      val e = SimilarityQueries.trainSampleOf(SimilarityQueries.prep(s, raw), fp._1,
+        SimilarityQueries.trainSampleTarget(s, KSUB.toLong))
       trainPqOn(s, e, residualSubvectors(e, cent, assigned))
     })
   }
@@ -269,8 +298,14 @@ object PqQueries {
     * its previous center. Each iteration collects M×KSUB×DSUB rounded
     * doubles to the driver (bounded metadata, like the engine's day
     * lists). */
-  private def trainPq(s: SparkSession, raw: DataFrame): Seq[(Long, Long, Seq[Double])] = {
-    val e = SimilarityQueries.prep(s, raw)
+  private def trainPq(s: SparkSession, raw: DataFrame,
+                      n: Long = -1L): Seq[(Long, Long, Seq[Double])] = {
+    // md5-head training sample past the gate (SimilarityQueries
+    // .trainSampleOf — identity at every oracle SF): the per-subspace
+    // Lloyd estimates KSUB centers per subspace, for which a 256k
+    // sample is as good as the corpus and ~2·ITERS corpus scans cheaper
+    val e = SimilarityQueries.trainSampleOf(SimilarityQueries.prep(s, raw), n,
+      SimilarityQueries.trainSampleTarget(s, KSUB.toLong))
     trainPqOn(s, e, subvectors(e))
   }
 
@@ -677,8 +712,9 @@ object PqQueries {
       val e = emb(s, d).persist() // session-scoped memo (QueryDef cache contract)
       val raw = s.read.parquet(s"$d/embeddings.parquet").drop("label")
       // coarse quantizer: the sim_ivfpq resolve rule
-      val (cent, assigned) = AnnIndex.resolveFor(s, e)
-        .filter(SimilarityQueries.defaultKmeans(s, _)) match {
+      val dirOpt = AnnIndex.resolveFor(s, e)
+        .filter(SimilarityQueries.defaultKmeans(s, _))
+      val (cent, assigned) = dirOpt match {
         case Some(dir) =>
           (AnnIndex.readCentroids(s, dir),
             AnnIndex.readCodes(s, dir).select(col("vec_id"), col("cell")))
@@ -686,9 +722,23 @@ object PqQueries {
           val c = SimilarityQueries.kmeansCentroids(s, raw)
           (c, SimilarityQueries.assignCells(e, c))
       }
-      val rcb = pqResCodebooks(s, raw, cent, assigned)
-      val rcodes = assignCodes(residualSubvectors(e, cent, assigned), rcb)
-        .withColumnRenamed("vec_id", "neighbor_id")
+      // residual component SERVED from the index when it persists one
+      // (meta pq_res_m matches): books read frozen, codes come back by
+      // unpacking the stored pqr bytes — no vector I/O, no per-session
+      // retrain. Served ≡ recomputed bit-for-bit: the index trains its
+      // books through the SAME pqResCodebooks derivation against the
+      // same frozen centroids, and the one-pass pack expression is
+      // spec-pinned to the compositional residual coder (PqSpec).
+      val resDir = dirOpt.filter(dd => AnnIndex.readMeta(s, dd).pqResM == M)
+      val rcb = resDir match {
+        case Some(dir) => AnnIndex.readPqResCodebooks(s, dir)
+        case None => pqResCodebooks(s, raw, cent, assigned)
+      }
+      val rcodes = (resDir match {
+        case Some(dir) => unpackCodes(
+          AnnIndex.readCodes(s, dir).select(col("vec_id"), col("pqr").as("pq")))
+        case None => assignCodes(residualSubvectors(e, cent, assigned), rcb)
+      }).withColumnRenamed("vec_id", "neighbor_id")
       val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("clabel"))
       val probes = SimilarityQueries.cellSims(e.filter(col("vec_id") < N_QUERIES), cent)
         .withColumn("rk", row_number().over(byVec))

@@ -307,38 +307,93 @@ object SimilarityQueries {
 
   private[graft] def kmeansCentroids(s: SparkSession, raw: DataFrame,
       k: Int = KMEANS_K, iters: Int = KMEANS_ITERS): DataFrame = {
-    val key = s"${System.identityHashCode(s)}:${AnnIndex.fingerprint(raw)}:$k:$iters"
+    val fp = AnnIndex.fingerprint(raw)
+    val key = s"${System.identityHashCode(s)}:$fp:$k:$iters"
     centFrame(s, kmeansMemo.synchronized(
-      kmeansMemo.computeIfAbsent(key, _ => trainKmeans(s, raw, k, iters))))
+      kmeansMemo.computeIfAbsent(key, _ => trainKmeans(s, raw, k, iters, fp._1))))
   }
+
+  // -------------------------------------------------------------------
+  // Sampled training (the FAISS discipline): Lloyd quality saturates at
+  // a few hundred samples per centroid, so past a size gate the
+  // quantizer/PQ training passes run on a bounded deterministic sample
+  // instead of the full corpus — at 10M vectors, full-corpus training
+  // was 65% of the whole AnnIndex.build (64 s quantizer + 94 s PQ of
+  // 244 s), and at 10⁹ it is ~6 full-corpus scans for parameters a
+  // 256k sample estimates equally well. Below the gate training is
+  // bit-for-bit the round-10 full-corpus pass — every oracle SF
+  // (≤ 5k rows) replays unchanged. The sample is the md5(vec_id)-HEAD
+  // of the hash space (keep vec_ids whose 32-bit md5 prefix falls in
+  // the first target/n of the space — the knn_recall_sampled
+  // convention): a pure function of vec_id, so the same corpus always
+  // trains the same parameters on any cluster layout, and the md5-ranked
+  // seed rows are the sample's own head by construction.
+  // -------------------------------------------------------------------
+  /** Session conf: training-sample target for the quantizer/PQ Lloyd
+    * passes. `0` (default) = auto `max(262144, 64·k)`; `-1` disables
+    * sampling (always full-corpus — the pre-round-11 behavior);
+    * positive = explicit target (what specs lower to exercise the
+    * sampled path at test scale). */
+  private[graft] val TrainSampleKey = "spark.graft.ann.trainSampleRows"
+
+  private[graft] def trainSampleTarget(s: SparkSession, k: Long): Long = {
+    val conf = s.conf.get(TrainSampleKey, "0").toLong
+    if (conf < 0) Long.MaxValue
+    else if (conf > 0) conf
+    else math.max(262144L, 64L * k)
+  }
+
+  /** The deterministic md5-head sample of a prepped (vec_id, v, norm)
+    * frame — identity at or below the target. The threshold over-admits
+    * by ceil, so the expected sample is ≥ target (never a starved
+    * train); the binomial spread around target/n is irrelevant to
+    * training quality. */
+  private[graft] def trainSampleOf(e: DataFrame, n: Long, target: Long): DataFrame =
+    if (n <= target) e
+    else {
+      val thresh = math.min(4294967295L, math.ceil(4294967296.0 * target / n).toLong)
+      e.filter(expr("cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint)")
+        < lit(thresh))
+    }
 
   /** Training invocations — the memo's observable (spec-pinned). */
   private[graft] val kmeansTrainCount = new java.util.concurrent.atomic.AtomicLong()
 
-  /** The actual Lloyd loop (see [[kmeansCentroids]] for the scheme). */
+  /** The actual Lloyd loop (see [[kmeansCentroids]] for the scheme).
+    * `n` = corpus rows (the fingerprint's count, already paid): past
+    * [[trainSampleTarget]] the loop trains on the md5-head sample —
+    * persisted, since all `iters` assignment+mean passes re-read it —
+    * with seeds drawn from the sample (≡ the corpus head: the k
+    * md5-smallest ids are inside any sample orders of magnitude larger
+    * than k). */
   private def trainKmeans(s: SparkSession, raw: DataFrame,
-      k: Int, iters: Int): Seq[(Long, Seq[Double])] = {
+      k: Int, iters: Int, n: Long = -1L): Seq[(Long, Seq[Double])] = {
     kmeansTrainCount.incrementAndGet()
-    val e = prep(s, raw)
-    val seeds = e.select(col("vec_id"), col("v"))
-      .withColumn("h", md5(col("vec_id").cast("string")))
-      .orderBy("h", "vec_id").limit(k)
-      .collect() // bounded: k rows (TakeOrdered, no global sort)
-    var cent: Seq[(Long, Seq[Double])] = seeds.toSeq.zipWithIndex.map {
-      case (r, i) => (i.toLong, r.getSeq[Double](r.fieldIndex("v")))
-    }
-    for (_ <- 1 to iters) {
-      val means = assignCells(e, centFrame(s, cent)).join(e, "vec_id")
-        .select(col("cell").as("clabel"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("clabel", "dim").agg(round(avg("x"), 6).as("cx"))
-        .groupBy("clabel")
-        .agg(expr("transform(array_sort(collect_list(struct(dim, cx))), p -> p.cx)").as("cv"))
-        .collect() // bounded: ≤ k rows
-        .map(r => (r.getLong(r.fieldIndex("clabel")), r.getSeq[Double](r.fieldIndex("cv"))))
-        .toMap
-      cent = cent.map { case (l, old) => (l, means.getOrElse(l, old)) }
-    }
-    cent
+    val target = trainSampleTarget(s, k)
+    val sampled = n > target
+    val e = if (sampled) trainSampleOf(prep(s, raw), n, target).persist()
+            else prep(s, raw)
+    try {
+      val seeds = e.select(col("vec_id"), col("v"))
+        .withColumn("h", md5(col("vec_id").cast("string")))
+        .orderBy("h", "vec_id").limit(k)
+        .collect() // bounded: k rows (TakeOrdered, no global sort)
+      var cent: Seq[(Long, Seq[Double])] = seeds.toSeq.zipWithIndex.map {
+        case (r, i) => (i.toLong, r.getSeq[Double](r.fieldIndex("v")))
+      }
+      for (_ <- 1 to iters) {
+        val means = assignCells(e, centFrame(s, cent)).join(e, "vec_id")
+          .select(col("cell").as("clabel"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy("clabel", "dim").agg(round(avg("x"), 6).as("cx"))
+          .groupBy("clabel")
+          .agg(expr("transform(array_sort(collect_list(struct(dim, cx))), p -> p.cx)").as("cv"))
+          .collect() // bounded: ≤ k rows
+          .map(r => (r.getLong(r.fieldIndex("clabel")), r.getSeq[Double](r.fieldIndex("cv"))))
+          .toMap
+        cent = cent.map { case (l, old) => (l, means.getOrElse(l, old)) }
+      }
+      cent
+    } finally if (sampled) e.unpersist()
   }
 
   /** The k-means CTE chain shared by the kmeans oracles: seeds ranked by

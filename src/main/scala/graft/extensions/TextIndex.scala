@@ -115,11 +115,23 @@ object TextIndex {
   /** [[postingsDelta]] over a pre-tokenized (doc_id, …, toks) frame.
     * (Sharing one PERSISTED tokenized view across the build's writes
     * was measured a net loss and reverted — see [[build]]'s comment;
-    * the indirection stays for call sites that already hold tokens.) */
-  private def postingsDeltaFromToks(toksDf: DataFrame): DataFrame =
+    * the indirection stays for call sites that already hold tokens.)
+    *
+    * Term frequency is per-DOCUMENT-local (all of a doc's tokens live in
+    * one array), so it is computed by the one-pass `graft_token_tf`
+    * expression instead of explode → groupBy(doc_id, tok): the round-10
+    * form shuffled every token occurrence of the corpus just to count
+    * within rows, and its reduce-side hash aggregate over the (doc, tok)
+    * keyspace is what OOM'd the 16 GB default heap at 2M docs (the
+    * round-10 runs needed 48g). Row set identical to the groupBy's
+    * (TextIndexSpec pins it); the only corpus-sized shuffle left in the
+    * postings stage is the tok range-clustering the readers rely on. */
+  private def postingsDeltaFromToks(toksDf: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(toksDf.sparkSession)
     toksDf.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+        explode(call_function("graft_token_tf", col("toks"))).as("p"))
+      .select(col("doc_id"), col("p.tok").as("tok"), col("p.tf").as("tf"), col("dl"))
+  }
 
   /** Per-batch document-frequency delta (token, df). Each document
     * lives in exactly one batch, so summed deltas equal the corpus df. */

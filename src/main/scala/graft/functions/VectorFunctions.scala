@@ -443,6 +443,36 @@ object PqCodeOps {
     }
     packed
   }
+
+  /** [[pack]]'s residual form (IVFADC): quantize r = v/norm − ĉ(cell)
+    * instead of the unit vector. `chats` = UNIT centroids (cv/cnorm),
+    * aligned with the SORTED `labels`; the per-element divisions and
+    * the subtraction replicate `zip_with(u, chat, (a, b) -> a − b)`
+    * bit-for-bit (same IEEE ops, same order). */
+  def packRes(v: ArrayData, norm: Double, cell: Long, labels: Array[Long],
+              chats: Array[Array[Double]], cvs: Array[Array[Array[Double]]],
+              cvv: Array[Array[Double]]): Long = {
+    val raw = v.toDoubleArray()
+    val m = cvs.length
+    val dsub = cvs(0)(0).length
+    require(raw.length == m * dsub,
+      s"graft_pq_pack_res: vector dim ${raw.length} != trained M×DSUB = ${m * dsub}")
+    val ci = java.util.Arrays.binarySearch(labels, cell)
+    require(ci >= 0, s"graft_pq_pack_res: cell $cell not among the quantizer's labels")
+    val chat = chats(ci)
+    val r = new Array[Double](raw.length)
+    var i = 0
+    while (i < raw.length) { r(i) = raw(i) / norm - chat(i); i += 1 }
+    val sv = new Array[Double](dsub)
+    var packed = 0L
+    var s = 0
+    while (s < m) {
+      System.arraycopy(r, s * dsub, sv, 0, dsub)
+      packed += codeFor(sv, cvs(s), cvv(s)) << (4 * s) // 16^s exact
+      s += 1
+    }
+    packed
+  }
 }
 
 /** (sv, sub) → 4-bit code against literal codebooks. */
@@ -503,6 +533,122 @@ case class PqPackExpr(vec: Expression, norm: Expression,
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(vec = newLeft, norm = newRight)
   override def prettyName: String = "graft_pq_pack"
+}
+
+/** (v, norm, cell) → packed BIGINT of all M RESIDUAL codes against
+  * literal codebooks — the IVFADC encoding ([[PqPackExpr]]'s residual
+  * sibling): the residual r = v/norm − ĉ(cell) is quantized instead of
+  * the unit vector, with ĉ = cv/cnorm the UNIT centroid of the
+  * already-assigned cell (an input column, so the argmin
+  * [[NearestCellExpr]] computed is never re-run). Bit-identical to the
+  * compositional form `graft_pq_code(slice(zip_with(u, chat, a − b)))`
+  * (PqSpec pins it): same element divisions, same subtraction order,
+  * same integer-micro argmin per subspace. Labels arrive SORTED with
+  * chats aligned — cell resolves by binary search. */
+case class PqResPackExpr(vec: Expression, norm: Expression, cell: Expression,
+                         labels: Seq[Long], chats: Seq[Seq[Double]],
+                         cvs: Seq[Seq[Seq[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  // Seq fields for structural plan equality (the NearestCellExpr rule);
+  // transient arrays keep the per-row loop allocation-free
+  @transient private lazy val labelsArr: Array[Long] = labels.toArray
+  @transient private lazy val chatsArr: Array[Array[Double]] = chats.map(_.toArray).toArray
+  @transient private lazy val cvsArr: Array[Array[Array[Double]]] =
+    cvs.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val cvvArr: Array[Array[Double]] = PqCodeOps.selfDots(cvsArr)
+  override def first: Expression = vec
+  override def second: Expression = norm
+  override def third: Expression = cell
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (vec.dataType, norm.dataType, cell.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.DoubleType, _),
+            org.apache.spark.sql.types.DoubleType, org.apache.spark.sql.types.LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_pack_res expects (array<double>, double, bigint), got $t")
+    }
+  override def nullSafeEval(v: Any, n: Any, c: Any): Any =
+    PqCodeOps.packRes(v.asInstanceOf[ArrayData], n.asInstanceOf[Double],
+      c.asInstanceOf[Long], labelsArr, chatsArr, cvsArr, cvvArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = ctx.addReferenceObj("rpLabels", labelsArr, "long[]")
+    val h = ctx.addReferenceObj("rpChats", chatsArr, "double[][]")
+    val c = ctx.addReferenceObj("rpCvs", cvsArr, "double[][][]")
+    val n = ctx.addReferenceObj("rpCvv", cvvArr, "double[][]")
+    val cls = PqCodeOps.getClass.getName
+    defineCodeGen(ctx, ev, (v, nm, ce) =>
+      s"$cls.MODULE$$.packRes($v, $nm, $ce, $l, $h, $c, $n)")
+  }
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(vec = newFirst, norm = newSecond, cell = newThird)
+  override def prettyName: String = "graft_pq_pack_res"
+}
+
+/** Per-document term frequencies in ONE pass over the token array:
+  * array<string> → array<struct<tok, tf>> with tf = the token's
+  * occurrence count in the array. This is the [[MinHashSig]] of the
+  * inverted-index build: term frequency is per-ROW-local work (every
+  * token of a document lives in one array), so computing it as an
+  * expression removes the corpus-sized explode → groupBy(doc, tok)
+  * shuffle from the TextIndex postings build entirely — the stage that
+  * OOM'd the 16 GB default heap at 2M documents (the hash aggregate
+  * held the (doc, tok) keyspace across 32 concurrent reducers). Output
+  * order is first-occurrence (LinkedHashMap), irrelevant downstream —
+  * the postings write range-clusters by tok anyway; the (tok, tf) SET
+  * equals the groupBy's rows (TextIndexSpec pins it). */
+case class TokenTf(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("tok", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("tf", org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_token_tf expects array<string>, got $t")
+    }
+  override def nullSafeEval(v: Any): Any = TokenTf.compute(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = TokenTf.getClass.getName // graft.functions.TokenTf$
+    defineCodeGen(ctx, ev, c =>
+      s"(org.apache.spark.sql.catalyst.util.ArrayData) $cls.MODULE$$.compute($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_token_tf"
+}
+
+object TokenTf {
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    // LinkedHashMap: deterministic first-occurrence order. Keys are
+    // CLONED — an UnsafeArrayData element points into a shared buffer
+    // the caller may reuse before the consumer copies the output rows.
+    val m = new java.util.LinkedHashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) { // tokenizers never emit null; skip defensively
+        val t = arr.getUTF8String(i).clone()
+        val prev = m.get(t)
+        m.put(t, java.lang.Long.valueOf(if (prev == null) 1L else prev.longValue() + 1L))
+      }
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue.longValue())
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** Single-pass MinHash signature over an array of shingle strings:
@@ -611,6 +757,7 @@ object VectorFunctions {
     "graft_simhash64" -> (exprs => SimHash64Expr(exprs(0))),
     "graft_minhash" -> (exprs =>
       MinHashSig(exprs(0), exprs(1).eval(null).asInstanceOf[Number].intValue())),
+    "graft_token_tf" -> (exprs => TokenTf(exprs(0))),
     // (v, norm, labels-lit, cvs-lit, cnorms-lit) — the literal tails
     // are folded into the expression at build time (the Md5Prefix64
     // pattern), so the per-row signature is just (vec, norm)
@@ -625,6 +772,15 @@ object VectorFunctions {
       PqCodeExpr(exprs(0), exprs(1), PqCodeOps.fromLiteral(exprs(2)))),
     "graft_pq_pack" -> (exprs =>
       PqPackExpr(exprs(0), exprs(1), PqCodeOps.fromLiteral(exprs(2)))),
+    // (v, norm, cell, labels-lit, chats-lit, cvs-lit) — labels sorted,
+    // chats = unit centroids aligned with them
+    "graft_pq_pack_res" -> (exprs => {
+      val labels = exprs(3).eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+      val chAd = exprs(4).eval(null).asInstanceOf[ArrayData]
+      val chats = (0 until chAd.numElements()).map(i => chAd.getArray(i).toDoubleArray().toSeq)
+      PqResPackExpr(exprs(0), exprs(1), exprs(2), labels, chats,
+        PqCodeOps.fromLiteral(exprs(5)))
+    }),
   )
 
   def register(spark: SparkSession): Unit = {

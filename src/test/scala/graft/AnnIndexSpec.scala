@@ -86,6 +86,56 @@ class AnnIndexSpec extends SparkSpec {
     assert(got.count() === extra.count())
   }
 
+  test("residual PQ (IVFADC) component: served sim_ivfpq_res ≡ recompute; codes ≡ compositional coder; frozen books ride appends") {
+    import graft.extensions.PqQueries
+    val dir = tmpDir("graft-ann-respq")
+    val recomputed = collectAnn("sim_ivfpq_res")
+    AnnIndex.build(spark, raw, dir)
+    val m = AnnIndex.readMeta(spark, dir)
+    assert(m.pqResM === PqQueries.M, "build must persist the residual scheme")
+    assert(AnnIndex.readCodes(spark, dir).columns.contains("pqr"),
+      "codes table must carry the packed residual column")
+    withIndex(dir) {
+      assert(collectAnn("sim_ivfpq_res") === recomputed,
+        "index-served IVFADC must equal the per-session recompute bit-for-bit")
+    }
+    // a meta claiming no residual component must fall back, not throw
+    AnnIndex.writeMeta(spark, dir, m.copy(pqResM = 0))
+    withIndex(dir)(assert(collectAnn("sim_ivfpq_res") === recomputed))
+    AnnIndex.writeMeta(spark, dir, m)
+    // CODE-level identity: the one-pass pack expression that wrote pqr
+    // must equal the compositional coder (residualSubvectors →
+    // graft_pq_code → integer pack) row for row, not just at top-k
+    val cent = AnnIndex.readCentroids(spark, dir)
+    val e = SimilarityQueries.prep(spark, raw)
+    val expect = PqQueries.assignCodes(
+        PqQueries.residualSubvectors(e, cent, SimilarityQueries.assignCells(e, cent)),
+        AnnIndex.readPqResCodebooks(spark, dir))
+      .groupBy("vec_id")
+      .agg(expr("sum(code * CAST(pow(16, sub) AS BIGINT))").as("expect"))
+    val got = AnnIndex.readCodes(spark, dir).select("vec_id", "pqr")
+    assert(got.join(expect, "vec_id").filter(col("pqr") =!= col("expect")).count() === 0L)
+    assert(got.count() === raw.count())
+    // frozen-books append: books never move, appended rows coded exactly
+    val dir2 = tmpDir("graft-ann-respq-app")
+    AnnIndex.build(spark, raw.filter(col("vec_id") < 400), dir2)
+    val frozen = AnnIndex.readPqResCodebooks(spark, dir2).collect().toSeq
+      .map(_.toSeq).sortBy(_.toString)
+    AnnIndex.append(spark, raw.filter(col("vec_id") >= 400), dir2)
+    assert(AnnIndex.readPqResCodebooks(spark, dir2).collect().toSeq.map(_.toSeq)
+      .sortBy(_.toString) === frozen, "append must never move the residual books")
+    val cent2 = AnnIndex.readCentroids(spark, dir2)
+    val e2 = SimilarityQueries.prep(spark, raw.filter(col("vec_id") >= 400))
+    val expect2 = PqQueries.assignCodes(
+        PqQueries.residualSubvectors(e2, cent2, SimilarityQueries.assignCells(e2, cent2)),
+        AnnIndex.readPqResCodebooks(spark, dir2))
+      .groupBy("vec_id")
+      .agg(expr("sum(code * CAST(pow(16, sub) AS BIGINT))").as("expect"))
+    val got2 = AnnIndex.readCodes(spark, dir2).filter(col("vec_id") >= 400)
+      .select("vec_id", "pqr")
+    assert(got2.join(expect2, "vec_id").filter(col("pqr") =!= col("expect")).count() === 0L)
+  }
+
   test("append extends the index exactly: SRP codes corpus-invariant, cells frozen-quantizer") {
     val dir = tmpDir("graft-ann-append")
     val dirFull = tmpDir("graft-ann-full")

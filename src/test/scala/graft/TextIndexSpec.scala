@@ -35,6 +35,24 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("one-pass graft_token_tf postings ≡ the explode + groupBy(doc, tok) aggregation") {
+    // the build's postings stage computes tf with the per-row expression
+    // (no corpus-sized aggregate shuffle — the stage that OOM'd 16 GB
+    // at 2M docs); its row SET must equal the round-10 groupBy form
+    val dir = tmpDir("graft-textidx-tf")
+    TextIndex.build(spark, docs, dir)
+    val got = TextIndex.readPostings(spark, dir).select("doc_id", "tok", "tf", "dl")
+    val toks = "filter(split(text, ' '), t -> t != '')"
+    val expected = docs
+      .select(col("doc_id"), size(expr(toks)).cast("long").as("dl"),
+        explode(expr(toks)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      .select("doc_id", "tok", "tf", "dl")
+    assert(got.count() === expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "expression-derived postings must equal the aggregation form row for row")
+  }
+
   test("stale, foreign-scheme, or uncertified indexes are never served") {
     val dir = tmpDir("graft-textidx-stale")
     TextIndex.build(spark, docs.filter(col("doc_id") >= 10), dir) // subset = stale
