@@ -489,7 +489,9 @@ object AnnIndex {
     val kind = if (raw.columns.contains("label")) "label" else "kmeans"
     TsdbStorage.markStatsOutOfSync(spark, dir)
     timed(s"quantizer ($kind centroids, corpus aggregation + write)") {
-      val cent = SimilarityQueries.quantizer(spark, raw, kCells).coalesce(1)
+      // n known (the fingerprint just counted): the label path switches
+      // to the one-pass vector-mean aggregate past its gate
+      val cent = SimilarityQueries.quantizer(spark, raw, kCells, n).coalesce(1)
       cent.write.mode("overwrite").parquet(centroidsPath(dir))
     }
     // cell count from the WRITTEN centroids (k rows), not a second
@@ -498,29 +500,32 @@ object AnnIndex {
     // derivation twice (the kmeans path is shielded by the driver memo,
     // the label path is not)
     val k = spark.read.parquet(centroidsPath(dir)).count().toInt
-    // PQ component: per-subspace codebooks trained from this corpus
+    // PQ components: per-subspace codebooks trained from this corpus
     // (the memoized deterministic Lloyd — label-independent), frozen
-    // like the centroids; per-vector packed codes ride the codes table
-    timed(s"PQ codebooks (${PqQueries.ITERS}-iter per-subspace Lloyd + write)") {
-      PqQueries.pqCodebooks(spark, raw.drop("label"))
-        .coalesce(1).write.mode("overwrite").parquet(pqPath(dir))
-    }
-    // residual (IVFADC) codebooks against the JUST-FROZEN centroids —
-    // measured 2.7× lower ADC distortion than direct coding on
-    // clustered corpora (VectorScaleSmoke respq), so the index persists
-    // both: direct codes serve sim_pq/sim_ivfpq (the oracle-replayed
-    // scheme), residual codes serve sim_ivfpq_res. Training joins the
-    // md5-head sample only (assignCells over the sampled frame —
-    // pqResCodebooks re-derives the same sample internally).
-    timed(s"residual PQ codebooks (${PqQueries.ITERS}-iter Lloyd over residuals + write)") {
-      val cent = readCentroids(spark, dir)
-      val eS = SimilarityQueries.trainSampleOf(
-        SimilarityQueries.prep(spark, raw.drop("label")), n,
-        SimilarityQueries.trainSampleTarget(spark, PqQueries.KSUB.toLong))
-      PqQueries.pqResCodebooks(spark, raw.drop("label"), cent,
-          SimilarityQueries.assignCells(eS, cent))
-        .coalesce(1).write.mode("overwrite").parquet(pqResPath(dir))
-    }
+    // like the centroids; per-vector packed codes ride the codes table.
+    // ONE persisted md5-head sample feeds BOTH trainings, and the
+    // fingerprint this build already computed is passed through so
+    // neither training pays the memo's full-content probe scan again.
+    val rawNoLabel = raw.drop("label")
+    val fp = (n, idMin, idMax, idSum, cxor)
+    val eS = PqQueries.trainSampleFor(spark, rawNoLabel, n).persist()
+    try {
+      timed(s"PQ codebooks (${PqQueries.ITERS}-iter per-subspace Lloyd + write)") {
+        PqQueries.pqCodebooks(spark, rawNoLabel, Some(eS), Some(fp))
+          .coalesce(1).write.mode("overwrite").parquet(pqPath(dir))
+      }
+      // residual (IVFADC) codebooks against the JUST-FROZEN centroids —
+      // measured 2.7× lower ADC distortion than direct coding on
+      // clustered corpora (VectorScaleSmoke respq), so the index
+      // persists both: direct codes serve sim_pq/sim_ivfpq (the
+      // oracle-replayed scheme), residual codes serve sim_ivfpq_res
+      timed(s"residual PQ codebooks (${PqQueries.ITERS}-iter Lloyd over residuals + write)") {
+        val cent = readCentroids(spark, dir)
+        PqQueries.pqResCodebooks(spark, rawNoLabel, cent,
+            SimilarityQueries.assignCells(eS, cent), Some(eS), Some(fp))
+          .coalesce(1).write.mode("overwrite").parquet(pqResPath(dir))
+      }
+    } finally eS.unpersist()
     writeMeta(spark, dir, AnnMeta(planes, bb, n, idMin, idMax, idSum, cxor, kind, "", -1L, k,
       pqM = PqQueries.M, pqResM = PqQueries.M))
     val e = SimilarityQueries.prep(spark, raw)

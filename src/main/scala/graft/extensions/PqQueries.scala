@@ -247,10 +247,30 @@ object PqQueries {
   private def pqMemoized(key: String)(train: => Seq[(Long, Long, Seq[Double])]): Seq[(Long, Long, Seq[Double])] =
     pqMemo.synchronized(pqMemo.computeIfAbsent(key, _ => train))
 
-  private[graft] def pqCodebooks(s: SparkSession, raw: DataFrame): DataFrame = {
-    val fp = AnnIndex.fingerprint(raw)
+  /** The deterministic training sample of a raw embeddings frame — the
+    * md5-head of its prepped form at this session's target. Exposed so
+    * AnnIndex.build can derive it ONCE, persist it, and feed both the
+    * direct and the residual training (two sample scans become one). */
+  private[graft] def trainSampleFor(s: SparkSession, raw: DataFrame, n: Long): DataFrame =
+    SimilarityQueries.trainSampleOf(SimilarityQueries.prep(s, raw), n,
+      SimilarityQueries.trainSampleTarget(s, KSUB.toLong))
+
+  /** `sample`/`fpKnown`: a caller that already holds the corpus
+    * fingerprint (AnnIndex.build just computed it) and a persisted
+    * [[trainSampleFor]] frame passes both — the memo probe's full
+    * content scan and the sample re-derivation scan are skipped. The
+    * caller PLEDGES sample ≡ trainSampleFor(raw, fp._1): the memo key
+    * stays (session, fingerprint), so a mismatched pledge would poison
+    * the session's codebooks. */
+  private[graft] def pqCodebooks(s: SparkSession, raw: DataFrame,
+                                 sample: Option[DataFrame] = None,
+                                 fpKnown: Option[(Long, Long, Long, Long, Long)] = None): DataFrame = {
+    val fp = fpKnown.getOrElse(AnnIndex.fingerprint(raw))
     val key = s"${System.identityHashCode(s)}:$fp"
-    cbFrame(s, pqMemoized(key)(trainPq(s, raw, fp._1)))
+    cbFrame(s, pqMemoized(key) {
+      val e = sample.getOrElse(trainSampleFor(s, raw, fp._1))
+      trainPqOn(s, e, subvectors(e))
+    })
   }
 
   /** RESIDUAL codebooks — the same deterministic Lloyd over
@@ -268,7 +288,9 @@ object PqQueries {
     * Seq.hashCode whose collision would silently serve codebooks
     * trained against the wrong centroid set. */
   private[graft] def pqResCodebooks(s: SparkSession, raw: DataFrame,
-                                    cent: DataFrame, assigned: DataFrame): DataFrame = {
+                                    cent: DataFrame, assigned: DataFrame,
+                                    sample: Option[DataFrame] = None,
+                                    fpKnown: Option[(Long, Long, Long, Long, Long)] = None): DataFrame = {
     val centKey = {
       val md = java.security.MessageDigest.getInstance("MD5")
       cent.select(col("clabel").cast("long"), col("cv")).collect()
@@ -278,15 +300,14 @@ object PqQueries {
         }
       md.digest().map("%02x".format(_)).mkString
     }
-    val fp = AnnIndex.fingerprint(raw)
+    val fp = fpKnown.getOrElse(AnnIndex.fingerprint(raw))
     val key = s"${System.identityHashCode(s)}:res:$fp:$centKey"
     cbFrame(s, pqMemoized(key) {
-      // sampled past the gate like [[trainPq]] — residuals of the
+      // sampled past the gate like the direct books — residuals of the
       // md5-head sample against the SAME frozen centroids train the
       // same-quality codebooks at a bounded cost (assigned joins down
       // to the sample's rows)
-      val e = SimilarityQueries.trainSampleOf(SimilarityQueries.prep(s, raw), fp._1,
-        SimilarityQueries.trainSampleTarget(s, KSUB.toLong))
+      val e = sample.getOrElse(trainSampleFor(s, raw, fp._1))
       trainPqOn(s, e, residualSubvectors(e, cent, assigned))
     })
   }
@@ -298,17 +319,6 @@ object PqQueries {
     * its previous center. Each iteration collects M×KSUB×DSUB rounded
     * doubles to the driver (bounded metadata, like the engine's day
     * lists). */
-  private def trainPq(s: SparkSession, raw: DataFrame,
-                      n: Long = -1L): Seq[(Long, Long, Seq[Double])] = {
-    // md5-head training sample past the gate (SimilarityQueries
-    // .trainSampleOf — identity at every oracle SF): the per-subspace
-    // Lloyd estimates KSUB centers per subspace, for which a 256k
-    // sample is as good as the corpus and ~2·ITERS corpus scans cheaper
-    val e = SimilarityQueries.trainSampleOf(SimilarityQueries.prep(s, raw), n,
-      SimilarityQueries.trainSampleTarget(s, KSUB.toLong))
-    trainPqOn(s, e, subvectors(e))
-  }
-
   /** The Lloyd core over ANY (vec_id, sub, sv) frame — direct subvectors
     * (the round-9 scheme) or residuals (IVFADC). Seeds stay the
     * md5(vec_id)-ranked head of `e` either way, each subspace seeding

@@ -237,14 +237,38 @@ object SimilarityQueries {
     * cells. dims×cells rows — always broadcastable. Shared with
     * AnnIndex.build so the persisted centroids are the same values the
     * live path derives. */
-  private[extensions] def centroidTable(s: SparkSession, raw: DataFrame): DataFrame = {
+  /** Session conf: row count at which the LABEL centroid derivation
+    * switches from the oracle-replayed explode + per-dim avg (640M
+    * exploded rows at 10M×64) to the one-pass vector-mean aggregate
+    * (`Summarizer.mean` over ml vectors — per-dim running sums, no
+    * explode). Same mean, different summation tree: values agree to
+    * the 6dp both forms round to, but the at-scale form is not
+    * bit-replayed by the oracle — the sampled-kmeans contract. Every
+    * oracle SF (≤ 5k rows) stays on the explode form. 0 disables. */
+  private[graft] val LabelMeanMinRowsKey = "spark.graft.ann.labelMeanMinRows"
+  private[graft] val DefaultLabelMeanMinRows = 1000000L
+
+  private[graft] def centroidTable(s: SparkSession, raw: DataFrame,
+                                        n: Long = -1L): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    raw.select(col("label").cast("long").as("clabel"),
-        posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("dim", "x")))
-      .groupBy("clabel", "dim").agg(round(avg("x"), 6).as("cx"))
-      .groupBy("clabel")
-      .agg(expr("transform(array_sort(collect_list(struct(dim, cx))), p -> p.cx)").as("cv"))
-      .withColumn("cnorm", sqrt(call_function("graft_dot", col("cv"), col("cv"))))
+    val gate = s.conf.get(LabelMeanMinRowsKey, DefaultLabelMeanMinRows.toString).toLong
+    if (gate > 0 && n >= gate) {
+      import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+      raw.select(col("label").cast("long").as("clabel"),
+          array_to_vector(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as("fv"))
+        .groupBy("clabel")
+        .agg(org.apache.spark.ml.stat.Summarizer.mean(col("fv")).as("mv"))
+        .select(col("clabel"), vector_to_array(col("mv"), "float64").as("mvarr"))
+        .select(col("clabel"),
+          expr("transform(mvarr, x -> round(x, 6))").as("cv"))
+        .withColumn("cnorm", sqrt(call_function("graft_dot", col("cv"), col("cv"))))
+    } else
+      raw.select(col("label").cast("long").as("clabel"),
+          posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("dim", "x")))
+        .groupBy("clabel", "dim").agg(round(avg("x"), 6).as("cx"))
+        .groupBy("clabel")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, cx))), p -> p.cx)").as("cv"))
+        .withColumn("cnorm", sqrt(call_function("graft_dot", col("cv"), col("cv"))))
   }
 
   /** The quantizer an [[AnnIndex]] build derives: label centroids when
@@ -255,8 +279,9 @@ object SimilarityQueries {
     * deterministic k-means otherwise. `k ≤ 0` means the default
     * [[KMEANS_K]]; an explicit k is the retune path
     * ([[AnnIndex.quantizerHealth]] grows it). */
-  private[extensions] def quantizer(s: SparkSession, raw: DataFrame, k: Int = 0): DataFrame =
-    if (raw.columns.contains("label")) centroidTable(s, raw)
+  private[extensions] def quantizer(s: SparkSession, raw: DataFrame, k: Int = 0,
+                                    n: Long = -1L): DataFrame =
+    if (raw.columns.contains("label")) centroidTable(s, raw, n)
     else kmeansCentroids(s, raw, if (k > 0) k else KMEANS_K)
 
   /** (clabel, cv, cnorm) frame from driver-held centroid vectors —
@@ -462,9 +487,71 @@ object SimilarityQueries {
   private[graft] def assignCells(vecs: DataFrame, cent: DataFrame): DataFrame =
     vecs.select(col("vec_id"), nearestCellCol(cent).as("cell"))
 
+  /** Session conf: centroid count at which [[nearestCellCol]] switches
+    * to the TWO-LEVEL assignment expression (`graft_nearest_cell2`):
+    * pre-rank √k unit super-centroids, exact argmin over the top-3
+    * supers' members — ~2√k dots/row instead of k, the FAISS-style
+    * answer to assignment itself becoming the ingest wall once
+    * k ≈ √N (10⁸ vectors ⇒ k = 10⁴ dots/row under the full scan).
+    * Bounded-divergent: a row whose true cell sits outside both probed
+    * supers assigns to its best probed cell (VectorScaleSmoke `cells2`
+    * measures the rate; TwoLevelCellSpec pins determinism and the
+    * agreement bound). Every oracle-replayed quantizer (k ≤ 250 across
+    * registry + smokes) stays on the exact full scan. 0 disables. */
+  private[graft] val TwoLevelMinKKey = "spark.graft.ann.twoLevelMinK"
+  private[graft] val DefaultTwoLevelMinK = 512
+
+  /** Deterministic driver-side clustering of the k centroids into
+    * ⌈√k⌉ super-cells (spherical Lloyd, 5 iterations, first-k seeding —
+    * all on unit-normalized centroids, plain Scala: the quantizer is
+    * driver-held by construction). Returns (unit super-centroids,
+    * member indices per super). */
+  private[graft] def superCluster(cvs: Array[Array[Double]],
+                                  cnorms: Array[Double]): (Seq[Seq[Double]], Seq[Seq[Int]]) = {
+    val k = cvs.length
+    val dims = cvs(0).length
+    val unit = Array.tabulate(k) { i =>
+      val n = if (cnorms(i) == 0.0) 1.0 else cnorms(i)
+      cvs(i).map(_ / n)
+    }
+    val ns = math.ceil(math.sqrt(k.toDouble)).toInt
+    var sup = Array.tabulate(ns)(i => unit(i).clone()) // first-k seeds (deterministic)
+    var assign = new Array[Int](k)
+    for (_ <- 1 to 5) {
+      var i = 0
+      while (i < k) {
+        var best = 0; var bestD = Double.NegativeInfinity
+        var s = 0
+        while (s < ns) {
+          var d = 0.0; var j = 0
+          while (j < dims) { d += unit(i)(j) * sup(s)(j); j += 1 }
+          if (d > bestD) { bestD = d; best = s }
+          s += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      sup = Array.tabulate(ns) { s =>
+        val mem = (0 until k).filter(assign(_) == s)
+        if (mem.isEmpty) sup(s) // an emptied super keeps its center
+        else {
+          val m = new Array[Double](dims)
+          mem.foreach(i => { var j = 0; while (j < dims) { m(j) += unit(i)(j); j += 1 } })
+          var nn = 0.0; var j = 0
+          while (j < dims) { m(j) /= mem.length; nn += m(j) * m(j); j += 1 }
+          val n = math.sqrt(nn)
+          if (n == 0.0) sup(s) else m.map(_ / n)
+        }
+      }
+    }
+    val members = (0 until ns).map(s => (0 until k).filter(assign(_) == s))
+    (sup.map(_.toSeq).toSeq, members)
+  }
+
   /** The assignment as a COLUMN over any frame carrying (v, norm) —
     * what lets AnnIndex derive its whole codes table in one projection
-    * (SRP code + cell + packed PQ are all map-side expressions). */
+    * (SRP code + cell + packed PQ are all map-side expressions). Past
+    * [[TwoLevelMinKKey]] cells the column is the two-level pruned form. */
   private[graft] def nearestCellCol(cent: DataFrame): org.apache.spark.sql.Column = {
     graft.functions.VectorFunctions.register(cent.sparkSession)
     val rows = cent.select(col("clabel").cast("long"), col("cv"), col("cnorm").cast("double"))
@@ -477,9 +564,17 @@ object SimilarityQueries {
     val cvs = rows.map(_.getSeq[Double](1)).toSeq
     val cnorms = rows.map(_.getDouble(2)).toSeq
     val labelType = cent.schema("clabel").dataType
-    call_function("graft_nearest_cell", col("v"), col("norm"),
-      typedlit(labels), typedlit(cvs), typedlit(cnorms))
-      .cast(labelType)
+    val minK = cent.sparkSession.conf.get(TwoLevelMinKKey, DefaultTwoLevelMinK.toString).toInt
+    val assignExpr =
+      if (minK > 0 && rows.length >= minK) {
+        val (su, members) = superCluster(cvs.map(_.toArray).toArray, cnorms.toArray)
+        call_function("graft_nearest_cell2", col("v"), col("norm"),
+          typedlit(labels), typedlit(cvs), typedlit(cnorms),
+          typedlit(su), typedlit(members))
+      } else
+        call_function("graft_nearest_cell", col("v"), col("norm"),
+          typedlit(labels), typedlit(cvs), typedlit(cnorms))
+    assignExpr.cast(labelType)
   }
 
   /** The round-9 join form of [[assignCells]] — the equivalence

@@ -314,7 +314,7 @@ object TextIndex {
     // vocab-sized. Together with the meta row count and the vocab
     // token total they are everything bm25_topk needs — the per-query
     // corpus explode+groupBy happens at ingest instead.
-    timed("postings (tokenize + groupBy(doc,tok) + range-cluster)") {
+    timed("postings (tokenize + one-pass graft_token_tf + range-cluster)") {
       postingsDelta(docs)
         .repartitionByRange(col("tok")).sortWithinPartitions("tok", "doc_id")
         .write.mode("overwrite").parquet(postingsPath(dir))

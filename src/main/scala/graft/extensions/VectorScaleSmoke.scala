@@ -176,6 +176,59 @@ object VectorScaleSmoke {
       return
     }
 
+    // ---- "cells2" mode: two-level coarse assignment at the next
+    // vector decade (runMain … VectorScaleSmoke 10000000 cells2).
+    // With k ≈ √N cells (k = 3,162 here) the FULL-SCAN assignment is
+    // k dots/row — the ingest wall the ivfpq mode dodged by keeping
+    // k at 250. The two-level expression (graft_nearest_cell2) probes
+    // √k super-centroids and exact-argmins the top-3 supers' members:
+    // ~4√k ≈ 225 dots/row, 14× fewer. Evidence: wall-clock of both
+    // forms (full scan priced on a 1M slice — extrapolate ×(rows/1M)),
+    // the divergence RATE on that slice, and the agreement assert on
+    // clustered geometry.
+    if (args.length > 1 && args(1) == "cells2") {
+      val K2 = 3162
+      val cDims = (0 until DIMS).map { j =>
+        lit(1.0) * (pmod(xxhash64(lit("k"), col("c"), lit(j)), lit(2000L)) / 1000.0 - 1.0)
+      }
+      val cent = spark.range(K2).select(col("id").as("c"))
+        .select(col("c").as("clabel"), array(cDims: _*).as("cv"))
+        .withColumn("cnorm", sqrt(call_function("graft_dot", col("cv"), col("cv"))))
+        .persist()
+      cent.count()
+      // vectors near centroid (vec_id % K2): the true cell is its
+      // planted center with small per-vector noise
+      val vDims = (0 until DIMS).map { j =>
+        lit(1.0) * (pmod(xxhash64(lit("k"), pmod(col("vec_id"), lit(K2.toLong)), lit(j)), lit(2000L)) / 1000.0 - 1.0) +
+          lit(0.15) * (pmod(xxhash64(lit("n"), col("vec_id"), lit(j)), lit(2000L)) / 1000.0 - 1.0)
+      }
+      val e = spark.range(rows)
+        .select(col("id").as("vec_id"), array(vDims: _*).as("v"))
+        .withColumn("norm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+        .persist()
+      time(f"materialize $rows%,d vectors near $K2 planted centers")(e.count())
+      val slice = e.filter(col("vec_id") < 1000000L)
+      spark.conf.set(SimilarityQueries.TwoLevelMinKKey, "0")
+      val full = time(s"FULL-SCAN assignment, 1M-row slice ($K2 dots/row)") {
+        val f = SimilarityQueries.assignCells(slice, cent)
+          .select(col("vec_id"), col("cell").as("cell_full")).persist()
+        f.count(); f
+      }
+      spark.conf.unset(SimilarityQueries.TwoLevelMinKKey)
+      val two = time(f"TWO-LEVEL assignment, ALL $rows%,d rows (~4*sqrt($K2) dots/row)") {
+        val t = SimilarityQueries.assignCells(e, cent).persist()
+        t.count(); t
+      }
+      val diff = two.withColumnRenamed("cell", "cell_two").join(full, "vec_id")
+        .filter(col("cell_two") =!= col("cell_full")).count()
+      println(f"[vscale] two-level vs full-scan divergence on the 1M slice: $diff%,d rows " +
+        f"(${diff / 10000.0}%.4f %%)")
+      assert(diff.toDouble / 1000000.0 <= 0.01,
+        s"clustered geometry must keep two-level assignment within 1% of exact: $diff diverged")
+      spark.stop()
+      return
+    }
+
     // ---- "respq" mode: residual vs direct PQ raw-ADC recall A/B on
     // the SINGLE-LEVEL clustered geometry that collapsed direct 4-bit
     // ADC to recall 0.13 (BASELINE.md round-9 IVF-PQ row) — every

@@ -309,19 +309,29 @@ object NearestCellExpr {
   }
 
   def compute(arr: ArrayData, norm: Double, labels: Array[Long],
-              cvs: Array[Array[Double]], cnorms: Array[Double]): Long = {
-    val v = arr.toDoubleArray()
-    val k = labels.length
+              cvs: Array[Array[Double]], cnorms: Array[Double]): Long =
+    computeAmong(arr.toDoubleArray(), norm, labels, cvs, cnorms, null)
+
+  /** The argmin loop over a CANDIDATE subset (`idxs` = indices into the
+    * centroid arrays; null = all) — identical operations in identical
+    * order to the full scan when idxs covers everything, which is how
+    * [[compute]] now delegates (bit-identity preserved by construction).
+    * The two-level expression feeds it the probed super-cells' members. */
+  def computeAmong(v: Array[Double], norm: Double, labels: Array[Long],
+                   cvs: Array[Array[Double]], cnorms: Array[Double],
+                   idxs: Array[Int]): Long = {
+    val k = if (idxs == null) labels.length else idxs.length
     val sims = new Array[Double](k)
     var rawMax = Double.NegativeInfinity
     var sawNaN = false
     var i = 0
     while (i < k) {
-      val cv = cvs(i)
+      val ci = if (idxs == null) i else idxs(i)
+      val cv = cvs(ci)
       var dot = 0.0
       var j = 0
       while (j < v.length) { dot += v(j) * cv(j); j += 1 }
-      val sim = dot / (norm * cnorms(i))
+      val sim = dot / (norm * cnorms(ci))
       sims(i) = sim
       if (java.lang.Double.isNaN(sim)) sawNaN = true
       else if (sim > rawMax) rawMax = sim
@@ -340,14 +350,116 @@ object NearestCellExpr {
       val s = sims(i)
       if (java.lang.Double.isNaN(s) || (!sawNaN && s >= floor)) {
         val r = round6(s)
-        if (first || gt(r, bestSim) || (eq6(r, bestSim) && labels(i) < bestLabel)) {
-          bestSim = r; bestLabel = labels(i); first = false
+        val lbl = labels(if (idxs == null) i else idxs(i))
+        if (first || gt(r, bestSim) || (eq6(r, bestSim) && lbl < bestLabel)) {
+          bestSim = r; bestLabel = lbl; first = false
         }
       }
       i += 1
     }
     bestLabel
   }
+
+  /** Two-level assignment ([[NearestCellExpr]]'s at-scale sibling):
+    * rank the √k unit SUPER-centroids by raw dot (norm is constant per
+    * row, so v·ŝ ordering equals cosine ordering — no division, no
+    * rounding: this stage only selects which members to scan), then run
+    * the EXACT argmin — same rounding, same tiebreaks — over the top-3
+    * supers' member centroids. ~4√k dots instead of k; the result
+    * diverges from the full scan only when the true cell's centroid
+    * lives outside all probed supers (bounded-divergent by
+    * construction, measured in VectorScaleSmoke `cells2`). */
+  def computeTwoLevel(arr: ArrayData, norm: Double, labels: Array[Long],
+                      cvs: Array[Array[Double]], cnorms: Array[Double],
+                      superU: Array[Array[Double]],
+                      members: Array[Array[Int]]): Long = {
+    val v = arr.toDoubleArray()
+    val ns = superU.length
+    // top-3 supers by raw dot (measured: probe-2 diverged 1.0% on the
+    // 10M clustered smoke, probe-3 is comfortably inside the bound at
+    // one extra sqrt(k)-sized member scan)
+    val bi = Array(-1, -1, -1)
+    val bd = Array(Double.NegativeInfinity, Double.NegativeInfinity, Double.NegativeInfinity)
+    var s = 0
+    while (s < ns) {
+      val su = superU(s)
+      var d = 0.0
+      var j = 0
+      while (j < v.length) { d += v(j) * su(j); j += 1 }
+      if (d > bd(0)) {
+        bd(2) = bd(1); bi(2) = bi(1); bd(1) = bd(0); bi(1) = bi(0); bd(0) = d; bi(0) = s
+      } else if (d > bd(1)) {
+        bd(2) = bd(1); bi(2) = bi(1); bd(1) = d; bi(1) = s
+      } else if (d > bd(2)) { bd(2) = d; bi(2) = s }
+      s += 1
+    }
+    if (bi(0) < 0) // all super dots NaN (degenerate vector): full scan
+      return computeAmong(v, norm, labels, cvs, cnorms, null)
+    var total = 0
+    var p = 0
+    while (p < 3) { if (bi(p) >= 0) total += members(bi(p)).length; p += 1 }
+    val idxs = new Array[Int](total)
+    var off = 0
+    p = 0
+    while (p < 3) {
+      if (bi(p) >= 0) {
+        val m = members(bi(p))
+        System.arraycopy(m, 0, idxs, off, m.length)
+        off += m.length
+      }
+      p += 1
+    }
+    computeAmong(v, norm, labels, cvs, cnorms, idxs)
+  }
+}
+
+/** [[NearestCellExpr]] with TWO-LEVEL candidate pruning — the k-dots-
+  * per-row full scan becomes the assignment wall once k grows with the
+  * corpus (k ≈ √N cells at 10⁸–10⁹ vectors is 10⁴–3×10⁴ dots/row):
+  * this form ranks √k unit super-centroids first and runs the exact
+  * argmin over the top-3 supers' members only (~4√k dots). Same
+  * (v, norm) signature; super structure and members arrive as literal
+  * fields like the centroid tables. Divergence contract: a row whose
+  * true nearest centroid lives outside both probed supers may assign to
+  * its best PROBED centroid instead — bounded-divergent, measured, and
+  * only engaged past `spark.graft.ann.twoLevelMinK` (every
+  * oracle-replayed quantizer is far below it). */
+case class NearestCell2Expr(vec: Expression, norm: Expression,
+                            labels: Seq[Long], cvs: Seq[Seq[Double]],
+                            cnorms: Seq[Double], superU: Seq[Seq[Double]],
+                            members: Seq[Seq[Int]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  @transient private lazy val labelsArr: Array[Long] = labels.toArray
+  @transient private lazy val cvsArr: Array[Array[Double]] = cvs.map(_.toArray).toArray
+  @transient private lazy val cnormsArr: Array[Double] = cnorms.toArray
+  @transient private lazy val superArr: Array[Array[Double]] = superU.map(_.toArray).toArray
+  @transient private lazy val membersArr: Array[Array[Int]] = members.map(_.toArray).toArray
+  override def left: Expression = vec
+  override def right: Expression = norm
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (vec.dataType, norm.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.DoubleType, _), org.apache.spark.sql.types.DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_nearest_cell2 expects (array<double>, double), got $t")
+    }
+  override def nullSafeEval(v: Any, n: Any): Any =
+    NearestCellExpr.computeTwoLevel(v.asInstanceOf[ArrayData], n.asInstanceOf[Double],
+      labelsArr, cvsArr, cnormsArr, superArr, membersArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = ctx.addReferenceObj("nc2Labels", labelsArr, "long[]")
+    val c = ctx.addReferenceObj("nc2Cvs", cvsArr, "double[][]")
+    val n = ctx.addReferenceObj("nc2Norms", cnormsArr, "double[]")
+    val su = ctx.addReferenceObj("nc2Super", superArr, "double[][]")
+    val mb = ctx.addReferenceObj("nc2Members", membersArr, "int[][]")
+    val cls = NearestCellExpr.getClass.getName
+    defineCodeGen(ctx, ev, (v, nm) =>
+      s"$cls.MODULE$$.computeTwoLevel($v, $nm, $l, $c, $n, $su, $mb)")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(vec = newLeft, norm = newRight)
+  override def prettyName: String = "graft_nearest_cell2"
 }
 
 /** Product-quantization code assignment in ONE map-side pass — the
@@ -767,6 +879,18 @@ object VectorFunctions {
       val cvs = (0 until cvsAd.numElements()).map(i => cvsAd.getArray(i).toDoubleArray().toSeq)
       val cnorms = exprs(4).eval(null).asInstanceOf[ArrayData].toDoubleArray().toSeq
       NearestCellExpr(exprs(0), exprs(1), labels, cvs, cnorms)
+    }),
+    // (v, norm, labels-lit, cvs-lit, cnorms-lit, superU-lit, members-lit)
+    "graft_nearest_cell2" -> (exprs => {
+      val labels = exprs(2).eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+      val cvsAd = exprs(3).eval(null).asInstanceOf[ArrayData]
+      val cvs = (0 until cvsAd.numElements()).map(i => cvsAd.getArray(i).toDoubleArray().toSeq)
+      val cnorms = exprs(4).eval(null).asInstanceOf[ArrayData].toDoubleArray().toSeq
+      val suAd = exprs(5).eval(null).asInstanceOf[ArrayData]
+      val su = (0 until suAd.numElements()).map(i => suAd.getArray(i).toDoubleArray().toSeq)
+      val mbAd = exprs(6).eval(null).asInstanceOf[ArrayData]
+      val mb = (0 until mbAd.numElements()).map(i => mbAd.getArray(i).toIntArray().toSeq)
+      NearestCell2Expr(exprs(0), exprs(1), labels, cvs, cnorms, su, mb)
     }),
     "graft_pq_code" -> (exprs =>
       PqCodeExpr(exprs(0), exprs(1), PqCodeOps.fromLiteral(exprs(2)))),

@@ -143,12 +143,15 @@ class HotBucketSpec extends SparkSpec {
     }
   }
 
-  test("default cap clears every oracle-SF bucket by orders of magnitude") {
+  test("default cap clears every oracle-SF bucket by orders of magnitude — including the LARGEST SF") {
     // dedup_minhash's oracle replays the UNCAPPED SQL, so hash-green
-    // requires the guard to be a no-op at oracle SFs: measure the
-    // largest band bucket on the sf0.001 documents table
-    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
-    val biggest = DedupQueries.minhashHotBuckets(spark, corpus) // cap not exceeded → empty
-    assert(biggest.isEmpty, "no sf0.001 bucket is anywhere near the default cap")
+    // requires the guard to be a no-op at every oracle SF: measure the
+    // largest band bucket on sf0.001 AND sf0.1 (the largest SF the
+    // driver revalidates — BASELINE claims hash-green there too)
+    for (sf <- Seq(sfDir, "/root/testdata/sf0.1")) {
+      val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      val biggest = DedupQueries.minhashHotBuckets(spark, corpus) // cap not exceeded → empty
+      assert(biggest.isEmpty, s"no $sf bucket is anywhere near the default cap")
+    }
   }
 }

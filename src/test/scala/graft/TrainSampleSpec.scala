@@ -75,6 +75,27 @@ class TrainSampleSpec extends SparkSpec {
     assert(a.forall(_._3.length === PqQueries.DSUB))
   }
 
+  test("label-centroid vector-mean path agrees with the explode form to the shared 6dp rounding") {
+    // past spark.graft.ann.labelMeanMinRows the label quantizer switches
+    // from explode + per-dim avg to the one-pass Summarizer.mean — same
+    // mean, different summation tree; both round to 6dp, so per-dim
+    // values agree within one ulp of that rounding
+    val explodeForm = SimilarityQueries.centroidTable(spark, emb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    spark.conf.set(SimilarityQueries.LabelMeanMinRowsKey, "1")
+    val meanForm = try SimilarityQueries.centroidTable(spark, emb, n = emb.count())
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    finally spark.conf.unset(SimilarityQueries.LabelMeanMinRowsKey)
+    assert(meanForm.keySet === explodeForm.keySet)
+    for ((l, cv) <- explodeForm) {
+      val mv = meanForm(l)
+      assert(cv.length === mv.length)
+      cv.zip(mv).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1.0000001e-6, s"label $l: $a vs $b")
+      }
+    }
+  }
+
   test("below the gate nothing changes: default target far above every oracle SF") {
     // the auto target is max(262144, 64k); the biggest oracle corpus is
     // 5k documents / 2k embeddings — training there must stay the
