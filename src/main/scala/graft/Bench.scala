@@ -129,6 +129,12 @@ object Bench {
     // full content-hash scan (see AnnIndex.ContentCheckKey)
     sys.env.get("SPARK_GRAFT_CONTENT_CHECK").foreach(v =>
       spark.conf.set(graft.extensions.AnnIndex.ContentCheckKey, v))
+    // SPARK_GRAFT_MAX_BAND_BUCKET=<n>: set the hot-bucket cap conf
+    // EXPLICITLY — which also forces the guard to run at exact-tier
+    // sizes (an explicit cap is enforced at any size), the knob for
+    // measuring the guard's own cost below the gate
+    sys.env.get("SPARK_GRAFT_MAX_BAND_BUCKET").foreach(v =>
+      spark.conf.set(graft.extensions.DedupQueries.MaxBucketKey, v))
 
     // Full-truth audit queries pay an exact all-pairs leg BY DESIGN
     // (they are the evaluation harness, not the product path); their

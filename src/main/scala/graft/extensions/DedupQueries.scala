@@ -342,10 +342,21 @@ object DedupQueries {
     * with the cap UNSET the guard is skipped outright — every
     * exact-tier bucket is a true dup family orders of magnitude below
     * the default cap (HotBucketSpec pins capped ≡ uncapped there), and
-    * the worst uncapped case is bounded by the exact tier's own n² ≤
-    * gate² envelope. An EXPLICITLY configured cap is enforced at any
-    * size (the knob a template-flooded small corpus reaches for, and
-    * what HotBucketSpec's planted-family cases exercise). */
+    * the skip is worth a measured +0.6–0.7 s per banding query at
+    * oracle SFs (the round-10 bench drift this shave closed). An
+    * EXPLICITLY configured cap is enforced at any size (what
+    * HotBucketSpec's planted-family cases exercise).
+    *
+    * TRADE STATED PLAINLY (round-11 review finding, kept by decision):
+    * a ≤-gate corpus that IS a template flood (e.g. 80k docs, 50k
+    * near-copies surviving exact/norm — possible when dedup_minhash /
+    * dedup_edit run standalone rather than behind dedup_cascade's
+    * exact/norm tiers) runs UNGUARDED under the default conf, paying
+    * up to n²-pair verification. The production pipeline shape
+    * (cascade) collapses such families in the tiers BEFORE banding;
+    * an operator feeding raw template-heavy corpora to the standalone
+    * pair queries sets `spark.graft.dedup.maxBandBucket` explicitly
+    * and gets the guard at every size. */
   private[extensions] def capHotBuckets(s: SparkSession, banded: DataFrame,
                                         keys: Seq[String], n: Long = -1L): DataFrame = {
     val cap = maxBucket(s)
@@ -408,15 +419,21 @@ object DedupQueries {
     graft.functions.VectorFunctions.register(s)
     val bands = withMinhash(corpus).select(col("doc_id"), posexplode(minhashBandArray))
       .toDF("doc_id", "band", "bucket").persist()
-    val members = bands.join(
-      broadcast(hotBuckets(s, bands, Seq("band", "bucket")).select("band", "bucket")),
-      Seq("band", "bucket"), "left_semi")
-    val hub = members.groupBy("band", "bucket").agg(min("doc_id").as("hub"))
-    val edges = members.join(hub, Seq("band", "bucket"))
-      .filter(col("doc_id") =!= col("hub"))
-      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    graft.operators.ConnectedComponents.resolve(edges)
+    try {
+      val members = bands.join(
+        broadcast(hotBuckets(s, bands, Seq("band", "bucket")).select("band", "bucket")),
+        Seq("band", "bucket"), "left_semi")
+      val hub = members.groupBy("band", "bucket").agg(min("doc_id").as("hub"))
+      val edges = members.join(hub, Seq("band", "bucket"))
+        .filter(col("doc_id") =!= col("hub"))
+        .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      // resolve is eager (localCheckpoint inside), so the banded frame
+      // is safe to release — this is an ad-hoc diagnostic, not a
+      // QueryDef-cached build; leaking a corpus-sized cache per call
+      // would crowd out working-set blocks
+      graft.operators.ConnectedComponents.resolve(edges)
+    } finally bands.unpersist()
   }
 
   /** Session-scoped route-count memo: the size-gated operators (simhash

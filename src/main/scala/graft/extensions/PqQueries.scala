@@ -236,7 +236,7 @@ object PqQueries {
     * M×KSUB×DSUB driver-held doubles (8 KiB). Bounded at 8 corpora
     * (the CacheHygiene discipline). */
   private val pqMemo =
-    new java.util.LinkedHashMap[String, Seq[(Long, Long, Seq[Double])]](16, 0.75f, false) {
+    new java.util.LinkedHashMap[String, Seq[(Long, Long, Seq[Double])]](16, 0.75f, true) {
       // oldest-first eviction past the bound — a ninth corpus must not
       // wipe the live codebooks other queries are mid-session reusing
       // (a full clear() forced silent O(corpus) Lloyd retrains)
@@ -244,8 +244,18 @@ object PqQueries {
           e: java.util.Map.Entry[String, Seq[(Long, Long, Seq[Double])]]): Boolean = size > 8
     }
 
-  private def pqMemoized(key: String)(train: => Seq[(Long, Long, Seq[Double])]): Seq[(Long, Long, Seq[Double])] =
-    pqMemo.synchronized(pqMemo.computeIfAbsent(key, _ => train))
+  private def pqMemoized(key: String)(train: => Seq[(Long, Long, Seq[Double])]): Seq[(Long, Long, Seq[Double])] = {
+    // double-checked: training is a multi-pass Spark job — holding the
+    // global lock through it would serialize unrelated corpora's
+    // trainings; a rare concurrent duplicate train is the cheaper evil
+    val hit = pqMemo.synchronized(pqMemo.get(key))
+    if (hit != null) return hit
+    val trained = train
+    pqMemo.synchronized {
+      val raced = pqMemo.get(key)
+      if (raced != null) raced else { pqMemo.put(key, trained); trained }
+    }
+  }
 
   /** The deterministic training sample of a raw embeddings frame — the
     * md5-head of its prepped form at this session's target. Exposed so
@@ -266,7 +276,8 @@ object PqQueries {
                                  sample: Option[DataFrame] = None,
                                  fpKnown: Option[(Long, Long, Long, Long, Long)] = None): DataFrame = {
     val fp = fpKnown.getOrElse(AnnIndex.fingerprint(raw))
-    val key = s"${System.identityHashCode(s)}:$fp"
+    val tgt = SimilarityQueries.trainSampleTarget(s, KSUB.toLong) // output depends on it
+    val key = s"${System.identityHashCode(s)}:$fp:$tgt"
     cbFrame(s, pqMemoized(key) {
       val e = sample.getOrElse(trainSampleFor(s, raw, fp._1))
       trainPqOn(s, e, subvectors(e))
@@ -301,7 +312,8 @@ object PqQueries {
       md.digest().map("%02x".format(_)).mkString
     }
     val fp = fpKnown.getOrElse(AnnIndex.fingerprint(raw))
-    val key = s"${System.identityHashCode(s)}:res:$fp:$centKey"
+    val tgt = SimilarityQueries.trainSampleTarget(s, KSUB.toLong) // output depends on it
+    val key = s"${System.identityHashCode(s)}:res:$fp:$centKey:$tgt"
     cbFrame(s, pqMemoized(key) {
       // sampled past the gate like the direct books — residuals of the
       // md5-head sample against the SAME frozen centroids train the

@@ -323,7 +323,7 @@ object SimilarityQueries {
     * discipline). The certified-AnnIndex path still skips even the
     * first train. */
   private val kmeansMemo =
-    new java.util.LinkedHashMap[String, Seq[(Long, Seq[Double])]](16, 0.75f, false) {
+    new java.util.LinkedHashMap[String, Seq[(Long, Seq[Double])]](16, 0.75f, true) {
       // oldest-first eviction past the bound (the pqMemo discipline) —
       // never a full clear that drops live quantizers mid-session
       override def removeEldestEntry(
@@ -333,9 +333,21 @@ object SimilarityQueries {
   private[graft] def kmeansCentroids(s: SparkSession, raw: DataFrame,
       k: Int = KMEANS_K, iters: Int = KMEANS_ITERS): DataFrame = {
     val fp = AnnIndex.fingerprint(raw)
-    val key = s"${System.identityHashCode(s)}:$fp:$k:$iters"
-    centFrame(s, kmeansMemo.synchronized(
-      kmeansMemo.computeIfAbsent(key, _ => trainKmeans(s, raw, k, iters, fp._1))))
+    // the resolved sample target is part of the key: training output
+    // depends on it, so flipping spark.graft.ann.trainSampleRows
+    // mid-session must retrain, never serve the other target's entry
+    val key = s"${System.identityHashCode(s)}:$fp:$k:$iters:${trainSampleTarget(s, k.toLong)}"
+    // double-checked (the pqMemoized discipline): never hold the global
+    // lock through a multi-pass Spark training job
+    val hit = kmeansMemo.synchronized(kmeansMemo.get(key))
+    val cb = if (hit != null) hit else {
+      val trained = trainKmeans(s, raw, k, iters, fp._1)
+      kmeansMemo.synchronized {
+        val raced = kmeansMemo.get(key)
+        if (raced != null) raced else { kmeansMemo.put(key, trained); trained }
+      }
+    }
+    centFrame(s, cb)
   }
 
   // -------------------------------------------------------------------
@@ -364,7 +376,10 @@ object SimilarityQueries {
   private[graft] def trainSampleTarget(s: SparkSession, k: Long): Long = {
     val conf = s.conf.get(TrainSampleKey, "0").toLong
     if (conf < 0) Long.MaxValue
-    else if (conf > 0) conf
+    // explicit targets are floored at 64/centroid: a target below k
+    // would silently starve the seed TakeOrdered and train fewer cells
+    // than requested (the quantizerHealth retune path grows k)
+    else if (conf > 0) math.max(conf, 64L * k)
     else math.max(262144L, 64L * k)
   }
 
@@ -543,6 +558,23 @@ object SimilarityQueries {
           if (n == 0.0) sup(s) else m.map(_ / n)
         }
       }
+    }
+    // one FINAL assignment against the post-update supers: the loop's
+    // last step moved the centers, so members derived from the stale
+    // assignment could park a migrated centroid under the wrong super
+    // (probed via a super it no longer belongs to -> extra divergence)
+    var i = 0
+    while (i < k) {
+      var best = 0; var bestD = Double.NegativeInfinity
+      var t = 0
+      while (t < ns) {
+        var d = 0.0; var j = 0
+        while (j < dims) { d += unit(i)(j) * sup(t)(j); j += 1 }
+        if (d > bestD) { bestD = d; best = t }
+        t += 1
+      }
+      assign(i) = best
+      i += 1
     }
     val members = (0 until ns).map(s => (0 until k).filter(assign(_) == s))
     (sup.map(_.toSeq).toSeq, members)

@@ -364,7 +364,7 @@ object VectorScaleSmoke {
       }
       // coarse quantizer: label centroids (cheap, deterministic — the
       // ivfpq-mode precedent); cells via the one-pass expression
-      val cent = SimilarityQueries.quantizer(spark, raw).persist()
+      val cent = SimilarityQueries.quantizer(spark, raw, n = rows).persist()
       cent.count()
       val assigned = time("assignCells over the corpus (one-pass NearestCellExpr)") {
         val a = SimilarityQueries.assignCells(e, cent).persist(); a.count(); a

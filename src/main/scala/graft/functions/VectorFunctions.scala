@@ -398,6 +398,8 @@ object NearestCellExpr {
     var total = 0
     var p = 0
     while (p < 3) { if (bi(p) >= 0) total += members(bi(p)).length; p += 1 }
+    if (total == 0) // all probed supers emptied during Lloyd: full scan,
+      return computeAmong(v, norm, labels, cvs, cnorms, null) // never MaxValue
     val idxs = new Array[Int](total)
     var off = 0
     p = 0

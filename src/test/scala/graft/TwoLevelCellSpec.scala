@@ -6,7 +6,7 @@ import graft.extensions.SimilarityQueries
 
 /** Two-level coarse assignment (SimilarityQueries.nearestCellCol past
   * spark.graft.ann.twoLevelMinK): rank √k unit super-centroids, exact
-  * argmin over the top-2 supers' members — ~2√k dots/row instead of k.
+  * argmin over the top-3 supers' members — ~4√k dots/row instead of k.
   * Contract pinned here: deterministic; EXACT on clustered geometry
   * (the true cell's centroid is in the nearest super when centroids
   * are separated); bounded-divergent on adversarially uniform vectors;
