@@ -37,12 +37,13 @@ class ShardedEngine(spark: SparkSession, roots: Seq[String], buckets: Int = 32,
     * with the emptiness probe this used to do. */
   def append(meas: DataFrame): Unit = {
     val n = shards.size
-    val cached = meas.persist()
-    try {
+    // borrow-don't-own (TransientCache): a caller may pass a frame it
+    // (or a registry memo) already persisted — never evict it on exit
+    graft.core.TransientCache.borrowCached(meas) {
       shards.zipWithIndex.foreach { case (shard, i) =>
-        shard.append(cached.filter(pmod(col("id"), lit(n.toLong)) === i.toLong))
+        shard.append(meas.filter(pmod(col("id"), lit(n.toLong)) === i.toLong))
       }
-    } finally cached.unpersist()
+    }
   }
 
   def append(ms: Seq[graft.core.Meas]): Unit = {

@@ -122,6 +122,31 @@ object AnnIndex {
   private[extensions] def contentCheck(spark: SparkSession): Boolean =
     spark.conf.get(ContentCheckKey, "true").toBoolean
 
+  /** Session conf: corpus-row gate past which [[build]] fuses the
+    * fingerprint's content-xor term into the codes pass (Observation on
+    * the shared scan) instead of paying a dedicated full-vector hash
+    * scan — at 10M vectors that scan was 48.5 s of a 232 s build, and
+    * it grows linearly forever. Below the gate (default 1M — every
+    * oracle SF by 200×) the build computes the upfront fingerprint
+    * exactly as before. `0`/negative forces the fused path at any size
+    * (what the spec uses to pin fused ≡ unfused). */
+  val FusedFingerprintMinRowsKey = "spark.graft.ann.fusedFingerprintMinRows"
+
+  private[extensions] def fusedFingerprintMinRows(spark: SparkSession): Long =
+    spark.conf.get(FusedFingerprintMinRowsKey, "1000000").toLong
+
+  /** The PROVISIONAL content term for training-memo keys on the fused
+    * build path: an md5-head of the driver-side corpus identity (plan
+    * hash + sorted file listing — [[corpusIdentity]]). Distinct from
+    * any true xxhash64 xor with 2⁻⁶⁴ coincidence; collides with itself
+    * exactly when the same session rebuilds the same immutable frame,
+    * which is precisely when reusing the trained parameters is right. */
+  private def provisionalXor(corpus: DataFrame): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(corpusIdentity(corpus).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(h).getLong
+  }
+
   /** Default compact target: ~4M slim code rows per file (~tens of MB
     * compressed) — keeps a 10⁹-vector codes table at a few hundred
     * parallel-readable files instead of one single-task monolith. */
@@ -483,15 +508,35 @@ object AnnIndex {
         r
       }
     recoverCompact(spark, dir)
-    val (n, idMin, idMax, idSum, cxor) = timed("fingerprint (1 hash scan)")(fingerprint(raw))
+    // Fingerprint (round 12): the content-xor term is the build's only
+    // purpose for a dedicated full-vector scan (48.5 s of the 10M
+    // build), and the CODES pass reads every (vec_id, v) row anyway —
+    // so past [[FusedFingerprintMinRows]] the xor RIDES the codes write
+    // as an Observation (one scan fewer), and the upfront pass prunes
+    // to the vec_id column (id stats only). Below the gate the build
+    // is byte-identical to round 11: full fingerprint upfront, memo
+    // keys carry the true content term, every oracle SF replays
+    // unchanged. Past the gate the training-memo keys carry a
+    // PROVISIONAL content term (md5-head of plan hash + file listing —
+    // the contentProofs identity): sound for the build's own immutable
+    // frame, and post-build queries serve from the certified index,
+    // never from these memo entries.
+    val (n, idMin, idMax, idSum) = timed("id stats (pruned vec_id scan)")(idStats(raw))
+    val fused = n >= fusedFingerprintMinRows(spark)
+    val cxorPre: Option[Long] =
+      if (fused) None
+      else Some(timed("fingerprint content term (1 hash scan)")(fingerprint(raw)._5))
+    val fp = (n, idMin, idMax, idSum, cxorPre.getOrElse(provisionalXor(raw)))
     val bb = if (bandBits > 0) bandBits else advisedBandBits(n, planes)
     require(planes % bb == 0, s"planes ($planes) must be a multiple of bandBits ($bb)")
     val kind = if (raw.columns.contains("label")) "label" else "kmeans"
     TsdbStorage.markStatsOutOfSync(spark, dir)
     timed(s"quantizer ($kind centroids, corpus aggregation + write)") {
-      // n known (the fingerprint just counted): the label path switches
-      // to the one-pass vector-mean aggregate past its gate
-      val cent = SimilarityQueries.quantizer(spark, raw, kCells, n).coalesce(1)
+      // n known (the id stats just counted): the label path switches
+      // to the one-pass vector-mean aggregate past its gate; the
+      // kmeans path reuses the build's fingerprint for its memo key
+      // instead of paying a second content scan
+      val cent = SimilarityQueries.quantizer(spark, raw, kCells, n, Some(fp)).coalesce(1)
       cent.write.mode("overwrite").parquet(centroidsPath(dir))
     }
     // cell count from the WRITTEN centroids (k rows), not a second
@@ -507,9 +552,12 @@ object AnnIndex {
     // fingerprint this build already computed is passed through so
     // neither training pays the memo's full-content probe scan again.
     val rawNoLabel = raw.drop("label")
-    val fp = (n, idMin, idMax, idSum, cxor)
-    val eS = PqQueries.trainSampleFor(spark, rawNoLabel, n).persist()
-    try {
+    // borrow-don't-own (TransientCache): at small n trainSampleFor is
+    // the IDENTITY prep frame — canonically equal to the `emb` plan the
+    // sim_* query memos persist; an owned unpersist here evicted those
+    // entries from under their owners (the round-11 CacheHygiene flake)
+    val eS = PqQueries.trainSampleFor(spark, rawNoLabel, n)
+    graft.core.TransientCache.borrowCached(eS) {
       timed(s"PQ codebooks (${PqQueries.ITERS}-iter per-subspace Lloyd + write)") {
         PqQueries.pqCodebooks(spark, rawNoLabel, Some(eS), Some(fp))
           .coalesce(1).write.mode("overwrite").parquet(pqPath(dir))
@@ -525,15 +573,32 @@ object AnnIndex {
             SimilarityQueries.assignCells(eS, cent), Some(eS), Some(fp))
           .coalesce(1).write.mode("overwrite").parquet(pqResPath(dir))
       }
-    } finally eS.unpersist()
-    writeMeta(spark, dir, AnnMeta(planes, bb, n, idMin, idMax, idSum, cxor, kind, "", -1L, k,
-      pqM = PqQueries.M, pqResM = PqQueries.M))
+    }
     val e = SimilarityQueries.prep(spark, raw)
+    // fused path: the content xor is OBSERVED on the prepped frame as
+    // the codes projection streams over it — CollectMetrics aggregates
+    // per task and merges successful tasks only, so the value equals
+    // fingerprint(raw)._5 (AnnIndexSpec pins the equality). Sound here
+    // because the build's codes plan is the single-scan projection
+    // (freshly-written default-scheme books always take the packCol
+    // path); a plan that read `e` twice would fold duplicates into the
+    // xor and cancel them.
+    val obs = org.apache.spark.sql.Observation("ann-build-fp")
+    val eForCodes =
+      if (fused)
+        e.observe(obs, coalesce(bit_xor(xxhash64(col("vec_id"), col("v"))), lit(0L)).as("cxor"))
+      else e
     timed("codes (ONE projection: SRP + cell + packed PQ + residual PQ, map-side write)") {
-      codesFrame(e, planes, readCentroids(spark, dir), Some(readPqCodebooks(spark, dir)),
+      codesFrame(eForCodes, planes, readCentroids(spark, dir), Some(readPqCodebooks(spark, dir)),
           Some(readPqResCodebooks(spark, dir)))
         .write.mode("overwrite").parquet(codesPath(dir))
     }
+    val cxor = cxorPre.getOrElse(obs.get("cxor").asInstanceOf[Long])
+    // meta lands AFTER the codes pass (it now carries the observed
+    // content term); certification below is still the commit point, so
+    // crash-ordering is unchanged — an uncertified dir never serves
+    writeMeta(spark, dir, AnnMeta(planes, bb, n, idMin, idMax, idSum, cxor, kind, "", -1L, k,
+      pqM = PqQueries.M, pqResM = PqQueries.M))
     TsdbStorage.markStatsInSync(spark, dir)
   }
 

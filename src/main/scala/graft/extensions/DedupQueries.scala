@@ -314,6 +314,24 @@ object DedupQueries {
   /** Session conf: band-bucket size cap for the banding self-joins
     * (minhash pairs, edit-distance candidates, 64-bit simhash bands).
     * `0` disables the guard. */
+  /** Session conf: corpus-row gate past which [[minhashPairsFor]] stops
+    * persisting the CORPUS-WIDE shingle arrays (~3.5 KB/doc — 25+ GB of
+    * cache-spill at 8M docs, the round-11 cascade ENOSPC) and instead
+    * re-derives shingles ONLY for docs that appear in a band candidate
+    * pair (a left-semi join; bounded by near-dup + false-candidate
+    * mass, not the corpus). Signatures flow shingle→minhash in one
+    * unpersisted projection (~256 B/doc of banded rows is all that is
+    * cached). Same verified pair set — exact Jaccard over identical
+    * shingle values — only the caching strategy changes. Below the
+    * gate the round-11 plan is kept verbatim (oracle SFs replay
+    * unchanged; re-tokenizing candidates twice would be slower than
+    * one tiny persist there). `0` forces the lean path at any size
+    * (spec pin). */
+  private[graft] val LeanShingleMinRowsKey = "spark.graft.dedup.leanShingleMinRows"
+
+  private def leanShingleMinRows(s: SparkSession): Long =
+    s.conf.get(LeanShingleMinRowsKey, "2000000").toLong
+
   private[graft] val MaxBucketKey = "spark.graft.dedup.maxBandBucket"
   private[graft] val DefaultMaxBucket = 2000
 
@@ -418,8 +436,10 @@ object DedupQueries {
   private[graft] def hotBucketClusters(s: SparkSession, corpus: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val bands = withMinhash(corpus).select(col("doc_id"), posexplode(minhashBandArray))
-      .toDF("doc_id", "band", "bucket").persist()
-    try {
+      .toDF("doc_id", "band", "bucket")
+    // borrow-don't-own (TransientCache): this plan aliases the banded
+    // frame the minhash pair queries memo-persist — never evict theirs
+    graft.core.TransientCache.borrowCached(bands) {
       val members = bands.join(
         broadcast(hotBuckets(s, bands, Seq("band", "bucket")).select("band", "bucket")),
         Seq("band", "bucket"), "left_semi")
@@ -433,7 +453,7 @@ object DedupQueries {
       // QueryDef-cached build; leaking a corpus-sized cache per call
       // would crowd out working-set blocks
       graft.operators.ConnectedComponents.resolve(edges)
-    } finally bands.unpersist()
+    }
   }
 
   /** Session-scoped route-count memo: the size-gated operators (simhash
@@ -448,16 +468,38 @@ object DedupQueries {
     * contract — the same assumption every session persist() in this
     * file already makes); writer paths that mutate a corpus mid-session
     * (the streaming folds) count their own batch frames and never route
-    * through this memo. Bounded: cleared past 64 plans (counts are
-    * cheap to re-take; nothing trained is lost). */
+    * through this memo. Bounded: LRU past 64 plans (the pqMemo
+    * discipline — oldest-accessed out first, never a full clear that
+    * drops live sessions' counts), keyed on a PLAN DIGEST string
+    * rather than the LogicalPlan object so a closed session's plan
+    * tree (which references session/relation objects) is never
+    * retained by the memo. */
   private val countMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), java.lang.Long]()
+    new java.util.LinkedHashMap[String, java.lang.Long](128, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Long]): Boolean = size > 64
+    }
 
   private[graft] def corpusRows(df: DataFrame): Long = {
-    val key = (System.identityHashCode(df.sparkSession),
-      df.queryExecution.analyzed.canonicalized)
-    if (countMemo.size > 64) countMemo.clear()
-    countMemo.computeIfAbsent(key, _ => java.lang.Long.valueOf(df.count())).longValue()
+    // key = md5 over the canonicalized analyzed plan's string form (the
+    // same dedup relation the CacheManager uses), held as a VALUE — two
+    // frames over the same files share one count, a different corpus
+    // never aliases (128-bit digest; tier choices change pair-set
+    // semantics at the gates, so a 32-bit semanticHash would be too
+    // weak a key to bet them on)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = md.digest(df.queryExecution.analyzed.canonicalized.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val key = s"${System.identityHashCode(df.sparkSession)}:$digest"
+    val hit = countMemo.synchronized(countMemo.get(key))
+    if (hit != null) return hit.longValue()
+    val n = java.lang.Long.valueOf(df.count())
+    countMemo.synchronized {
+      val raced = countMemo.get(key)
+      if (raced != null) raced.longValue()
+      else { countMemo.put(key, n); n.longValue() }
+    }
   }
 
   /** The verified MinHash near-dup pair list (doc_a, doc_b, jaccard ≥
@@ -488,9 +530,27 @@ object DedupQueries {
     // graft_minhash emits all NUM_HASHES minima in a single codegen'd
     // pass over the shingle array (hex-min semantics identical to the
     // oracle's 8 × list_min(list_transform(md5)) chain).
+    // DISK BUDGET (round 12, the 8M-doc cascade ENOSPC): past
+    // [[LeanShingleMinRowsKey]] the corpus-wide shingle arrays are
+    // NEVER cached — signatures stream shingle→minhash in one
+    // projection, and verification re-derives shingles for the
+    // candidate docs only (left-semi; bounded by candidate mass).
+    val lean = n >= 0 && n >= leanShingleMinRows(s)
+    if (lean) {
+      // peak-spill self-report BEFORE committing to the heavy stages:
+      // driver-side file listing only, no data scan
+      val inputBytes = try {
+        corpus.inputFiles.map(f =>
+          new java.io.File(new java.net.URI(f).getPath).length()).sum
+      } catch { case _: Throwable => -1L }
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"minhashPairsFor: lean-shingle path at n=$n (input ~${inputBytes / (1 << 20)} MiB; " +
+          s"est. peak shuffle+cache ~${3 * inputBytes / (1 << 20)} MiB vs " +
+          s"~${inputBytes / (1 << 20) * 12} MiB with corpus-wide shingle cache)")
+    }
     // persists here are session-scoped memos (QueryDef cache contract;
     // CacheHygieneSpec proves re-runs reuse rather than grow them)
-    val sh = shingleDocs(corpus).persist()
+    val sh = if (lean) null else shingleDocs(corpus).persist()
     // signatures from the persisted text index when one is certified
     // AND fingerprint-matched (TextIndex) — the corpus-wide md5 pass
     // happens at ingest, not per query; identical expressions either
@@ -499,8 +559,9 @@ object DedupQueries {
     // banding survivors.
     val sig = (if (useIndex) TextIndex.resolveFor(s, corpus) else None) match {
       case Some(dir) => TextIndex.readSigs(s, dir).select("doc_id", "mhs")
-      case None => sh.select(col("doc_id"),
-        call_function("graft_minhash", col("sh"), lit(NUM_HASHES)).as("mhs"))
+      case None =>
+        (if (lean) shingleDocs(corpus) else sh).select(col("doc_id"),
+          call_function("graft_minhash", col("sh"), lit(NUM_HASHES)).as("mhs"))
     }
     val bands = sig.select(col("doc_id"), posexplode(minhashBandArray))
       .toDF("doc_id", "band", "bucket")
@@ -509,14 +570,22 @@ object DedupQueries {
     // band buckets → |bucket|² candidates; capped buckets are dropped
     // from candidate generation (accounting via hotBuckets)
     val keep = capHotBuckets(s, bands, Seq("band", "bucket"), n)
-    val cand = keep.as("a").join(keep.as("b"),
+    val cand0 = keep.as("a").join(keep.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    // lean: the pair list is read once for ids and once for scoring —
+    // candidate-mass-sized, the RIGHT thing to cache at scale
+    val cand = if (lean) cand0.persist() else cand0
+    val shv = if (!lean) sh else {
+      val candIds = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      shingleDocs(corpus.join(candIds, Seq("doc_id"), "left_semi")).persist()
+    }
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(shv.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shv.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("uni", size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
@@ -777,7 +846,7 @@ object DedupQueries {
     oracle = Some(
       s"""$simhashPairsSql
          |SELECT doc_a, doc_b, hamming FROM pairs ORDER BY doc_a, doc_b""".stripMargin),
-    doc = "X2 SimHash near-dup - SIZE-GATED: 32-bit byte-banded Hamming<=6 tier <= 100k docs (every oracle SF; what the oracle replays), 64-bit 4x16-banded Hamming<=3 tier past the gate (WWW'07 at-scale operating point - pair list bounded by true near-dup mass; spark.graft.dedup.route=exact forces the 32-bit tier)")
+    doc = "X2 SimHash near-dup - SIZE-GATED: 32-bit byte-banded Hamming<=6 tier <= 100k docs (every oracle SF; what the oracle replays), 64-bit Manku/WWW'07 multi-block-banded Hamming<=3 tier past the gate (6 blocks, C(6,3)=20 three-block tables keyed on ~32 bits - recall exactly 1 by pigeonhole, false-candidate mass ~20*n^2/2^33; spark.graft.dedup.route=exact forces the 32-bit tier)")
 
   // -------------------------------------------------------------------
   // X2f cluster resolution — what a production dedup pipeline runs AFTER

@@ -338,8 +338,10 @@ object PqQueries {
   private def trainPqOn(s: SparkSession, e: DataFrame,
                         svIn: DataFrame): Seq[(Long, Long, Seq[Double])] = {
     pqTrainCount.incrementAndGet()
-    val sv = svIn.persist()
-    try {
+    // borrow-don't-own (TransientCache): the subvector plan can alias a
+    // frame another query's memo persisted — never evict it on exit
+    val sv = svIn
+    graft.core.TransientCache.borrowCached(sv) {
       val seedIds = e.select(col("vec_id"))
         .withColumn("h", md5(col("vec_id").cast("string")))
         .orderBy("h", "vec_id").limit(KSUB)
@@ -367,7 +369,7 @@ object PqQueries {
         cb = cb.map { case (sub, code, old) => (sub, code, means.getOrElse((sub, code), old)) }
       }
       cb
-    } finally sv.unpersist()
+    }
   }
 
   // -------------------------------------------------------------------

@@ -280,9 +280,10 @@ object SimilarityQueries {
     * [[KMEANS_K]]; an explicit k is the retune path
     * ([[AnnIndex.quantizerHealth]] grows it). */
   private[extensions] def quantizer(s: SparkSession, raw: DataFrame, k: Int = 0,
-                                    n: Long = -1L): DataFrame =
+                                    n: Long = -1L,
+                                    fpKnown: Option[(Long, Long, Long, Long, Long)] = None): DataFrame =
     if (raw.columns.contains("label")) centroidTable(s, raw, n)
-    else kmeansCentroids(s, raw, if (k > 0) k else KMEANS_K)
+    else kmeansCentroids(s, raw, if (k > 0) k else KMEANS_K, KMEANS_ITERS, fpKnown)
 
   /** (clabel, cv, cnorm) frame from driver-held centroid vectors —
     * bounded (k rows), used to broadcast the evolving k-means centers. */
@@ -331,8 +332,13 @@ object SimilarityQueries {
     }
 
   private[graft] def kmeansCentroids(s: SparkSession, raw: DataFrame,
-      k: Int = KMEANS_K, iters: Int = KMEANS_ITERS): DataFrame = {
-    val fp = AnnIndex.fingerprint(raw)
+      k: Int = KMEANS_K, iters: Int = KMEANS_ITERS,
+      fpKnown: Option[(Long, Long, Long, Long, Long)] = None): DataFrame = {
+    // fpKnown: a caller that already holds the corpus fingerprint
+    // (AnnIndex.build) skips the memo probe's content scan — the
+    // pqCodebooks pledge discipline applies (a mismatched pledge would
+    // poison the session's quantizer memo)
+    val fp = fpKnown.getOrElse(AnnIndex.fingerprint(raw))
     // the resolved sample target is part of the key: training output
     // depends on it, so flipping spark.graft.ann.trainSampleRows
     // mid-session must retrain, never serve the other target's entry
@@ -411,9 +417,8 @@ object SimilarityQueries {
     kmeansTrainCount.incrementAndGet()
     val target = trainSampleTarget(s, k)
     val sampled = n > target
-    val e = if (sampled) trainSampleOf(prep(s, raw), n, target).persist()
-            else prep(s, raw)
-    try {
+    val e = if (sampled) trainSampleOf(prep(s, raw), n, target) else prep(s, raw)
+    def loop(): Seq[(Long, Seq[Double])] = {
       val seeds = e.select(col("vec_id"), col("v"))
         .withColumn("h", md5(col("vec_id").cast("string")))
         .orderBy("h", "vec_id").limit(k)
@@ -433,7 +438,12 @@ object SimilarityQueries {
         cent = cent.map { case (l, old) => (l, means.getOrElse(l, old)) }
       }
       cent
-    } finally if (sampled) e.unpersist()
+    }
+    // borrow-don't-own (TransientCache): the sample plan can alias a
+    // live session memo (a *_sampled recall query's persisted md5-head
+    // frame, or AnnIndex.build's shared sample) — an owned unpersist
+    // here would evict that entry from under its owner
+    if (sampled) graft.core.TransientCache.borrowCached(e)(loop()) else loop()
   }
 
   /** The k-means CTE chain shared by the kmeans oracles: seeds ranked by
@@ -1373,7 +1383,8 @@ object SimilarityQueries {
     val xmf = raw.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))").as("xm"))
       .withColumn("xmd", expr("transform(xm, x -> CAST(x AS DOUBLE))"))
-      .persist()
+    // borrow-don't-own (TransientCache): never evict an aliased memo plan
+    graft.core.TransientCache.borrowCached(xmf) {
     val n = raw.count()
     val baseRows = xmf.select(posexplode(col("xm")).as(Seq("dim", "x")))
       .groupBy("dim").agg(
@@ -1425,8 +1436,8 @@ object SimilarityQueries {
     val tr2 = ((BigInt(n) * q.sum - sx.map(x => x * x).sum) / PCA_DOWN).toDouble
     val share =
       if (vv * tr2 > 0) math.floor(vn / (vv * tr2) * 1000000.0 + 0.5).toLong else 0L
-    xmf.unpersist()
     (vm, share)
+    }
   }
 
   /** The unrolled power-iteration CTE chain up to the final iterate

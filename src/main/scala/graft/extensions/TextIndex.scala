@@ -337,10 +337,11 @@ object TextIndex {
     // vocab-sized; MEMORY_AND_DISK because a mostly-unique-token
     // corpus has a vocabulary ∝ corpus tokens.
     val postings = spark.read.parquet(postingsPath(dir))
+    // borrow-don't-own (TransientCache): never evict a canonically
+    // equal plan another query's memo persisted
     val tokStats = postings.groupBy("tok")
       .agg(sum("tf").as("cnt"), count(lit(1)).as("df"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    graft.core.TransientCache.borrowCached(tokStats) {
       timed("vocab (Σtf side of the shared token aggregate)") {
         tokStats.select(col("tok").as("token"), col("cnt"))
           .write.mode("overwrite").parquet(vocabPath(dir))
@@ -349,7 +350,7 @@ object TextIndex {
         tokStats.select("tok", "df")
           .write.mode("overwrite").parquet(dfreqPath(dir))
       }
-    } finally tokStats.unpersist()
+    }
     TsdbStorage.markStatsInSync(spark, dir)
   }
 

@@ -33,6 +33,36 @@ object TextScaleSmoke {
   private val TAIL = 10  // replaced suffix in the near-dup copy (J = 0.84375 → band 8)
   private val TAIL2 = 34 // replaced suffix in the mid-dup copy (J ≈ 0.5526 → band 5)
 
+  /** The 64-bit SimHash tier at scale: dedup_simhash's own raw pair
+    * list past the gate must be BOUNDED by true near-dup mass.
+    * Corpus ∪ verbatim re-id'd copies of id%5=0 (guaranteed Hamming-0
+    * partners — the recall floor); the corpus size (1.2·nDocs) is past
+    * EXACT_TIER_MAX_ROWS, so the unset route serves the 64-bit Manku
+    * 20-table (C(6,3) three-block keys) Hamming-≤3 tier. The replaced
+    * 4×16 banding measured ~n²/2¹⁶ false candidates here (4.5e8 /
+    * 332 s at 3.84M docs); the 20-table list must stay ∝ plants and
+    * the wall ~linear in the corpus. */
+  private def sh64Phase(spark: SparkSession, dir: String, nDocs: Long,
+                        planted: Long, planted2: Long): Unit = {
+    val vplants = (nDocs - 1) / 5 + 1 // ids 0, 5, 10, … < nDocs
+    val d64 = s"$dir/sh64"
+    val baseDocs = spark.read.parquet(s"$dir/documents.parquet")
+    baseDocs.union(
+        baseDocs.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000000L))
+      .write.parquet(s"$d64/documents.parquet")
+    val t64 = System.nanoTime()
+    val n64 = graft.SparkEntry.queries("dedup_simhash")(spark, d64).count()
+    val sec64 = (System.nanoTime() - t64) / 1e9
+    spark.sharedState.cacheManager.clearCache()
+    println(f"[tscale] 64-bit simhash tier at ${(nDocs * 6) / 5}%,d docs: $n64%,d pairs in $sec64%.1f s " +
+      f"(verbatim floor $vplants%,d; 32-bit form would flood ~${(nDocs * 1.2 * nDocs * 1.2 * 9e-5).toLong}%,d)")
+    assert(n64 >= vplants,
+      s"every verbatim copy is a Hamming-0 pair the 20-table Manku banding cannot miss: $n64 < $vplants")
+    assert(n64 <= vplants + 2 * (planted + planted2),
+      s"the 64-bit pair list stays bounded by true near-dup mass: $n64")
+  }
+
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.nonEmpty) args(0).toLong else 200000L
     // "retrieval" mode: only the BM25/hybrid phases (corpus + index
@@ -182,30 +212,19 @@ object TextScaleSmoke {
 
       // ---- 64-bit SimHash tier at scale: dedup_simhash's own raw
       // pair list past the gate must be BOUNDED by true near-dup mass.
-      // Corpus ∪ verbatim re-id'd copies of id%5=0 (guaranteed
-      // Hamming-0 partners — the recall floor); the corpus size
-      // (1.2·nDocs) is past EXACT_TIER_MAX_ROWS, so the unset route
-      // serves the 64-bit 4×16-band Hamming-≤3 tier. The replaced
-      // 32-bit tier measured ~1.8e-4·n²/2 false pairs here (5M+ at
-      // this scale); the 64-bit list must stay ∝ plants.
-      val vplants = (nDocs - 1) / 5 + 1 // ids 0, 5, 10, … < nDocs
-      val d64 = s"$dir/sh64"
-      val baseDocs = spark.read.parquet(s"$dir/documents.parquet")
-      baseDocs.union(
-          baseDocs.filter(col("doc_id") % 5 === 0)
-            .withColumn("doc_id", col("doc_id") + 100000000L))
-        .write.parquet(s"$d64/documents.parquet")
-      val t64 = System.nanoTime()
-      val n64 = graft.SparkEntry.queries("dedup_simhash")(spark, d64).count()
-      val sec64 = (System.nanoTime() - t64) / 1e9
-      spark.sharedState.cacheManager.clearCache()
-      println(f"[tscale] 64-bit simhash tier at ${(nDocs * 6) / 5}%,d docs: $n64%,d pairs in $sec64%.1f s " +
-        f"(verbatim floor $vplants%,d; 32-bit form would flood ~${(nDocs * 1.2 * nDocs * 1.2 * 9e-5).toLong}%,d)")
-      assert(n64 >= vplants,
-        s"every verbatim copy is a Hamming-0 pair the 4x16 banding cannot miss: $n64 < $vplants")
-      assert(n64 <= vplants + 2 * (planted + planted2),
-        s"the 64-bit pair list stays bounded by true near-dup mass: $n64")
+      sh64Phase(spark, dir, nDocs, planted, planted2)
 
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      spark.stop()
+      return
+    }
+
+    // "sh64" mode: ONLY the 64-bit Manku-banding tier, for decade
+    // smokes past what the cascade's disk/time budget reaches in one
+    // run — nDocs ≈ 8.33M gives a 10M-doc banded corpus (20 banded
+    // rows/doc = 2×10⁸ rows), the round-11 verdict's linearity probe.
+    if (args.length > 1 && args(1) == "sh64") {
+      sh64Phase(spark, dir, nDocs, planted, planted2)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       spark.stop()
       return

@@ -648,21 +648,67 @@ object CoreQueries {
   // Sketch-based approximate analytics — HLL++ distinct counts and
   // approximate percentiles per series. Constant-memory mergeable
   // sketches are the only viable shape for these at 100 TB (exact
-  // distinct/percentile buffers grow with data). No DuckDB oracle:
-  // sketch estimates are engine-specific; SketchSpec bounds the error
-  // against exact values instead.
+  // distinct/percentile buffers grow with data). The raw ESTIMATES are
+  // engine-specific (HLL++/KLL register layouts) — no cross-engine
+  // oracle exists for their values — so the gated query emits the
+  // BOUND CHECKS instead: per series, whether each estimate sits
+  // inside its guaranteed error band around the exact answer (the
+  // SketchSpec bounds, computed in-plan). The oracle predicts every
+  // check true, which turns "the sketches honor their bounds" into a
+  // driver-visible hash gate (round-11 verdict item 7). The pure
+  // constant-memory production shape (estimates only, no exact
+  // companion columns) is [[sketchEstimates]].
   // -------------------------------------------------------------------
+  /** The production sketch aggregate: ONE constant-memory pass, no
+    * exact buffers — what a 100 TB caller runs. Shared by the gated
+    * [[sketchStats]] audit and SketchSpec. */
+  private[graft] def sketchEstimates(s: SparkSession, d: String): DataFrame =
+    meas(s, d)
+      .groupBy("id")
+      .agg(
+        approx_count_distinct(col("value"), 0.02).as("approx_distinct_values"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"),
+        count(lit(1)).as("cnt"))
+
   val sketchStats: QueryDef = QueryDef(
-    build = (s, d) =>
+    build = (s, d) => {
+      // the audit shape: estimates + exact references in one grouped
+      // pass, reduced to the bound verdicts the oracle can state.
+      // HLL++ at rsd=0.02: |est − exact| ≤ max(10%·exact, 2) (generous
+      // 5σ band for small per-series cardinalities). percentile_approx
+      // guarantees RANK error (≤ 1/1000) and returns an actual data
+      // value, so the check is rank-DISCRETE: the estimate must lie
+      // between the sorted values at ranks ceil(0.4n) and
+      // floor(0.6n)+1 — an interpolated p40..p60 band is wrong for
+      // tiny series, where the discrete median legitimately sits
+      // outside it (a 4-sample series fails p40-interp while honoring
+      // the rank contract exactly). The exact buffers here are the
+      // audit's cost; the constant-memory production shape is
+      // [[sketchEstimates]].
       meas(s, d)
         .groupBy("id")
         .agg(
-          approx_count_distinct(col("value"), 0.02).as("approx_distinct_values"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"),
+          approx_count_distinct(col("value"), 0.02).as("ad"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("am"),
+          countDistinct(col("value")).as("ed"),
+          sort_array(collect_list(col("value"))).as("vals"),
           count(lit(1)).as("cnt"))
-        .orderBy("id"),
-    oracle = None,
-    doc = "sketches: HLL++ distinct + approximate percentile per series")
+        .select(col("id"), col("cnt"),
+          (abs(col("ad") - col("ed")).cast("double") <=
+            greatest(col("ed").cast("double") * 0.1, lit(2.0))).cast("bigint").as("hll_ok"),
+          (col("am") >= element_at(col("vals"),
+              greatest(lit(1L), ceil(col("cnt") * 0.4)).cast("int")) &&
+           col("am") <= element_at(col("vals"),
+              least(col("cnt"), floor(col("cnt") * 0.6) + 1L).cast("int")))
+            .cast("bigint").as("median_ok"))
+        .orderBy("id")
+    },
+    oracle = Some(
+      s"""${Sql.MEAS_CTE}
+         |SELECT id, count(*)::BIGINT AS cnt,
+         |       1::BIGINT AS hll_ok, 1::BIGINT AS median_ok
+         |FROM meas GROUP BY id ORDER BY id""".stripMargin),
+    doc = "sketches: HLL++ distinct + approximate percentile per series, emitted as in-plan bound checks the oracle predicts true (estimate values are engine-specific; the BOUNDS are the cross-engine contract)")
 
   /** The deterministic half of [[sketchStats]], hash-gated: same
     * grouping, exact distinct + row count. The sketch ESTIMATES stay
@@ -865,11 +911,11 @@ object CoreQueries {
     "series_lttb"     -> seriesLttb,
     "series_zscore"   -> seriesZscore,
     "series_gaps"     -> seriesGaps,
-    // sketch_stats is the registry's ONE intentional no-oracle entry:
-    // HLL / approx-percentile estimates are engine-specific by design,
-    // so the driver records a rows-only check (err: no_oracle). Its
-    // deterministic companion sketch_stats_exact hash-gates the exact
-    // parts (distinct, count) — together they are the full gate.
+    // sketch_stats (round 12): fully hash-gated — the build emits
+    // in-plan BOUND CHECKS (estimate within its guaranteed band of the
+    // exact answer) that the oracle predicts true; the raw estimates
+    // stay engine-specific and live in sketchEstimates. The companion
+    // sketch_stats_exact still gates the exact parts directly.
     "sketch_stats"    -> sketchStats,
     "sketch_stats_exact" -> sketchStatsExact,
   )

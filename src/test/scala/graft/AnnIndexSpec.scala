@@ -306,6 +306,34 @@ class AnnIndexSpec extends SparkSpec {
     } finally spark.conf.unset(AnnIndex.ContentCheckKey)
   }
 
+  test("fused fingerprint (observed on the codes pass) builds an index identical to the upfront-scan build") {
+    // Past FusedFingerprintMinRows the build's content-xor term rides
+    // the codes write as an Observation instead of a dedicated hash
+    // scan. Forcing the fused path at test scale must yield: the SAME
+    // meta fingerprint (observed xor ≡ fingerprint(raw) xor), the SAME
+    // codes table, and a certified index resolveFor serves.
+    val dirA = tmpDir("graft-ann-fusedA")
+    val dirB = tmpDir("graft-ann-fusedB")
+    AnnIndex.build(spark, raw, dirA) // default gate: upfront scan (the r11 path)
+    spark.conf.set(AnnIndex.FusedFingerprintMinRowsKey, "0")
+    try AnnIndex.build(spark, raw, dirB)
+    finally spark.conf.unset(AnnIndex.FusedFingerprintMinRowsKey)
+    val (ma, mb) = (AnnIndex.readMeta(spark, dirA), AnnIndex.readMeta(spark, dirB))
+    assert(mb.contentXor === ma.contentXor,
+      "observed content term must equal the dedicated-scan fingerprint")
+    assert((mb.corpusRows, mb.idMin, mb.idMax, mb.idSum) ===
+      ((ma.corpusRows, ma.idMin, ma.idMax, ma.idSum)))
+    assert(AnnIndex.usable(spark, dirB))
+    val codesOf = (d: String) => AnnIndex.readCodes(spark, d)
+      .orderBy("vec_id").collect().toSeq.map(_.toSeq)
+    assert(codesOf(dirB) === codesOf(dirA), "fused build writes identical codes")
+    withIndex(dirB) {
+      assert(AnnIndex.resolveFor(spark, raw) === Some(dirB),
+        "the fused-build fingerprint certifies against the live corpus")
+    }
+    assert(AnnIndex.verify(spark, dirB, raw), "the full-content audit passes")
+  }
+
   test("streamed replay: an already-applied (appId, batchId) append is a no-op") {
     val dir = tmpDir("graft-ann-txn")
     AnnIndex.build(spark, raw.filter(col("vec_id") >= 50), dir)

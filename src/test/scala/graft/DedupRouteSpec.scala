@@ -145,4 +145,22 @@ class DedupRouteSpec extends SparkSpec {
     assert(exact.exists { case (a, b, h) => a == 0L && b == 12L && h == 0L },
       "the 32-bit tier also sees the verbatim pair at Hamming 0")
   }
+
+  test("lean-shingle MinHash path (candidate-only verification) yields the identical verified pair set") {
+    // Past LeanShingleMinRows the corpus-wide shingle cache is replaced
+    // by candidate-only re-derivation (the 8M-doc disk budget). Same
+    // shingle values → same exact Jaccard → same pairs; this pins it at
+    // test scale by forcing the gate to 0.
+    def pairs() = graft.SparkEntry.queries("dedup_minhash")(spark, sfDir).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_a")), r.getLong(r.fieldIndex("doc_b")),
+        r.getDouble(r.fieldIndex("jaccard")))).toSeq.sorted
+    val default = pairs()
+    spark.sharedState.cacheManager.clearCache()
+    spark.conf.set(graft.extensions.DedupQueries.LeanShingleMinRowsKey, "0")
+    val lean = try pairs()
+    finally spark.conf.unset(graft.extensions.DedupQueries.LeanShingleMinRowsKey)
+    spark.sharedState.cacheManager.clearCache()
+    assert(lean === default, "lean path is a caching strategy, not a semantics change")
+    assert(default.nonEmpty, "the SF corpus has verified near-dup pairs to compare")
+  }
 }

@@ -5,14 +5,19 @@ import org.apache.spark.sql.functions._
 import graft.operators.CoreQueries
 import graft.sources.EventsSource
 
-/** The sketch query has no DuckDB oracle (estimates are
-  * engine-specific), so its gate lives here: error bounds against the
-  * exact answers.
+/** Sketch estimates are engine-specific, so their VALUES have no DuckDB
+  * oracle; the cross-engine contract is the error BOUND. Round 12 moved
+  * that bound into the sketch_stats plan itself (per-series hll_ok /
+  * median_ok columns the oracle predicts true — a driver-visible hash
+  * gate). This spec keeps the independent check: the raw production
+  * estimates ([[CoreQueries.sketchEstimates]], the constant-memory
+  * shape) against exact values computed HERE, plus the gated query's
+  * verdict columns.
   */
 class SketchSpec extends SparkSpec {
 
   test("HLL distinct and approximate median stay within bounds of the exact values") {
-    val approx = CoreQueries.sketchStats.build(spark, sfDir)
+    val approx = CoreQueries.sketchEstimates(spark, sfDir)
     val exact = EventsSource.meas(spark, sfDir)
       .groupBy("id")
       .agg(countDistinct("value").as("exact_distinct"),
@@ -32,5 +37,15 @@ class SketchSpec extends SparkSpec {
       col("approx_median") < col("exact_p40") || col("approx_median") > col("exact_p60"))
     assert(badMedian.count() === 0L, "approximate median outside the p40..p60 rank band")
     joined.unpersist()
+  }
+
+  test("the gated sketch_stats emits all-true bound verdicts (the oracle's prediction)") {
+    val gated = CoreQueries.sketchStats.build(spark, sfDir).cache()
+    assert(gated.count() > 0)
+    assert(gated.filter(col("hll_ok") =!= 1L || col("median_ok") =!= 1L).count() === 0L,
+      "every per-series estimate honors its bound")
+    assert(gated.columns.sorted === Array("cnt", "hll_ok", "id", "median_ok"),
+      "gate shape: no engine-specific estimate values in the hashed output")
+    gated.unpersist()
   }
 }

@@ -41,11 +41,26 @@ class TrainSampleSpec extends SparkSpec {
     }
   }
 
+  // A corpus LARGER than the floored explicit target (64/centroid →
+  // 640 for k=10, 1024 for KSUB=16): an explicit "100" on the ~500-row
+  // SF corpus is floored ABOVE the corpus size and trainSampleOf
+  // degrades to the identity frame — the sampled persist/seed branch
+  // the 10M smokes rely on would go untested here (round-11 advice).
+  // Tripling with shifted vec_ids crosses both floors.
+  private def bigEmb(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+    e.union(e.withColumn("vec_id", col("vec_id") + 100000L))
+      .union(e.withColumn("vec_id", col("vec_id") + 200000L))
+  }
+
   test("sampled k-means: trains on the sample, same parameters across sessions, sane serving") {
     def trainFresh(): Seq[(Long, Seq[Double])] = {
       val s2 = spark.newSession() // fresh memo identity → really retrains
       s2.conf.set(SimilarityQueries.TrainSampleKey, "100")
-      SimilarityQueries.kmeansCentroids(s2, s2.read.parquet(s"$sfDir/embeddings.parquet"))
+      // the sampled predicate must actually hold: corpus > floored target
+      assert(bigEmb(s2).count() > SimilarityQueries.trainSampleTarget(s2, 10),
+        "test corpus must be larger than the floored sample target")
+      SimilarityQueries.kmeansCentroids(s2, bigEmb(s2))
         .collect().map(r => (r.getLong(r.fieldIndex("clabel")),
           r.getSeq[Double](r.fieldIndex("cv")))).toSeq.sortBy(_._1)
     }
@@ -54,7 +69,7 @@ class TrainSampleSpec extends SparkSpec {
     assert(a === b, "sampled training is deterministic across sessions")
     assert(a.map(_._1) === (0L until 10L), "full k cells survive the sampled train")
     // serving sanity: every corpus vector still assigns to a trained cell
-    val cent = withTarget(100)(SimilarityQueries.kmeansCentroids(spark.newSession(), emb))
+    val cent = withTarget(100)(SimilarityQueries.kmeansCentroids(spark.newSession(), bigEmb(spark)))
     val cells = SimilarityQueries.assignCells(SimilarityQueries.prep(spark, emb), cent)
     assert(cells.count() === emb.count())
     assert(cells.select("cell").distinct().count() >= 5,
@@ -65,7 +80,10 @@ class TrainSampleSpec extends SparkSpec {
     def books(): Seq[(Long, Long, Seq[Double])] = {
       val s2 = spark.newSession()
       s2.conf.set(SimilarityQueries.TrainSampleKey, "100")
-      PqQueries.pqCodebooks(s2, s2.read.parquet(s"$sfDir/embeddings.parquet"))
+      // the sampled predicate must actually hold: corpus > floored target
+      assert(bigEmb(s2).count() > SimilarityQueries.trainSampleTarget(s2, PqQueries.KSUB.toLong),
+        "test corpus must be larger than the floored sample target")
+      PqQueries.pqCodebooks(s2, bigEmb(s2))
         .collect().map(r => (r.getLong(r.fieldIndex("sub")), r.getLong(r.fieldIndex("code")),
           r.getSeq[Double](r.fieldIndex("cv")))).toSeq.sortBy(c => (c._1, c._2))
     }
