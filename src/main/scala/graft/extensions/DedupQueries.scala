@@ -540,13 +540,22 @@ object DedupQueries {
       // peak-spill self-report BEFORE committing to the heavy stages:
       // driver-side file listing only, no data scan
       val inputBytes = try {
-        corpus.inputFiles.map(f =>
-          new java.io.File(new java.net.URI(f).getPath).length()).sum
+        val conf = s.sparkContext.hadoopConfiguration
+        corpus.inputFiles.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(conf).getFileStatus(p).getLen
+        }.sum
       } catch { case _: Throwable => -1L }
+      // corpora whose lineage tops out in a cached/derived frame have
+      // no file-backed inputs to size — fall back to a rows × mean-doc
+      // heuristic (the smoke corpora run ~1 KiB/doc)
+      val estMiB =
+        if (inputBytes > 0) inputBytes / (1 << 20) else n * 1024L / (1 << 20)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"minhashPairsFor: lean-shingle path at n=$n (input ~${inputBytes / (1 << 20)} MiB; " +
-          s"est. peak shuffle+cache ~${3 * inputBytes / (1 << 20)} MiB vs " +
-          s"~${inputBytes / (1 << 20) * 12} MiB with corpus-wide shingle cache)")
+        s"minhashPairsFor: lean-shingle path at n=$n (input ~$estMiB MiB" +
+          (if (inputBytes <= 0) ", rows-heuristic: upstream is cached/derived" else "") +
+          s"; est. peak shuffle+cache ~${3 * estMiB} MiB vs " +
+          s"~${12 * estMiB} MiB with the corpus-wide shingle cache)")
     }
     // persists here are session-scoped memos (QueryDef cache contract;
     // CacheHygieneSpec proves re-runs reuse rather than grow them)
@@ -2295,7 +2304,6 @@ object DedupQueries {
   // -------------------------------------------------------------------
   val cascade: QueryDef = QueryDef(
     build = (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       graft.functions.VectorFunctions.register(s)
       val base = docs(s, d).select(col("doc_id"), col("text"))
       val corpus = base
@@ -2308,16 +2316,39 @@ object DedupQueries {
           .select((col("doc_id") + 3000000000000L).as("doc_id"),
             concat(lit("zq "), col("text")).as("text")))
         .withColumn("n_tokens", expr(s"size($toksExpr)").cast("long"))
-        .persist() // session-scoped memo (QueryDef cache contract): three tier passes share it
-      val t1 = corpus.withColumn("rk", row_number().over(
-        Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")))
-      val s1 = t1.filter(col("rk") === 1).select("doc_id", "text", "n_tokens")
-      val t2 = s1.withColumn("rk", row_number().over(
-        Window.partitionBy(
+      // Tiers 1–2 (round 12, the 8M-doc disk budget): ONE hash
+      // aggregation per tier yields the tier's stats AND its survivor
+      // rows — keeper = min_by(doc_id) per group, exactly the
+      // row_number()=1 survivor the oracle's window form selects, and
+      // removed counts/tokens fall out of the same group sums. The
+      // replaced per-tier row_number window sorted the full corpus and
+      // RE-EXECUTED per consumer (survivor derivation + the accounting
+      // pass) — at 8M docs its accumulated shuffle sorts alone blew a
+      // 75 GB disk; the grouped form shuffles each tier once with
+      // map-side partial aggregation, no sort, and only the GROUP
+      // tables persist (corpus itself is consumed exactly once).
+      def tierGroup(in: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+        in.groupBy(key.as("h")).agg(
+          count(lit(1)).as("grp_docs"),
+          sum("n_tokens").as("grp_tokens"),
+          min_by(struct(col("doc_id"), col("text"), col("n_tokens")), col("doc_id")).as("keep"))
+      def survivors(g: DataFrame): DataFrame =
+        g.select(col("keep.doc_id").as("doc_id"), col("keep.text").as("text"),
+          col("keep.n_tokens").as("n_tokens"))
+      def tierRowG(no: Int, name: String, g: DataFrame): DataFrame =
+        g.agg(
+            sum("grp_docs").as("docs_in"),
+            (sum("grp_docs") - count(lit(1))).as("docs_removed"),
+            (sum("grp_tokens") - sum("keep.n_tokens")).as("tokens_removed"))
+          .select(lit(no.toLong).as("tier_no"), lit(name).as("tier"),
+            col("docs_in"), col("docs_removed"), col("tokens_removed"),
+            (col("docs_in") - col("docs_removed")).as("survivors"))
+      val g1 = tierGroup(corpus, sha2(col("text"), 256))
+        .persist() // session-scoped memo (QueryDef cache contract): stats + survivor reads share it
+      val g2 = tierGroup(survivors(g1),
           sha2(regexp_replace(trim(lower(col("text"))), lit("  *"), lit(" ")), 256))
-          .orderBy("doc_id")))
-      val s2 = t2.filter(col("rk") === 1).select("doc_id", "text", "n_tokens")
         .persist() // feeds pair generation AND the tier-3 accounting pass
+      val s2 = survivors(g2)
       // n: conservative upper bound on |s2| — the planted corpus is
       // base + three partial copies (< 2x base), and s2 is its subset
       val comp = graft.operators.ConnectedComponents.resolve(
@@ -2328,17 +2359,16 @@ object DedupQueries {
       // enter the pair graph — the left join's null coalesces to kept)
       val m3 = s2.join(comp, Seq("doc_id"), "left")
         .withColumn("rm", coalesce(col("cluster_id") < col("doc_id"), lit(false)))
-      def tierRow(no: Int, name: String, marked: DataFrame, removed: org.apache.spark.sql.Column) =
-        marked.agg(
-            count(lit(1)).as("docs_in"),
-            sum(removed.cast("long")).as("docs_removed"),
-            coalesce(sum(when(removed, col("n_tokens"))), lit(0L)).as("tokens_removed"))
-          .select(lit(no.toLong).as("tier_no"), lit(name).as("tier"),
-            col("docs_in"), col("docs_removed"), col("tokens_removed"),
-            (col("docs_in") - col("docs_removed")).as("survivors"))
-      tierRow(1, "exact", t1, col("rk") > 1)
-        .unionByName(tierRow(2, "norm", t2, col("rk") > 1))
-        .unionByName(tierRow(3, "near", m3, col("rm")))
+      val tier3 = m3.agg(
+          count(lit(1)).as("docs_in"),
+          sum(col("rm").cast("long")).as("docs_removed"),
+          coalesce(sum(when(col("rm"), col("n_tokens"))), lit(0L)).as("tokens_removed"))
+        .select(lit(3L).as("tier_no"), lit("near").as("tier"),
+          col("docs_in"), col("docs_removed"), col("tokens_removed"),
+          (col("docs_in") - col("docs_removed")).as("survivors"))
+      tierRowG(1, "exact", g1)
+        .unionByName(tierRowG(2, "norm", g2))
+        .unionByName(tier3)
         .orderBy("tier_no")
     },
     oracle = Some(

@@ -150,8 +150,18 @@ object CleanScaleSmoke {
         s"every batch's novel leg admits: ${v.get("kept")}")
       assert(RefCache.buildCount.get() == b0 + 1,
         s"exactly ONE O(corpus) generation build (batch 1); extensions cover the rest: ${RefCache.buildCount.get() - b0}")
-      assert(RefCache.extendCount.get() == e0 + nBatches,
-        s"every admitting batch extended the cached generation: ${RefCache.extendCount.get() - e0}")
+      // ≥, not ==: the stream runs CONTINUOUSLY between the loop's
+      // processAllAvailable calls, and a trigger can list a parquet
+      // write's part files mid-job-commit — one logical batch then
+      // splits into two admitting micro-batches, each extending once
+      // (measured: 37 extends / 36 writes in a round-12 run; verdicts
+      // and exactly-once index growth stay exact either way — the
+      // contract is "every admitting micro-batch extends, nothing
+      // rebuilds", which buildCount==1 + the sigs total already pin).
+      // Bounded above at one split per write.
+      val exts = RefCache.extendCount.get() - e0
+      assert(exts >= nBatches && exts <= 2L * nBatches,
+        s"every admitting micro-batch extended the cached generation: $exts for $nBatches writes")
       val cons = RefCache.consolidateCount.get() - c0
       assert(cons >= 2, s"the segment-list consolidation must trigger in a $nBatches-batch run: $cons")
       val cpts = TextIndex.compactCount.get() - cpt0
