@@ -1047,10 +1047,24 @@ class GraftEngine(val spark: SparkSession, val path: String, buckets: Int = 32,
     * Scheme). The log stays authoritative: a store whose catalog was
     * written by an engine version with different id assignment keeps
     * its stored ids — re-registration returns the logged id, never a
-    * conflicting fresh one. */
+    * conflicting fresh one.
+    *
+    * SIZE CONTRACT: this is a deliberate driver-side materialization —
+    * ~100 B/entry, so 10⁶ series ≈ 100 MB of driver heap, the same
+    * order as the reference's in-process scheme map. It is the right
+    * trade while catalogs are ≤ a few million names (every param-id
+    * lookup is O(1), no Spark job per name); a 10⁷⁺-series deployment
+    * should shard engines (ShardedEngine routes by id hash, so each
+    * driver memo holds only its shard's names) before it outgrows
+    * this map. The WARN below makes the approach self-reporting
+    * instead of failing as a silent heap creep. */
   private lazy val knownIds: scala.collection.mutable.HashMap[String, Long] = {
     val m = scala.collection.mutable.HashMap[String, Long]()
     ls().collect().foreach(r => m(r.getString(0)) = r.getLong(1))
+    if (m.size > 2000000)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"scheme catalog memo holds ${m.size} names (~${m.size / 10000} MB driver heap); " +
+          "consider sharding the store (ShardedEngine) before the catalog outgrows the driver")
     m
   }
 

@@ -1289,28 +1289,37 @@ object SimilarityQueries {
   // -------------------------------------------------------------------
   private val KNN_K = 3
 
+  /** The in-cell scored pair frame both knn_graph forms rank: every
+    * (vec, other-in-same-cell) pair with the 6dp-rounded cosine. The
+    * same block-key join as dedup_semantic spreads hot cells over
+    * SEM_BLOCKS tasks. */
+  private def knnPairFrame(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val assigned = AnnIndex.resolveFor(s, e)
+      .filter(defaultKmeans(s, _)) match {
+      case Some(dir) => AnnIndex.readCodes(s, dir).select(col("vec_id"), col("cell"))
+      case None =>
+        val c = kmeansCentroids(s, s.read.parquet(s"$d/embeddings.parquet").drop("label"))
+        assignCells(e, c)
+    }
+    // persisted: feeds both pair-join sides (QueryDef cache contract;
+    // the agg form's canonically-equal plan reuses this same entry)
+    val av = assigned.join(e, "vec_id").persist()
+    val left = av.select(col("cell"), col("vec_id"), col("v"), col("norm"),
+      explode(expr(s"sequence(0, ${SEM_BLOCKS - 1})")).as("blk"))
+    val right = av.select(col("cell"),
+      pmod(col("vec_id"), lit(SEM_BLOCKS)).cast("int").as("blk"),
+      col("vec_id").as("nbr_id"), col("v").as("ov"), col("norm").as("onorm"))
+    left.join(right, Seq("cell", "blk"))
+      .filter(col("nbr_id") =!= col("vec_id"))
+      .withColumn("cs", round(
+        call_function("graft_dot", col("v"), col("ov")) / (col("norm") * col("onorm")), 6))
+  }
+
   val knnGraph: QueryDef = QueryDef(
     build = (s, d) => {
-      val e = emb(s, d)
-      val assigned = AnnIndex.resolveFor(s, e)
-        .filter(defaultKmeans(s, _)) match {
-        case Some(dir) => AnnIndex.readCodes(s, dir).select(col("vec_id"), col("cell"))
-        case None =>
-          val c = kmeansCentroids(s, s.read.parquet(s"$d/embeddings.parquet").drop("label"))
-          assignCells(e, c)
-      }
-      // persisted: feeds both pair-join sides (QueryDef cache contract)
-      val av = assigned.join(e, "vec_id").persist()
-      val left = av.select(col("cell"), col("vec_id"), col("v"), col("norm"),
-        explode(expr(s"sequence(0, ${SEM_BLOCKS - 1})")).as("blk"))
-      val right = av.select(col("cell"),
-        pmod(col("vec_id"), lit(SEM_BLOCKS)).cast("int").as("blk"),
-        col("vec_id").as("nbr_id"), col("v").as("ov"), col("norm").as("onorm"))
       val byVec = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("nbr_id"))
-      left.join(right, Seq("cell", "blk"))
-        .filter(col("nbr_id") =!= col("vec_id"))
-        .withColumn("cs", round(
-          call_function("graft_dot", col("v"), col("ov")) / (col("norm") * col("onorm")), 6))
+      knnPairFrame(s, d)
         .withColumn("rank", row_number().over(byVec).cast("long"))
         .filter(col("rank") <= KNN_K)
         .select(col("vec_id"), col("rank"), col("nbr_id"),
@@ -1342,6 +1351,57 @@ object SimilarityQueries {
          |       CAST(floor(cs * 1000000.0 + 0.5) AS BIGINT) AS cs_micro
          |FROM rk WHERE rank <= $KNN_K ORDER BY vec_id, rank""".stripMargin),
     doc = "X3 kNN graph: per-vector top-K in-cell cosine neighbors (IVF-cell-bounded neighbor-graph build)")
+
+  // -------------------------------------------------------------------
+  // X3g' kNN graph, aggregate form — the SAME graph as knn_graph, built
+  // with the graft_topk bounded-heap aggregate instead of a row_number
+  // window. The window form shuffles and sorts EVERY scored pair; the
+  // heap partial-aggregates map-side, so the exchange carries at most
+  // tasks × vectors × K tiny heap states and nothing ever sorts more
+  // than K elements (ObjectHashAggregateExec, real map-side combine).
+  // At this SF both are instant; at 10⁸ pairs per vector-cell the
+  // window's sort is the wall — the 100M-row smoke's truth leg runs
+  // this shape. Identical output is a CONTRACT, not an accident: the
+  // heap's total order (score DESC, id ASC) is the window's ORDER BY,
+  // so the same DuckDB row_number oracle hash-gates both.
+  // -------------------------------------------------------------------
+  val knnGraphAgg: QueryDef = QueryDef(
+    build = (s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      knnPairFrame(s, d)
+        .groupBy("vec_id")
+        .agg(expr(s"graft_topk(cs, nbr_id, $KNN_K)").as("top"))
+        .select(col("vec_id"), posexplode(col("top")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("nbr_id"),
+          floor(col("col.score") * lit(1000000.0) + lit(0.5)).as("cs_micro"))
+        .orderBy("vec_id", "rank")
+    },
+    oracle = Some(
+      s"""${kmeansOracleCtes(KMEANS_K, KMEANS_ITERS)}, sims AS (
+         |  SELECT e.vec_id, c.clabel,
+         |         round(list_dot_product(e.v, c.cv) / (e.norm * c.cnorm), 6) AS csim
+         |  FROM e CROSS JOIN c$KMEANS_ITERS c
+         |), assigned AS (
+         |  SELECT vec_id, clabel AS cell FROM (
+         |    SELECT vec_id, clabel,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, clabel) AS rk
+         |    FROM sims) WHERE rk = 1
+         |), av AS (
+         |  SELECT a.vec_id, a.cell, e.v, e.norm FROM assigned a JOIN e USING (vec_id)
+         |), pr AS (
+         |  SELECT l.vec_id, r.vec_id AS nbr_id,
+         |         round(list_dot_product(l.v, r.v) / (l.norm * r.norm), 6) AS cs
+         |  FROM av l JOIN av r ON l.cell = r.cell AND r.vec_id <> l.vec_id
+         |), rk AS (
+         |  SELECT vec_id, nbr_id, cs,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, nbr_id) AS rank
+         |  FROM pr
+         |)
+         |SELECT vec_id, rank::BIGINT AS rank, nbr_id,
+         |       CAST(floor(cs * 1000000.0 + 0.5) AS BIGINT) AS cs_micro
+         |FROM rk WHERE rank <= $KNN_K ORDER BY vec_id, rank""".stripMargin),
+    doc = "X3 kNN graph via graft_topk bounded-heap aggregate: window-free top-K per vector, map-side partial agg (the 10⁸-row shape), same oracle as knn_graph")
 
   // -------------------------------------------------------------------
   // X3h embedding PCA — the top principal direction of the corpus and
@@ -1887,6 +1947,7 @@ object SimilarityQueries {
     "ivf_outliers"     -> cellOutliers,
     "embed_quantize"   -> quantize,
     "knn_graph"        -> knnGraph,
+    "knn_graph_agg"    -> knnGraphAgg,
     "knn_recall"       -> knnRecall,
     "knn_recall_sampled" -> knnRecallSampled,
     "sem_recall_sampled" -> semStraddleSampled,

@@ -82,23 +82,37 @@ object VectorScaleSmoke {
           lit(0.5) * (pmod(xxhash64(lit("s"), subCol, lit(j)), lit(2000L)) / 1000.0 - 1.0) +
           lit(0.25) * (pmod(xxhash64(lit("n"), col("vec_id"), lit(j)), lit(2000L)) / 1000.0 - 1.0)
       }
-      val e = spark.range(rows)
+      // Persist only through 10M rows (the r11/r12 protocol). Past that
+      // the corpus is ~51 GB/10⁸ rows, but generation is pure expression
+      // compute — every consumer's re-derivation is cheaper than a
+      // disk-backed cache round-trip (the cells2-mode reasoning).
+      val eBase = spark.range(rows)
         .select(col("id").as("vec_id"), array(vDims: _*).as("v"))
         .withColumn("norm", sqrt(call_function("graft_dot", col("v"), col("v"))))
-        .persist()
-      time(f"materialize $rows%,d clustered vectors ($CLUSTERS clusters × ${SUBS / CLUSTERS} subclusters)")(e.count())
+      val e = if (rows <= 10000000L) {
+        val p = eBase.persist()
+        time(f"materialize $rows%,d clustered vectors ($CLUSTERS clusters × ${SUBS / CLUSTERS} subclusters)")(p.count())
+        p
+      } else {
+        println(f"[vscale] streaming corpus (no persist) at $rows%,d rows")
+        eBase
+      }
       val q = e.filter(col("vec_id") < N_QUERIES)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
       val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+      // truth via the graft_topk bounded heap, NOT a row_number window:
+      // the window form shuffles + sorts all rows × N_QUERIES scored
+      // pairs through one exchange (~15 GB at 10M; a disk-filling
+      // ~150 GB at 100M) — the heap partial-aggregates map-side and
+      // ships N_QUERIES × K entries per task
       val brute = time(s"brute-force top-$K for $N_QUERIES queries (${rows * N_QUERIES} dots — the no-index baseline)") {
         e.crossJoin(broadcast(q))
           .filter(col("vec_id") =!= col("query_id"))
           .withColumn("cos_sim",
             call_function("graft_dot", col("v"), col("qv")) / (col("norm") * col("qnorm")))
-          .withColumn("neighbor_id", col("vec_id"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= K)
-          .select("query_id", "neighbor_id")
+          .groupBy("query_id")
+          .agg(expr(s"graft_topk(cos_sim, vec_id, $K)").as("top"))
+          .select(col("query_id"), explode(col("top.id")).as("neighbor_id"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       }
       val idxDir = java.nio.file.Files.createTempDirectory("graft-vscale-ivfpq").toString
@@ -124,7 +138,6 @@ object VectorScaleSmoke {
         .select(col("vec_id").as("query_id"), col("clabel").as("cell"), col("csim"))
         .persist()
       probeSims.count()
-      val wAdc = Window.partitionBy("query_id").orderBy(col("adc_micro").desc, col("neighbor_id"))
       // (nprobe, shortlist) sweep: nprobe buys cell coverage, shortlist
       // buys ADC-resolution headroom (4-bit codes blur subcluster
       // boundaries — rerank depth is the FAISS-style recall knob, and
@@ -148,8 +161,13 @@ object VectorScaleSmoke {
             .join(broadcast(lut), Seq("query_id", "sub", "code"))
             .groupBy("query_id", "neighbor_id")
             .agg(sum("lut_micro").as("adc_micro"))
-            .withColumn("arank", row_number().over(wAdc))
-            .filter(col("arank") <= shortlist)
+            // shortlist via the bounded heap (same order as the wAdc
+            // window: adc DESC, neighbor ASC; adc_micro ≤ ~1.6e8 is
+            // exact as a double) — candidates per query scale with
+            // nprobe × corpus/CLUSTERS, a window sort at 10⁸ rows
+            .groupBy("query_id")
+            .agg(expr(s"graft_topk(CAST(adc_micro AS DOUBLE), neighbor_id, $shortlist)").as("sl"))
+            .select(col("query_id"), explode(col("sl.id")).as("neighbor_id"))
             .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("norm")), "neighbor_id")
             .join(broadcast(q), "query_id")
             .withColumn("cos_sim",
@@ -209,8 +227,9 @@ object VectorScaleSmoke {
             .agg(sum("lut_micro").as("radc_micro"))
             .join(broadcast(qcell), Seq("query_id", "cell"))
             .withColumn("adc_micro", col("qc_micro") + col("radc_micro"))
-            .withColumn("arank", row_number().over(wAdc))
-            .filter(col("arank") <= shortlist)
+            .groupBy("query_id")
+            .agg(expr(s"graft_topk(CAST(adc_micro AS DOUBLE), neighbor_id, $shortlist)").as("sl"))
+            .select(col("query_id"), explode(col("sl.id")).as("neighbor_id"))
             .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("norm")), "neighbor_id")
             .join(broadcast(q), "query_id")
             .withColumn("cos_sim",
@@ -238,8 +257,9 @@ object VectorScaleSmoke {
           .join(broadcast(lut), Seq("query_id", "sub", "code"))
           .groupBy("query_id", "neighbor_id")
           .agg(sum("lut_micro").as("adc_micro"))
-          .withColumn("arank", row_number().over(wAdc))
-          .filter(col("arank") <= 1000)
+          .groupBy("query_id")
+          .agg(expr("graft_topk(CAST(adc_micro AS DOUBLE), neighbor_id, 1000)").as("sl"))
+          .select(col("query_id"), explode(col("sl.id")).as("neighbor_id"))
           .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("norm")), "neighbor_id")
           .join(broadcast(q), "query_id")
           .withColumn("cos_sim",
@@ -271,7 +291,9 @@ object VectorScaleSmoke {
     // the divergence RATE on that slice, and the agreement assert on
     // clustered geometry.
     if (args.length > 1 && args(1) == "cells2") {
-      val K2 = 3162
+      // k tracks the decade: √rows cells (the IVF sizing rule), floored
+      // at the 10M run's 3,162 so the r11 protocol stays reproducible
+      val K2 = math.max(3162, math.round(math.sqrt(rows.toDouble)).toInt)
       val cDims = (0 until DIMS).map { j =>
         lit(1.0) * (pmod(xxhash64(lit("k"), col("c"), lit(j)), lit(2000L)) / 1000.0 - 1.0)
       }
@@ -286,11 +308,24 @@ object VectorScaleSmoke {
         lit(1.0) * (pmod(xxhash64(lit("k"), pmod(col("vec_id"), lit(K2.toLong)), lit(j)), lit(2000L)) / 1000.0 - 1.0) +
           lit(0.15) * (pmod(xxhash64(lit("n"), col("vec_id"), lit(j)), lit(2000L)) / 1000.0 - 1.0)
       }
-      val e = spark.range(rows)
+      // Persist only through 10M rows (the r11 protocol). Past that the
+      // corpus is ~64 B/dim × rows (51 GB at 100M) — but generation is
+      // pure expression compute (192 xxhash64/row, no I/O), so the
+      // single assignment scan is CHEAPER re-derived than round-tripped
+      // through a disk-backed cache; the timing then prices exactly
+      // what a 1000-executor ingest would run: one streaming pass.
+      val eBase = spark.range(rows)
         .select(col("id").as("vec_id"), array(vDims: _*).as("v"))
         .withColumn("norm", sqrt(call_function("graft_dot", col("v"), col("v"))))
-        .persist()
-      time(f"materialize $rows%,d vectors near $K2 planted centers")(e.count())
+      val e = if (rows <= 10000000L) {
+        val p = eBase.persist()
+        time(f"materialize $rows%,d vectors near $K2 planted centers")(p.count())
+        p
+      } else {
+        println(f"[vscale] streaming corpus (no persist) at $rows%,d rows — " +
+          f"~${rows * DIMS * 8 / (1L << 30)}%,d GiB would not fit a sane cache budget")
+        eBase
+      }
       val slice = e.filter(col("vec_id") < 1000000L)
       spark.conf.set(SimilarityQueries.TwoLevelMinKKey, "0")
       val full = time(s"FULL-SCAN assignment, 1M-row slice ($K2 dots/row)") {

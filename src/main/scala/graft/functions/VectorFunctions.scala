@@ -872,6 +872,10 @@ object VectorFunctions {
     "graft_minhash" -> (exprs =>
       MinHashSig(exprs(0), exprs(1).eval(null).asInstanceOf[Number].intValue())),
     "graft_token_tf" -> (exprs => TokenTf(exprs(0))),
+    // (score, id, k-lit) — bounded top-k heap aggregate; k folded at
+    // build time like Md5Prefix64's width
+    "graft_topk" -> (exprs =>
+      TopKPairs(exprs(0), exprs(1), exprs(2).eval(null).asInstanceOf[Number].intValue())),
     // (v, norm, labels-lit, cvs-lit, cnorms-lit) — the literal tails
     // are folded into the expression at build time (the Md5Prefix64
     // pattern), so the per-row signature is just (vec, norm)
