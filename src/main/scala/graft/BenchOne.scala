@@ -20,11 +20,14 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val q = SparkEntry.all(name)
+    // noop sink, not count(): count() lets Catalyst prune columns (and
+    // sometimes whole subtrees) so it can time a cheaper plan than the
+    // bench measures (guide §1.4). Matches Bench.runOnce exactly.
     (1 to reps).foreach { i =>
       spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
-      val n = q.build(spark, sfDir).count()
-      println(f"[benchone] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
+      q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"[benchone] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     if (sys.env.get("GRAFT_EXPLAIN").contains("1"))
       q.build(spark, sfDir).explain("formatted")

@@ -1022,7 +1022,11 @@ object DedupQueries {
           .select(col("doc_id"), expr("transform(sh, x -> graft_md5_prefix(x, 15))").as("sh"))
       }).withColumn("n", size(col("sh")).cast("long"))
         .persist() // persists below: session-scoped memos (QueryDef cache contract)
+      // persisted (round 12): three consumers (the df aggregate, the
+      // rare-blocking join, the frequent-shingle leg) otherwise each
+      // re-explode the shingle arrays from the sh cache
       val post = sh.select(col("doc_id"), explode(col("sh")).as("x"))
+        .persist()
       val dfx = post.groupBy("x").agg(count(lit(1)).as("df")).persist()
       val blocked = post.join(dfx.filter(col("df") <= DF_MAX).select("x"), "x").persist()
       val pairCounts = blocked.as("a").join(blocked.as("b"),
@@ -1503,7 +1507,8 @@ object DedupQueries {
         sqrt(col("n2").cast("double")).as("norm"))
     val bandBits = AnnIndex.advisedBandBits(n, ROUTED_PLANES)
     val bands = SimilarityQueries.srpBands(
-      SimilarityQueries.srpCoded(ev, ROUTED_PLANES), ROUTED_PLANES, bandBits).persist()
+      SimilarityQueries.srpCoded(ev, ROUTED_PLANES), ROUTED_PLANES, bandBits)
+      .persist()
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.vec_id") < col("b.vec_id"))
@@ -1605,7 +1610,8 @@ object DedupQueries {
       case Some(dir) => AnnIndex.bandsFromIndex(s, dir)
       case None =>
         SimilarityQueries.srpBands(SimilarityQueries.srpCoded(e, planes), planes, bandBits)
-    }).persist()
+    })
+      .persist()
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.vec_id") < col("b.vec_id"))
@@ -1785,7 +1791,8 @@ object DedupQueries {
           .select(col("doc_id"), posexplode(col("swh")).as(Seq("p", "h")))
           .select(col("doc_id"), col("p").cast("long").as("p"), col("h"))
       case _ => spanWindowRows(docs(s, d))
-    }).persist()
+    })
+      .persist()
 
   /** Per-doc token counts — `ntk` from a certified index (column-pruned
     * read) or a text-scan fallback; dedup_span_frac / dedup_scrub's
@@ -2105,6 +2112,10 @@ object DedupQueries {
 
   val winnowMatches: QueryDef = QueryDef(
     build = (s, d) => {
+      // NOT persisted (round-12 measurement): materializing fp for its
+      // two consumers (boiler + the anti-join) measured SLOWER
+      // (2.06 → 3.77 s) than letting each pipeline the window chain —
+      // the cache write blocks the consumers' partial aggregation
       val fp = winnowFingerprints(spanWindows(s, d))
         .select(col("doc_id"), col("m")).dropDuplicates("doc_id", "m")
       val boiler = fp.groupBy("m")

@@ -537,15 +537,22 @@ object PqQueries {
         .withColumn("lut_micro",
           expr("CAST(floor(graft_dot(sv, cv) * 1000000 + 0.5D) AS BIGINT)"))
         .select(col("vec_id").as("query_id"), col("sub"), col("code"), col("lut_micro"))
-      val w = Window.partitionBy("query_id").orderBy(col("adc_micro").desc, col("neighbor_id"))
+      // top-K via the graft_topk bounded heap, not a row_number window:
+      // the window shuffled every ADC-scored candidate into |queries|
+      // partitions and sorted them; the heap partial-aggregates
+      // map-side (heap tie order = the window's ORDER BY). adc_micro
+      // (≤ 8 subs × ~1e8) is far under 2^53, so the DOUBLE heap score
+      // is exact and the cast back to BIGINT loses nothing.
       codeRows
         .join(broadcast(lut), Seq("sub", "code"))
         .filter(col("vec_id") =!= col("query_id"))
         .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
         .agg(sum("lut_micro").as("adc_micro"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= K)
-        .select("query_id", "rank", "neighbor_id", "adc_micro")
+        .groupBy("query_id")
+        .agg(expr(s"graft_topk(CAST(adc_micro AS DOUBLE), neighbor_id, $K)").as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("neighbor_id"), col("col.score").cast("long").as("adc_micro"))
         .orderBy("query_id", "rank")
     },
     oracle = Some(
@@ -572,14 +579,17 @@ object PqQueries {
       // exact truth: top-K per query by micro-cosine
       val q = e.filter(col("vec_id") < N_QUERIES)
         .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
-      val wt = Window.partitionBy("query_id").orderBy(col("exact_micro").desc, col("neighbor_id"))
+      // truth top-K via the graft_topk heap (the sim_pq rationale);
+      // exact_micro ≤ 1e6 so the DOUBLE heap score is exact
       val truth = e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("exact_micro", expr(
           "CAST(floor(graft_dot(v, qv) / (norm * qnorm) * 1000000 + 0.5D) AS BIGINT)"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("exact_micro"))
-        .withColumn("trank", row_number().over(wt))
-        .filter(col("trank") <= K)
+        .groupBy("query_id")
+        .agg(expr(s"graft_topk(CAST(exact_micro AS DOUBLE), vec_id, $K)").as("top"))
+        .select(col("query_id"), explode(col("top")).as("t"))
+        .select(col("query_id"), col("t.id").as("neighbor_id"),
+          col("t.score").cast("long").as("exact_micro"))
       // ADC scores for every (query, candidate)
       val lut = subvectors(e.filter(col("vec_id") < N_QUERIES))
         .join(broadcast(cb), "sub")
@@ -591,10 +601,10 @@ object PqQueries {
         .filter(col("vec_id") =!= col("query_id"))
         .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
         .agg(sum("lut_micro").as("adc_micro"))
-      val wa = Window.partitionBy("query_id").orderBy(col("adc_micro").desc, col("neighbor_id"))
-      val approx = adc.withColumn("arank", row_number().over(wa))
-        .filter(col("arank") <= K)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      val approx = adc
+        .groupBy("query_id")
+        .agg(expr(s"graft_topk(CAST(adc_micro AS DOUBLE), neighbor_id, $K)").as("top"))
+        .select(col("query_id"), explode(col("top.id")).as("neighbor_id"), lit(1L).as("hit"))
       truth
         .join(adc, Seq("query_id", "neighbor_id"))
         .join(approx, Seq("query_id", "neighbor_id"), "left")
@@ -664,11 +674,12 @@ object PqQueries {
           val c = SimilarityQueries.kmeansCentroids(s, raw)
           (c, SimilarityQueries.assignCells(e, c))
       }
-      val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("clabel"))
+      // probes via the graft_topk heap (the sim_pq rationale; heap tie
+      // order = the window's ORDER BY)
       val probes = SimilarityQueries.cellSims(e.filter(col("vec_id") < N_QUERIES), cent)
-        .withColumn("rk", row_number().over(byVec))
-        .filter(col("rk") <= SimilarityQueries.N_PROBE)
-        .select(col("vec_id").as("query_id"), col("clabel").as("cell"))
+        .groupBy("vec_id")
+        .agg(expr(s"graft_topk(csim, CAST(clabel AS BIGINT), ${SimilarityQueries.N_PROBE})").as("top"))
+        .select(col("vec_id").as("query_id"), explode(col("top.id")).as("cell"))
       val cand = probes.join(assigned, "cell")
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"))
@@ -679,14 +690,15 @@ object PqQueries {
           expr("CAST(floor(graft_dot(sv, cv) * 1000000 + 0.5D) AS BIGINT)"))
         .select(col("vec_id").as("query_id"), col("sub"), col("code"), col("lut_micro"))
       val codeRows = codeRows0.withColumnRenamed("vec_id", "neighbor_id")
-      val w = Window.partitionBy("query_id").orderBy(col("adc_micro").desc, col("neighbor_id"))
       cand.join(codeRows, "neighbor_id")
         .join(broadcast(lut), Seq("query_id", "sub", "code"))
         .groupBy("query_id", "neighbor_id")
         .agg(sum("lut_micro").as("adc_micro"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= K)
-        .select("query_id", "rank", "neighbor_id", "adc_micro")
+        .groupBy("query_id")
+        .agg(expr(s"graft_topk(CAST(adc_micro AS DOUBLE), neighbor_id, $K)").as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("neighbor_id"), col("col.score").cast("long").as("adc_micro"))
         .orderBy("query_id", "rank")
     },
     oracle = Some(
@@ -763,11 +775,11 @@ object PqQueries {
           AnnIndex.readCodes(s, dir).select(col("vec_id"), col("pqr").as("pq")))
         case None => assignCodes(residualSubvectors(e, cent, assigned), rcb)
       }).withColumnRenamed("vec_id", "neighbor_id")
-      val byVec = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("clabel"))
+      // probes via the graft_topk heap (the sim_pq rationale)
       val probes = SimilarityQueries.cellSims(e.filter(col("vec_id") < N_QUERIES), cent)
-        .withColumn("rk", row_number().over(byVec))
-        .filter(col("rk") <= SimilarityQueries.N_PROBE)
-        .select(col("vec_id").as("query_id"), col("clabel").as("cell"))
+        .groupBy("vec_id")
+        .agg(expr(s"graft_topk(csim, CAST(clabel AS BIGINT), ${SimilarityQueries.N_PROBE})").as("top"))
+        .select(col("vec_id").as("query_id"), explode(col("top.id")).as("cell"))
       // a vector lives in exactly one cell, so (query, neighbor)
       // determines cell — no dedup needed, the pair set matches the
       // oracle's DISTINCT
@@ -786,16 +798,17 @@ object PqQueries {
         .withColumn("qc_micro", // q̂ · ĉ = q̂·cv / cnorm — the exact term of û = ĉ + r
           expr("CAST(floor(graft_dot(u, cv) / cnorm * 1000000 + 0.5D) AS BIGINT)"))
         .select(col("query_id"), col("clabel").as("cell"), col("qc_micro"))
-      val w = Window.partitionBy("query_id").orderBy(col("adc_micro").desc, col("neighbor_id"))
       cand.join(rcodes, "neighbor_id")
         .join(broadcast(lut), Seq("query_id", "sub", "code"))
         .groupBy("query_id", "neighbor_id", "cell")
         .agg(sum("lut_micro").as("radc_micro"))
         .join(broadcast(qcell), Seq("query_id", "cell"))
         .withColumn("adc_micro", col("qc_micro") + col("radc_micro"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= K)
-        .select("query_id", "rank", "neighbor_id", "adc_micro")
+        .groupBy("query_id")
+        .agg(expr(s"graft_topk(CAST(adc_micro AS DOUBLE), neighbor_id, $K)").as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("neighbor_id"), col("col.score").cast("long").as("adc_micro"))
         .orderBy("query_id", "rank")
     },
     oracle = Some {
@@ -873,23 +886,27 @@ object PqQueries {
         .withColumn("lut_micro",
           expr("CAST(floor(graft_dot(sv, cv) * 1000000 + 0.5D) AS BIGINT)"))
         .select(col("vec_id").as("query_id"), col("sub"), col("code"), col("lut_micro"))
-      val wA = Window.partitionBy("query_id").orderBy(col("adc_micro").desc, col("neighbor_id"))
-      val wE = Window.partitionBy("query_id").orderBy(col("cos_micro").desc, col("neighbor_id"))
+      // both rank steps via the graft_topk heap (the sim_pq rationale):
+      // the ADC shortlist needs only the id set, the exact rerank
+      // emits cos_micro back from the heap score
       codeRows
         .join(broadcast(lut), Seq("sub", "code"))
         .filter(col("vec_id") =!= col("query_id"))
         .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
         .agg(sum("lut_micro").as("adc_micro"))
-        .withColumn("arank", row_number().over(wA))
-        .filter(col("arank") <= RERANK_R)
+        .groupBy("query_id")
+        .agg(expr(s"graft_topk(CAST(adc_micro AS DOUBLE), neighbor_id, $RERANK_R)").as("top"))
+        .select(col("query_id"), explode(col("top.id")).as("neighbor_id"))
         .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("norm")), "neighbor_id")
         .join(broadcast(e.filter(col("vec_id") < N_QUERIES)
           .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))), "query_id")
         .withColumn("cos_micro", expr(
           "CAST(floor(graft_dot(v, qv) / (norm * qnorm) * 1000000 + 0.5D) AS BIGINT)"))
-        .withColumn("rank", row_number().over(wE).cast("long"))
-        .filter(col("rank") <= K)
-        .select("query_id", "rank", "neighbor_id", "cos_micro")
+        .groupBy("query_id")
+        .agg(expr(s"graft_topk(CAST(cos_micro AS DOUBLE), neighbor_id, $K)").as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("neighbor_id"), col("col.score").cast("long").as("cos_micro"))
         .orderBy("query_id", "rank")
     },
     oracle = Some(

@@ -158,13 +158,27 @@ object RetrievalQueries {
       s"(CAST(idf_micro AS DECIMAL(38,0)) * tf * ${22L * sumDl}) div " +
         s"(CAST(tf AS DECIMAL(38,0)) * ${10L * sumDl} + CAST(${3L * sumDl} AS DECIMAL(38,0)) " +
         s"+ CAST(dl AS DECIMAL(38,0)) * ${9L * nDocs})")
-    val w = Window.partitionBy("query_id").orderBy(col("bm25_micro").desc, col("doc_id"))
-    tf.join(broadcast(q), Seq("tok"))
+    // top-`pool` via the graft_topk bounded heap, not a row_number
+    // window: the window shuffles every scored (query, doc) row into
+    // |queries| = 3 partitions (3 tasks on a 32-core stage) and sorts;
+    // the heap partial-aggregates map-side and ships `pool` entries per
+    // task-group. bm25_micro stays far under 2^53 (idf ≤ ~17e6 × sat
+    // ≤ 2.2 × |query terms|), so the DOUBLE heap score is exact and the
+    // cast back to the sum's own type loses nothing; heap tie order
+    // (score DESC, id ASC) = the window's ORDER BY.
+    graft.functions.VectorFunctions.register(s)
+    val scored = tf.join(broadcast(q), Seq("tok"))
       .join(broadcast(idfTok), Seq("tok"))
       .withColumn("c_micro", cMicro)
       .groupBy("query_id", "doc_id").agg(sum("c_micro").as("bm25_micro"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= pool)
+    val scoreType = scored.schema("bm25_micro").dataType
+    scored
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(CAST(bm25_micro AS DOUBLE), doc_id, $pool)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        col("col.score").cast(scoreType).as("bm25_micro"),
+        (col("pos") + 1).cast("long").as("rank"))
   }
 
   /** BM25 oracle CTE chain ending in `rk_b(query_id, doc_id,
@@ -234,14 +248,17 @@ object RetrievalQueries {
     val c = e.filter(col("n2") > 0)
     val q = c.filter(col("doc_id") < QUERY_DOCS)
       .select(col("doc_id").as("query_id"), col("vd").as("qv"), col("n2").as("qn2"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("doc_id"))
+    // graft_topk heap instead of the row_number window (the bm25Ranks
+    // rationale: the window sorted the whole scored corpus in 3 tasks)
     c.crossJoin(broadcast(q))
       .withColumn("cos_sim", round(
         call_function("graft_dot", col("vd"), col("qv")) /
           (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double"))), 6))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= pool)
-      .select("query_id", "doc_id", "rank")
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(cos_sim, doc_id, $pool)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rank"))
   }
 
   /** RRF micro-points for a (nullable) rank column. */

@@ -215,8 +215,12 @@ object TrainingQueries {
       val ev = wins.filter(col("doc_id") % 25 === 0)
         .select(col("h"), col("doc_id").as("eval_id"))
         .dropDuplicates("h", "eval_id")
+      // persisted (round 12): both consumers below (the per-doc stats
+      // aggregate and the islands chain) otherwise re-run the h-keyed
+      // candidate join
       val hits = wins.filter(col("doc_id") % 25 =!= 0)
         .join(ev, "h") // (train doc_id, p, h, eval_id)
+        .persist() // session-scoped memo (QueryDef cache contract)
       val perDoc = hits.groupBy("doc_id")
         .agg(countDistinct(col("h")).as("shared_windows"),
           countDistinct(col("eval_id")).as("eval_docs"))

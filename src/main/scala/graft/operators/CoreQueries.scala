@@ -857,8 +857,12 @@ object CoreQueries {
         col("sx").as("sxp"), col("sy").as("syp"), col("c").as("cp"))
       val next = agg.select(col("id"), (col("bucket") - 1).as("bucket"),
         col("sx").as("sxn"), col("sy").as("syn"), col("c").as("cn"))
-      val pickW = Window.partitionBy("id", "bucket")
-        .orderBy(col("area2").desc, col("rn"))
+      // per-bucket argmax via ONE grouped max_by instead of a
+      // row_number window: the join output is already partitioned by
+      // (id, bucket), so the hash aggregate reuses it shuffle-free
+      // where the window added a per-partition SORT of every row.
+      // max_by's ord struct (area2, -rn) is the window's exact total
+      // order: max area2, ties to min rn (rn is unique per bucket).
       base
         .join(prev, Seq("id", "bucket"), "left")
         .join(next, Seq("id", "bucket"), "left")
@@ -866,9 +870,11 @@ object CoreQueries {
           """abs((CAST(sxp AS DOUBLE) / cp - CAST(sxn AS DOUBLE) / cn) * (CAST(y AS DOUBLE) - CAST(syp AS DOUBLE) / cp)
             |  - (CAST(sxp AS DOUBLE) / cp - CAST(x AS DOUBLE)) * (CAST(syn AS DOUBLE) / cn - CAST(syp AS DOUBLE) / cp))""".stripMargin),
           lit(0.0)))
-        .withColumn("pick", row_number().over(pickW))
-        .filter(col("pick") === 1)
-        .select(col("id"), col("bucket"), col("time"), col("seq"), col("value"))
+        .groupBy(col("id"), col("bucket"))
+        .agg(max_by(struct(col("time"), col("seq"), col("value")),
+          struct(col("area2"), -col("rn"))).as("pick"))
+        .select(col("id"), col("bucket"),
+          col("pick.time").as("time"), col("pick.seq").as("seq"), col("pick.value").as("value"))
         .orderBy("id", "bucket")
     },
     oracle = Some(
