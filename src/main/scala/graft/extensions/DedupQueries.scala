@@ -2194,13 +2194,27 @@ object DedupQueries {
       cand
         .join(base.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
         .join(base.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
-        .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
         // the , 1 floor: two empty texts would divide by zero, where the
         // engines DIVERGE (Spark DIV → NULL row silently dropped, DuckDB
         // // → hard error failing the whole oracle run). Unreachable
         // today (empty docs produce no shingles → no bands → no
         // candidates) but the guard keeps the failure mode identical.
-        .withColumn("ratio_micro", expr("lev * 1000000 DIV greatest(length(ta), length(tb), 1)"))
+        .withColumn("ml", expr("greatest(length(ta), length(tb), 1)"))
+        // Threshold-bounded DP (round 12): the ratio gate keeps a pair
+        // iff lev*1e6 DIV ml <= EDIT_MAX_MICRO, which (integer div
+        // truncating) is exactly lev <= T for
+        // T = ((EDIT_MAX_MICRO+1)*ml - 1) DIV 1e6. Passing T as
+        // levenshtein's threshold arg runs Spark's banded O(T·n) DP
+        // with early exit instead of the full O(|a|·|b|) table and
+        // returns -1 for every pair the gate would discard anyway —
+        // the kept rows' lev is the identical exact distance. Most
+        // banding collisions are far over the gate (measured >= ~53%
+        // ratio vs the 40% gate), so they die in the cheap band.
+        .withColumn("lev", expr(
+          s"levenshtein(ta, tb, CAST((($EDIT_MAX_MICRO + 1) * ml - 1) DIV 1000000 AS INT))")
+          .cast("long"))
+        .filter(col("lev") >= 0L)
+        .withColumn("ratio_micro", expr("lev * 1000000 DIV ml"))
         .filter(col("ratio_micro") <= EDIT_MAX_MICRO)
         .select("doc_a", "doc_b", "lev", "ratio_micro")
         .orderBy("doc_a", "doc_b")

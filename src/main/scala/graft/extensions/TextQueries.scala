@@ -1279,15 +1279,32 @@ object TextQueries {
         .withColumnRenamed("doc_id", "query_id"), Seq("query_id"))
         .select(col("query_id"), col("vd").as("qv"), col("n2").as("qn2"))
       val c = prep(chunkEmbedVecs(s, d), Seq("doc_id", "chunk_id"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cos_sim").desc, col("doc_id"), col("chunk_id"))
+      // graft_topk heap instead of the row_number window (round 12):
+      // the scored input is chunks × queries — corpus-sized — and the
+      // window form full-sorts it per task where the heap keeps k
+      // entries. The two-column tiebreak (doc_id, chunk_id) packs into
+      // one heap id as doc_id·2²¹ + chunk_id, which preserves the
+      // lexical order exactly when 0 ≤ chunk_id < 2²¹ and
+      // 0 ≤ doc_id < 2⁴¹; outside that envelope the packing raises
+      // instead of mis-ranking (chunk_id is tokens/CS_S so 2²¹ chunks
+      // means a ≥2²¹·CS_S-token document; TopKPairs would silently
+      // skip a NULL id, hence the loud guard).
       c.crossJoin(broadcast(q))
         .withColumn("cos_sim", round(
           call_function("graft_dot", col("vd"), col("qv")) /
             (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double"))), 6))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= CHUNK_K)
-        .select("query_id", "rank", "doc_id", "chunk_id", "cos_sim")
+        .withColumn("pid",
+          when(col("chunk_id").between(0L, (1L << 21) - 1) &&
+               col("doc_id").between(0L, (1L << 41) - 1),
+            shiftleft(col("doc_id").cast("long"), 21).plus(col("chunk_id").cast("long")))
+          .otherwise(expr("CAST(raise_error('chunk_topk: (doc_id, chunk_id) outside the 41/21-bit packing envelope') AS BIGINT)")))
+        .groupBy("query_id")
+        .agg(expr(s"graft_topk(cos_sim, pid, $CHUNK_K)").as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+          shiftrightunsigned(col("col.id"), 21).as("doc_id"),
+          col("col.id").bitwiseAND((1L << 21) - 1).as("chunk_id"),
+          col("col.score").as("cos_sim"))
         .orderBy("query_id", "rank")
     },
     oracle = Some {
