@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench contract: the bench must end with ONE bare JSON line on
+// stdout. sbt's default LoggedOutput routes the forked JVM's stdout
+// through the logger (every line prefixed "[info] ") and then prints
+// its own "[success] Total time" trailer — the driver's JSON parser
+// never saw a bare line in 12 rounds (BENCH_r01..r12 all parsed:null).
+// StdoutOutput passes the child's stdout through raw; showSuccess=false
+// drops the trailer, so the process's LAST stdout line is Bench's
+// total_compact JSON.
+run / outputStrategy := Some(StdoutOutput)
+ThisBuild / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — lint
+// can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -31,3 +44,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (the machine has 128 GiB). SPARK_DRIVER_MEM still overrides.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+// Dev diagnostics hook (e.g. GC logging for the 32-thread variance
+// investigation): SPARK_GRAFT_JVM_EXTRA="-Xlog:gc*:file=/tmp/gc.log"
+javaOptions ++= sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq.flatMap(_.trim.split("\\s+").toSeq)

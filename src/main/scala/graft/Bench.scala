@@ -135,6 +135,11 @@ object Bench {
     // measuring the guard's own cost below the gate
     sys.env.get("SPARK_GRAFT_MAX_BAND_BUCKET").foreach(v =>
       spark.conf.set(graft.extensions.DedupQueries.MaxBucketKey, v))
+    // SPARK_GRAFT_MEMO_LEVEL=MEMORY_AND_DISK_SER: storage level for the
+    // session-scoped memo persists (32-thread variance A/B hook; unset
+    // ⇒ MEMORY_AND_DISK, identical to bare persist())
+    sys.env.get("SPARK_GRAFT_MEMO_LEVEL").foreach(v =>
+      spark.conf.set(graft.core.Memo.LevelKey, v))
 
     // Full-truth audit queries pay an exact all-pairs leg BY DESIGN
     // (they are the evaluation harness, not the product path); their

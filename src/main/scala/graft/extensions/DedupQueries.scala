@@ -1,5 +1,6 @@
 package graft.extensions
 
+import graft.core.Memo.MemoOps
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -250,7 +251,7 @@ object DedupQueries {
       // persisted: the derivation feeds three consumers (the sizing
       // count, the bit aggregation, and the content hashes) — without
       // the memo each would re-scan the corpus for the batch slice
-      val batchT = bloomBatch(docs(s, d)).persist()
+      val batchT = bloomBatch(docs(s, d)).memo()
       val batchH = batchT.select(col("batch_id"), sha2(col("text"), 256).as("h"))
       // keyed on the RAW text: the corpus-scan probes pay 3 xxhash64
       // calls per row, and sha256 only runs on prune survivors
@@ -559,7 +560,7 @@ object DedupQueries {
     }
     // persists here are session-scoped memos (QueryDef cache contract;
     // CacheHygieneSpec proves re-runs reuse rather than grow them)
-    val sh = if (lean) null else shingleDocs(corpus).persist()
+    val sh = if (lean) null else shingleDocs(corpus).memo()
     // signatures from the persisted text index when one is certified
     // AND fingerprint-matched (TextIndex) — the corpus-wide md5 pass
     // happens at ingest, not per query; identical expressions either
@@ -574,7 +575,7 @@ object DedupQueries {
     }
     val bands = sig.select(col("doc_id"), posexplode(minhashBandArray))
       .toDF("doc_id", "band", "bucket")
-      .persist()
+      .memo()
     // hot-bucket guard: a template flood puts every copy in the same
     // band buckets → |bucket|² candidates; capped buckets are dropped
     // from candidate generation (accounting via hotBuckets)
@@ -586,11 +587,11 @@ object DedupQueries {
       .dropDuplicates("doc_a", "doc_b")
     // lean: the pair list is read once for ids and once for scoring —
     // candidate-mass-sized, the RIGHT thing to cache at scale
-    val cand = if (lean) cand0.persist() else cand0
+    val cand = if (lean) cand0.memo() else cand0
     val shv = if (!lean) sh else {
       val candIds = cand.select(col("doc_a").as("doc_id"))
         .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-      shingleDocs(corpus.join(candIds, Seq("doc_id"), "left_semi")).persist()
+      shingleDocs(corpus.join(candIds, Seq("doc_id"), "left_semi")).memo()
     }
     cand
       .join(shv.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -717,7 +718,7 @@ object DedupQueries {
     }
     val bands = sig.select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("k"))
       .withColumn("byte", expr("shiftright(simhash, k * 8) & 255"))
-      .persist() // session-scoped memo (QueryDef cache contract)
+      .memo() // session-scoped memo (QueryDef cache contract)
     bands.as("a").join(bands.as("b"),
         col("a.k") === col("b.k") && col("a.byte") === col("b.byte")
           && col("a.doc_id") < col("b.doc_id"))
@@ -794,7 +795,7 @@ object DedupQueries {
         explode(array(tables: _*)).as("tb"))
       .select(col("doc_id"), col("simhash64"),
         col("tb.k").as("k"), col("tb.band").as("band"))
-      .persist() // session-scoped memo (QueryDef cache contract)
+      .memo() // session-scoped memo (QueryDef cache contract)
     val keep = capHotBuckets(s, bands, Seq("k", "band"), n)
     keep.as("a").join(keep.as("b"),
         col("a.k") === col("b.k") && col("a.band") === col("b.band")
@@ -1015,29 +1016,55 @@ object DedupQueries {
       // df, verification) runs on these ints, so the index-served query
       // skips the text scan + tokenize + md5 pass ENTIRELY (indexes
       // predating the column fall back; rebuild to upgrade).
-      val sh = (TextIndex.resolveFor(s, docs(s, d)) match {
+      // DISK BUDGET (round 13, VERDICT r12 item 3): the exploded
+      // corpus×shingles frame (`post`) and its rare-blocked filter are
+      // strictly LARGER than the shingle arrays whose un-gated persist
+      // caused the r11 8M-doc ENOSPC — past [[LeanShingleMinRowsKey]]
+      // they are never cached. The lean path persists only the tiny
+      // global frequent-shingle set and the NARROW per-doc meta frame
+      // (doc_id, n, fr — fr bounded by the frequent set), and streams
+      // the explode for each consumer instead (same trade as
+      // minhashPairsFor's lean path; a caching strategy, never a
+      // semantics change — DedupRouteSpec pins identity at gate=0).
+      val lean = corpusRows(docs(s, d)) >= leanShingleMinRows(s)
+      val sh0 = (TextIndex.resolveFor(s, docs(s, d)) match {
         case Some(dir) if TextIndex.readSigs(s, dir).columns.contains("shn") =>
           TextIndex.readSigs(s, dir).select(col("doc_id"), col("shn").as("sh"))
         case _ => shPre.getOrElse(shingled(s, d))
           .select(col("doc_id"), expr("transform(sh, x -> graft_md5_prefix(x, 15))").as("sh"))
       }).withColumn("n", size(col("sh")).cast("long"))
-        .persist() // persists below: session-scoped memos (QueryDef cache contract)
-      // persisted (round 12): three consumers (the df aggregate, the
-      // rare-blocking join, the frequent-shingle leg) otherwise each
-      // re-explode the shingle arrays from the sh cache
-      val post = sh.select(col("doc_id"), explode(col("sh")).as("x"))
-        .persist()
-      val dfx = post.groupBy("x").agg(count(lit(1)).as("df")).persist()
-      val blocked = post.join(dfx.filter(col("df") <= DF_MAX).select("x"), "x").persist()
+      // persists below (non-lean): session-scoped memos (QueryDef cache
+      // contract). Persisted (round 12): three consumers (the df
+      // aggregate, the rare-blocking join, the frequent-shingle leg)
+      // otherwise each re-explode the shingle arrays from the sh cache.
+      val sh = if (lean) sh0 else sh0.memo()
+      val post0 = sh.select(col("doc_id"), explode(col("sh")).as("x"))
+      val post = if (lean) post0 else post0.memo()
+      val dfx = if (lean) null
+        else post.groupBy("x").agg(count(lit(1)).as("df")).memo()
+      // the frequent-shingle set is tiny by definition (df > DF_MAX
+      // over the whole corpus) — the one thing ALWAYS safe to persist
+      val freq = if (lean)
+        post.groupBy("x").agg(count(lit(1)).as("df"))
+          .filter(col("df") > DF_MAX).select("x").memo()
+        else dfx.filter(col("df") > DF_MAX).select("x")
+      // lean: rare-blocked ≡ post minus frequent occurrences (dfx
+      // partitions shingles at DF_MAX, so inner-join-rare and
+      // anti-join-frequent keep the same rows)
+      val blocked = if (lean) post.join(freq, Seq("x"), "left_anti")
+        else post.join(dfx.filter(col("df") <= DF_MAX).select("x"), "x").memo()
       val pairCounts = blocked.as("a").join(blocked.as("b"),
           col("a.x") === col("b.x") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("rare_shared"))
       val emptyArr = expr("CAST(array() AS ARRAY<BIGINT>)")
-      val meta = sh.select(col("doc_id"), col("n"))
-        .join(post.join(dfx.filter(col("df") > DF_MAX).select("x"), "x")
+      val meta0 = sh.select(col("doc_id"), col("n"))
+        .join(post.join(freq, Seq("x"))
           .groupBy("doc_id").agg(collect_list("x").as("fr")), Seq("doc_id"), "left")
         .withColumn("fr", coalesce(col("fr"), emptyArr))
+      // lean: meta is read three times (slim bound ×2 sides + exact
+      // fr join) — narrow per-doc rows, the RIGHT thing to cache
+      val meta = if (lean) meta0.memo() else meta0
       // two-stage verification: the 1M+ candidate pairs first join only
       // COUNT scalars (no arrays shuffle) and die against the upper
       // bound inter ≤ rare_shared + min(|fr_a|, |fr_b|) (Jaccard is
@@ -1122,7 +1149,7 @@ object DedupQueries {
       val (resolved, shStr) = TextIndex.resolveFor(s, docs(s, d)) match {
         case some @ Some(_) => (some, None)
         case None => (None, Some(shingled(s, d)
-          .persist())) // session-scoped memo (QueryDef cache contract)
+          .memo())) // session-scoped memo (QueryDef cache contract)
       }
       val sig = resolved match {
         case Some(dir) => TextIndex.readSigs(s, dir).select("doc_id", "mhs")
@@ -1226,7 +1253,7 @@ object DedupQueries {
       val (resolved, shStr) = TextIndex.resolveFor(s, docs(s, d)) match {
         case some @ Some(_) => (some, None)
         case None => (None, Some(shingled(s, d)
-          .persist())) // session-scoped memo (QueryDef cache contract)
+          .memo())) // session-scoped memo (QueryDef cache contract)
       }
       val sh = (resolved match {
         case Some(dir) if TextIndex.readSigs(s, dir).columns.contains("shn") =>
@@ -1478,7 +1505,7 @@ object DedupQueries {
       .withColumn("vd", expr("transform(vec, x -> CAST(x AS DOUBLE))"))
       .withColumn("n2", expr("aggregate(vec, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
       .select("doc_id", "vd", "n2")
-      .persist() // session-scoped memo (QueryDef cache contract)
+      .memo() // session-scoped memo (QueryDef cache contract)
 
   /** The exact integer τ = 19/20 predicate both docvec tiers share:
     * cos ≥ τ ⟺ dot > 0 ∧ 400·dot² ≥ 361·|a|²·|b|². Two exact tiers:
@@ -1508,7 +1535,7 @@ object DedupQueries {
     val bandBits = AnnIndex.advisedBandBits(n, ROUTED_PLANES)
     val bands = SimilarityQueries.srpBands(
       SimilarityQueries.srpCoded(ev, ROUTED_PLANES), ROUTED_PLANES, bandBits)
-      .persist()
+      .memo()
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.vec_id") < col("b.vec_id"))
@@ -1595,7 +1622,7 @@ object DedupQueries {
     val e = s.read.parquet(s"$d/embeddings.parquet")
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("norm", sqrt(call_function("graft_dot", col("v"), col("v"))))
-      .persist() // persists here: session-scoped memos (QueryDef cache contract)
+      .memo() // persists here: session-scoped memos (QueryDef cache contract)
     // Candidate generation runs on SLIM (id, band, bucket) rows — the
     // 64-double vectors never enter the self-join shuffle or the
     // pair-dedup; they are joined back only for the surviving pairs.
@@ -1611,7 +1638,7 @@ object DedupQueries {
       case None =>
         SimilarityQueries.srpBands(SimilarityQueries.srpCoded(e, planes), planes, bandBits)
     })
-      .persist()
+      .memo()
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.vec_id") < col("b.vec_id"))
@@ -1792,7 +1819,7 @@ object DedupQueries {
           .select(col("doc_id"), col("p").cast("long").as("p"), col("h"))
       case _ => spanWindowRows(docs(s, d))
     })
-      .persist()
+      .memo()
 
   /** Per-doc token counts — `ntk` from a certified index (column-pruned
     * read) or a text-scan fallback; dedup_span_frac / dedup_scrub's
@@ -2121,7 +2148,7 @@ object DedupQueries {
       val boiler = fp.groupBy("m")
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") > FP_MAX_DOCS).select("m")
-      val kept = fp.join(boiler, Seq("m"), "left_anti").persist()
+      val kept = fp.join(boiler, Seq("m"), "left_anti").memo()
       val counts = kept.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
       kept.select(col("m"), col("doc_id").as("doc_a"))
         .join(kept.select(col("m"), col("doc_id").as("doc_b")), Seq("m"))
@@ -2182,7 +2209,7 @@ object DedupQueries {
       }
       val bands = sig.select(col("doc_id"), posexplode(minhashBandArray))
         .toDF("doc_id", "band", "bucket")
-        .persist() // session-scoped memo (QueryDef cache contract)
+        .memo() // session-scoped memo (QueryDef cache contract)
       // hot-bucket guard: the O(|a|·|b|) Levenshtein verification makes
       // an uncapped template bucket catastrophically expensive here
       val keep = capHotBuckets(s, bands, Seq("band", "bucket"), corpusRows(docs(s, d)))
@@ -2210,11 +2237,19 @@ object DedupQueries {
         // the kept rows' lev is the identical exact distance. Most
         // banding collisions are far over the gate (measured >= ~53%
         // ratio vs the 40% gate), so they die in the cheap band.
+        // ml is widened to BIGINT before the multiply: 400001 * ml as
+        // INT*INT overflows signed 32-bit at ml >= 5369 chars (ANSI
+        // error, or a wrapped negative threshold silently dropping
+        // valid pairs with ANSI off). Fixtures never hit it; long
+        // documents would.
         .withColumn("lev", expr(
-          s"levenshtein(ta, tb, CAST((($EDIT_MAX_MICRO + 1) * ml - 1) DIV 1000000 AS INT))")
+          s"levenshtein(ta, tb, CAST((($EDIT_MAX_MICRO + 1) * CAST(ml AS BIGINT) - 1) DIV 1000000 AS INT))")
           .cast("long"))
         .filter(col("lev") >= 0L)
         .withColumn("ratio_micro", expr("lev * 1000000 DIV ml"))
+        // redundant by construction (lev >= 0 survivors all satisfy the
+        // ratio gate — that is exactly how T was derived); kept as
+        // belt-and-braces, NOT load-bearing
         .filter(col("ratio_micro") <= EDIT_MAX_MICRO)
         .select("doc_a", "doc_b", "lev", "ratio_micro")
         .orderBy("doc_a", "doc_b")
@@ -2369,10 +2404,10 @@ object DedupQueries {
             col("docs_in"), col("docs_removed"), col("tokens_removed"),
             (col("docs_in") - col("docs_removed")).as("survivors"))
       val g1 = tierGroup(corpus, sha2(col("text"), 256))
-        .persist() // session-scoped memo (QueryDef cache contract): stats + survivor reads share it
+        .memo() // session-scoped memo (QueryDef cache contract): stats + survivor reads share it
       val g2 = tierGroup(survivors(g1),
           sha2(regexp_replace(trim(lower(col("text"))), lit("  *"), lit(" ")), 256))
-        .persist() // feeds pair generation AND the tier-3 accounting pass
+        .memo() // feeds pair generation AND the tier-3 accounting pass
       val s2 = survivors(g2)
       // n: conservative upper bound on |s2| — the planted corpus is
       // base + three partial copies (< 2x base), and s2 is its subset

@@ -163,4 +163,46 @@ class DedupRouteSpec extends SparkSpec {
     assert(lean === default, "lean path is a caching strategy, not a semantics change")
     assert(default.nonEmpty, "the SF corpus has verified near-dup pairs to compare")
   }
+
+  test("lean ngram path (no corpus-wide explode persist) yields the identical pair set") {
+    // Past LeanShingleMinRows ngramPairs stops persisting the exploded
+    // corpus×shingles frame (strictly larger than the shingle arrays
+    // behind the r11 8M-doc ENOSPC) and streams it per consumer,
+    // caching only the tiny frequent-shingle set and the narrow
+    // per-doc meta frame. Rare-blocking flips from inner-join-rare to
+    // anti-join-frequent — same rows by the DF_MAX partition of dfx.
+    def pairs() = graft.SparkEntry.queries("dedup_ngram")(spark, sfDir).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_a")), r.getLong(r.fieldIndex("doc_b")),
+        r.getDouble(r.fieldIndex("jaccard")))).toSeq.sorted
+    val default = pairs()
+    spark.sharedState.cacheManager.clearCache()
+    spark.conf.set(graft.extensions.DedupQueries.LeanShingleMinRowsKey, "0")
+    val lean = try pairs()
+    finally spark.conf.unset(graft.extensions.DedupQueries.LeanShingleMinRowsKey)
+    spark.sharedState.cacheManager.clearCache()
+    assert(lean === default, "lean ngram path is a caching strategy, not a semantics change")
+    assert(default.nonEmpty, "the SF corpus has ngram near-dup pairs to compare")
+  }
+
+  test("dedup_edit: long documents (max len >= 5369) do not overflow the banded-DP threshold") {
+    // Round-13 regression guard (ADVICE r12 medium): the threshold
+    // expr (EDIT_MAX_MICRO+1)*ml was INT*INT — at ml >= 5369 chars it
+    // overflowed signed 32-bit (ANSI ARITHMETIC_OVERFLOW, or with ANSI
+    // off a wrapped negative threshold silently dropping valid pairs).
+    // ml is now widened to BIGINT first; an ~8 KB near-dup pair must
+    // surface with its exact distance.
+    val d = tmpDir("graft-editlong")
+    val base = (0 until 1200).map(i => s"tok$i").mkString(" ") // ~8.2 KB
+    val rows = Seq(
+      (0L, base, "en", "s", base.length.toLong),
+      (1L, base + " tail", "en", "s", (base.length + 5).toLong))
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    assert(base.length >= 5369, "fixture must sit past the 32-bit overflow point")
+    val pairs = graft.SparkEntry.queries("dedup_edit")(spark, d).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_a")), r.getLong(r.fieldIndex("doc_b")),
+        r.getLong(r.fieldIndex("lev"))))
+    assert(pairs.toSeq === Seq((0L, 1L, 5L)),
+      "the long near-dup pair must survive with exact lev = 5 (appended ' tail')")
+  }
 }
